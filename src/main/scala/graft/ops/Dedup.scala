@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.10 deduplication operators over `documents`.
+  *
+  * Scale notes:
+  *  - Exact dedup is a single hash-aggregate on the dedup key: one shuffle,
+  *    map-side partial aggregation, no collect.
+  *  - MinHash/LSH avoids the O(n²) pair space entirely: candidate pairs come
+  *    from an equi-join on (band, bucket), so the shuffle is keyed and the
+  *    cost is proportional to bucket collisions, not n².
+  *  - SimHash reduces each document to one 64-bit signature; near-dup pairs
+  *    come from banding the signature (4 × 16-bit bands → equi-join).
+  */
+object Dedup {
+
+  /** [Q-dedup-exact] exact dedup by full text: canonical survivor (min id) +
+    * multiplicity. One hash-aggregate shuffle keyed on text. */
+  def q_dedup_exact(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("text"), col("keep_id"), col("n_copies"))
+
+  /** MinHash signatures: `perms` hash permutations in `bands` bands.
+    * Per (doc, shingle) we compute xxhash64(shingle, p) for each permutation p
+    * via a higher-order transform (no UDF), then take the per-position min via
+    * posexplode + groupBy — fully distributed, codegen-friendly.
+    * Returns (doc_id, band, bucket). */
+  def minhashSignatures(docs: DataFrame, perms: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = perms / bands
+    docs.select(col("doc_id"), explode(TextOps.shingleExpr(3)).as("sh"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${perms - 1}), p -> xxhash64(sh, p))"))
+          .as(Seq("p", "h")))
+      .groupBy(col("doc_id"), col("p")).agg(min(col("h")).as("minh"))
+      .withColumn("band", (col("p") / rows).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(hash(sort_array(collect_list(struct(col("p"), col("minh"))))).as("bucket"))
+  }
+
+  /** Candidate pairs from LSH banding, verified with exact shingle Jaccard.
+    * The verify join only touches colliding pairs. */
+  def minhashDupPairs(docs: DataFrame, threshold: Double = 0.5,
+                      perms: Int = 64, bands: Int = 16): DataFrame = {
+    val sig = minhashSignatures(docs, perms, bands)
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sh = docs.select(col("doc_id"), TextOps.shingleExpr(3).as("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jacc", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jacc") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jacc"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** [Q-dedup-minhash] near-dup pairs via MinHash+LSH (self-consistency
+    * checked in ScalaTest; engine-specific hashes → no DuckDB oracle). */
+  def q_dedup_minhash(s: SparkSession, d: String): DataFrame =
+    minhashDupPairs(Tables(s, d, "documents"))
+
+  /** [Q-dedup-minhash-sig] the LSH index itself (doc → band buckets). */
+  def q_dedup_minhash_sig(s: SparkSession, d: String): DataFrame =
+    minhashSignatures(Tables(s, d, "documents")).orderBy(col("doc_id"), col("band"))
+
+  /** 64-bit SimHash per document: token hash bits weighted by term frequency,
+    * sign-aggregated per bit position. Built entirely from explode + bitwise
+    * expressions. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("cnt"), xxhash64(col("tok")).as("h"),
+        explode(expr("sequence(0, 63)")).as("j"))
+      .withColumn("contrib",
+        when(expr("shiftright(h, j) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy(col("doc_id"), col("j")).agg(sum(col("contrib")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("w") >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(lit(0L))).as("simhash"))
+
+  /** [Q-dedup-simhash] per-doc SimHash (rows-only check: engine hash). */
+  def q_dedup_simhash(s: SparkSession, d: String): DataFrame =
+    simhash(Tables(s, d, "documents")).orderBy("doc_id")
+
+  /** [Q-dedup-ngram] exact 3-gram Jaccard from sampled anchor docs to all
+    * later docs; top-100 pairs on a total order. DuckDB-oracle-matched
+    * (list_intersect on distinct shingle sets both sides). */
+  def q_dedup_ngram(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables(s, d, "documents").select(col("doc_id"), TextOps.shingleExpr(3).as("sh"))
+    val anchors = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("a_id"), col("sh").as("sha"))
+    sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+      .join(broadcast(anchors), col("b_id") > col("a_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("a_id"), col("b_id"), (col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter"))).as("jacc"))
+      .orderBy(col("jacc").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+}

@@ -1,0 +1,305 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** SURVEY.md §2.3–§2.8 declared relational query inventory.
+  *
+  * Scale-first design rules applied throughout:
+  *  - Money arithmetic runs in DecimalType on BOTH the Spark side and the
+  *    DuckDB oracle side. Decimal sums are exact and order-independent, so
+  *    results are bit-identical at any parallelism — a raw double sum would
+  *    flap in the last ulp across 1000 executors (and across engines).
+  *  - Dimension joins (region/nation) carry explicit broadcast() hints;
+  *    fact⋈fact joins are left to sort-merge + AQE.
+  *  - Every LIMIT sits on a total order (unique tiebreak key) so the selected
+  *    rows are deterministic across engines and partitionings.
+  *  - No UDFs anywhere: everything is Catalyst built-ins and stays inside
+  *    whole-stage codegen.
+  */
+object Relational {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+  /** Exact 2-dp money value recovered from the fixture double. */
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column = c.cast(DecimalType(p, s))
+  private val D = DoubleType
+
+  // ---- §2.3 projection / filter -------------------------------------------
+
+  /** [Q-proj] projection + rename over lineitem; net price in exact decimal. */
+  def q_proj(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select(
+      col("l_orderkey").as("okey"),
+      col("l_linenumber").as("lnum"),
+      col("l_quantity").as("qty"),
+      (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"), 4, 2)))
+        .cast(D).as("net_price"))
+
+  /** [Q-filter] TPC-H Q6 shape: date range + between + comparison, revenue agg. */
+  def q_filter(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount"), 4, 2))
+          .cast(D).as("revenue"))
+
+  // ---- §2.4 joins ----------------------------------------------------------
+
+  /** [Q-join-bcast] broadcast hash join: nation ⋈ region (dim ⋈ dim). */
+  def q_join_bcast(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+
+  /** [Q-join-sm] shuffle/sort-merge equi-join: orders ⋈ lineitem on orderkey. */
+  def q_join_sm(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(D).as("gross"))
+
+  /** [Q-join-star] TPC-H Q5 shape: 6-way star, dims broadcast, revenue/nation. */
+  def q_join_star(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1999-01-01").cast(TimestampType))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"), 4, 2)))
+        .cast(D).as("revenue"))
+
+  /** [Q-join-outer] TPC-H Q13 shape: customer left-outer orders → distribution. */
+  def q_join_outer(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+
+  /** [Q-join-semi] EXISTS decorrelation: customers with a big order. */
+  def q_join_semi(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** [Q-join-anti] NOT EXISTS: customers with no big order. */
+  def q_join_anti(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** [Q-join-theta] range self-join: per-user event pairs within one hour.
+    * Equi on user_id keeps the shuffle keyed; the ts range is a residual
+    * predicate, so this stays a hash/sort-merge join, not a cartesian. */
+  def q_join_theta(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val a = ev.select(col("user_id"), col("ts"))
+    val b = ev.select(col("user_id").as("user_b"), col("ts").as("ts_b"))
+    a.join(b, col("user_id") === col("user_b") &&
+        col("ts_b") > col("ts") &&
+        col("ts_b") <= col("ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** [Q-join-cross] cartesian over the two fixed-size dims (5 × 25 rows). */
+  def q_join_cross(s: SparkSession, d: String): DataFrame =
+    t(s, d, "region").crossJoin(t(s, d, "nation"))
+      .select(col("r_name"), col("n_name"))
+
+  // ---- §2.5 aggregations ---------------------------------------------------
+
+  /** [Q-agg-pricing] TPC-H Q1: multi-aggregate pricing summary. */
+  def q_agg_pricing(s: SparkSession, d: String): DataFrame = {
+    val ext = dec(col("l_extendedprice"))
+    val oneMinusDisc = lit(1) - dec(col("l_discount"), 4, 2)
+    val onePlusTax = lit(1) + dec(col("l_tax"), 4, 2)
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(ext).cast(D).as("sum_base_price"),
+        sum(ext * oneMinusDisc).cast(D).as("sum_disc_price"),
+        sum(ext * oneMinusDisc * onePlusTax).cast(D).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(ext).cast(D) / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"), 4, 2)).cast(D) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** [Q-agg-distinct] exact distinct count (shuffles on the distinct key). */
+  def q_agg_distinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").agg(
+      countDistinct(col("o_custkey")).as("n_cust"),
+      count(lit(1)).as("n_orders"))
+
+  /** [Q-agg-hll] approx_count_distinct (HLL++) — tolerance-checked, no oracle:
+    * HLL sketches differ across engines by design. */
+  def q_agg_hll(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      count(lit(1)).as("n_rows"))
+
+  /** [Q-agg-rollup] hierarchical totals region → nation. */
+  def q_agg_rollup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name")
+      // rollup(String*) trips Spark 4.1's ambiguous-self-join check on joined
+      // inputs; the Column overload resolves cleanly.
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+
+  /** [Q-agg-cube] cube over events (type × day). */
+  def q_agg_cube(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      .cube(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"), 10, 2)).cast(D).as("sum_value"))
+
+  // ---- §2.6 window functions ----------------------------------------------
+
+  /** [Q-win-rank] rank/dense_rank/row_number of orders by price per priority. */
+  def q_win_rank(s: SparkSession, d: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+    val total = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, d, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      rank().over(byPrice).as("rnk"),
+      dense_rank().over(byPrice).as("drnk"),
+      row_number().over(total).as("rn"))
+  }
+
+  /** [Q-win-lag] lag/lead of value per user ordered by event time. */
+  def q_win_lag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, d, "events").select(
+      col("event_id"), col("user_id"), col("value"),
+      lag("value", 1).over(w).as("prev_value"),
+      lead("value", 1).over(w).as("next_value"))
+  }
+
+  /** [Q-win-frame] running sum + sliding 3-row average (decimal-exact). */
+  def q_win_frame(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val slide = order.rowsBetween(-2, 0)
+    t(s, d, "events").select(
+      col("event_id"), col("user_id"), col("value"),
+      sum(dec(col("value"), 10, 2)).over(run).cast(D).as("run_sum"),
+      (sum(dec(col("value"), 10, 2)).over(slide).cast(D) /
+        count(col("value")).over(slide)).as("slide_avg"))
+  }
+
+  // ---- §2.7 sort / limit / top-k / set ops ----------------------------------
+
+  /** [Q-sort] multi-key order + limit → TakeOrderedAndProject (no full sort
+    * materialization; each partition keeps only its top 100). */
+  def q_sort(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity"))
+      .limit(100)
+
+  /** [Q-topk] top-10 customers by revenue; ordered on the exact decimal sum. */
+  def q_topk(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum(dec(col("o_totalprice"))).as("rev_d"))
+      .orderBy(col("rev_d").desc, col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("rev_d").cast(D).as("revenue"))
+      .limit(10)
+
+  /** [Q-set-union] UNION (distinct) of two order slices. */
+  def q_set_union(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    o.filter(col("o_totalprice") > 400000).select(col("o_orderkey"), col("o_orderpriority"))
+      .union(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority")))
+      .distinct()
+  }
+
+  /** [Q-set-intersect] positive-balance customers ∩ customers with orders. */
+  def q_set_intersect(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").filter(col("c_acctbal") > 0).select(col("c_custkey"))
+      .intersect(t(s, d, "orders").select(col("o_custkey").as("c_custkey")))
+
+  /** [Q-set-except] customers minus those with a big order. */
+  def q_set_except(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_custkey"))
+      .except(t(s, d, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey")))
+
+  // ---- §2.8 scalar function families ----------------------------------------
+
+  /** [Q-fn-string] string family over part. */
+  def q_fn_string(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      lower(col("p_name")).as("name_l"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      length(col("p_name")).as("name_len"),
+      element_at(split(col("p_type"), " "), 1).as("type_head"),
+      regexp_extract(col("p_type"), "(\\w+)$", 1).as("type_tail"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      col("p_name").like("%a%").as("has_a"))
+
+  /** [Q-fn-date] date family over orders. */
+  def q_fn_date(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      quarter(col("o_orderdate")).as("q"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      date_add(col("o_orderdate"), 30).as("plus30"))
+
+  /** [Q-fn-decimal] per-row decimal arithmetic with exact precision. */
+  def q_fn_decimal(s: SparkSession, d: String): DataFrame = {
+    val ext = dec(col("l_extendedprice"))
+    val om = lit(1) - dec(col("l_discount"), 4, 2)
+    val op = lit(1) + dec(col("l_tax"), 4, 2)
+    t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      (ext * om).cast(D).as("disc_price"),
+      (ext * om * op).cast(D).as("charge"))
+  }
+
+  /** [Q-fn-json] JSON extraction over events.props. */
+  def q_fn_json(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"), col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"), 10, 2)).cast(D).as("sum_value"))
+
+  /** [Q-fn-array] higher-order array functions over embeddings: fold (dot with
+    * itself = squared L2 norm), size, max — all inside codegen, no UDF. */
+  def q_fn_array(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).as("dim"),
+      round(expr(
+        "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+      ), 6).as("l2"),
+      expr("CAST(array_max(embedding) AS DOUBLE)").as("max_e"))
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.10 text-analysis operators over the `documents` table.
+  * Pure Catalyst built-ins (split/filter/transform/explode) — everything is
+  * codegen-friendly and fully distributed; no UDFs, no driver-side loops.
+  */
+object TextOps {
+  private[ops] def tokens: Column = split(col("text"), " ")
+
+  /** Word-level k-shingles (distinct), for Jaccard / MinHash. 1-based
+    * element_at; guarded for texts shorter than k words. */
+  private[ops] def shingleExpr(k: Int = 3): Column = expr(
+    s"""CASE WHEN size(split(text, ' ')) >= $k THEN
+       |  array_distinct(transform(sequence(1, size(split(text, ' ')) - ${k - 1}),
+       |    i -> concat_ws(' ', slice(split(text, ' '), i, $k))))
+       |ELSE array_distinct(array(text)) END""".stripMargin)
+
+  /** [Q-text-tokens] corpus token frequency, top-50 (total order via token). */
+  def q_text_tokens(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(explode(tokens).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  /** [Q-text-quality] per-doc quality metrics: token count, avg token length,
+    * stopword ratio, composite score. Integer-derived doubles → exact. */
+  def q_text_quality(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens).as("n_tokens"),
+        length(col("text")).as("len"),
+        size(expr("filter(split(text, ' '), x -> x = 'the' OR x = 'a')")).as("n_stop"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("len"),
+        ((col("len") - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"))
+          .as("avg_token_len"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"))
+      .withColumn("quality",
+        least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.7) +
+          (lit(1.0) - col("stop_ratio")) * lit(0.3))
+
+  /** [Q-text-langid] marker-token language ID (n-gram-heuristic stand-in):
+    * counts membership of per-language marker words, argmax with fixed
+    * priority. Deterministic and SQL-expressible for the oracle. */
+  def q_text_langid(s: SparkSession, d: String): DataFrame = {
+    def markers(ws: Seq[String]): Column = {
+      val cond = ws.map(w => s"x = '$w'").mkString(" OR ")
+      size(expr(s"filter(split(text, ' '), x -> $cond)"))
+    }
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        markers(Seq("the", "a", "of")).as("en_n"),
+        markers(Seq("el", "la", "de")).as("es_n"),
+        markers(Seq("der", "die", "das")).as("de_n"))
+      .withColumn("pred_lang",
+        when(col("es_n") > col("en_n") && col("es_n") >= col("de_n"), "es")
+          .when(col("de_n") > col("en_n"), "de")
+          .otherwise("en"))
+  }
+
+  /** [Q-text-fingerprint] document fingerprints: xxhash64 of the full text +
+    * winnowing-style min-shingle-hash. Engine-specific hash → rows-only check
+    * (no DuckDB oracle). */
+  def q_text_fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .withColumn("sh", shingleExpr(3))
+      .select(col("doc_id"),
+        xxhash64(col("text")).as("fp"),
+        expr("array_min(transform(sh, x -> xxhash64(x)))").as("min_shingle_fp"),
+        crc32(col("text")).as("crc"))
+}

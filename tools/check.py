@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate (driver-side tools only:
+duckdb/pandas/pyarrow — NOT shipped in the engine).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+  (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+
+For each query in oracle_sql.json: run the SQL in DuckDB over the fixture
+tables, load the Spark parquet result, canonicalize (columns sorted by name,
+rows sorted by all columns), and compare cell-by-cell. Floats must match to
+1e-12 relative (we aim for bit-exact; near-misses are reported separately).
+"""
+import json, math, sys
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify unhashable cells (lists/arrays) for sorting
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        if a == b:
+            return True
+        return abs(a - b) <= 1e-12 * max(1.0, abs(a), abs(b)), "float-near"
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = canon(con.execute(sql).df())
+        except Exception as e:
+            failures.append(name); print(f"FAIL {name}: oracle SQL error: {e}"); continue
+        try:
+            got = canon(duckdb.connect().execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+        except Exception as e:
+            failures.append(name); print(f"FAIL {name}: spark result unreadable: {e}"); continue
+        if list(exp.columns) != list(got.columns):
+            failures.append(name)
+            print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            continue
+        if len(exp) != len(got):
+            failures.append(name)
+            print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            continue
+        bad = near = 0
+        first = None
+        for c in exp.columns:
+            ev, gv = exp[c].tolist(), got[c].tolist()
+            for i in range(len(ev)):
+                r = cells_equal(ev[i], gv[i])
+                if r is True:
+                    continue
+                if r and r[1] == "float-near":
+                    near += 1
+                    continue
+                bad += 1
+                if first is None:
+                    first = (c, i, ev[i], gv[i])
+        if bad:
+            failures.append(name)
+            print(f"FAIL {name}: {bad} cell diffs, e.g. col={first[0]} row={first[1]} exp={first[2]!r} got={first[3]!r}")
+        else:
+            tag = f" ({near} float-near)" if near else ""
+            print(f"OK   {name}: {len(exp)} rows{tag}")
+    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} oracle queries match")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main()
