@@ -1,0 +1,81 @@
+package graft.gen
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic value-generation primitives.
+  *
+  * Everything is a pure function of the global row id (`spark.range` ids)
+  * hashed with a per-column tag — NEVER rand(). This gives dbgen's
+  * partition-count invariance (/root/reference/src/tpch.rs:69-72: chunk i of
+  * N always produces the same global dataset): any repartitioning yields the
+  * same multiset, and a 1000-executor run generates byte-identical data to a
+  * laptop run. All primitives are Catalyst built-ins → whole-stage codegen.
+  */
+object GenUtil {
+  /** 64-bit deterministic stream: xxhash64(id, tag). */
+  def h(tag: Int): Column = xxhash64(col("id"), lit(tag))
+  def h(c: Column, tag: Int): Column = xxhash64(c, lit(tag))
+
+  /** Uniform long in [lo, hi] (inclusive). */
+  def uniLong(tag: Int, lo: Long, hi: Long): Column =
+    pmod(h(tag), lit(hi - lo + 1)) + lit(lo)
+  def uniLong(c: Column, tag: Int, lo: Long, hi: Long): Column =
+    pmod(h(c, tag), lit(hi - lo + 1)) + lit(lo)
+
+  /** Uniform double in [0, 1). */
+  def unif(tag: Int): Column =
+    pmod(h(tag), lit(1000000000L)).cast(DoubleType) / 1e9
+
+  /** Money in [lo, hi] with 2 decimals, as Decimal(11,2). */
+  def money(tag: Int, lo: Double, hi: Double): Column =
+    ((pmod(h(tag), lit(((hi - lo) * 100).toLong + 1)) +
+      lit((lo * 100).toLong)).cast(DecimalType(13, 0)) / 100).cast(DecimalType(11, 2))
+
+  /** Deterministic pick from a fixed word list. */
+  def pick(tag: Int, words: Seq[String]): Column =
+    element_at(array(words.map(lit): _*), (pmod(h(tag), lit(words.size)) + 1).cast(IntegerType))
+  def pick(c: Column, tag: Int, words: Seq[String]): Column =
+    element_at(array(words.map(lit): _*), (pmod(h(c, tag), lit(words.size)) + 1).cast(IntegerType))
+
+  /** 2–`max` word comment text. */
+  def words(tag: Int, max: Int, vocab: Seq[String]): Column = {
+    val picks = (0 until max).map(i => pick(tag * 31 + i, vocab))
+    concat_ws(" ", slice(array(picks: _*), lit(1),
+      (pmod(h(tag), lit(max - 1)) + 2).cast(IntegerType)): _*)
+  }
+
+  /** Date = base + uniform [0, span) days. */
+  def date(tag: Int, base: String, spanDays: Int): Column =
+    date_add(lit(base).cast(DateType), pmod(h(tag), lit(spanDays)).cast(IntegerType))
+
+  /** Phone like 25-989-741-2988. */
+  def phone(tag: Int): Column = concat(
+    (pmod(h(tag), lit(25)) + 10).cast(StringType), lit("-"),
+    (pmod(h(tag + 1), lit(900)) + 100).cast(StringType), lit("-"),
+    (pmod(h(tag + 2), lit(900)) + 100).cast(StringType), lit("-"),
+    (pmod(h(tag + 3), lit(9000)) + 1000).cast(StringType))
+
+  val vocab: Seq[String] = Seq("blithely", "bold", "carefully", "quickly",
+    "slyly", "furiously", "ironic", "final", "express", "regular", "special",
+    "pending", "even", "silent", "deposits", "requests", "accounts", "packages",
+    "theodolites", "instructions", "platelets", "foxes", "ideas", "dependencies")
+
+  /** Render a DataFrame as the reference's raw pipe-delimited layout:
+    * `{out}/{table}.{ext}/part-*.{ext}` (src/tpch.rs:102,123). `trailingPipe`
+    * reproduces dbgen's trailing '|' on every row (SURVEY §1.2). */
+  def writeRaw(df: DataFrame, outDir: String, table: String, ext: String,
+               trailingPipe: Boolean): Unit = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case DateType => date_format(col(f.name), "yyyy-MM-dd")
+        case _        => col(f.name).cast(StringType)
+      }
+    }
+    val line = if (trailingPipe) concat(concat_ws("|", cols: _*), lit("|"))
+               else concat_ws("|", cols: _*)
+    df.select(line.as("value")).write
+      .format("text").save(s"$outDir/$table.$ext")
+  }
+}
