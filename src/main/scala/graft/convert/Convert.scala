@@ -1,0 +1,101 @@
+package graft.convert
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.schema.Benchmark
+import java.nio.file.{Files, Paths}
+
+/** CSV↔Parquet conversion pipeline — Spark-native re-expression of the
+  * reference's `convert_to_parquet` (/root/reference/src/lib.rs:45-120) and
+  * `convert_tbl` (src/lib.rs:160-217).
+  *
+  * Semantics preserved from the reference:
+  *  - schema-applied CSV scan, `|` delimiter, custom file extension
+  *    (src/lib.rs:55-58) — never schema inference;
+  *  - codec whitelist snappy/lz4/lzo/none, everything else rejected
+  *    (src/lib.rs:186-199: brotli/gzip/zstd deliberately disabled);
+  *  - unknown output format rejected (src/lib.rs:207-212);
+  *  - fail-fast: input dir must exist (src/lib.rs:62-64), output table dir
+  *    must NOT pre-exist (src/lib.rs:69-71 → Spark SaveMode.ErrorIfExists);
+  *  - per-table loop over the benchmark's table names (src/lib.rs:50).
+  *
+  * Documented deviations (SURVEY §1.2, §1.4):
+  *  - the raw-file-only trailing `ignore` column is dropped before writing
+  *    (the reference writes it through);
+  *  - no temp-dir/flatten dance — Spark natively writes
+  *    `dir/part-*.parquet`; part numbering is per-task, not globally
+  *    sequential.
+  *
+  * Scale: each table converts as ONE narrow scan→write job (no shuffle, no
+  * driver-side data). At 100 TB the work is embarrassingly parallel over
+  * input splits; per-table jobs are independent and can be submitted
+  * concurrently (the reference converts file-sequentially, src/lib.rs:86).
+  */
+object Convert {
+
+  /** Codec whitelist (src/lib.rs:186-199). Returns the Spark codec name or
+    * throws, mirroring the reference's NotImplemented error. */
+  def validateCodec(codec: String): String = codec.toLowerCase match {
+    case "snappy" => "snappy"
+    case "lz4"    => "lz4"
+    case "lzo"    => "lzo"
+    case "none" | "uncompressed" => "uncompressed"
+    case other =>
+      throw new IllegalArgumentException(
+        s"Unsupported compression codec: $other (supported: snappy, lz4, lzo, none)")
+  }
+
+  /** Output format dispatch (src/lib.rs:184-212): csv | parquet, else error. */
+  def validateFormat(format: String): String = format.toLowerCase match {
+    case "csv" | "tbl" => "csv"
+    case "parquet"     => "parquet"
+    case other =>
+      throw new IllegalArgumentException(s"Unsupported output format: $other")
+  }
+
+  /** Schema-applied raw CSV scan (R1): pipe-delimited, custom extension.
+    * The schema must include the trailing `ignore` column for TPC-H raw
+    * files (dbgen's trailing '|'); it is dropped here. */
+  def readRaw(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType,
+              delimiter: String = "|"): DataFrame = {
+    val df = spark.read
+      .schema(schema)
+      .option("delimiter", delimiter)
+      .option("dateFormat", "yyyy-MM-dd")
+      .csv(path)
+    if (df.columns.contains("ignore")) df.drop("ignore") else df
+  }
+
+  /** Convert one table dir (standalone single-table API mirroring
+    * `convert_tbl`, src/lib.rs:160-217). */
+  def table(spark: SparkSession, inputDir: String, outputDir: String,
+            benchmark: Benchmark, tableName: String,
+            format: String = "parquet", codec: String = "snappy"): Unit = {
+    val fmt = validateFormat(format)
+    val c = validateCodec(codec)
+    val in = s"$inputDir/$tableName.${benchmark.tableExt}"
+    if (!Files.exists(Paths.get(in)))
+      throw new IllegalArgumentException(s"input path does not exist: $in")
+    val out = s"$outputDir/$tableName.$fmt"
+    val df = readRaw(spark, in, benchmark.schema(tableName))
+    fmt match {
+      case "parquet" =>
+        df.write.mode(SaveMode.ErrorIfExists)
+          .option("compression", c).parquet(out)
+      case "csv" =>
+        df.write.mode(SaveMode.ErrorIfExists)
+          .option("delimiter", "|").option("dateFormat", "yyyy-MM-dd").csv(out)
+    }
+  }
+
+  /** Per-table conversion loop (R8, src/lib.rs:45-120). */
+  def toParquet(spark: SparkSession, benchmark: Benchmark,
+                inputDir: String, outputDir: String,
+                codec: String = "snappy"): Unit = {
+    if (!Files.exists(Paths.get(inputDir)))
+      throw new IllegalArgumentException(s"input path does not exist: $inputDir")
+    validateCodec(codec)
+    benchmark.tableNames.foreach { t =>
+      table(spark, inputDir, outputDir, benchmark, t, "parquet", codec)
+    }
+  }
+}

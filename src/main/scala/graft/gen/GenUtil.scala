@@ -42,8 +42,8 @@ object GenUtil {
   /** 2–`max` word comment text. */
   def words(tag: Int, max: Int, vocab: Seq[String]): Column = {
     val picks = (0 until max).map(i => pick(tag * 31 + i, vocab))
-    concat_ws(" ", slice(array(picks: _*), lit(1),
-      (pmod(h(tag), lit(max - 1)) + 2).cast(IntegerType)): _*)
+    array_join(slice(array(picks: _*), lit(1),
+      (pmod(h(tag), lit(max - 1)) + 2).cast(IntegerType)), " ")
   }
 
   /** Date = base + uniform [0, span) days. */

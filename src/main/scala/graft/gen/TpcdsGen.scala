@@ -1,0 +1,125 @@
+package graft.gen
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.schema.{Benchmark, TpcdsSchemas}
+import GenUtil._
+
+/** TPC-DS data generation as native Spark jobs — replaces the reference's
+  * dsdgen process fan-out (/root/reference/src/tpcds.rs:34-104:
+  * `./dsdgen -FORCE -DIR out -SCALE sf -CHILD i -PARALLEL N` per thread)
+  * with `spark.range(n, partitions)` + deterministic column expressions.
+  *
+  * Fidelity notes (documented deviations, same policy as TpchGen):
+  *  - all 24 schemas follow the reference exactly (TpcdsSchemas ←
+  *    src/tpcds.rs:135-636): column names, types, decimal precisions,
+  *    nullability (surrogate keys non-null, the rest nullable);
+  *  - dsdgen's exact RNG streams / value distributions are NOT reproduced —
+  *    values are xxhash64-derived from the global row id: deterministic,
+  *    partition-count-invariant, schema-exact, FK-plausible;
+  *  - row counts follow the published sf1 cardinalities scaled linearly;
+  *    calendar/fixed dimensions (date_dim, time_dim, income_band, ship_mode)
+  *    keep their spec-fixed cardinality at every scale.
+  *
+  * Scale design: every table is ONE narrow map job over spark.range — no
+  * shuffle, no driver data; 100 TB generation is bounded by write bandwidth.
+  * Nullable columns carry ~5% deterministic nulls so downstream null-handling
+  * paths (outer joins, null-safe predicates) are actually exercised.
+  */
+object TpcdsGen extends Benchmark {
+  val name = "tpcds"
+  def tableNames: Seq[String] = TpcdsSchemas.tableNames
+  def tableExt: String = TpcdsSchemas.tableExt
+  def schema(table: String): StructType = TpcdsSchemas(table)
+
+  /** Published sf=1 row counts (facts scale linearly; `fixed` dims don't). */
+  private val sf1Counts: Map[String, (Long, Boolean)] = Map(
+    "call_center"            -> (6L, false),
+    "catalog_page"           -> (11718L, false),
+    "catalog_sales"          -> (1441548L, false),
+    "catalog_returns"        -> (144067L, false),
+    "customer"               -> (100000L, false),
+    "customer_address"       -> (50000L, false),
+    "customer_demographics"  -> (1920800L, false),
+    "date_dim"               -> (73049L, true),
+    "income_band"            -> (20L, true),
+    "household_demographics" -> (7200L, true),
+    "inventory"              -> (11745000L, false),
+    "store"                  -> (12L, false),
+    "ship_mode"              -> (20L, true),
+    "reason"                 -> (35L, false),
+    "promotion"              -> (300L, false),
+    "item"                   -> (18000L, false),
+    "store_sales"            -> (2880404L, false),
+    "store_returns"          -> (287514L, false),
+    "web_page"               -> (60L, false),
+    "warehouse"              -> (5L, false),
+    "time_dim"               -> (86400L, true),
+    "web_site"               -> (30L, false),
+    "web_returns"            -> (71763L, false),
+    "web_sales"              -> (719384L, false))
+
+  def rowCount(table: String, sf: Double): Long = {
+    val (n, fixed) = sf1Counts(table)
+    if (fixed) n else math.max(1L, (n * sf).toLong)
+  }
+
+  /** Deterministic column from (schema field, per-column tag). Type-driven:
+    * key columns sequential, FKs uniform, strings word-salad, dates in the
+    * 1998–2003 window, decimals in [0, 999.99] at the declared precision. */
+  private def colFor(f: StructField, tag: Int, isFirst: Boolean): Column = {
+    val base: Column = f.dataType match {
+      case IntegerType if isFirst =>
+        (col("id") + 1).cast(IntegerType) // surrogate key: dense, 1-based
+      case IntegerType if f.name.endsWith("_sk") =>
+        uniLong(tag, 1, 1000).cast(IntegerType) // FK surrogate
+      case IntegerType => uniLong(tag, 0, 9999).cast(IntegerType)
+      case LongType if f.name.endsWith("_sk") => uniLong(tag, 1, 1000)
+      case LongType => uniLong(tag, 0, 999999)
+      case StringType if f.name.endsWith("_id") =>
+        // dsdgen-style 16-char business key, unique per row
+        concat(lit("AAAAAAAA"), lpad(conv(pmod(col("id"), lit(99999999L)).cast(StringType), 10, 16), 8, "0"))
+      case StringType => pick(tag, vocab)
+      case DateType => date(tag, "1998-01-01", 2000)
+      case d: DecimalType =>
+        (pmod(h(tag), lit(100000L)).cast(DecimalType(12, 2)) / 100).cast(d)
+      case DoubleType => unif(tag)
+      case other => throw new IllegalArgumentException(
+        s"unsupported TPC-DS column type: $other (${f.name})")
+    }
+    // ~5% deterministic nulls on nullable columns (keys stay dense)
+    if (f.nullable && !isFirst)
+      when(pmod(h(tag + 7919), lit(20)) === 0, lit(null).cast(f.dataType)).otherwise(base)
+    else base
+  }
+
+  /** Build one table as a DataFrame matching TpcdsSchemas(tbl) exactly. */
+  def table(spark: SparkSession, tbl: String, sf: Double, partitions: Int): DataFrame = {
+    val st = schema(tbl)
+    val rows = rowCount(tbl, sf)
+    val baseDf = spark.range(0, rows, 1, math.max(1, partitions))
+    val cols = st.fields.zipWithIndex.map { case (f, i) =>
+      colFor(f, tbl.hashCode * 131 + i * 31 + 17, isFirst = i == 0).as(f.name)
+    }
+    baseDf.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Raw-layout generation (reference parity: `{out}/{table}.dat/part-*.dat`
+    * pipe-delimited, src/tpcds.rs:86-101; no trailing '|' — TPC-DS schemas
+    * carry no `ignore` column, SURVEY §1.2). */
+  def generate(spark: SparkSession, scale: Double, partitions: Int, outputPath: String): Unit =
+    tableNames.foreach { tbl =>
+      writeRaw(table(spark, tbl, scale, partitions), outputPath, tbl, tableExt,
+        trailingPipe = false)
+    }
+
+  /** Spark-native fast path: straight to Parquet (100 TB-scale default). */
+  def generateParquet(spark: SparkSession, scale: Double, partitions: Int,
+                      outputPath: String, codec: String = "snappy"): Unit =
+    tableNames.foreach { tbl =>
+      table(spark, tbl, scale, partitions).write
+        .option("compression", graft.convert.Convert.validateCodec(codec))
+        .parquet(s"$outputPath/$tbl.parquet")
+    }
+}
