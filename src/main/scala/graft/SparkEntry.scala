@@ -74,6 +74,7 @@ object SparkEntry {
     "q_dedup_embed" -> Similarity.q_dedup_embed,
     "q_sim_topk" -> Similarity.q_sim_topk,
     "q_sim_lsh" -> Similarity.q_sim_lsh,
+    "q_sim_ivf" -> Similarity.q_sim_ivf,
     "q_text_tokens" -> TextOps.q_text_tokens,
     "q_text_quality" -> TextOps.q_text_quality,
     "q_text_langid" -> TextOps.q_text_langid,
@@ -157,9 +158,9 @@ object SparkEntry {
     "q_stream_session" ->
       s"WITH t AS (SELECT user_id, $evTs AS ts, value FROM events), m AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s FROM t), g AS (SELECT user_id, ts, value, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m) SELECT user_id, min(ts) AS s_start, count(*) AS n, $valDec AS sum_value FROM g GROUP BY user_id, sid",
     "q_dedup_exact" ->
-      "SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+      "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
     "q_dedup_ngram" ->
-      s"WITH s AS (SELECT doc_id, $shingleSql AS sh FROM documents) SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc FROM s a JOIN s b ON a.doc_id % 50 = 0 AND b.doc_id > a.doc_id ORDER BY jacc DESC, a_id, b_id LIMIT 100",
+      s"WITH s AS (SELECT doc_id, $shingleSql AS sh FROM documents), e AS (SELECT doc_id, unnest(sh) AS g FROM s), c AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id) SELECT a_id, b_id, CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jacc FROM c JOIN s x ON a_id = x.doc_id JOIN s y ON b_id = y.doc_id ORDER BY jacc DESC, a_id, b_id LIMIT 100",
     "q_dedup_embed" ->
       s"SELECT a_id, b_id, cos_r FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosSql, 6) AS cos_r FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) c WHERE cos_r >= 0.4 ORDER BY a_id, b_id",
     "q_sim_topk" ->

@@ -17,13 +17,18 @@ import graft.Tables
   */
 object Dedup {
 
-  /** [Q-dedup-exact] exact dedup by full text: canonical survivor (min id) +
-    * multiplicity. One hash-aggregate shuffle keyed on text. */
+  /** [Q-dedup-exact] exact dedup keyed on a 128-bit content digest: canonical
+    * survivor (min id) + multiplicity. One hash-aggregate shuffle whose key is
+    * 32 hex chars — at 100 TB the shuffle moves digests, not the corpus
+    * (grouping by raw text would shuffle every byte of every document).
+    * md5 is used (not xxhash64) because DuckDB has the identical function, so
+    * the digest itself is oracle-matched; 128 bits makes collisions
+    * negligible (~1e-18 at 10^10 docs). */
   def q_dedup_exact(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
-      .groupBy("text")
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(col("text"), col("keep_id"), col("n_copies"))
+      .select(col("text_md5"), col("keep_id"), col("n_copies"))
 
   /** MinHash signatures: `perms` hash permutations in `bands` bands.
     * Per (doc, shingle) we compute xxhash64(shingle, p) for each permutation p
@@ -92,15 +97,26 @@ object Dedup {
   def q_dedup_simhash(s: SparkSession, d: String): DataFrame =
     simhash(Tables(s, d, "documents")).orderBy("doc_id")
 
-  /** [Q-dedup-ngram] exact 3-gram Jaccard from sampled anchor docs to all
-    * later docs; top-100 pairs on a total order. DuckDB-oracle-matched
-    * (list_intersect on distinct shingle sets both sides). */
+  /** [Q-dedup-ngram] exact 3-gram Jaccard, top-100 pairs on a total order.
+    * Candidate generation is a shingle-keyed EQUI-join: explode each doc's
+    * distinct shingles, join on the shingle, distinct the colliding (a,b)
+    * pairs, then compute exact Jaccard only for candidates. A pair shares a
+    * shingle iff its Jaccard > 0, so under `ORDER BY jacc DESC LIMIT 100`
+    * this is exact whenever ≥100 pairs overlap at all (sf0.01: thousands do).
+    * Scale: shuffle is keyed on the shingle — cost ∝ shingle collisions, not
+    * n²; no broadcast, no nested-loop. Hot-shingle skew is the residual risk
+    * (AQE skew-join handles moderate cases; a doc-frequency cap on shingles
+    * is the standard escalation). DuckDB-oracle-matched. */
   def q_dedup_ngram(s: SparkSession, d: String): DataFrame = {
     val sh = Tables(s, d, "documents").select(col("doc_id"), TextOps.shingleExpr(3).as("sh"))
-    val anchors = sh.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("a_id"), col("sh").as("sha"))
-    sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
-      .join(broadcast(anchors), col("b_id") > col("a_id"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .select(col("a_id"), col("b_id"), (col("inter").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("inter"))).as("jacc"))

@@ -12,9 +12,17 @@ import graft.Tables
   * the arithmetic matches the DuckDB oracle bit-for-bit (modulo the final
   * rounding, applied identically on both sides).
   *
-  * Scale path: brute force is O(n²) and exists as the correctness baseline /
-  * exact oracle; `lshNeighbors` buckets by random-hyperplane signatures so the
-  * join is keyed on the bucket (shuffle ∝ collisions, not n²).
+  * Scale paths (both keyed equi-joins — shuffle ∝ bucket collisions, never n²):
+  *  - `lshNeighbors`: random-hyperplane LSH, 8 bands × 16 bits → 65,536
+  *    buckets per band. Right tool for the NEAR-DUP regime (cos ≳ 0.9, where
+  *    per-band match probability (1-θ/π)^16 is useful). For moderate-similarity
+  *    top-k (cos ~0.3-0.5, typical of real ANN queries) wide-band LSH has
+  *    near-zero recall by construction — use IVF below.
+  *  - `ivfNeighbors`: inverted-file ANN — deterministic coarse centroids,
+  *    every vector assigned to its nearest cell (argmax computed with map-side
+  *    partial aggregation: the n×C scored rows combine to n rows BEFORE any
+  *    shuffle), anchors probe their top-P cells, exact re-rank inside probed
+  *    cells. Cost O(n·C) flops + keyed joins; C ≈ √n at scale.
   */
 object Similarity {
 
@@ -44,9 +52,13 @@ object Similarity {
   }
 
   /** [Q-dedup-embed] embedding-cosine near-duplicate pairs: every pair with
-    * rounded cosine ≥ threshold. Exact (brute-force) — this is the oracle
-    * baseline the LSH path approximates. Threshold compares the ROUNDED value
-    * so both engines make the identical cut. */
+    * rounded cosine ≥ threshold. EXACT all-pairs — this is the ORACLE BASELINE
+    * and is fenced to oracle scale factors only (O(n²) BroadcastNestedLoopJoin
+    * by construction; it exists so the approximate paths have a ground truth
+    * to be measured against). The production path at scale is `lshNeighbors`
+    * (near-dup regime) / `ivfNeighbors` (moderate similarity) — see the
+    * recall tests in SimilaritySpec. Threshold compares the ROUNDED value so
+    * both engines make the identical cut. */
   def q_dedup_embed(s: SparkSession, d: String): DataFrame = {
     val emb = Tables(s, d, "embeddings")
     emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
@@ -57,26 +69,35 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Random-hyperplane signature: `bits` sign bits, hyperplane coefficients
-    * derived deterministically from xxhash64(bit, dim) scaled to [-1, 1].
-    * Pure expression — no UDF, no materialized plane matrix. */
-  def lshSignature(embCol: String, bits: Int = 16): Column = expr(
-    s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (sig, p) ->
-       |  sig + CASE WHEN aggregate(sequence(1, size($embCol)), CAST(0 AS DOUBLE),
-       |    (acc, i) -> acc + (CAST(xxhash64(p, i) AS DOUBLE) / 9.223372036854776E18)
-       |                      * CAST(element_at($embCol, i) AS DOUBLE)) >= 0
-       |  THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+  /** Per-band random-hyperplane bucket ids: `bands` buckets, each built from
+    * `bitsPerBand` sign bits. Hyperplane coefficient (plane p, dim i) is
+    * xxhash64(p, i) scaled to [-1, 1] — deterministic, no materialized plane
+    * matrix, pure expression. Returns array<bigint> of length `bands`; each
+    * bucket is a value in [0, 2^bitsPerBand). */
+  def lshBuckets(embCol: String, bands: Int = 8, bitsPerBand: Int = 16): Column = expr(
+    s"""transform(sequence(0, ${bands - 1}), b ->
+       |  aggregate(sequence(0, ${bitsPerBand - 1}), CAST(0 AS BIGINT), (sig, j) ->
+       |    sig + CASE WHEN aggregate(sequence(1, size($embCol)), CAST(0 AS DOUBLE),
+       |      (acc, i) -> acc + (CAST(xxhash64(b * $bitsPerBand + j, i) AS DOUBLE)
+       |                         / 9.223372036854776E18)
+       |                        * CAST(element_at($embCol, i) AS DOUBLE)) >= 0
+       |    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END))""".stripMargin)
 
-  /** [Q-sim-lsh] ANN via LSH buckets: candidates share a 16-bit signature
-    * band (4 bands × 4 bits → OR-amplified recall), then exact cosine within
-    * the bucket. Rows-only check; recall vs brute force is asserted in tests. */
-  def lshNeighbors(emb: DataFrame, anchorPred: Column, k: Int = 10): DataFrame = {
-    val sig = emb.select(col("vec_id"), col("embedding"), lshSignature("embedding").as("sig"))
-      .select(col("vec_id"), col("embedding"),
-        explode(expr("transform(sequence(0, 3), b -> " +
-          "named_struct('band', b, 'bucket', shiftright(sig, b * 4) & 15))")).as("bb"))
-      .select(col("vec_id"), col("embedding"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  /** (vec_id, embedding, band, bucket) — one row per band. The (band, bucket)
+    * pair is the LSH join key: 65,536 buckets per band at the default 16 bits,
+    * so bucket occupancy is n/65,536 per band (vs n/16 with 4-bit buckets —
+    * the round-1 scale-killer this replaces). */
+  private def banded(emb: DataFrame, bands: Int, bitsPerBand: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        posexplode(lshBuckets("embedding", bands, bitsPerBand)).as(Seq("band", "bucket")))
+
+  /** ANN candidates via LSH banding + exact cosine re-rank of collisions.
+    * OR-amplification across bands: a pair is a candidate if ANY band agrees
+    * on all 16 bits. Per-band match probability (1-θ/π)^16 — effective for
+    * near-duplicates; see class doc for the moderate-similarity caveat. */
+  def lshNeighbors(emb: DataFrame, anchorPred: Column, k: Int = 10,
+                   bands: Int = 8, bitsPerBand: Int = 16): DataFrame = {
+    val sig = banded(emb, bands, bitsPerBand)
     val a = sig.filter(anchorPred)
       .select(col("vec_id").as("a_id"), col("embedding").as("va"), col("band"), col("bucket"))
     val cand = sig.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
@@ -90,6 +111,61 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"), col("rn"))
   }
 
+  /** [Q-sim-lsh] LSH-bucketed ANN of the anchor set (rows-only check;
+    * bucketing correctness + planted-duplicate recall asserted in tests).
+    * Band knobs are occupancy-tuned to the data, as LSH always is: at n=500
+    * (sf0.01) 8-bit buckets give occupancy n/256 ≈ 2 and measurable recall in
+    * the fixture's moderate-similarity regime; at n=10^9 the production
+    * default (16-bit bands, occupancy n/65,536) is the right operating point
+    * and is what the planted-duplicate test exercises. */
   def q_sim_lsh(s: SparkSession, d: String): DataFrame =
-    lshNeighbors(Tables(s, d, "embeddings"), col("vec_id") < 5)
+    lshNeighbors(Tables(s, d, "embeddings"), col("vec_id") < 5,
+      bands = 32, bitsPerBand = 8)
+
+  /** IVF (inverted-file) ANN.
+    *
+    * Index build: `numCells` coarse centroids chosen deterministically (the
+    * first C vector ids — with hash-generated fixtures this is an unbiased
+    * sample; a k-means refinement drops in behind the same contract). Every
+    * vector scores against the broadcast centroid set and keeps its argmax
+    * cell: the n×C scored rows are reduced to n by map-side partial
+    * aggregation (max over a (cos, cell) struct), so the only shuffle is n
+    * rows keyed by vec_id.
+    *
+    * Query: each anchor probes its `probes` nearest cells, candidates come
+    * from an EQUI-join on the cell id, exact cosine re-ranks them. Recall is
+    * tunable via probes/numCells (recall vs brute force asserted in tests). */
+  def ivfNeighbors(emb: DataFrame, anchorPred: Column, k: Int = 10,
+                   numCells: Int = 16, probes: Int = 4): DataFrame = {
+    val cents = emb.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine("embedding", "cv").as("cs"))
+    // nearest cell per vector — partial-agg-friendly argmax, then re-join the
+    // vector payload (keyed join on vec_id; avoids grouping by the array col)
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("cs"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+      .join(emb, "vec_id")
+    // anchors probe their top-P cells
+    val probed = scored.filter(anchorPred)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cell"))))
+      .filter(col("pr") <= probes)
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"), col("cell"))
+    val cand = assigned
+      .select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("cell"))
+      .join(probed, "cell").filter(col("a_id") =!= col("b_id"))
+    cand.select(col("a_id"), col("b_id"), cosine("va", "vb").as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))))
+      .filter(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"), col("rn"))
+  }
+
+  /** [Q-sim-ivf] IVF ANN of the anchor set (rows-only check; recall vs the
+    * exact q_sim_topk baseline asserted in SimilaritySpec). */
+  def q_sim_ivf(s: SparkSession, d: String): DataFrame =
+    ivfNeighbors(Tables(s, d, "embeddings"), col("vec_id") < 5)
 }
