@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.convert.Convert
+import graft.gen.TpchGen
+import java.nio.file.Files
+
+/** Conversion pipeline (SURVEY §5.1/§5.3): codec/format whitelists mirror the
+  * reference's NotImplemented rejections (src/lib.rs:186-199, 207-212);
+  * fail-fast semantics mirror src/lib.rs:62-71; the round-trip property is
+  * generate(raw .tbl) → convert → read-back == generated DataFrame. */
+class ConvertSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("codec whitelist: snappy/lz4/lzo/none pass, others rejected") {
+    assert(Convert.validateCodec("snappy") == "snappy")
+    assert(Convert.validateCodec("LZ4") == "lz4")
+    assert(Convert.validateCodec("lzo") == "lzo")
+    assert(Convert.validateCodec("none") == "uncompressed")
+    assert(Convert.validateCodec("uncompressed") == "uncompressed")
+    // brotli/gzip/zstd are deliberately disabled in the reference
+    Seq("gzip", "zstd", "brotli", "nope").foreach { c =>
+      assertThrows[IllegalArgumentException](Convert.validateCodec(c))
+    }
+  }
+
+  test("format dispatch: csv/parquet pass, others rejected") {
+    assert(Convert.validateFormat("parquet") == "parquet")
+    assert(Convert.validateFormat("csv") == "csv")
+    assertThrows[IllegalArgumentException](Convert.validateFormat("orc"))
+  }
+
+  test("fail-fast: missing input dir throws") {
+    assertThrows[IllegalArgumentException](
+      Convert.toParquet(spark, TpchGen, "/does/not/exist", "/tmp/never"))
+  }
+
+  test("round-trip: generate raw .tbl → convert → read-back equals generated") {
+    val dir = Files.createTempDirectory("graft-rt").toString
+    TpchGen.generate(spark, 0.001, 2, s"$dir/raw")
+    Convert.toParquet(spark, TpchGen, s"$dir/raw", s"$dir/pq")
+    TpchGen.tableNames.foreach { t =>
+      val expected = TpchGen.table(spark, t, 0.001, 2)
+      val actual = spark.read.parquet(s"$dir/pq/$t.parquet")
+      assert(actual.columns.toSeq == expected.columns.toSeq, s"$t columns")
+      val missing = expected.exceptAll(actual).count()
+      val extra = actual.exceptAll(expected).count()
+      assert(missing == 0 && extra == 0,
+        s"$t round-trip mismatch: $missing missing, $extra extra")
+    }
+    // pre-existing output dir must fail (SaveMode.ErrorIfExists)
+    assertThrows[Exception](
+      Convert.table(spark, s"$dir/raw", s"$dir/pq", TpchGen, "region"))
+  }
+
+  test("csv sink writes and reads back (R3)") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    TpchGen.generate(spark, 0.001, 1, s"$dir/raw")
+    Convert.table(spark, s"$dir/raw", s"$dir/out", TpchGen, "nation", format = "csv")
+    val schemaNoIgnore = org.apache.spark.sql.types.StructType(
+      TpchGen.schema("nation").fields.filterNot(_.name == "ignore"))
+    val back = spark.read.schema(schemaNoIgnore)
+      .option("delimiter", "|").option("dateFormat", "yyyy-MM-dd")
+      .csv(s"$dir/out/nation.csv")
+    assert(back.count() == 25)
+  }
+}

