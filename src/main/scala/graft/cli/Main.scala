@@ -1,0 +1,123 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.schema.Benchmark
+import graft.convert.Convert
+import java.nio.file.{Files, Paths}
+
+/** CLI — re-expression of the reference entry point
+  * (/root/reference/src/main.rs:22-119):
+  *
+  *   generate --benchmark tpch|tpc-h|tpcds|tpc-ds --scale N --partitions N
+  *            --output DIR [--format raw|parquet] [--codec snappy]
+  *   convert  --benchmark B --input DIR --output DIR [--codec snappy]
+  *
+  * Deviations from the reference, documented:
+  *  - no --generator-path: generation is native Spark (no external
+  *    dbgen/dsdgen binary); the flag is accepted and ignored with a warning
+  *    so existing invocations keep working (src/main.rs:36-38);
+  *  - the reference requires the output dir to pre-exist (src/main.rs:84-86);
+  *    we create it — Spark's writer needs to own the table subdirs anyway;
+  *  - generate --format parquet is the Spark-native fast path the reference
+  *    doesn't have (skips the raw text intermediate).
+  * Short aliases match structopt's derived short flags: -b -s -p -i -o.
+  */
+object Main {
+
+  sealed trait Cmd
+  final case class Generate(benchmark: String, scale: Double, partitions: Int,
+                            output: String, format: String, codec: String) extends Cmd
+  final case class ConvertCmd(benchmark: String, input: String, output: String,
+                              codec: String) extends Cmd
+
+  /** Pure, unit-testable argument parser. Throws IllegalArgumentException on
+    * any invalid/missing argument (the reference panics, src/main.rs:77-86). */
+  def parse(args: Seq[String]): Cmd = {
+    if (args.isEmpty)
+      throw new IllegalArgumentException(usage)
+    def opts(rest: Seq[String]): Map[String, String] =
+      rest.grouped(2).map {
+        case Seq(k, v) if k.startsWith("-") => canonical(k) -> v
+        case other => throw new IllegalArgumentException(
+          s"malformed arguments near: ${other.mkString(" ")}\n$usage")
+      }.toMap
+    def req(m: Map[String, String], k: String): String =
+      m.getOrElse(k, throw new IllegalArgumentException(s"missing required --$k\n$usage"))
+    args.head match {
+      case "generate" =>
+        val m = opts(args.tail)
+        if (m.contains("generator-path"))
+          System.err.println("[graft] --generator-path ignored: generation is Spark-native")
+        val bench = req(m, "benchmark")
+        Benchmark(bench) // validate name (incl. aliases) early
+        Generate(bench,
+          scale = m.get("scale").map(_.toDouble)
+            .getOrElse(throw new IllegalArgumentException(s"missing required --scale\n$usage")),
+          partitions = m.getOrElse("partitions", "1").toInt,
+          output = req(m, "output"),
+          format = m.getOrElse("format", "raw"),
+          codec = m.getOrElse("codec", "snappy"))
+      case "convert" =>
+        val m = opts(args.tail)
+        val bench = req(m, "benchmark")
+        Benchmark(bench)
+        ConvertCmd(bench, input = req(m, "input"), output = req(m, "output"),
+          codec = m.getOrElse("codec", "snappy"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown subcommand: $other\n$usage")
+    }
+  }
+
+  private def canonical(flag: String): String = flag match {
+    case "-b" | "--benchmark"      => "benchmark"
+    case "-s" | "--scale"          => "scale"
+    case "-p" | "--partitions"     => "partitions"
+    case "-i" | "--input"          => "input"
+    case "-o" | "--output"         => "output"
+    case "-g" | "--generator-path" => "generator-path"
+    case "-f" | "--format"         => "format"
+    case "-c" | "--codec"          => "codec"
+    case other =>
+      throw new IllegalArgumentException(s"unknown flag: $other\n$usage")
+  }
+
+  val usage: String =
+    """usage: graft.cli.Main <generate|convert> [options]
+      |  generate -b|--benchmark tpch|tpcds -s|--scale N [-p|--partitions N]
+      |           -o|--output DIR [-f|--format raw|parquet] [-c|--codec snappy]
+      |  convert  -b|--benchmark tpch|tpcds -i|--input DIR -o|--output DIR
+      |           [-c|--codec snappy]""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val cmd = parse(args.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .appName("graft")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    cmd match {
+      case Generate(b, scale, partitions, out, format, codec) =>
+        Files.createDirectories(Paths.get(out))
+        val bench = Benchmark(b)
+        format match {
+          case "raw" => bench.generate(spark, scale, partitions, out)
+          case "parquet" => bench match {
+            case g: graft.gen.TpchGen.type  => g.generateParquet(spark, scale, partitions, out, codec)
+            case g: graft.gen.TpcdsGen.type => g.generateParquet(spark, scale, partitions, out, codec)
+            case _ => throw new IllegalArgumentException(s"no parquet path for $b")
+          }
+          case other => throw new IllegalArgumentException(s"unknown generate format: $other")
+        }
+        // wall-clock print mirrors src/tpch.rs:85-90 / src/tpcds.rs:79-84
+        println(f"Generated $b at sf$scale in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case ConvertCmd(b, in, out, codec) =>
+        Convert.toParquet(spark, Benchmark(b), in, out, codec)
+        println(f"Converted $b to parquet in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
+}

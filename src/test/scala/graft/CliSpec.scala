@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.Main
+import graft.cli.Main.{ConvertCmd, Generate}
+
+/** CLI arg parsing (R10, SURVEY §5.1): subcommands, short/long flags,
+  * benchmark aliases, validation errors — mirroring src/main.rs:22-119. */
+class CliSpec extends AnyFunSuite {
+
+  test("generate: long flags") {
+    val c = Main.parse(Seq("generate", "--benchmark", "tpch", "--scale", "1",
+      "--partitions", "8", "--output", "/tmp/x"))
+    assert(c == Generate("tpch", 1.0, 8, "/tmp/x", "raw", "snappy"))
+  }
+
+  test("generate: short flags and parquet fast path") {
+    val c = Main.parse(Seq("generate", "-b", "tpc-ds", "-s", "0.01", "-p", "4",
+      "-o", "/tmp/y", "-f", "parquet", "-c", "lz4"))
+    assert(c == Generate("tpc-ds", 0.01, 4, "/tmp/y", "parquet", "lz4"))
+  }
+
+  test("convert: both benchmarks with aliases resolve") {
+    Seq("tpch", "tpc-h", "tpcds", "tpc-ds").foreach { b =>
+      val c = Main.parse(Seq("convert", "-b", b, "-i", "/in", "-o", "/out"))
+      assert(c == ConvertCmd(b, "/in", "/out", "snappy"))
+    }
+  }
+
+  test("invalid invocations throw") {
+    assertThrows[IllegalArgumentException](Main.parse(Seq.empty))
+    assertThrows[IllegalArgumentException](Main.parse(Seq("frobnicate")))
+    assertThrows[IllegalArgumentException](Main.parse(Seq("generate", "-b", "tpcx",
+      "-s", "1", "-o", "/tmp/x")))
+    assertThrows[IllegalArgumentException](Main.parse(Seq("generate", "-b", "tpch")))
+    assertThrows[IllegalArgumentException](Main.parse(Seq("convert", "-b", "tpch",
+      "-i", "/in")))
+    assertThrows[IllegalArgumentException](Main.parse(Seq("generate", "--wat", "x",
+      "-b", "tpch", "-s", "1", "-o", "/tmp/x")))
+  }
+
+  test("generator-path is accepted and ignored (Spark-native generation)") {
+    val c = Main.parse(Seq("generate", "-b", "tpch", "-s", "1", "-o", "/tmp/x",
+      "-g", "/opt/dbgen"))
+    assert(c == Generate("tpch", 1.0, 1, "/tmp/x", "raw", "snappy"))
+  }
+}
