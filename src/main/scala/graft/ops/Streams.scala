@@ -15,26 +15,38 @@ import graft.Tables
 object Streams {
   private val valDec = sum(col("value").cast(DecimalType(10, 2))).cast(DoubleType)
 
-  /** [Q-stream-tumble] 10-minute tumbling window per event_type. */
-  def q_stream_tumble(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "events")
+  /** Shared window transforms — applied identically to the batch table here
+    * and to the Structured Streaming source in graft.streaming.EventStreams
+    * (one plan definition, two execution modes: SURVEY §2.9). */
+  private[graft] def tumbleAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), valDec.as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
-  /** [Q-stream-slide] 10-minute windows sliding by 5 — each event lands in 2. */
-  def q_stream_slide(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "events")
+  private[graft] def slideAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), valDec.as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
-  /** [Q-stream-session] 30-minute-gap session windows per user.
-    * Oracle expresses the same via gaps-and-islands window functions. */
-  def q_stream_session(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "events")
+  private[graft] def sessionAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"), valDec.as("sum_value"))
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("n"), col("sum_value"))
+
+  /** [Q-stream-tumble] 10-minute tumbling window per event_type. */
+  def q_stream_tumble(s: SparkSession, d: String): DataFrame =
+    tumbleAgg(Tables(s, d, "events"))
+
+  /** [Q-stream-slide] 10-minute windows sliding by 5 — each event lands in 2. */
+  def q_stream_slide(s: SparkSession, d: String): DataFrame =
+    slideAgg(Tables(s, d, "events"))
+
+  /** [Q-stream-session] 30-minute-gap session windows per user.
+    * Oracle expresses the same via gaps-and-islands window functions. */
+  def q_stream_session(s: SparkSession, d: String): DataFrame =
+    sessionAgg(Tables(s, d, "events"))
 }

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.ops.Streams
+
+/** Structured Streaming execution of the §2.9 window queries (SURVEY §2.9).
+  *
+  * The events fixture replays through Spark's file streaming source
+  * (`readStream.parquet`) with an event-time watermark; the window transforms
+  * are THE SAME functions the batch queries use (Streams.tumbleAgg & co), so
+  * batch-equivalence is a property of the engine, not of parallel
+  * implementations. StreamingSpec asserts streaming output == batch output
+  * row-for-row.
+  *
+  * Scale: stateful aggregation state is keyed by (window, group) — state
+  * store partitioning follows the shuffle partitioning; the watermark bounds
+  * state (windows older than watermark - gap are evicted). At 100 TB/day the
+  * knobs are shuffle partitions and watermark delay; nothing here holds
+  * per-key state proportional to history.
+  */
+object EventStreams {
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    * stream-read it as ns-since-epoch longs and truncate to micros — the
+    * identical convention as the batch loader (graft.Tables). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over the fixture dir, watermarked on event time. */
+  def readEvents(spark: SparkSession, dir: String,
+                 watermark: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.parquet is a single file; the file streaming source monitors a
+    // DIRECTORY, so stream the fixture dir filtered down to that one file
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", watermark)
+  }
+
+  def tumble(events: DataFrame): DataFrame = Streams.tumbleAgg(events)
+  def slide(events: DataFrame): DataFrame = Streams.slideAgg(events)
+  def session(events: DataFrame): DataFrame = Streams.sessionAgg(events)
+
+  /** Stateful stream dedup: drops events whose `event_id` was already seen
+    * within the watermark window (state is bounded by the watermark — exact
+    * dedup within it, at-most-once eviction after it). */
+  def dedup(events: DataFrame): DataFrame =
+    events.dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  // ---- custom per-user session state via flatMapGroupsWithState ----
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionOut(user_id: Long, s_start: java.sql.Timestamp, n: Long,
+                        sum_value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Long, sum: BigDecimal)
+
+  /** 30-minute-gap sessionization with custom state — the
+    * flatMapGroupsWithState surface SURVEY §2.9 commits to. Each trigger
+    * sorts the group's new events (per-user-per-trigger volume is bounded by
+    * the trigger interval at scale), folds them through the gap logic, emits
+    * every affected session and keeps the open one in state. Value sums use
+    * 2-decimal BigDecimal — the same rounding as the batch query's
+    * cast(value AS DECIMAL(10,2)) — so results are order-independent. */
+  def sessionizeCustom(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    val gapUs = gapMs * 1000
+    // timestamps are carried as MICROsecond epoch longs — Timestamp.getTime
+    // is millis and would truncate the fixture's µs precision
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def toTs(us: Long): java.sql.Timestamp = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+    events.select(col("user_id"), col("ts"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          val sorted = it.toSeq.sortBy(e => micros(e.ts))
+          val init = state.getOption.getOrElse(Nil)
+          val sessions = sorted.foldLeft(init) { (acc, e) =>
+            val t = micros(e.ts)
+            val v = BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            acc match {
+              case cur :: closed if t - cur.lastTs < gapUs =>
+                cur.copy(lastTs = math.max(cur.lastTs, t), n = cur.n + 1,
+                  sum = cur.sum + v) :: closed
+              case rest =>
+                SessionState(t, t, 1, v) :: rest
+            }
+          }
+          state.update(sessions)
+          sessions.reverseIterator.map(ss => SessionOut(user,
+            toTs(ss.start), ss.n, ss.sum.toDouble))
+      }
+  }
+
+  /** Drain a streaming DataFrame through an in-memory sink (AvailableNow:
+    * process the whole fixture, then stop) and return the materialized
+    * result. `Complete` for windowed aggs; `Update` for stateful ops —
+    * callers then keep the LAST emit per key. */
+  def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

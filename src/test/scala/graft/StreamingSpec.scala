@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.ops.Streams
+import graft.streaming.EventStreams
+
+/** SURVEY §2.9 batch-equivalence: the Structured Streaming execution of each
+  * window query must equal the batch execution row-for-row (same transform
+  * function, two engines' execution modes). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def assertSame(streamed: DataFrame, batch: DataFrame, tag: String): Unit = {
+    val extra = streamed.exceptAll(batch).count()
+    val missing = batch.exceptAll(streamed).count()
+    assert(extra == 0 && missing == 0,
+      s"$tag: streaming vs batch mismatch ($extra extra, $missing missing)")
+  }
+
+  test("tumbling window: streaming == batch") {
+    val st = EventStreams.runToTable(
+      EventStreams.tumble(EventStreams.readEvents(spark, dir)),
+      "t_tumble", OutputMode.Complete)
+    assertSame(st, Streams.q_stream_tumble(spark, dir), "tumble")
+  }
+
+  test("sliding window: streaming == batch") {
+    val st = EventStreams.runToTable(
+      EventStreams.slide(EventStreams.readEvents(spark, dir)),
+      "t_slide", OutputMode.Complete)
+    assertSame(st, Streams.q_stream_slide(spark, dir), "slide")
+  }
+
+  test("session window: streaming == batch") {
+    val st = EventStreams.runToTable(
+      EventStreams.session(EventStreams.readEvents(spark, dir)),
+      "t_session", OutputMode.Complete)
+    assertSame(st, Streams.q_stream_session(spark, dir), "session")
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-watermark duplicates") {
+    val st = EventStreams.runToTable(
+      EventStreams.dedup(EventStreams.readEvents(spark, dir)),
+      "t_dedup", OutputMode.Append)
+    val batch = Tables(spark, dir, "events")
+    // the fixture has unique event_ids, so dedup must be a no-op pass-through
+    assert(st.count() == batch.count())
+    assert(st.select("event_id").distinct().count() == batch.count())
+  }
+
+  test("flatMapGroupsWithState sessionization == session_window aggregation") {
+    val st = EventStreams.runToTable(
+      EventStreams.sessionizeCustom(EventStreams.readEvents(spark, dir)).toDF(),
+      "t_custom_session", OutputMode.Update)
+    // Update mode re-emits a session each time it grows: keep the final emit
+    // per (user, s_start) — the one with the max event count
+    val last = st.groupBy("user_id", "s_start")
+      .agg(max(struct(col("n"), col("sum_value"))).as("m"))
+      .select(col("user_id"), col("s_start"), col("m.n").as("n"),
+        col("m.sum_value").as("sum_value"))
+    assertSame(last, Streams.q_stream_session(spark, dir), "custom session")
+  }
+}
