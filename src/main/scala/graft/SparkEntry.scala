@@ -45,12 +45,15 @@ object SparkEntry {
     "q_agg_hll" -> Relational.q_agg_hll,
     "q_agg_rollup" -> Relational.q_agg_rollup,
     "q_agg_cube" -> Relational.q_agg_cube,
+    "q_agg_gsets" -> Relational.q_agg_gsets,
     // §2.6 windows
     "q_win_rank" -> Relational.q_win_rank,
     "q_win_lag" -> Relational.q_win_lag,
     "q_win_frame" -> Relational.q_win_frame,
+    "q_win_ntile" -> Relational.q_win_ntile,
     // §2.7 sort / top-k / set ops
     "q_sort" -> Relational.q_sort,
+    "q_sort_nulls" -> Relational.q_sort_nulls,
     "q_topk" -> Relational.q_topk,
     "q_set_union" -> Relational.q_set_union,
     "q_set_intersect" -> Relational.q_set_intersect,
@@ -61,6 +64,8 @@ object SparkEntry {
     "q_fn_decimal" -> Relational.q_fn_decimal,
     "q_fn_json" -> Relational.q_fn_json,
     "q_fn_array" -> Relational.q_fn_array,
+    "q_fn_cond" -> Relational.q_fn_cond,
+    "q_fn_map" -> Relational.q_fn_map,
     // §2.9 streaming (batch-equivalent declared queries)
     "q_stream_tumble" -> Streams.q_stream_tumble,
     "q_stream_slide" -> Streams.q_stream_slide,
@@ -125,6 +130,16 @@ object SparkEntry {
       "SELECT r_name, n_name, count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name)",
     "q_agg_cube" ->
       s"SELECT event_type, CAST($evTs AS DATE) AS d, count(*) AS n, $valDec AS sum_value FROM events GROUP BY CUBE(event_type, CAST($evTs AS DATE))",
+    "q_agg_gsets" ->
+      "SELECT r_name, n_name, count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY GROUPING SETS ((r_name), (n_name))",
+    "q_win_ntile" ->
+      "SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)",
+    "q_sort_nulls" ->
+      "SELECT l_orderkey, l_linenumber, CASE WHEN l_quantity >= 3 THEN l_quantity END AS qty_or_null FROM lineitem ORDER BY qty_or_null ASC NULLS FIRST, l_orderkey, l_linenumber LIMIT 100",
+    "q_fn_cond" ->
+      "SELECT o_orderkey, CASE WHEN o_totalprice > 300000 THEN 'big' WHEN o_totalprice > 150000 THEN 'mid' ELSE 'small' END AS bucket, nullif(o_orderpriority, '1-URGENT') AS pri_or_null, coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT') AS pri_filled FROM orders",
+    "q_fn_map" ->
+      "WITH kv AS (SELECT unnest(json_keys(props)) AS k, props FROM events) SELECT k, count(*) AS n, sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS sum_v, max(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS max_v FROM kv GROUP BY k",
     "q_win_rank" ->
       "SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS rnk, CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS drnk, CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders",
     "q_win_lag" ->

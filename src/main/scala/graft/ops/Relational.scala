@@ -164,6 +164,17 @@ object Relational {
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n"))
 
+  /** [Q-agg-gsets] explicit GROUPING SETS ((r_name), (n_name)) — both
+    * one-dimension marginals in a single pass (one shuffle; Catalyst expands
+    * the sets map-side, so the fact rows are read once, not once per set). */
+  def q_agg_gsets(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name")
+      .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name"))),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+
   /** [Q-agg-cube] cube over events (type × day). */
   def q_agg_cube(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
@@ -207,6 +218,21 @@ object Relational {
         count(col("value")).over(slide)).as("slide_avg"))
   }
 
+  /** [Q-win-ntile] distribution windows: quartile bucket, percent_rank,
+    * cume_dist of order price within priority. ntile needs the total order
+    * (unique tiebreak) to be deterministic; percent_rank/cume_dist are
+    * tie-aware so they run on the price ordering alone. */
+  def q_win_ntile(s: SparkSession, d: String): DataFrame = {
+    val total = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byPrice = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+    t(s, d, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      ntile(4).over(total).as("quartile"),
+      percent_rank().over(byPrice).as("pr"),
+      cume_dist().over(byPrice).as("cd"))
+  }
+
   // ---- §2.7 sort / limit / top-k / set ops ----------------------------------
 
   /** [Q-sort] multi-key order + limit → TakeOrderedAndProject (no full sort
@@ -215,6 +241,17 @@ object Relational {
     t(s, d, "lineitem")
       .orderBy(col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity"))
+      .limit(100)
+
+  /** [Q-sort-nulls] explicit NULLS FIRST placement under a LIMIT: a derived
+    * nullable measure sorted ascending-nulls-first with a unique tiebreak, so
+    * the null block's position is observable in the selected rows (Spark and
+    * DuckDB have opposite ASC null-ordering defaults — this pins it). */
+  def q_sort_nulls(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") >= 3, col("l_quantity")).as("qty_or_null"))
+      .orderBy(col("qty_or_null").asc_nulls_first, col("l_orderkey"), col("l_linenumber"))
       .limit(100)
 
   /** [Q-topk] top-10 customers by revenue; ordered on the exact decimal sum. */
@@ -227,12 +264,14 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("rev_d").cast(D).as("revenue"))
       .limit(10)
 
-  /** [Q-set-union] UNION (distinct) of two order slices. */
+  /** [Q-set-union] UNION (distinct) of two order slices. The second slice
+    * projects its columns in the opposite order, so this goes through
+    * unionByName (position-based union would mis-align the branches). */
   def q_set_union(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders")
     o.filter(col("o_totalprice") > 400000).select(col("o_orderkey"), col("o_orderpriority"))
-      .union(o.filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"), col("o_orderpriority")))
+      .unionByName(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderpriority"), col("o_orderkey")))
       .distinct()
   }
 
@@ -283,6 +322,28 @@ object Relational {
       (ext * om).cast(D).as("disc_price"),
       (ext * om * op).cast(D).as("charge"))
   }
+
+  /** [Q-fn-cond] conditional family: CASE/WHEN price banding, nullif,
+    * coalesce — all codegen'd row-local expressions. */
+  def q_fn_cond(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 300000, "big")
+        .when(col("o_totalprice") > 150000, "mid")
+        .otherwise("small").as("bucket"),
+      nullif(col("o_orderpriority"), lit("1-URGENT")).as("pri_or_null"),
+      coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("URGENT"))
+        .as("pri_filled"))
+
+  /** [Q-fn-map] map functions: parse props into map<string,bigint>, explode
+    * to (k, v) rows, aggregate per key. from_json → MapType + generator
+    * explode is the §2.8 map-family surface. */
+  def q_fn_map(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(explode(from_json(col("props"), "map<string,bigint>",
+        Map.empty[String, String])).as(Seq("k", "v")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"), max("v").as("max_v"))
 
   /** [Q-fn-json] JSON extraction over events.props. */
   def q_fn_json(s: SparkSession, d: String): DataFrame =

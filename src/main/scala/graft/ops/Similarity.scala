@@ -53,18 +53,34 @@ object Similarity {
 
   /** [Q-dedup-embed] embedding-cosine near-duplicate pairs: every pair with
     * rounded cosine ≥ threshold. EXACT all-pairs — this is the ORACLE BASELINE
-    * and is fenced to oracle scale factors only (O(n²) BroadcastNestedLoopJoin
-    * by construction; it exists so the approximate paths have a ground truth
+    * and is fenced to oracle scale factors only (O(n²) pair space by
+    * construction; it exists so the approximate paths have a ground truth
     * to be measured against). The production path at scale is `lshNeighbors`
     * (near-dup regime) / `ivfNeighbors` (moderate similarity) — see the
-    * recall tests in SimilaritySpec. Threshold compares the ROUNDED value so
-    * both engines make the identical cut. */
+    * recall tests in SimilaritySpec.
+    *
+    * Even a fenced baseline shouldn't waste the quadratic work it does do:
+    * each side pre-casts to double and precomputes its L2 norm ONCE PER
+    * VECTOR (the naive cosine-per-pair recomputes both norms per pair — 3×
+    * the flops), and the stream side is repartitioned so the nested-loop
+    * pair space spreads across all cores instead of inheriting the single
+    * partition of one small parquet file. Same fold order as `cosine`, so
+    * results are bit-identical. Threshold compares the ROUNDED value so both
+    * engines make the identical cut. */
   def q_dedup_embed(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables(s, d, "embeddings")
-    emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
-      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("vb")),
-        col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), round(cosine("va", "vb"), 6).as("cos_r"))
+    val p = s.sparkContext.defaultParallelism
+    def side(tag: String) = Tables(s, d, "embeddings")
+      .select(col("vec_id").as(s"${tag}_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as(s"v$tag"),
+        expr("sqrt(aggregate(zip_with(embedding, embedding, " +
+          "(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), " +
+          "(acc, v) -> acc + v))").as(s"n$tag"))
+    side("a").repartition(p)
+      .join(broadcast(side("b")), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(expr("aggregate(zip_with(va, vb, (p, q) -> p * q), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)") / (col("na") * col("nb")), 6)
+          .as("cos_r"))
       .filter(col("cos_r") >= 0.4)
       .orderBy(col("a_id"), col("b_id"))
   }
