@@ -31,20 +31,26 @@ object Dedup {
       .select(col("text_md5"), col("keep_id"), col("n_copies"))
 
   /** MinHash signatures: `perms` hash permutations in `bands` bands.
-    * Per (doc, shingle) we compute xxhash64(shingle, p) for each permutation p
-    * via a higher-order transform (no UDF), then take the per-position min via
-    * posexplode + groupBy — fully distributed, codegen-friendly.
-    * Returns (doc_id, band, bucket). */
+    * One shingle row carries all `perms` hashes as SEPARATE min-aggregate
+    * columns, so the whole signature reduces in a SINGLE hash-aggregate
+    * keyed by doc_id — map-side partial min combines per partition, and the
+    * only shuffle moves one 64-column row per (doc, partition), not the
+    * (doc, shingle, perm) explosion (64× fewer rows than a posexplode
+    * pipeline, which cost a second shuffle on (doc, perm) besides).
+    * Everything is codegen'd built-ins; no UDF/UDAF.
+    * Returns (doc_id, band, bucket); bucket = hash of the band's signature
+    * slice. */
   def minhashSignatures(docs: DataFrame, perms: Int = 64, bands: Int = 16): DataFrame = {
     val rows = perms / bands
+    val minAggs = (0 until perms).map(p => min(xxhash64(col("sh"), lit(p))).as(s"h$p"))
     docs.select(col("doc_id"), explode(TextOps.shingleExpr(3)).as("sh"))
+      .groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${perms - 1}), p -> xxhash64(sh, p))"))
-          .as(Seq("p", "h")))
-      .groupBy(col("doc_id"), col("p")).agg(min(col("h")).as("minh"))
-      .withColumn("band", (col("p") / rows).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(hash(sort_array(collect_list(struct(col("p"), col("minh"))))).as("bucket"))
+        array((0 until perms).map(p => col(s"h$p")): _*).as("sig"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> hash(slice(sig, b * $rows + 1, $rows)))")).as(Seq("band", "bucket")))
   }
 
   /** Candidate pairs from LSH banding, verified with exact shingle Jaccard.
@@ -108,18 +114,22 @@ object Dedup {
     * (AQE skew-join handles moderate cases; a doc-frequency cap on shingles
     * is the standard escalation). DuckDB-oracle-matched. */
   def q_dedup_ngram(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables(s, d, "documents").select(col("doc_id"), TextOps.shingleExpr(3).as("sh"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-    val cand = ex.as("a").join(ex.as("b"),
+    // Shingles are DISTINCT per doc (TextOps.shingleExpr), so the number of
+    // equi-join matches for a pair IS |A ∩ B| — counting matches in the
+    // pair-group aggregate replaces the old distinct() + two array joins +
+    // array_intersect with one keyed join and one count shuffle. The per-doc
+    // shingle count rides along as two ints instead of re-joined arrays.
+    val ex = Tables(s, d, "documents")
+      .select(col("doc_id"), TextOps.shingleExpr(3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
+    ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .select(col("a_id"), col("b_id"), (col("inter").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("inter"))).as("jacc"))
+        (col("na") + col("nb") - col("inter"))).as("jacc"))
       .orderBy(col("jacc").desc, col("a_id"), col("b_id"))
       .limit(100)
   }
