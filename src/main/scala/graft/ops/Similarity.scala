@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.vec
 
 /** SURVEY.md §2.10 similarity search over `embeddings` (array<float>, dim 64).
   *
@@ -26,12 +27,12 @@ import graft.Tables
   */
 object Similarity {
 
-  /** cosine(a, b) in double precision, as a Catalyst expression. */
-  def cosine(a: String, b: String): Column = {
-    def dot(x: String, y: String) = s"aggregate(zip_with($x, $y, " +
-      "(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
-  }
+  /** cosine(a, b) in double precision — the native VectorDot expression
+    * (graft.functions.VectorDot): a tight codegen'd loop with the identical
+    * left-to-right fold as the `aggregate(zip_with(...))` HOF form, so
+    * results stay bit-identical to the DuckDB oracle while skipping ~200
+    * interpreted lambda evals per pair. */
+  def cosine(a: String, b: String): Column = vec.cosine_sim(col(a), col(b))
 
   private def anchors(emb: DataFrame, pred: Column): DataFrame =
     emb.filter(pred).select(col("vec_id").as("a_id"), col("embedding").as("va"))
@@ -70,34 +71,26 @@ object Similarity {
   def q_dedup_embed(s: SparkSession, d: String): DataFrame = {
     val p = s.sparkContext.defaultParallelism
     def side(tag: String) = Tables(s, d, "embeddings")
-      .select(col("vec_id").as(s"${tag}_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as(s"v$tag"),
-        expr("sqrt(aggregate(zip_with(embedding, embedding, " +
-          "(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), " +
-          "(acc, v) -> acc + v))").as(s"n$tag"))
+      .select(col("vec_id").as(s"${tag}_id"), col("embedding").as(s"v$tag"),
+        sqrt(vec.vector_dot(col("embedding"), col("embedding"))).as(s"n$tag"))
     side("a").repartition(p)
       .join(broadcast(side("b")), col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(expr("aggregate(zip_with(va, vb, (p, q) -> p * q), " +
-          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)") / (col("na") * col("nb")), 6)
+        round(vec.vector_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cos_r"))
       .filter(col("cos_r") >= 0.4)
       .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Per-band random-hyperplane bucket ids: `bands` buckets, each built from
-    * `bitsPerBand` sign bits. Hyperplane coefficient (plane p, dim i) is
-    * xxhash64(p, i) scaled to [-1, 1] — deterministic, no materialized plane
-    * matrix, pure expression. Returns array<bigint> of length `bands`; each
-    * bucket is a value in [0, 2^bitsPerBand). */
-  def lshBuckets(embCol: String, bands: Int = 8, bitsPerBand: Int = 16): Column = expr(
-    s"""transform(sequence(0, ${bands - 1}), b ->
-       |  aggregate(sequence(0, ${bitsPerBand - 1}), CAST(0 AS BIGINT), (sig, j) ->
-       |    sig + CASE WHEN aggregate(sequence(1, size($embCol)), CAST(0 AS DOUBLE),
-       |      (acc, i) -> acc + (CAST(xxhash64(b * $bitsPerBand + j, i) AS DOUBLE)
-       |                         / 9.223372036854776E18)
-       |                        * CAST(element_at($embCol, i) AS DOUBLE)) >= 0
-       |    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END))""".stripMargin)
+    * `bitsPerBand` sign bits — the native LshSignature expression
+    * (graft.functions.LshSignature): hyperplane coefficients derived on the
+    * fly from splitmix64(plane, dim), no materialized plane matrix, tight
+    * codegen'd loops (the HOF formulation this replaces paid bands × bits ×
+    * dim interpreted lambda evals per row). Returns array<bigint> of length
+    * `bands`; each bucket is a value in [0, 2^bitsPerBand). */
+  def lshBuckets(embCol: String, bands: Int = 8, bitsPerBand: Int = 16): Column =
+    vec.lsh_signature(col(embCol), bands, bitsPerBand)
 
   /** (vec_id, embedding, band, bucket) — one row per band. The (band, bucket)
     * pair is the LSH join key: 65,536 buckets per band at the default 16 bits,
