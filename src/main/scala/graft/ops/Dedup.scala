@@ -85,19 +85,25 @@ object Dedup {
     minhashSignatures(Tables(s, d, "documents")).orderBy(col("doc_id"), col("band"))
 
   /** 64-bit SimHash per document: token hash bits weighted by term frequency,
-    * sign-aggregated per bit position. Built entirely from explode + bitwise
-    * expressions. */
-  def simhash(docs: DataFrame): DataFrame =
+    * sign-aggregated per bit position. The 64 per-bit weight sums run as 64
+    * SEPARATE sum aggregates over the (doc, token, count) rows — one
+    * hash-aggregate shuffle keyed by doc_id with map-side partial sums,
+    * instead of a 64× bit explosion through two extra shuffles. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val bitSums = (0 until 64).map { j =>
+      sum(when(expr(s"shiftright(h, $j) & 1") === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"w$j")
+    }
+    val packed = (0 until 64).map(j =>
+      when(col(s"w$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id"), col("cnt"), xxhash64(col("tok")).as("h"),
-        explode(expr("sequence(0, 63)")).as("j"))
-      .withColumn("contrib",
-        when(expr("shiftright(h, j) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
-      .groupBy(col("doc_id"), col("j")).agg(sum(col("contrib")).as("w"))
+      .withColumn("h", xxhash64(col("tok")))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("w") >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(lit(0L))).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
 
   /** [Q-dedup-simhash] per-doc SimHash (rows-only check: engine hash). */
   def q_dedup_simhash(s: SparkSession, d: String): DataFrame =

@@ -102,13 +102,21 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
 
   /** [Q-join-theta] range self-join: per-user event pairs within one hour.
-    * Equi on user_id keeps the shuffle keyed; the ts range is a residual
-    * predicate, so this stays a hash/sort-merge join, not a cartesian. */
+    * Banded range join: `b.ts ∈ (a.ts, a.ts + 1h]` implies b's hour bucket
+    * is a's bucket or the next one, so the a-side explodes to those two
+    * buckets and the join is EQUI on (user_id, hour_bucket) with the exact
+    * range as residual. Candidates are bounded by events-per-user-HOUR
+    * (each b joins ≤2 exploded a-rows' buckets), not events-per-user² —
+    * the difference between a keyed join that scales and one that
+    * quadratically degrades on long-lived users. */
   def q_join_theta(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
-    val a = ev.select(col("user_id"), col("ts"))
-    val b = ev.select(col("user_id").as("user_b"), col("ts").as("ts_b"))
-    a.join(b, col("user_id") === col("user_b") &&
+    val bkt = expr("floor(unix_micros(ts) / 3600000000)")
+    val a = ev.select(col("user_id"), col("ts"),
+      explode(array(bkt, bkt + 1)).as("bk"))
+    val b = ev.select(col("user_id").as("user_b"), col("ts").as("ts_b"),
+      bkt.as("bk_b"))
+    a.join(b, col("user_id") === col("user_b") && col("bk") === col("bk_b") &&
         col("ts_b") > col("ts") &&
         col("ts_b") <= col("ts") + expr("INTERVAL 1 HOUR"))
       .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))

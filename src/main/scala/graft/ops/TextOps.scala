@@ -12,12 +12,17 @@ object TextOps {
   private[ops] def tokens: Column = split(col("text"), " ")
 
   /** Word-level k-shingles (distinct), for Jaccard / MinHash. 1-based
-    * element_at; guarded for texts shorter than k words. */
+    * element_at; guarded for texts shorter than k words.
+    * The token array is bound ONCE via the single-element-array transform
+    * (`transform(array(split(..)), t -> ..)`) — a naive inline `split(text)`
+    * in the lambda body re-splits the text for every shingle position,
+    * turning an O(len) tokenize into O(len²) per document. */
   private[ops] def shingleExpr(k: Int = 3): Column = expr(
-    s"""CASE WHEN size(split(text, ' ')) >= $k THEN
-       |  array_distinct(transform(sequence(1, size(split(text, ' ')) - ${k - 1}),
-       |    i -> concat_ws(' ', slice(split(text, ' '), i, $k))))
-       |ELSE array_distinct(array(text)) END""".stripMargin)
+    s"""element_at(transform(array(split(text, ' ')), t ->
+       |  CASE WHEN size(t) >= $k THEN
+       |    array_distinct(transform(sequence(1, size(t) - ${k - 1}),
+       |      i -> concat_ws(' ', slice(t, i, $k))))
+       |  ELSE array_distinct(array(text)) END), 1)""".stripMargin)
 
   /** [Q-text-tokens] corpus token frequency, top-50 (total order via token). */
   def q_text_tokens(s: SparkSession, d: String): DataFrame =
