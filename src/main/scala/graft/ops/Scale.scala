@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-shaping utilities for the 100 TB design point.
+  *
+  * These are the two standard levers when a keyed join stops scaling:
+  *  - `bucketize`/`coLocatedJoin` — pre-shuffle both fact tables into the
+  *    same bucket layout ONCE at write time, so every subsequent join on the
+  *    bucket key is exchange-free (the per-query shuffle disappears; at
+  *    100 TB the join shuffle IS the cost, and repeated joins on the same
+  *    key amortize to zero exchanges).
+  *  - `saltedJoin` — when one key's row count dwarfs the rest (a hot user,
+  *    an empty-string document), split the hot key across `saltFactor`
+  *    sub-keys: the big side salts deterministically, the dim side explodes
+  *    over all salt values, the join stays equi, and no single task owns
+  *    the hot key alone. (AQE's skew-join split handles moderate skew at
+  *    runtime; salting is the static escalation for pathological keys.)
+  */
+object Scale {
+
+  /** Write `df` as a bucketed, bucket-sorted table: rows are hash-placed by
+    * `key` into `buckets` files per partition, the layout Spark's scan
+    * reports as a valid HashPartitioning — joins/aggregations on `key`
+    * between tables bucketed the same way plan NO Exchange. */
+  def bucketize(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — exchange-free by
+    * construction (assert with PlanGuard-style checks in tests). */
+  def coLocatedJoin(spark: SparkSession, left: String, right: String,
+                    key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
+  /** Equi-join `big ⋈ dim` on `key` with the dim side replicated over
+    * `saltFactor` sub-keys. The big side's salt is derived from xxhash64 of
+    * the whole row (deterministic, uniform); the dim side explodes to all
+    * salt values, so every (key, salt) pair finds its match and the result
+    * equals the unsalted join exactly. Dim-side blowup is saltFactor×dim —
+    * use for big⋈small joins where one big-side key is pathologically hot. */
+  def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col).toSeq: _*)), lit(saltFactor)))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(saltFactor - 1L))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

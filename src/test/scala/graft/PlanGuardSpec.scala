@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 100 TB plan guard: no declared query may plan an unkeyed join
+  * (BroadcastNestedLoopJoin / CartesianProduct) except the explicitly fenced
+  * baselines. This is the regression net for the scale properties the
+  * operators document — a refactor that silently degrades a keyed equi-join
+  * into a nested loop fails here, not at 100 TB.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Fenced: q_dedup_embed is the documented O(n²) oracle baseline;
+    * q_join_cross is a cartesian BY DEFINITION over two fixed-size dims;
+    * q_sim_topk broadcasts a ≤5-row anchor set (nested loop over a
+    * constant-size build side is linear in n); q_sim_ivf's index build
+    * scores every vector against the broadcast centroid set — O(n·C) with
+    * C bounded (that scoring pass IS the IVF algorithm; the query-side
+    * candidate join is equi on the cell id). */
+  private val fenced = Set("q_dedup_embed", "q_join_cross", "q_sim_topk", "q_sim_ivf")
+
+  test("every unfenced declared query plans keyed joins only") {
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      if (fenced(name)) None
+      else {
+        val plan = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+        if (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+          Some(name)
+        else None
+      }
+    }
+    assert(offenders.isEmpty, s"unkeyed joins in: ${offenders.mkString(", ")}")
+  }
+
+  test("fenced baselines are still the only nested-loop plans") {
+    // q_dedup_embed must actually BE the all-pairs baseline it claims to be
+    val plan = SparkEntry.queries("q_dedup_embed")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Scale
+
+/** Shuffle-shaping utilities: bucketed joins must be exchange-free, salted
+  * joins must equal their unsalted counterpart exactly. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** The in-memory catalog forgets tables across JVMs while their warehouse
+    * dirs persist — clear both so saveAsTable starts fresh. */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val dir = new java.io.File(s"/tmp/graft-test-warehouse/$name")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("co-located join of same-bucketed tables plans no Exchange") {
+    resetTable("t_orders_b")
+    resetTable("t_lineitem_b")
+    val orders = Tables(spark, TestSpark.sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = Tables(spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Scale.bucketize(orders, "t_orders_b", "o_orderkey", 8)
+    Scale.bucketize(lineitem, "t_lineitem_b", "o_orderkey", 8)
+    // disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.coLocatedJoin(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it computes the same rows as the plain join
+      val plain = orders.join(lineitem, "o_orderkey")
+      assert(joined.count() == plain.count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join equals the unsalted join exactly") {
+    val lineitem = Tables(spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val orders = Tables(spark, TestSpark.sf0001, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = lineitem.join(orders, "l_orderkey")
+    val salted = Scale.saltedJoin(lineitem, orders, "l_orderkey", saltFactor = 8)
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("salted join spreads a pathologically hot key across salt buckets") {
+    import spark.implicits._
+    val hot = (1 to 10000).map(i => (1L, i)).toDF("k", "v")
+    val dim = Seq((1L, "x")).toDF("k", "name")
+    val salted = hot.withColumn("_salt",
+      pmod(xxhash64(struct(col("k"), col("v"))), lit(8)))
+    val spread = salted.groupBy("_salt").count().count()
+    assert(spread > 4, s"salt collapsed to $spread buckets")
+    val joined = Scale.saltedJoin(hot, dim, "k", 8)
+    assert(joined.count() == 10000)
+  }
+}
