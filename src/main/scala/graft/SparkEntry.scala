@@ -76,11 +76,13 @@ object SparkEntry {
     "q_dedup_minhash_sig" -> Dedup.q_dedup_minhash_sig,
     "q_dedup_simhash" -> Dedup.q_dedup_simhash,
     "q_dedup_ngram" -> Dedup.q_dedup_ngram,
+    "q_dedup_cluster" -> Dedup.q_dedup_cluster,
     "q_dedup_embed" -> Similarity.q_dedup_embed,
     "q_sim_topk" -> Similarity.q_sim_topk,
     "q_sim_lsh" -> Similarity.q_sim_lsh,
     "q_sim_ivf" -> Similarity.q_sim_ivf,
     "q_text_tokens" -> TextOps.q_text_tokens,
+    "q_text_tokens_re" -> TextOps.q_text_tokens_re,
     "q_text_quality" -> TextOps.q_text_quality,
     "q_text_langid" -> TextOps.q_text_langid,
     "q_text_fingerprint" -> TextOps.q_text_fingerprint,
@@ -182,6 +184,21 @@ object SparkEntry {
       s"SELECT a_id, b_id, cos_r, rn FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosSql, 6) AS cos_r, CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosSql DESC, b.vec_id) AS INT) AS rn FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) t WHERE rn <= 10",
     "q_text_tokens" ->
       "SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t GROUP BY token ORDER BY n DESC, token LIMIT 50",
+    "q_text_tokens_re" ->
+      "SELECT token, count(*) AS n FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS token FROM documents) t GROUP BY token ORDER BY n DESC, token LIMIT 50",
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE s AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         | ex AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM s),
+         | pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter, max(a.nsh) AS na, max(b.nsh) AS nb
+         |        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         | e AS (SELECT a_id, b_id FROM pc WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+         | sym AS (SELECT a_id AS src, b_id AS dst FROM e UNION ALL SELECT b_id, a_id FROM e),
+         | reach(src, dst) AS (SELECT src, dst FROM sym UNION SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src)
+         |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_keeper
+         |FROM documents d LEFT JOIN
+         | (SELECT src AS doc_id, least(min(dst), src) AS cluster_id FROM reach GROUP BY src) c
+         |ON d.doc_id = c.doc_id""".stripMargin,
     "q_text_quality" ->
       "SELECT doc_id, lang, n_tokens, len, CAST(len - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len, CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio, least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.7 + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 AS quality FROM (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, CAST(length(text) AS INT) AS len, CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS INT) AS n_stop FROM documents) t",
     "q_text_langid" ->

@@ -109,6 +109,75 @@ object Dedup {
   def q_dedup_simhash(s: SparkSession, d: String): DataFrame =
     simhash(Tables(s, d, "documents")).orderBy("doc_id")
 
+  /** All pairs with exact 3-gram Jaccard ≥ threshold (shingle-keyed
+    * equi-join candidates + count-based Jaccard — same shape as
+    * q_dedup_ngram without the top-k). */
+  def ngramPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), TextOps.shingleExpr(3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
+    ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: each round every vertex takes the min label in
+    * its neighborhood (one keyed join + one min-aggregate — both
+    * partial-agg-friendly keyed shuffles), until fixpoint. Converges in
+    * O(component diameter) rounds; near-dup components are dense (LSH/
+    * Jaccard cliques), so diameter is tiny. Lineage is truncated per round
+    * with localCheckpoint so plan size stays O(1) across iterations (at
+    * cluster scale, use a checkpoint dir instead). The result is
+    * deterministic: label = min doc_id reachable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE — it is referenced every round, and
+    // without this the (potentially expensive) edge-producing plan would
+    // re-execute per iteration
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src")).distinct()
+      .select(col("src").as("id"), col("src").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val viaNeighbor = sym.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), expr("n.id = o.id AND n.lbl <> o.lbl")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** [Q-dedup-cluster] near-duplicate CLUSTER formation + survivor
+    * selection: docs sharing 3-gram Jaccard ≥ 0.5 are edges, clusters are
+    * connected components, the cluster id is the min doc_id and is also the
+    * kept survivor — the step that turns pairwise dedup signals into "keep
+    * this row, drop those". Singleton docs form their own cluster.
+    * DuckDB-oracle-matched (recursive-CTE transitive closure). */
+  def q_dedup_cluster(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+    val labels = connectedComponents(ngramPairs(docs, 0.5))
+    docs.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+  }
+
   /** [Q-dedup-ngram] exact 3-gram Jaccard, top-100 pairs on a total order.
     * Candidate generation is a shingle-keyed EQUI-join: explode each doc's
     * distinct shingles, join on the shingle, distinct the colliding (a,b)

@@ -32,6 +32,17 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(50)
 
+  /** [Q-text-tokens-re] BPE-ish regex tokenization: letter runs, digit runs,
+    * and single non-alphanumeric marks as separate tokens (the pre-merge
+    * vocabulary a byte-pair tokenizer starts from), top-50 by frequency. */
+  def q_text_tokens_re(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(explode(expr(
+        "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
   /** [Q-text-quality] per-doc quality metrics: token count, avg token length,
     * stopword ratio, composite score. Integer-derived doubles → exact. */
   def q_text_quality(s: SparkSession, d: String): DataFrame =

@@ -37,6 +37,27 @@ class DedupSpec extends AnyFunSuite {
     assert(mismatched.count() == 0)
   }
 
+  test("connected components: min-label propagation finds chain components") {
+    import spark.implicits._
+    // two components: a 4-chain {1-2-3-4} (diameter 3 — needs >1 round)
+    // and a pair {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("cluster query: planted duplicates share a cluster with min-id keeper") {
+    val planted = docs.unionByName(
+      docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val labels = Dedup.connectedComponents(Dedup.ngramPairs(planted, 0.99))
+    val sameCluster = labels.as("a").join(labels.as("b"),
+      expr("b.id = a.id + 10000 AND a.lbl = b.lbl AND a.lbl = a.id"))
+    assert(sameCluster.count() == docs.count())
+  }
+
   test("exact dedup counts multiplicity correctly on planted duplicates") {
     val dd = Dedup.q_dedup_exact _
     // build directly: every text appears exactly twice in `planted`
