@@ -29,6 +29,9 @@ object Main {
                             output: String, format: String, codec: String) extends Cmd
   final case class ConvertCmd(benchmark: String, input: String, output: String,
                               codec: String) extends Cmd
+  final case class Query(name: String, input: String, output: Option[String],
+                         limit: Int) extends Cmd
+  case object ListQueries extends Cmd
 
   /** Pure, unit-testable argument parser. Throws IllegalArgumentException on
     * any invalid/missing argument (the reference panics, src/main.rs:77-86). */
@@ -63,6 +66,17 @@ object Main {
         Benchmark(bench)
         ConvertCmd(bench, input = req(m, "input"), output = req(m, "output"),
           codec = m.getOrElse("codec", "snappy"))
+      case "query" =>
+        if (args.tail == Seq("--list")) ListQueries
+        else {
+          val m = opts(args.tail)
+          val name = req(m, "query")
+          if (!graft.SparkEntry.queries.contains(name))
+            throw new IllegalArgumentException(
+              s"unknown query: $name (see `query --list`)\n$usage")
+          Query(name, input = req(m, "input"), output = m.get("output"),
+            limit = m.getOrElse("limit", "20").toInt)
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown subcommand: $other\n$usage")
     }
@@ -77,6 +91,8 @@ object Main {
     case "-g" | "--generator-path" => "generator-path"
     case "-f" | "--format"         => "format"
     case "-c" | "--codec"          => "codec"
+    case "-q" | "--query"          => "query"
+    case "-l" | "--limit"          => "limit"
     case other =>
       throw new IllegalArgumentException(s"unknown flag: $other\n$usage")
   }
@@ -86,7 +102,9 @@ object Main {
       |  generate -b|--benchmark tpch|tpcds -s|--scale N [-p|--partitions N]
       |           -o|--output DIR [-f|--format raw|parquet] [-c|--codec snappy]
       |  convert  -b|--benchmark tpch|tpcds -i|--input DIR -o|--output DIR
-      |           [-c|--codec snappy]""".stripMargin
+      |           [-c|--codec snappy]
+      |  query    -q|--query NAME -i|--input SFDIR [-o|--output DIR]
+      |           [-l|--limit N]   (or: query --list)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val cmd = parse(args.toIndexedSeq)
@@ -117,6 +135,16 @@ object Main {
       case ConvertCmd(b, in, out, codec) =>
         Convert.toParquet(spark, Benchmark(b), in, out, codec)
         println(f"Converted $b to parquet in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case ListQueries =>
+        graft.SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      case Query(name, in, out, limit) =>
+        val df = graft.SparkEntry.queries(name)(spark, in)
+        out match {
+          case Some(dir) =>
+            df.write.mode("errorifexists").parquet(s"$dir/$name.parquet")
+            println(f"Wrote $name in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          case None => df.show(limit, truncate = false)
+        }
     }
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.cli.Main
-import graft.cli.Main.{ConvertCmd, Generate}
+import graft.cli.Main.{ConvertCmd, Generate, ListQueries, Query}
 
 /** CLI arg parsing (R10, SURVEY §5.1): subcommands, short/long flags,
   * benchmark aliases, validation errors — mirroring src/main.rs:22-119. */
@@ -37,6 +37,18 @@ class CliSpec extends AnyFunSuite {
       "-i", "/in")))
     assertThrows[IllegalArgumentException](Main.parse(Seq("generate", "--wat", "x",
       "-b", "tpch", "-s", "1", "-o", "/tmp/x")))
+  }
+
+  test("query: name validation, defaults, --list") {
+    val c = Main.parse(Seq("query", "-q", "q_agg_pricing", "-i", "/data/sf1"))
+    assert(c == Query("q_agg_pricing", "/data/sf1", None, 20))
+    val w = Main.parse(Seq("query", "--query", "q_topk", "--input", "/d",
+      "--output", "/out", "--limit", "5"))
+    assert(w == Query("q_topk", "/d", Some("/out"), 5))
+    assert(Main.parse(Seq("query", "--list")) == ListQueries)
+    assertThrows[IllegalArgumentException](
+      Main.parse(Seq("query", "-q", "q_nope", "-i", "/d")))
+    assertThrows[IllegalArgumentException](Main.parse(Seq("query", "-i", "/d")))
   }
 
   test("generator-path is accepted and ignored (Spark-native generation)") {
