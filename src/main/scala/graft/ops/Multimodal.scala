@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -40,6 +40,39 @@ object Multimodal {
       length(col("payload")).as("n_bytes"),
       decodeStub("payload", dim).as("features"),
       col("meta.source").as("source"))
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], source: String)
+  case class FeatureRow(doc_id: Long, n_bytes: Int, features: Array[Double],
+                        source: String)
+
+  /** The same fake decode as `decodeStub`, as a plain JVM function —
+    * replicates Catalyst's xxhash64(payload, i) chain (seed 42, children
+    * hashed left to right) so the two paths agree bit-for-bit. */
+  private[ops] def decodeStubJvm(payload: Array[Byte], dim: Int): Array[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{BinaryType, IntegerType}
+    Array.tabulate(dim) { i =>
+      val h1 = XxHash64Function.hash(payload, BinaryType, 42L)
+      val h2 = XxHash64Function.hash(i, IntegerType, h1)
+      h2.toDouble / 9.223372036854776e18
+    }
+  }
+
+  /** Partition-parallel feature extraction through a TYPED per-partition
+    * iterator — the plumbing a real media codec drops into (swap
+    * `decodeStubJvm` for JNI/image/audio decode, or replace the whole stage
+    * with mapInArrow for batch-columnar codecs). Rows stream through the
+    * iterator (constant memory per partition, no collect); the encoder
+    * schema is the cross-partition contract. Asserted bit-equal to the
+    * expression path in MultimodalSpec. */
+  def featuresPartitioned(s: SparkSession, d: String, dim: Int = 8): Dataset[FeatureRow] = {
+    import s.implicits._
+    asBinaryTable(s, d)
+      .select(col("doc_id"), col("payload"), col("meta.source").as("source"))
+      .as[MediaRow]
+      .mapPartitions(_.map(r => FeatureRow(
+        r.doc_id, r.payload.length, decodeStubJvm(r.payload, dim), r.source)))
+  }
 
   /** [Q-mm-meta] binary-column metadata path — oracle-matched (byte length
     * is engine-independent; the fake-decode features are not, so they stay

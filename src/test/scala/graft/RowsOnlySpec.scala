@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Relational, TextOps}
+
+/** Engine-specific (non-oracle) queries need their correctness story from
+  * properties, not DuckDB: HLL within sketch tolerance of exact, hashes
+  * deterministic and content-keyed, feature extraction shape-stable. */
+class RowsOnlySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q_agg_hll: approx distinct counts within 5% of exact") {
+    val r = Relational.q_agg_hll(spark, TestSpark.sf001).collect().head
+    val exact = Tables(spark, TestSpark.sf001, "lineitem")
+      .agg(countDistinct(col("l_orderkey")), countDistinct(col("l_partkey")))
+      .collect().head
+    val (ao, ap) = (r.getLong(r.fieldIndex("approx_orders")),
+      r.getLong(r.fieldIndex("approx_parts")))
+    val (eo, ep) = (exact.getLong(0), exact.getLong(1))
+    assert(math.abs(ao - eo).toDouble / eo < 0.05, s"orders HLL $ao vs $eo")
+    assert(math.abs(ap - ep).toDouble / ep < 0.05, s"parts HLL $ap vs $ep")
+  }
+
+  test("q_text_fingerprint: content-keyed and deterministic") {
+    val fp = TextOps.q_text_fingerprint(spark, TestSpark.sf001)
+    val docs = Tables(spark, TestSpark.sf001, "documents")
+    // identical text ⇒ identical fingerprint (join on text equality)
+    val byText = docs.select(col("doc_id"), col("text"))
+      .join(fp, "doc_id")
+      .groupBy("text").agg(countDistinct(col("fp")).as("nfp"))
+    assert(byText.filter(col("nfp") > 1).count() == 0)
+    // rerun is bit-identical
+    val again = TextOps.q_text_fingerprint(spark, TestSpark.sf001)
+    assert(fp.exceptAll(again).count() == 0)
+  }
+
+  test("typed mapPartitions decode path is bit-equal to the expression path") {
+    val expr = Multimodal.features(spark, TestSpark.sf001)
+      .select(col("doc_id"), col("n_bytes"), col("features"), col("source"))
+    val typed = Multimodal.featuresPartitioned(spark, TestSpark.sf001).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("features"), col("source"))
+    assert(typed.exceptAll(expr).count() == 0)
+    assert(expr.exceptAll(typed).count() == 0)
+  }
+
+  test("q_mm_features: stable shape, nonzero norms, deterministic") {
+    val f = Multimodal.features(spark, TestSpark.sf001)
+    assert(f.filter(size(col("features")) =!= 8).count() == 0)
+    val q = Multimodal.q_mm_features(spark, TestSpark.sf001)
+    assert(q.filter(col("feat_sqnorm") <= 0).count() == 0)
+    assert(q.exceptAll(Multimodal.q_mm_features(spark, TestSpark.sf001)).count() == 0)
+    // payload bytes survive the binary cast: n_bytes equals text length
+    val docs = Tables(spark, TestSpark.sf001, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val bad = q.join(docs, "doc_id").filter(col("n_bytes") =!= col("len"))
+    assert(bad.count() == 0)
+  }
+}
