@@ -21,6 +21,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT, codegen compilation and noop-writer classloading
+    // would otherwise all be billed to whichever query happens to run first
+    spark.range(1L << 20).selectExpr("sum(id) AS s")
+      .write.format("noop").mode("overwrite").save()
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>

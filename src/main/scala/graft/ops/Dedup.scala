@@ -146,16 +146,24 @@ object Dedup {
     var labels = sym.select(col("src")).distinct()
       .select(col("src").as("id"), col("src").as("lbl"))
       .localCheckpoint(true)
-    var changed = 1L
+    // labels are monotonically non-increasing under min-propagation, so the
+    // exact (decimal — no long overflow at 10^10 ids) label sum is a
+    // fixpoint signal: unchanged sum ⇔ no label moved. One aggregate per
+    // round instead of a full old-vs-new join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var done = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (!done && i < maxIter) {
       val viaNeighbor = sym.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("lbl"))
       val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), expr("n.id = o.id AND n.lbl <> o.lbl")).count()
+      val s = labelSum(next)
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       i += 1
     }
