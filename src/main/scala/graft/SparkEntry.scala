@@ -75,6 +75,7 @@ object SparkEntry {
     "q_dedup_minhash" -> Dedup.q_dedup_minhash,
     "q_dedup_minhash_sig" -> Dedup.q_dedup_minhash_sig,
     "q_dedup_simhash" -> Dedup.q_dedup_simhash,
+    "q_dedup_simhash_pairs" -> Dedup.q_dedup_simhash_pairs,
     "q_dedup_ngram" -> Dedup.q_dedup_ngram,
     "q_dedup_cluster" -> Dedup.q_dedup_cluster,
     "q_dedup_embed" -> Similarity.q_dedup_embed,
@@ -88,6 +89,7 @@ object SparkEntry {
     "q_text_fingerprint" -> TextOps.q_text_fingerprint,
     "q_mm_meta" -> Multimodal.q_mm_meta,
     "q_mm_features" -> Multimodal.q_mm_features,
+    "q_mm_frames" -> Multimodal.q_mm_frames,
   )
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -205,5 +207,7 @@ object SparkEntry {
       "SELECT doc_id, lang, en_n, es_n, de_n, CASE WHEN es_n > en_n AND es_n >= de_n THEN 'es' WHEN de_n > en_n THEN 'de' ELSE 'en' END AS pred_lang FROM (SELECT doc_id, lang, CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')) AS INT) AS en_n, CAST(len(list_filter(string_split(text, ' '), x -> x = 'el' OR x = 'la' OR x = 'de')) AS INT) AS es_n, CAST(len(list_filter(string_split(text, ' '), x -> x = 'der' OR x = 'die' OR x = 'das')) AS INT) AS de_n FROM documents) t",
     "q_mm_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, source, lang FROM documents",
+    "q_mm_frames" ->
+      "SELECT doc_id, CAST(ceil(length(text) / 64.0) AS INT) AS n_frames, md5(substring(text, 1, 64)) AS first_frame_md5 FROM documents",
   )
 }

@@ -109,6 +109,33 @@ object Dedup {
   def q_dedup_simhash(s: SparkSession, d: String): DataFrame =
     simhash(Tables(s, d, "documents")).orderBy("doc_id")
 
+  /** SimHash near-dup pairs via signature banding: the 64-bit signature
+    * splits into 4 × 16-bit bands; a pair within Hamming distance 3 agrees
+    * exactly on ≥1 band (pigeonhole), so candidates come from an EQUI-join
+    * on (band, 16-bit value) and only candidates pay the bit_count verify.
+    * Keyed shuffle ∝ band collisions — the standard SimHash index, never
+    * all-pairs. */
+  def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)"))
+        .as(Seq("band", "bv")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** [Q-dedup-simhash-pairs] banded SimHash near-dup pairs (rows-only;
+    * planted-duplicate recovery asserted in DedupSpec). */
+  def q_dedup_simhash_pairs(s: SparkSession, d: String): DataFrame =
+    simhashDupPairs(Tables(s, d, "documents"))
+
   /** All pairs with exact 3-gram Jaccard ≥ threshold (shingle-keyed
     * equi-join candidates + count-based Jaccard — same shape as
     * q_dedup_ngram without the top-k). */

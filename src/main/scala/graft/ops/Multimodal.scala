@@ -89,4 +89,28 @@ object Multimodal {
     features(s, d).select(col("doc_id"), col("n_bytes"),
       round(expr("aggregate(features, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"), 6)
         .as("feat_sqnorm"))
+
+  /** Fixed-size frame sampling over a binary payload (the video/audio
+    * "every k-th chunk" access pattern): array of `frameBytes`-sized binary
+    * slices. Pure expression — the bytes never leave the row. */
+  def frames(payloadCol: String, frameBytes: Int = 64): org.apache.spark.sql.Column =
+    expr(s"transform(sequence(0, CAST(ceil(length($payloadCol) / " +
+      s"CAST($frameBytes AS DOUBLE)) AS INT) - 1), " +
+      s"f -> substring($payloadCol, f * $frameBytes + 1, $frameBytes))")
+
+  /** Resize a feature vector to `newDim`: truncate or zero-pad — the
+    * fixed-shape contract downstream models need. */
+  def resizeFeatures(featCol: String, newDim: Int): org.apache.spark.sql.Column =
+    expr(s"transform(sequence(1, $newDim), i -> " +
+      s"CASE WHEN i <= size($featCol) THEN element_at($featCol, i) " +
+      s"ELSE CAST(0 AS DOUBLE) END)")
+
+  /** [Q-mm-frames] frame sampling — oracle-matched: frame count and the
+    * md5 of the first 64-byte frame are engine-independent. */
+  def q_mm_frames(s: SparkSession, d: String): DataFrame =
+    asBinaryTable(s, d)
+      .withColumn("fr", frames("payload"))
+      .select(col("doc_id"),
+        size(col("fr")).as("n_frames"),
+        md5(element_at(col("fr"), 1)).as("first_frame_md5"))
 }

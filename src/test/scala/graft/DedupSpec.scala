@@ -29,6 +29,12 @@ class DedupSpec extends AnyFunSuite {
     assert(s1.exceptAll(s8).count() == 0 && s8.exceptAll(s1).count() == 0)
   }
 
+  test("SimHash banding recovers every planted exact duplicate at hamming 0") {
+    val pairs = Dedup.simhashDupPairs(planted)
+      .filter(col("b_id") === col("a_id") + 10000 && col("hamming") === 0)
+    assert(pairs.count() == docs.count())
+  }
+
   test("SimHash: identical texts get identical signatures") {
     val sh = Dedup.simhash(planted)
     val mismatched = sh.as("a").join(sh.as("b"),

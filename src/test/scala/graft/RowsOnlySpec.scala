@@ -44,6 +44,24 @@ class RowsOnlySpec extends AnyFunSuite {
     assert(expr.exceptAll(typed).count() == 0)
   }
 
+  test("frame sampling covers the payload; resize truncates and zero-pads") {
+    val fr = Multimodal.asBinaryTable(spark, TestSpark.sf001)
+      .select(col("doc_id"), length(col("payload")).as("len"),
+        Multimodal.frames("payload", 64).as("fr"))
+    // total frame bytes reassemble the payload length
+    val bad = fr.filter(
+      expr("aggregate(transform(fr, f -> length(f)), 0, (a, x) -> a + x)") =!= col("len"))
+    assert(bad.count() == 0)
+    val resized = Multimodal.features(spark, TestSpark.sf001)
+      .select(Multimodal.resizeFeatures("features", 12).as("up"),
+        Multimodal.resizeFeatures("features", 3).as("down"), col("features"))
+    assert(resized.filter(size(col("up")) =!= 12 || size(col("down")) =!= 3).count() == 0)
+    // pad is zeros, truncation preserves the prefix
+    assert(resized.filter(element_at(col("up"), 12) =!= 0.0).count() == 0)
+    assert(resized.filter(element_at(col("down"), 1) =!= element_at(col("features"), 1))
+      .count() == 0)
+  }
+
   test("q_mm_features: stable shape, nonzero norms, deterministic") {
     val f = Multimodal.features(spark, TestSpark.sf001)
     assert(f.filter(size(col("features")) =!= 8).count() == 0)
