@@ -45,6 +45,23 @@ object EventStreams {
       .withWatermark("ts", watermark)
   }
 
+  /** Streaming source over a REPLAY directory of many small parquet files,
+    * throttled to `maxFilesPerTrigger` files per micro-batch — the
+    * multi-trigger path that actually exercises state continuity across
+    * batches (one AvailableNow batch over a single file never does). Replay
+    * order is arbitrary, so callers pick a watermark wide enough for their
+    * assertion (batch-equivalence tests use an effectively-infinite one). */
+  def readReplay(spark: SparkSession, replayDir: String,
+                 watermark: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(replayDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", watermark)
+  }
+
   def tumble(events: DataFrame): DataFrame = Streams.tumbleAgg(events)
   def slide(events: DataFrame): DataFrame = Streams.slideAgg(events)
   def session(events: DataFrame): DataFrame = Streams.sessionAgg(events)

@@ -52,6 +52,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.select("event_id").distinct().count() == batch.count())
   }
 
+  /** Raw events (ts still nanos-as-long) scattered into many small files —
+    * replayed with maxFilesPerTrigger=1 this forces state to survive many
+    * micro-batches, which the single-file AvailableNow tests never exercise. */
+  private def writeReplay(dir: String, dup: Boolean): Long = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val data = if (dup) raw.unionAll(raw) else raw
+    data.repartition(8).write.mode("overwrite").parquet(dir)
+    raw.count()
+  }
+
+  test("windowed aggregation accumulates state across many micro-batches") {
+    val dir = "/tmp/graft-replay-events"
+    writeReplay(dir, dup = false)
+    // replay order is arbitrary → effectively-infinite watermark so no row
+    // counts as late; the assertion is cross-batch state accumulation
+    val st = EventStreams.runToTable(
+      EventStreams.tumble(EventStreams.readReplay(spark, dir, "3650 days")),
+      "t_replay_tumble", OutputMode.Complete)
+    assertSame(st, Streams.q_stream_tumble(spark, TestSpark.sf0001), "replay tumble")
+  }
+
+  test("dropDuplicatesWithinWatermark drops duplicates arriving in different batches") {
+    val dir = "/tmp/graft-replay-events-dup"
+    val n = writeReplay(dir, dup = true)
+    val st = EventStreams.runToTable(
+      EventStreams.dedup(EventStreams.readReplay(spark, dir, "3650 days")),
+      "t_replay_dedup", OutputMode.Append)
+    assert(st.count() == n, "every event must survive exactly once")
+  }
+
   test("flatMapGroupsWithState sessionization == session_window aggregation") {
     val st = EventStreams.runToTable(
       EventStreams.sessionizeCustom(EventStreams.readEvents(spark, dir)).toDF(),
