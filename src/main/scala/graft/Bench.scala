@@ -27,7 +27,9 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // stable name order: Map iteration order varies per build, which would
+    // shuffle warmup/cache attribution between rounds
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_text_tokens_re" -> TextOps.q_text_tokens_re,
     "q_text_quality" -> TextOps.q_text_quality,
     "q_text_langid" -> TextOps.q_text_langid,
+    "q_text_langid_ngram" -> TextOps.q_text_langid_ngram,
     "q_text_fingerprint" -> TextOps.q_text_fingerprint,
     "q_mm_meta" -> Multimodal.q_mm_meta,
     "q_mm_features" -> Multimodal.q_mm_features,
@@ -205,6 +206,21 @@ object SparkEntry {
       "SELECT doc_id, lang, n_tokens, len, CAST(len - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len, CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio, least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.7 + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 AS quality FROM (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, CAST(length(text) AS INT) AS len, CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS INT) AS n_stop FROM documents) t",
     "q_text_langid" ->
       "SELECT doc_id, lang, en_n, es_n, de_n, CASE WHEN es_n > en_n AND es_n >= de_n THEN 'es' WHEN de_n > en_n THEN 'de' ELSE 'en' END AS pred_lang FROM (SELECT doc_id, lang, CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')) AS INT) AS en_n, CAST(len(list_filter(string_split(text, ' '), x -> x = 'el' OR x = 'la' OR x = 'de')) AS INT) AS es_n, CAST(len(list_filter(string_split(text, ' '), x -> x = 'der' OR x = 'die' OR x = 'das')) AS INT) AS de_n FROM documents) t",
+    "q_text_langid_ngram" -> {
+      def sc(profile: Seq[String]) = {
+        val inList = profile.map(t => s"'$t'").mkString(", ")
+        "CAST(len(list_filter(list_transform(generate_series(1, greatest(length(text) - 2, 1)), " +
+          s"i -> substr(text, i, 3)), t -> t IN ($inList))) AS INT)"
+      }
+      "SELECT doc_id, lang, " +
+        sc(Seq("the", "he ", " th", "ing", "and")) + " AS en_s, " +
+        sc(Seq("de ", " la", "el ", "que", "os ")) + " AS es_s, " +
+        sc(Seq("er ", "der", "ie ", "ein", "sch")) + " AS de_s, " +
+        "CASE WHEN " + sc(Seq("de ", " la", "el ", "que", "os ")) + " > " + sc(Seq("the", "he ", " th", "ing", "and")) +
+        " AND " + sc(Seq("de ", " la", "el ", "que", "os ")) + " >= " + sc(Seq("er ", "der", "ie ", "ein", "sch")) +
+        " THEN 'es' WHEN " + sc(Seq("er ", "der", "ie ", "ein", "sch")) + " > " + sc(Seq("the", "he ", " th", "ing", "and")) +
+        " THEN 'de' ELSE 'en' END AS pred_lang FROM documents"
+    },
     "q_mm_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, source, lang FROM documents",
     "q_mm_frames" ->

@@ -78,6 +78,29 @@ object TextOps {
           .otherwise("en"))
   }
 
+  /** [Q-text-langid-ngram] character-trigram language ID: score = number of
+    * text trigram occurrences hitting each language's profile set (classic
+    * n-gram profile matching, tiny fixed profiles). Trigrams come from
+    * direct substring over the bound text (O(len)); scoring is a codegen'd
+    * filter, no UDF. Argmax with the same fixed priority as the
+    * marker-word variant. */
+  def q_text_langid_ngram(s: SparkSession, d: String): DataFrame = {
+    val tris = "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
+    def score(profile: Seq[String]): Column = {
+      val inList = profile.map(t => s"'$t'").mkString(", ")
+      expr(s"size(filter($tris, t -> t IN ($inList)))")
+    }
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        score(Seq("the", "he ", " th", "ing", "and")).as("en_s"),
+        score(Seq("de ", " la", "el ", "que", "os ")).as("es_s"),
+        score(Seq("er ", "der", "ie ", "ein", "sch")).as("de_s"))
+      .withColumn("pred_lang",
+        when(col("es_s") > col("en_s") && col("es_s") >= col("de_s"), "es")
+          .when(col("de_s") > col("en_s"), "de")
+          .otherwise("en"))
+  }
+
   /** [Q-text-fingerprint] document fingerprints: xxhash64 of the full text +
     * winnowing-style min-shingle-hash. Engine-specific hash → rows-only check
     * (no DuckDB oracle). */
