@@ -85,16 +85,22 @@ object TextOps {
     * filter, no UDF. Argmax with the same fixed priority as the
     * marker-word variant. */
   def q_text_langid_ngram(s: SparkSession, d: String): DataFrame = {
-    val tris = "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
-    def score(profile: Seq[String]): Column = {
+    def hits(profile: Seq[String]): Column = {
       val inList = profile.map(t => s"'$t'").mkString(", ")
-      expr(s"size(filter($tris, t -> t IN ($inList)))")
+      sum(expr(s"CASE WHEN t IN ($inList) THEN 1 ELSE 0 END")).cast("int")
     }
+    // explode the trigrams ONCE and take all three profile counts in a
+    // single aggregation pass (map-side partial sums; one doc-keyed
+    // shuffle) — scoring via three filter() calls would materialize the
+    // trigram array once per profile
     Tables(s, d, "documents")
-      .select(col("doc_id"), col("lang"),
-        score(Seq("the", "he ", " th", "ing", "and")).as("en_s"),
-        score(Seq("de ", " la", "el ", "que", "os ")).as("es_s"),
-        score(Seq("er ", "der", "ie ", "ein", "sch")).as("de_s"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+        .as("t"))
+      .groupBy("doc_id", "lang")
+      .agg(hits(Seq("the", "he ", " th", "ing", "and")).as("en_s"),
+        hits(Seq("de ", " la", "el ", "que", "os ")).as("es_s"),
+        hits(Seq("er ", "der", "ie ", "ein", "sch")).as("de_s"))
       .withColumn("pred_lang",
         when(col("es_s") > col("en_s") && col("es_s") >= col("de_s"), "es")
           .when(col("de_s") > col("en_s"), "de")
