@@ -33,6 +33,22 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unkeyed joins in: ${offenders.mkString(", ")}")
   }
 
+  test("filters and projections reach the parquet scan") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def fmt(name: String): String =
+      SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // q_filter's predicates must appear as PushedFilters on the scan
+    val f = fmt("q_filter")
+    assert(f.contains("PushedFilters: [IsNotNull"), s"no pushed filters:\n$f")
+    assert(f.contains("l_shipdate"), "shipdate range not at the scan")
+    // q_proj reads 5 of lineitem's columns; the scan schema must prune the rest
+    val p = fmt("q_proj")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_tax"),
+      s"column pruning failed: $readSchema")
+  }
+
   test("fenced baselines are still the only nested-loop plans") {
     // q_dedup_embed must actually BE the all-pairs baseline it claims to be
     val plan = SparkEntry.queries("q_dedup_embed")(spark, TestSpark.sf0001)
