@@ -38,6 +38,7 @@ object SparkEntry {
     "q_join_semi" -> Relational.q_join_semi,
     "q_join_anti" -> Relational.q_join_anti,
     "q_join_theta" -> Relational.q_join_theta,
+    "q_join_asof" -> Relational.q_join_asof,
     "q_join_cross" -> Relational.q_join_cross,
     // §2.5 aggregations
     "q_agg_pricing" -> Relational.q_agg_pricing,
@@ -127,6 +128,8 @@ object SparkEntry {
       s"SELECT a.user_id AS user_id, count(*) AS n_pairs FROM events a JOIN events b ON a.user_id = b.user_id AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP) AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL '1 hour' GROUP BY a.user_id",
     "q_join_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q_join_asof" ->
+      s"SELECT p.event_id, p.user_id, b.ts AS asof_ts, b.value AS asof_value FROM (SELECT event_id, user_id, $evTs AS ts FROM events WHERE event_type = 'click') p ASOF LEFT JOIN (SELECT user_id, $evTs AS ts, value FROM events WHERE event_type = 'purchase') b ON p.user_id = b.user_id AND p.ts >= b.ts",
     "q_agg_pricing" ->
       s"SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(sum($extDec) AS DOUBLE) AS sum_base_price, CAST(sum($extDec * $oneMinusDisc) AS DOUBLE) AS sum_disc_price, CAST(sum($extDec * $oneMinusDisc * $onePlusTax) AS DOUBLE) AS sum_charge, sum(l_quantity) / count(*) AS avg_qty, CAST(sum($extDec) AS DOUBLE) / count(*) AS avg_price, CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' GROUP BY l_returnflag, l_linestatus",
     "q_agg_distinct" ->

@@ -122,6 +122,34 @@ object Relational {
       .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** [Q-join-asof] as-of join: each click gets its user's most recent
+    * purchase at-or-before the click (the operator Pandas merge_asof / kdb
+    * aj dedicate an engine primitive to; DuckDB's native ASOF JOIN is the
+    * oracle). Composed scalably from built-ins: tag and union both sides,
+    * then ONE user-keyed window pass carries the last purchase forward —
+    * a single keyed shuffle + sort, no range join, no per-pair work.
+    * At equal timestamps purchases sort before clicks (ts >= semantics);
+    * event_id breaks remaining ties deterministically. */
+  def q_join_asof(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val probe = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast(TimestampType).as("b_ts"),
+        lit(null).cast(D).as("b_value"), lit(1).as("side"))
+    val build = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("ts").as("b_ts"), col("value").as("b_value"), lit(0).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probe.unionByName(build)
+      .select(col("event_id"), col("user_id"), col("side"),
+        last(col("b_ts"), ignoreNulls = true).over(w).as("asof_ts"),
+        last(col("b_value"), ignoreNulls = true).over(w).as("asof_value"))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("asof_ts"), col("asof_value"))
+  }
+
   /** [Q-join-cross] cartesian over the two fixed-size dims (5 × 25 rows). */
   def q_join_cross(s: SparkSession, d: String): DataFrame =
     t(s, d, "region").crossJoin(t(s, d, "nation"))
