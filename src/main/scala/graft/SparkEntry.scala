@@ -47,11 +47,13 @@ object SparkEntry {
     "q_agg_rollup" -> Relational.q_agg_rollup,
     "q_agg_cube" -> Relational.q_agg_cube,
     "q_agg_gsets" -> Relational.q_agg_gsets,
+    "q_agg_quantile" -> Relational.q_agg_quantile,
     // §2.6 windows
     "q_win_rank" -> Relational.q_win_rank,
     "q_win_lag" -> Relational.q_win_lag,
     "q_win_frame" -> Relational.q_win_frame,
     "q_win_ntile" -> Relational.q_win_ntile,
+    "q_win_firstlast" -> Relational.q_win_firstlast,
     // §2.7 sort / top-k / set ops
     "q_sort" -> Relational.q_sort,
     "q_sort_nulls" -> Relational.q_sort_nulls,
@@ -140,6 +142,10 @@ object SparkEntry {
       s"SELECT event_type, CAST($evTs AS DATE) AS d, count(*) AS n, $valDec AS sum_value FROM events GROUP BY CUBE(event_type, CAST($evTs AS DATE))",
     "q_agg_gsets" ->
       "SELECT r_name, n_name, count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY GROUPING SETS ((r_name), (n_name))",
+    "q_agg_quantile" ->
+      "SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50, quantile_cont(o_totalprice, 0.9) AS p90, quantile_cont(o_totalprice, 0.99) AS p99, count(*) AS n FROM orders GROUP BY o_orderpriority",
+    "q_win_firstlast" ->
+      s"SELECT event_id, user_id, value, first_value(value) OVER w AS first_v, last_value(value) OVER w AS last_v, nth_value(value, 2) OVER w AS second_v FROM events WINDOW w AS (PARTITION BY user_id ORDER BY $evTs, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
     "q_win_ntile" ->
       "SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)",
     "q_sort_nulls" ->

@@ -200,6 +200,19 @@ object Relational {
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n"))
 
+  /** [Q-agg-quantile] exact interpolated percentiles per group (Spark
+    * `percentile` == DuckDB `quantile_cont`). Exact percentile sorts within
+    * the aggregate; the scalable variant is approx_percentile (t-digest) —
+    * same API shape, sketch-mergeable, for when a full sort per group is
+    * off the table. */
+  def q_agg_quantile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+
   /** [Q-agg-gsets] explicit GROUPING SETS ((r_name), (n_name)) — both
     * one-dimension marginals in a single pass (one shuffle; Catalyst expands
     * the sets map-side, so the fact rows are read once, not once per set). */
@@ -252,6 +265,19 @@ object Relational {
       sum(dec(col("value"), 10, 2)).over(run).cast(D).as("run_sum"),
       (sum(dec(col("value"), 10, 2)).over(slide).cast(D) /
         count(col("value")).over(slide)).as("slide_avg"))
+  }
+
+  /** [Q-win-firstlast] first_value / last_value / nth_value over the full
+    * per-user frame (unbounded both ways), total-ordered for determinism. */
+  def q_win_firstlast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "events").select(
+      col("event_id"), col("user_id"), col("value"),
+      first(col("value")).over(w).as("first_v"),
+      last(col("value")).over(w).as("last_v"),
+      nth_value(col("value"), 2).over(w).as("second_v"))
   }
 
   /** [Q-win-ntile] distribution windows: quartile bucket, percent_rank,
