@@ -140,9 +140,13 @@ object Dedup {
     * equi-join candidates + count-based Jaccard — same shape as
     * q_dedup_ngram without the top-k). */
   def ngramPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // join on the 64-bit shingle hash, not the shingle string: the equi-join
+    // shuffles 8-byte longs instead of ~20-char strings and compares in one
+    // instruction (collision odds ~2^-64 per shingle pair — immaterial)
     val ex = docs
       .select(col("doc_id"), TextOps.shingleExpr(3).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode(expr("transform(sh, t -> xxhash64(t))")).as("g"))
     ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -231,7 +235,8 @@ object Dedup {
     // shingle count rides along as two ints instead of re-joined arrays.
     val ex = Tables(s, d, "documents")
       .select(col("doc_id"), TextOps.shingleExpr(3).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode(expr("transform(sh, t -> xxhash64(t))")).as("g"))
     ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
