@@ -42,8 +42,15 @@ object Dedup {
     * slice. */
   def minhashSignatures(docs: DataFrame, perms: Int = 64, bands: Int = 16): DataFrame = {
     val rows = perms / bands
-    val minAggs = (0 until perms).map(p => min(xxhash64(col("sh"), lit(p))).as(s"h$p"))
+    // permutation p re-hashes the ONE base xxhash64 of the shingle with seed
+    // p: each of the 64 permutations hashes a fixed 12-byte (long, int)
+    // input instead of the full shingle string. (A multiply-add universal
+    // family would be cheaper still, but ANSI mode — Spark 4's default —
+    // makes wrapping long arithmetic an error, not a wrap.)
+    val minAggs = (0 until perms).map(p =>
+      min(xxhash64(col("h"), lit(p))).as(s"h$p"))
     docs.select(col("doc_id"), explode(TextOps.shingleExpr(3)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       .groupBy("doc_id")
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"),
