@@ -21,9 +21,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT, codegen compilation and noop-writer classloading
-    // would otherwise all be billed to whichever query happens to run first
+    // untimed warmup: JIT, codegen compilation, parquet-reader and
+    // noop-writer classloading would otherwise all be billed to whichever
+    // query happens to run first (region is a 5-row table — the point is
+    // exercising the scan → exchange → aggregate → sink code paths, not
+    // moving data)
     spark.range(1L << 20).selectExpr("sum(id) AS s")
+      .write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().orderBy("r_name")
       .write.format("noop").mode("overwrite").save()
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ListBuffer.empty[String]
