@@ -53,6 +53,23 @@ class ConvertSpec extends AnyFunSuite {
       Convert.table(spark, s"$dir/raw", s"$dir/pq", TpchGen, "region"))
   }
 
+  test("TPC-DS raw .dat round-trips (no trailing ignore column)") {
+    import graft.gen.TpcdsGen
+    val dir = Files.createTempDirectory("graft-ds-rt").toString
+    // a fixed-cardinality dim and a scaled fact, raw .dat → parquet
+    Seq("call_center", "store_sales").foreach { t =>
+      val raw = s"$dir/raw/$t.${TpcdsGen.tableExt}"
+      TpcdsGen.table(spark, t, 0.001, 2).write
+        .option("delimiter", "|").option("dateFormat", "yyyy-MM-dd").csv(raw)
+      Convert.table(spark, s"$dir/raw", s"$dir/pq", TpcdsGen, t)
+      val expected = TpcdsGen.table(spark, t, 0.001, 2)
+      val actual = spark.read.parquet(s"$dir/pq/$t.parquet")
+      assert(actual.columns.toSeq == expected.columns.toSeq, s"$t columns")
+      assert(expected.exceptAll(actual).count() == 0 &&
+        actual.exceptAll(expected).count() == 0, s"$t round-trip mismatch")
+    }
+  }
+
   test("csv sink writes and reads back (R3)") {
     val dir = Files.createTempDirectory("graft-csv").toString
     TpchGen.generate(spark, 0.001, 1, s"$dir/raw")
