@@ -91,6 +91,7 @@ object SparkEntry {
     "q_text_langid" -> TextOps.q_text_langid,
     "q_text_langid_ngram" -> TextOps.q_text_langid_ngram,
     "q_text_fingerprint" -> TextOps.q_text_fingerprint,
+    "q_text_redact" -> TextOps.q_text_redact,
     "q_mm_meta" -> Multimodal.q_mm_meta,
     "q_mm_features" -> Multimodal.q_mm_features,
     "q_mm_frames" -> Multimodal.q_mm_frames,
@@ -215,6 +216,8 @@ object SparkEntry {
       "SELECT doc_id, lang, n_tokens, len, CAST(len - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len, CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio, least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.7 + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 AS quality FROM (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, CAST(length(text) AS INT) AS len, CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS INT) AS n_stop FROM documents) t",
     "q_text_langid" ->
       "SELECT doc_id, lang, en_n, es_n, de_n, CASE WHEN es_n > en_n AND es_n >= de_n THEN 'es' WHEN de_n > en_n THEN 'de' ELSE 'en' END AS pred_lang FROM (SELECT doc_id, lang, CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')) AS INT) AS en_n, CAST(len(list_filter(string_split(text, ' '), x -> x = 'el' OR x = 'la' OR x = 'de')) AS INT) AS es_n, CAST(len(list_filter(string_split(text, ' '), x -> x = 'der' OR x = 'die' OR x = 'das')) AS INT) AS de_n FROM documents) t",
+    "q_text_redact" ->
+      "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\b(customer|key|vector)\\b')) AS INT) AS n_hits, regexp_replace(text, '\\b(customer|key|vector)\\b', '<REDACTED>', 'g') AS redacted FROM documents",
     "q_text_langid_ngram" -> {
       def sc(profile: Seq[String]) = {
         val inList = profile.map(t => s"'$t'").mkString(", ")

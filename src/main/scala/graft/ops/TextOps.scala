@@ -107,6 +107,18 @@ object TextOps {
           .otherwise("en"))
   }
 
+  /** [Q-text-redact] dictionary-based redaction: blocklist terms replaced
+    * with a placeholder, per-doc hit count carried for audit — the
+    * banned-term / PII-list scrubbing pass every training-data pipeline
+    * runs before export. Pure regexp expressions, row-local, no shuffle. */
+  def q_text_redact(s: SparkSession, d: String): DataFrame = {
+    val re = "\\b(customer|key|vector)\\b"
+    Tables(s, d, "documents").select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(re)).cast("int").as("n_hits"),
+      regexp_replace(col("text"), re, "<REDACTED>").as("redacted"))
+  }
+
   /** [Q-text-fingerprint] document fingerprints: xxhash64 of the full text +
     * winnowing-style min-shingle-hash. Engine-specific hash → rows-only check
     * (no DuckDB oracle). */
