@@ -38,6 +38,13 @@ object Scale {
                     key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** Write `df` hive-partitioned by `partCol` — the date-partitioned lake
+    * layout. A reader filtering on `partCol` plans PartitionFilters and
+    * never opens non-matching directories; at 100 TB this is the difference
+    * between scanning a day and scanning a decade. */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.partitionBy(partCol).mode("overwrite").parquet(path)
+
   /** Equi-join `big ⋈ dim` on `key` with the dim side replicated over
     * `saltFactor` sub-keys. The big side's salt is derived from xxhash64 of
     * the whole row (deterministic, uniform); the dim side explodes to all

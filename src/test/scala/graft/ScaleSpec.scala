@@ -44,6 +44,21 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val path = "/tmp/graft-part-events"
+    val ev = Tables(spark, TestSpark.sf0001, "events")
+      .withColumn("d", to_date(col("ts")))
+    Scale.writePartitioned(ev, path, "d")
+    val read = spark.read.parquet(path).filter(col("d") === "2024-01-03")
+    val plan = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+    assert(plan.contains("isnotnull(d"), "pruning predicate missing")
+    // and the pruned read returns exactly that day's rows
+    val want = ev.filter(col("d") === "2024-01-03").count()
+    assert(read.count() == want && want > 0)
+  }
+
   test("salted join equals the unsalted join exactly") {
     val lineitem = Tables(spark, TestSpark.sf0001, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
