@@ -48,6 +48,7 @@ object SparkEntry {
     "q_agg_cube" -> Relational.q_agg_cube,
     "q_agg_gsets" -> Relational.q_agg_gsets,
     "q_agg_quantile" -> Relational.q_agg_quantile,
+    "q_agg_pivot" -> Relational.q_agg_pivot,
     // §2.6 windows
     "q_win_rank" -> Relational.q_win_rank,
     "q_win_lag" -> Relational.q_win_lag,
@@ -145,6 +146,8 @@ object SparkEntry {
       "SELECT r_name, n_name, count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY GROUPING SETS ((r_name), (n_name))",
     "q_agg_quantile" ->
       "SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50, quantile_cont(o_totalprice, 0.9) AS p90, quantile_cont(o_totalprice, 0.99) AS p99, count(*) AS n FROM orders GROUP BY o_orderpriority",
+    "q_agg_pivot" ->
+      "SELECT user_id, count(*) FILTER (event_type = 'click') AS click, count(*) FILTER (event_type = 'view') AS view, count(*) FILTER (event_type = 'purchase') AS purchase, count(*) FILTER (event_type = 'signup') AS signup, count(*) FILTER (event_type = 'error') AS error FROM events GROUP BY user_id",
     "q_win_firstlast" ->
       s"SELECT event_id, user_id, value, first_value(value) OVER w AS first_v, last_value(value) OVER w AS last_v, nth_value(value, 2) OVER w AS second_v FROM events WINDOW w AS (PARTITION BY user_id ORDER BY $evTs, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
     "q_win_ntile" ->

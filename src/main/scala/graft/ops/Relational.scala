@@ -200,6 +200,19 @@ object Relational {
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n"))
 
+  /** [Q-agg-pivot] pivot events into one count column per event type (with
+    * explicit pivot values — at scale, enumerating values avoids the extra
+    * distinct-collection job pivot otherwise runs on the driver). Absent
+    * (user, type) combos fill to 0 to match conditional-count semantics. */
+  def q_agg_pivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    t(s, d, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
   /** [Q-agg-quantile] exact interpolated percentiles per group (Spark
     * `percentile` == DuckDB `quantile_cont`). Exact percentile sorts within
     * the aggregate; the scalable variant is approx_percentile (t-digest) —
