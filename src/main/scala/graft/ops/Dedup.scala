@@ -181,8 +181,12 @@ object Dedup {
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
-    var labels = sym.select(col("src")).distinct()
-      .select(col("src").as("id"), col("src").as("lbl"))
+    // seed labels with min(self, neighbors) — one aggregate that also
+    // dedups the vertex set, saving the separate distinct AND the first
+    // propagation round (dup components are mostly cliques, which converge
+    // immediately from this seed)
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("lbl"))
       .localCheckpoint(true)
     // labels are monotonically non-increasing under min-propagation, so the
     // exact (decimal — no long overflow at 10^10 ids) label sum is a
