@@ -23,13 +23,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT, codegen compilation, parquet-reader and
     // noop-writer classloading would otherwise all be billed to whichever
-    // query happens to run first (region is a 5-row table — the point is
-    // exercising the scan → exchange → aggregate → sink code paths, not
-    // moving data)
+    // query happens to run first. Touch EVERY fixture table (first-open of
+    // each parquet footer is a per-file cold cost) plus one regexp
+    // expression (the regexp engine's first compile showed up as 16 s of
+    // phantom time on q_fn_string in round 2).
     spark.range(1L << 20).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
-    spark.read.parquet(s"$sfDir/region.parquet")
-      .groupBy("r_name").count().orderBy("r_name")
+    Tables.names.foreach { t =>
+      // full column scan, not count(): count() prunes to metadata and would
+      // leave every column decoder cold
+      Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+    }
+    spark.range(1024)
+      .selectExpr("regexp_extract(CAST(id AS STRING), '(\\\\d+)$', 1) AS tail")
+      .groupBy("tail").count()
       .write.format("noop").mode("overwrite").save()
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ListBuffer.empty[String]
@@ -49,7 +56,15 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val fl = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"n_failed":${failed.size},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"n_failed":${failed.size},"sf":"$sfDir"}"""
+    println(json)
+    // stdout goes through sbt's logger ("[info] ..." prefixes), which broke
+    // the driver's JSON parse in round 2 — also write the bare line to a file
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(0) // failures are visible in the JSON itself
   }

@@ -157,7 +157,7 @@ object SparkEntry {
     "q_fn_cond" ->
       "SELECT o_orderkey, CASE WHEN o_totalprice > 300000 THEN 'big' WHEN o_totalprice > 150000 THEN 'mid' ELSE 'small' END AS bucket, nullif(o_orderpriority, '1-URGENT') AS pri_or_null, coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT') AS pri_filled FROM orders",
     "q_fn_map" ->
-      "WITH kv AS (SELECT unnest(json_keys(props)) AS k, props FROM events) SELECT k, count(*) AS n, sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS sum_v, max(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS max_v FROM kv GROUP BY k",
+      "WITH kv AS (SELECT unnest(json_keys(props)) AS k, props FROM events) SELECT k, count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v, max(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS max_v FROM kv GROUP BY k",
     "q_win_rank" ->
       "SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS rnk, CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS drnk, CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders",
     "q_win_lag" ->

@@ -17,7 +17,9 @@ import GenUtil._
   *    nullability (surrogate keys non-null, the rest nullable);
   *  - dsdgen's exact RNG streams / value distributions are NOT reproduced —
   *    values are xxhash64-derived from the global row id: deterministic,
-  *    partition-count-invariant, schema-exact, FK-plausible;
+  *    partition-count-invariant, schema-exact; every `*_sk` FK is drawn
+  *    uniformly over its target dimension's full key range at the given sf
+  *    (fkSuffix below), so join selectivity matches dsdgen's shape;
   *  - row counts follow the published sf1 cardinalities scaled linearly;
   *    calendar/fixed dimensions (date_dim, time_dim, income_band, ship_mode)
   *    keep their spec-fixed cardinality at every scale.
@@ -65,17 +67,58 @@ object TpcdsGen extends Benchmark {
     if (fixed) n else math.max(1L, (n * sf).toLong)
   }
 
+  /** FK column-name suffix → target dimension (TPC-DS naming convention;
+    * dsdgen draws every `*_sk` FK over the target dim's full key range,
+    * /root/reference/src/tpcds.rs:51-62, and so do we — a fixed 1..1000
+    * domain would break join selectivity and plant hot keys at scale). */
+  private val fkSuffix: Seq[(String, String)] = Seq(
+    "_date_sk" -> "date_dim",
+    "_time_sk" -> "time_dim",
+    "_item_sk" -> "item",
+    "_customer_sk" -> "customer",
+    "_cdemo_sk" -> "customer_demographics",
+    "_hdemo_sk" -> "household_demographics",
+    "_addr_sk" -> "customer_address",
+    "_store_sk" -> "store",
+    "_promo_sk" -> "promotion",
+    "_reason_sk" -> "reason",
+    "_warehouse_sk" -> "warehouse",
+    "_web_page_sk" -> "web_page",
+    "_web_site_sk" -> "web_site",
+    "_call_center_sk" -> "call_center",
+    "_catalog_page_sk" -> "catalog_page",
+    "_ship_mode_sk" -> "ship_mode",
+    "_income_band_sk" -> "income_band")
+
+  /** Resolve a `*_sk` column to its FK target dim, if the suffix maps. */
+  private def fkTarget(colName: String): Option[String] =
+    fkSuffix.collectFirst { case (suf, dim) if colName.endsWith(suf) => dim }
+
   /** Deterministic column from (schema field, per-column tag). Type-driven:
-    * key columns sequential, FKs uniform, strings word-salad, dates in the
-    * 1998–2003 window, decimals in [0, 999.99] at the declared precision. */
-  private def colFor(f: StructField, tag: Int, isFirst: Boolean): Column = {
+    * surrogate keys sequential, FKs uniform over the target dim's key range
+    * at this sf, strings word-salad, dates in the 1998–2003 window, decimals
+    * in [0, 999.99] at the declared precision. */
+  private def colFor(tbl: String, sf: Double, f: StructField, tag: Int,
+                     isFirst: Boolean): Column = {
+    // A *_sk column is this table's own surrogate only when it is the first
+    // column AND its suffix resolves to the table itself (or nowhere, e.g.
+    // cd_demo_sk). Fact tables' first column (ss_sold_date_sk, inv_date_sk,
+    // ...) resolves to date_dim and is generated as a date FK, not a dense
+    // sequence.
+    def skCol(cast: DataType): Column = fkTarget(f.name) match {
+      case Some(dim) if !(isFirst && dim == tbl) =>
+        uniLong(tag, 1, rowCount(dim, sf)).cast(cast)
+      case Some(_) => (col("id") + 1).cast(cast) // own surrogate key
+      case None if isFirst => (col("id") + 1).cast(cast)
+      case None => throw new IllegalArgumentException(
+        s"unmapped FK column $tbl.${f.name}: add its suffix to fkSuffix")
+    }
     val base: Column = f.dataType match {
+      case IntegerType if f.name.endsWith("_sk") => skCol(IntegerType)
+      case LongType if f.name.endsWith("_sk") => skCol(LongType)
       case IntegerType if isFirst =>
         (col("id") + 1).cast(IntegerType) // surrogate key: dense, 1-based
-      case IntegerType if f.name.endsWith("_sk") =>
-        uniLong(tag, 1, 1000).cast(IntegerType) // FK surrogate
       case IntegerType => uniLong(tag, 0, 9999).cast(IntegerType)
-      case LongType if f.name.endsWith("_sk") => uniLong(tag, 1, 1000)
       case LongType => uniLong(tag, 0, 999999)
       case StringType if f.name.endsWith("_id") =>
         // dsdgen-style 16-char business key, unique per row
@@ -100,7 +143,7 @@ object TpcdsGen extends Benchmark {
     val rows = rowCount(tbl, sf)
     val baseDf = spark.range(0, rows, 1, math.max(1, partitions))
     val cols = st.fields.zipWithIndex.map { case (f, i) =>
-      colFor(f, tbl.hashCode * 131 + i * 31 + 17, isFirst = i == 0).as(f.name)
+      colFor(tbl, sf, f, tbl.hashCode * 131 + i * 31 + 17, isFirst = i == 0).as(f.name)
     }
     baseDf.select(cols.toIndexedSeq: _*)
   }

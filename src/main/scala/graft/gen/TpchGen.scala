@@ -16,7 +16,12 @@ import GenUtil._
   *  - dbgen's exact RNG streams / text corpus are NOT reproduced — values are
   *    xxhash64-derived. Deterministic and partition-count-invariant, but not
   *    byte-identical to dbgen output;
-  *  - o_totalprice is generated, not derived from lineitems.
+  *  - o_totalprice IS derived from the order's lineitems
+  *    (= round(sum(l_extendedprice * (1+l_tax) * (1-l_discount)), 2)) without
+  *    a join: every lineitem value is a pure hash of (orderkey, linenumber)
+  *    and the line count a hash of the order id, so the orders map job
+  *    re-evaluates the same expressions over the ≤7 possible lines in place.
+  *    Q18-shape queries (o_totalprice vs sum over lineitems) are consistent.
   *
   * Scale design: no shuffle anywhere — each table is one narrow map job over
   * spark.range (lineitem adds a narrow explode). 100 TB generation is
@@ -64,6 +69,27 @@ object TpchGen extends Benchmark {
   private def retail(pk: Column): Column =
     ((lit(90000) + pmod(pk, lit(20001)) + pmod(pk, lit(1000)) * 100)
       .cast(DecimalType(13, 0)) / 100).cast(DecimalType(11, 2))
+
+  /** Lines per order: pure hash of the range id (shared by orders and
+    * lineitem so the two tables agree without a join). */
+  private def nLines: Column = expr("1 + pmod(xxhash64(id, 157), 7)")
+
+  /** Per-line value expressions as pure functions of lk = orderkey*8 + ln.
+    * lineitem emits these as columns; orders re-evaluates them to derive
+    * o_totalprice in the same narrow map job. */
+  private def linePart(lk: Column, nParts: Long): Column = pmod(h(lk, 163), lit(nParts)) + 1
+  private def lineQty(lk: Column): Column =
+    (pmod(h(lk, 167), lit(50)) + 1).cast(DecimalType(11, 2))
+  private def lineExtPrice(lk: Column, nParts: Long): Column =
+    (lineQty(lk) * retail(linePart(lk, nParts))).cast(DecimalType(11, 2))
+  private def lineDiscount(lk: Column): Column =
+    (pmod(h(lk, 191), lit(11)).cast(DecimalType(11, 2)) / 100).cast(DecimalType(11, 2))
+  private def lineTax(lk: Column): Column =
+    (pmod(h(lk, 193), lit(9)).cast(DecimalType(11, 2)) / 100).cast(DecimalType(11, 2))
+  /** Charge of one line: l_extendedprice * (1+l_tax) * (1-l_discount), exact
+    * decimal arithmetic (order-independent, so derivation == aggregation). */
+  private def lineCharge(lk: Column, nParts: Long): Column =
+    lineExtPrice(lk, nParts) * (lit(1) + lineTax(lk)) * (lit(1) - lineDiscount(lk))
 
   /** Build one table as a DataFrame (column order = reference schema minus
     * the raw-file-only `ignore` column). */
@@ -116,10 +142,18 @@ object TpchGen extends Benchmark {
           pick(107, segments).as("c_mktsegment"),
           words(109, 12, vocab).as("c_comment"))
       case "orders" =>
+        // o_totalprice = the order's lineitem charge sum, computed in place:
+        // a fixed 7-term conditional sum (max lines/order) over the same
+        // hash expressions lineitem emits — consistent tables, zero shuffle.
+        val okey = key(col("id"))
+        val charges = (1 to 7).map { i =>
+          when(lit(i) <= nLines, lineCharge(okey * 8 + lit(i), P))
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(11, 2)))
+        }
         base(n("orders")).select(key(col("id")).as("o_orderkey"),
           (pmod(h(113), lit(C)) + 1).as("o_custkey"),
           pick(127, Seq("F", "O", "P")).as("o_orderstatus"),
-          money(131, 857.71, 555285.16).as("o_totalprice"),
+          round(charges.reduce(_ + _), 2).cast(DecimalType(11, 2)).as("o_totalprice"),
           date(137, "1992-01-01", 2406).as("o_orderdate"),
           pick(139, priorities).as("o_orderpriority"),
           concat(lit("Clerk#"), lpad((pmod(h(149), lit(math.max(1L, (1000 * sf).toLong))) + 1)
@@ -132,22 +166,18 @@ object TpchGen extends Benchmark {
         val o = base(n("orders")).select(col("id"),
           key(col("id")).as("l_orderkey"),
           date(137, "1992-01-01", 2406).as("o_orderdate"),
-          explode(expr(s"sequence(1, 1 + pmod(xxhash64(id, 157), 7))")).as("ln"))
+          explode(sequence(lit(1).cast(LongType), nLines)).as("ln"))
         val lk = col("l_orderkey") * 8 + col("ln")
-        val pk = pmod(h(lk, 163), lit(P)) + 1
-        val qty = (pmod(h(lk, 167), lit(50)) + 1).cast(DecimalType(11, 2))
         val ship = date_add(col("o_orderdate"), pmod(h(lk, 173), lit(121)).cast(IntegerType) + 1)
         val receipt = date_add(ship, pmod(h(lk, 179), lit(30)).cast(IntegerType) + 1)
         o.select(col("l_orderkey"),
-          pk.as("l_partkey"),
+          linePart(lk, P).as("l_partkey"),
           (pmod(h(lk, 181), lit(S)) + 1).as("l_suppkey"),
           col("ln").cast(IntegerType).as("l_linenumber"),
-          qty.as("l_quantity"),
-          (qty * retail(pk)).cast(DecimalType(11, 2)).as("l_extendedprice"),
-          (pmod(h(lk, 191), lit(11)).cast(DecimalType(11, 2)) / 100)
-            .cast(DecimalType(11, 2)).as("l_discount"),
-          (pmod(h(lk, 193), lit(9)).cast(DecimalType(11, 2)) / 100)
-            .cast(DecimalType(11, 2)).as("l_tax"),
+          lineQty(lk).as("l_quantity"),
+          lineExtPrice(lk, P).as("l_extendedprice"),
+          lineDiscount(lk).as("l_discount"),
+          lineTax(lk).as("l_tax"),
           when(receipt <= lit("1995-06-17").cast(DateType),
             pick(lk, 197, Seq("R", "A"))).otherwise(lit("N")).as("l_returnflag"),
           when(ship > lit("1995-06-17").cast(DateType), lit("O")).otherwise(lit("F"))

@@ -45,6 +45,44 @@ class GenSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0, "duplicate line numbers")
   }
 
+  test("o_totalprice equals the order's lineitem charge sum exactly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val sf = 0.001
+    val o = TpchGen.table(spark, "orders", sf, 4).select("o_orderkey", "o_totalprice")
+    val agg = TpchGen.table(spark, "lineitem", sf, 4)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) + col("l_tax"))
+        * (lit(1) - col("l_discount"))), 2).cast(DecimalType(11, 2)).as("derived"))
+    val joined = o.join(agg, col("o_orderkey") === col("l_orderkey"))
+    assert(joined.count() == o.count(), "every order has lineitems")
+    val bad = joined.filter(col("o_totalprice") =!= col("derived")).count()
+    assert(bad == 0, s"$bad orders disagree with their lineitem sum")
+  }
+
+  test("TPC-DS FKs are valid over the target dim's key range at this sf") {
+    import org.apache.spark.sql.functions._
+    val sf = 0.01
+    val ss = TpcdsGen.table(spark, "store_sales", sf, 4)
+    val cust = TpcdsGen.table(spark, "customer", sf, 4).select("c_customer_sk")
+    val nonNull = ss.filter(col("ss_customer_sk").isNotNull)
+    val matched = nonNull
+      .join(cust, col("ss_customer_sk") === col("c_customer_sk")).count()
+    assert(matched == nonNull.count(),
+      "every non-null ss_customer_sk resolves in customer")
+    // date FK spans date_dim's fixed 73,049 keys — not a 1..1000 stub domain
+    val Array(lo, hi) = ss.agg(min("ss_sold_date_sk"), max("ss_sold_date_sk"))
+      .head().toSeq.map(_.asInstanceOf[Int]).toArray
+    assert(lo >= 1 && hi <= 73049, s"date FK out of range [$lo,$hi]")
+    assert(hi > 10000, s"date FK domain too narrow (max=$hi)")
+    // and the FK draw is partition-count invariant like everything else
+    val p3 = TpcdsGen.table(spark, "store_sales", 0.001, 3)
+      .select("ss_sold_date_sk", "ss_customer_sk", "ss_item_sk")
+    val p11 = TpcdsGen.table(spark, "store_sales", 0.001, 11)
+      .select("ss_sold_date_sk", "ss_customer_sk", "ss_item_sk")
+    assert(p3.exceptAll(p11).count() == 0 && p11.exceptAll(p3).count() == 0)
+  }
+
   test("all 24 TPC-DS tables generate with exact schema and scaled row count") {
     TpcdsGen.tableNames.foreach { t =>
       val df = TpcdsGen.table(spark, t, 0.001, 2)
