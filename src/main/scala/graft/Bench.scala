@@ -14,9 +14,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // reader batch-size parity knob (the reference pins its parquet batch
+    // size; Spark's columnar-reader equivalent is configurable here)
+    val batch = sys.env.getOrElse("SPARK_GRAFT_PARQUET_BATCH", "4096")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.parquet.columnarReaderBatchSize", batch)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

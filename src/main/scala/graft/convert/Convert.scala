@@ -66,10 +66,17 @@ object Convert {
   }
 
   /** Convert one table dir (standalone single-table API mirroring
-    * `convert_tbl`, src/lib.rs:160-217). */
+    * `convert_tbl`, src/lib.rs:160-217).
+    *
+    * `parquetBlockSize`: row-group size in bytes (`parquet.block.size`) —
+    * the writer-side parity knob for the reference's pinned batch size
+    * (src/lib.rs:102,176 sets WriterProperties batch 8192). Row-group size
+    * decides scan split granularity and memory per open group at 100 TB;
+    * None keeps parquet-mr's default (128 MiB). */
   def table(spark: SparkSession, inputDir: String, outputDir: String,
             benchmark: Benchmark, tableName: String,
-            format: String = "parquet", codec: String = "snappy"): Unit = {
+            format: String = "parquet", codec: String = "snappy",
+            parquetBlockSize: Option[Long] = None): Unit = {
     val fmt = validateFormat(format)
     val c = validateCodec(codec)
     val in = s"$inputDir/$tableName.${benchmark.tableExt}"
@@ -79,8 +86,9 @@ object Convert {
     val df = readRaw(spark, in, benchmark.schema(tableName))
     fmt match {
       case "parquet" =>
-        df.write.mode(SaveMode.ErrorIfExists)
-          .option("compression", c).parquet(out)
+        val w = df.write.mode(SaveMode.ErrorIfExists).option("compression", c)
+        parquetBlockSize.foreach(b => w.option("parquet.block.size", b.toString))
+        w.parquet(out)
       case "csv" =>
         df.write.mode(SaveMode.ErrorIfExists)
           .option("delimiter", "|").option("dateFormat", "yyyy-MM-dd").csv(out)
@@ -94,7 +102,8 @@ object Convert {
     * commented out (src/lib.rs:94-104, file-sequential at src/lib.rs:86). */
   def toParquet(spark: SparkSession, benchmark: Benchmark,
                 inputDir: String, outputDir: String,
-                codec: String = "snappy", concurrency: Int = 8): Unit = {
+                codec: String = "snappy", concurrency: Int = 8,
+                parquetBlockSize: Option[Long] = None): Unit = {
     if (!Files.exists(Paths.get(inputDir)))
       throw new IllegalArgumentException(s"input path does not exist: $inputDir")
     validateCodec(codec)
@@ -104,7 +113,8 @@ object Convert {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try Await.result(
       Future.sequence(benchmark.tableNames.map(t =>
-        Future(table(spark, inputDir, outputDir, benchmark, t, "parquet", codec)))),
+        Future(table(spark, inputDir, outputDir, benchmark, t, "parquet", codec,
+          parquetBlockSize)))),
       Duration.Inf)
     finally pool.shutdown()
   }

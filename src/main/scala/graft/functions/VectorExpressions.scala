@@ -57,7 +57,11 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   @transient private lazy val rightFloat = VectorExpressions.elementIsFloat(right)
 
   def compute(a: ArrayData, b: ArrayData): Any = {
-    val n = math.min(a.numElements(), b.numElements())
+    // zip_with pads the shorter side with nulls, making the documented
+    // bit-identical HOF form return null on a length mismatch — match that
+    // rather than silently computing a partial dot
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -112,8 +116,15 @@ case class LshSignature(child: Expression, bands: Int, bitsPerBand: Int)
     (z ^ (z >>> 31)).toDouble / 9.223372036854776e18
   }
 
-  def compute(arr: ArrayData): ArrayData = {
+  def compute(arr: ArrayData): Any = {
     val dim = arr.numElements()
+    // a null ELEMENT would otherwise read as an undefined value from the
+    // unsafe slot — a null anywhere nulls the whole signature
+    var e = 0
+    while (e < dim) {
+      if (arr.isNullAt(e)) return null
+      e += 1
+    }
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -142,8 +153,11 @@ case class LshSignature(child: Expression, bands: Int, bitsPerBand: Int)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("lsh", this, classOf[LshSignature].getName)
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = $ref.compute($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshSignature =

@@ -145,15 +145,33 @@ object Dedup {
 
   /** All pairs with exact 3-gram Jaccard ≥ threshold (shingle-keyed
     * equi-join candidates + count-based Jaccard — same shape as
-    * q_dedup_ngram without the top-k). */
-  def ngramPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * q_dedup_ngram without the top-k).
+    *
+    * `maxDocFreq`: hot-shingle cap. A shingle appearing in `df` docs emits
+    * O(df²) candidate pairs out of the equi-join — one boilerplate phrase
+    * shared by 1M docs is 10¹² pairs, the classic shingle-skew scale-killer —
+    * while carrying essentially no dedup signal (it's a stop-phrase). With
+    * the cap set, shingles whose document frequency exceeds it are dropped
+    * BEFORE the pair join (one keyed count aggregate), and per-doc shingle
+    * counts are recomputed over the survivors so Jaccard stays coherent on
+    * the filtered shingle universe. */
+  def ngramPairs(docs: DataFrame, threshold: Double,
+                 maxDocFreq: Option[Long] = None): DataFrame = {
     // join on the 64-bit shingle hash, not the shingle string: the equi-join
     // shuffles 8-byte longs instead of ~20-char strings and compares in one
     // instruction (collision odds ~2^-64 per shingle pair — immaterial)
-    val ex = docs
+    val exploded = docs
       .select(col("doc_id"), TextOps.shingleExpr(3).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("nsh"),
         explode(expr("transform(sh, t -> xxhash64(t))")).as("g"))
+    val ex = maxDocFreq.fold(exploded) { cap =>
+      // shingles are distinct per doc, so count(g) IS document frequency
+      val keep = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("g")
+      exploded.drop("nsh").join(keep, "g")
+        .withColumn("nsh", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    }
     ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -209,6 +227,13 @@ object Dedup {
       labels = next
       i += 1
     }
+    // silently-unconverged labels would be WRONG clusters (possible when a
+    // component's diameter exceeds maxIter — chain-shaped graphs, not the
+    // dense near-dup cliques this targets). Fail loudly; the caller can
+    // raise maxIter (rounds needed = O(max component diameter)).
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        "raise maxIter (rounds needed ~ max component diameter)")
     labels
   }
 

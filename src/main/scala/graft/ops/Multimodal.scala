@@ -64,7 +64,7 @@ object Multimodal {
     * with mapInArrow for batch-columnar codecs). Rows stream through the
     * iterator (constant memory per partition, no collect); the encoder
     * schema is the cross-partition contract. Asserted bit-equal to the
-    * expression path in MultimodalSpec. */
+    * expression path in RowsOnlySpec. */
   def featuresPartitioned(s: SparkSession, d: String, dim: Int = 8): Dataset[FeatureRow] = {
     import s.implicits._
     asBinaryTable(s, d)
@@ -92,11 +92,14 @@ object Multimodal {
 
   /** Fixed-size frame sampling over a binary payload (the video/audio
     * "every k-th chunk" access pattern): array of `frameBytes`-sized binary
-    * slices. Pure expression — the bytes never leave the row. */
+    * slices. Pure expression — the bytes never leave the row. An empty
+    * payload yields an empty array (unguarded, sequence(0, -1) evaluates
+    * DESCENDING to [0, -1] and would fabricate two bogus frames). */
   def frames(payloadCol: String, frameBytes: Int = 64): org.apache.spark.sql.Column =
-    expr(s"transform(sequence(0, CAST(ceil(length($payloadCol) / " +
+    expr(s"CASE WHEN length($payloadCol) = 0 THEN CAST(array() AS ARRAY<BINARY>) " +
+      s"ELSE transform(sequence(0, CAST(ceil(length($payloadCol) / " +
       s"CAST($frameBytes AS DOUBLE)) AS INT) - 1), " +
-      s"f -> substring($payloadCol, f * $frameBytes + 1, $frameBytes))")
+      s"f -> substring($payloadCol, f * $frameBytes + 1, $frameBytes)) END")
 
   /** Resize a feature vector to `newDim`: truncate or zero-pad — the
     * fixed-shape contract downstream models need. */
@@ -106,7 +109,12 @@ object Multimodal {
       s"ELSE CAST(0 AS DOUBLE) END)")
 
   /** [Q-mm-frames] frame sampling — oracle-matched: frame count and the
-    * md5 of the first 64-byte frame are engine-independent. */
+    * md5 of the first 64-byte frame are engine-independent. The oracle
+    * compares byte-length slices (Spark binary) against DuckDB
+    * character-length substrings, which agree iff the fixture text is
+    * ASCII — true of the generated documents corpus and asserted by the
+    * oracle match itself; a multi-byte corpus would need an octet-based
+    * oracle instead. */
   def q_mm_frames(s: SparkSession, d: String): DataFrame =
     asBinaryTable(s, d)
       .withColumn("fr", frames("payload"))

@@ -68,9 +68,26 @@ object Similarity {
     * partition of one small parquet file. Same fold order as `cosine`, so
     * results are bit-identical. Threshold compares the ROUNDED value so both
     * engines make the identical cut. */
-  def q_dedup_embed(s: SparkSession, d: String): DataFrame = {
-    val p = s.sparkContext.defaultParallelism
-    def side(tag: String) = Tables(s, d, "embeddings")
+  def q_dedup_embed(s: SparkSession, d: String): DataFrame =
+    embedDupPairs(Tables(s, d, "embeddings"), 0.4)
+
+  /** Hard fence for the all-pairs baseline: above this the guard throws
+    * rather than letting an oracle tool silently run a quadratic plan on
+    * production-sized input (10⁵ rows ≈ 5·10⁹ pairs is already an hour-class
+    * job; 10⁹ rows would be 10¹⁸ pairs). */
+  val embedBaselineMaxRows: Long = 100000L
+
+  /** The all-pairs baseline behind [[q_dedup_embed]], with the row-count
+    * guard explicit. `emb.count()` on a parquet scan is metadata-only —
+    * the guard costs one footer read, not a data pass. */
+  def embedDupPairs(emb: DataFrame, threshold: Double,
+                    maxRows: Long = embedBaselineMaxRows): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"q_dedup_embed is the fenced O(n²) oracle baseline; input has $n rows " +
+        s"(max $maxRows). Use lshNeighbors/ivfNeighbors at scale.")
+    val p = emb.sparkSession.sparkContext.defaultParallelism
+    def side(tag: String) = emb
       .select(col("vec_id").as(s"${tag}_id"), col("embedding").as(s"v$tag"),
         sqrt(vec.vector_dot(col("embedding"), col("embedding"))).as(s"n$tag"))
     side("a").repartition(p)
@@ -78,7 +95,7 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         round(vec.vector_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cos_r"))
-      .filter(col("cos_r") >= 0.4)
+      .filter(col("cos_r") >= threshold)
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -80,10 +80,16 @@ object EventStreams {
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: BigDecimal)
 
   /** 30-minute-gap sessionization with custom state — the
-    * flatMapGroupsWithState surface SURVEY §2.9 commits to. Each trigger
-    * sorts the group's new events (per-user-per-trigger volume is bounded by
-    * the trigger interval at scale), folds them through the gap logic, emits
-    * every affected session and keeps the open one in state. Value sums use
+    * flatMapGroupsWithState surface SURVEY §2.9 commits to. State is the
+    * user's session list ordered by start time; every incoming event is
+    * INSERTED at its event-time position and any sessions the gap rule now
+    * connects are merged — so out-of-order arrivals (within the watermark,
+    * including across triggers: an event that lands inside an earlier span,
+    * extends a session backwards, or bridges two existing sessions) converge
+    * to the same result as `session_window`, which assigns by event time
+    * regardless of arrival order. Each trigger re-emits the group's full
+    * session list (Update semantics: downstream keeps the last version; a
+    * merge supersedes its source sessions' earlier emits). Value sums use
     * 2-decimal BigDecimal — the same rounding as the batch query's
     * cast(value AS DECIMAL(10,2)) — so results are order-independent. */
   def sessionizeCustom(events: DataFrame): Dataset[SessionOut] = {
@@ -100,26 +106,33 @@ object EventStreams {
     def toTs(us: Long): java.sql.Timestamp = java.sql.Timestamp.from(
       java.time.Instant.ofEpochSecond(
         Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+    // insert one event into the start-ordered session list, then sweep once
+    // merging neighbors the gap rule connects (strict <, matching both
+    // session_window and the batch oracle's `ts - lag(ts) >= gap` cut).
+    // O(k log k) for k sessions in state — k is small (bounded by actual
+    // session count per user, and by the watermark horizon at scale).
+    def insert(sessions: List[SessionState], t: Long, v: BigDecimal): List[SessionState] =
+      (SessionState(t, t, 1, v) :: sessions).sortBy(_.start)
+        .foldLeft(List.empty[SessionState]) { (acc, s) =>
+          acc match {
+            case prev :: rest if s.start - prev.lastTs < gapUs =>
+              SessionState(prev.start, math.max(prev.lastTs, s.lastTs),
+                prev.n + s.n, prev.sum + s.sum) :: rest
+            case _ => s :: acc
+          }
+        }.reverse
     events.select(col("user_id"), col("ts"), col("value")).as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[Ev], state: GroupState[List[SessionState]]) =>
-          val sorted = it.toSeq.sortBy(e => micros(e.ts))
           val init = state.getOption.getOrElse(Nil)
-          val sessions = sorted.foldLeft(init) { (acc, e) =>
-            val t = micros(e.ts)
-            val v = BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-            acc match {
-              case cur :: closed if t - cur.lastTs < gapUs =>
-                cur.copy(lastTs = math.max(cur.lastTs, t), n = cur.n + 1,
-                  sum = cur.sum + v) :: closed
-              case rest =>
-                SessionState(t, t, 1, v) :: rest
-            }
+          val sessions = it.foldLeft(init) { (acc, e) =>
+            insert(acc, micros(e.ts),
+              BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
           }
           state.update(sessions)
-          sessions.reverseIterator.map(ss => SessionOut(user,
+          sessions.iterator.map(ss => SessionOut(user,
             toTs(ss.start), ss.n, ss.sum.toDouble))
       }
   }

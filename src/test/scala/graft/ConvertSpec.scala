@@ -53,6 +53,30 @@ class ConvertSpec extends AnyFunSuite {
       Convert.table(spark, s"$dir/raw", s"$dir/pq", TpchGen, "region"))
   }
 
+  test("parquet block-size knob reaches the writer (small blocks → many row groups)") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-blk").toString
+    TpchGen.generate(spark, 0.001, 1, s"$dir/raw")
+    Convert.table(spark, s"$dir/raw", s"$dir/default", TpchGen, "lineitem")
+    Convert.table(spark, s"$dir/raw", s"$dir/small", TpchGen, "lineitem",
+      parquetBlockSize = Some(16 * 1024L))
+    def rowGroups(out: String): Int = {
+      val conf = spark.sessionState.newHadoopConf()
+      new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.getPath), conf))
+          try r.getFooter.getBlocks.size finally r.close()
+        }.sum
+    }
+    val d = rowGroups(s"$dir/default/lineitem.parquet")
+    val sm = rowGroups(s"$dir/small/lineitem.parquet")
+    assert(d == 1, s"~6k rows fit one default 128MiB row group, got $d")
+    assert(sm > 1, s"16KiB block size must split into multiple row groups, got $sm")
+  }
+
   test("TPC-DS raw .dat round-trips (no trailing ignore column)") {
     import graft.gen.TpcdsGen
     val dir = Files.createTempDirectory("graft-ds-rt").toString

@@ -64,6 +64,42 @@ class DedupSpec extends AnyFunSuite {
     assert(sameCluster.count() == docs.count())
   }
 
+  test("connected components throws rather than returning unconverged labels") {
+    import spark.implicits._
+    // a 6-chain has diameter 5; maxIter=1 cannot reach fixpoint
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and the same graph converges fine with enough rounds
+    assert(Dedup.connectedComponents(chain, maxIter = 10)
+      .filter(col("lbl") =!= 1L).count() == 0)
+  }
+
+  test("hot-shingle doc-frequency cap drops stop-shingle pairs, keeps true dups") {
+    import spark.implicits._
+    // 20 docs sharing the stop-phrase prefix "the quick brown fox": any two
+    // docs share 2 of their 3 shingles (jacc 0.5); docs 100/101 are identical
+    // (jacc 1.0) — the only TRUE duplicates.
+    val base = (1 to 20).map(i => (i.toLong, s"the quick brown fox w$i"))
+    val dups = Seq((100L, "the quick brown fox dupx"), (101L, "the quick brown fox dupx"))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramPairs(docs, 0.5)
+    // the stop shingles make EVERY pair a candidate AND pass the threshold
+    assert(uncapped.count() == 22 * 21 / 2,
+      "uncapped: all pairs reach jacc >= 0.5 through the stop-phrase")
+    // capped: "the quick brown"/"quick brown fox" appear in all 22 docs →
+    // dropped; only the planted duplicate pair survives (jacc 1 on the rest)
+    val capped = Dedup.ngramPairs(docs, 0.5, maxDocFreq = Some(5L))
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((100L, 101L)),
+      s"capped pairs should be exactly the planted dup, got ${rows.toSeq}")
+    // no-cap path is unchanged by the default argument
+    assert(Dedup.ngramPairs(docs, 0.5).count() == uncapped.count())
+  }
+
   test("exact dedup counts multiplicity correctly on planted duplicates") {
     val dd = Dedup.q_dedup_exact _
     // build directly: every text appears exactly twice in `planted`

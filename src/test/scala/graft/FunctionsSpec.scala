@@ -53,6 +53,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("vector_dot nulls on length mismatch, matching zip_with's null padding") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),        // equal lengths → value
+      (2L, Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 1.0f))). // mismatch → null
+      toDF("id", "a", "b")
+    val got = df.select(col("id"), vec.vector_dot(col("a"), col("b")).as("d"),
+        expr("aggregate(zip_with(a, b, (p, q) -> CAST(p AS DOUBLE) * " +
+          "CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("hof"))
+      .orderBy("id").collect()
+    assert(!got(0).isNullAt(1) && got(0).getDouble(1) == 11.0)
+    assert(got(1).isNullAt(1), "length mismatch must be null, not a partial dot")
+    assert(got(1).isNullAt(2), "HOF reference also nulls — contract matches")
+  }
+
+  test("lsh_signature nulls on a null element instead of reading garbage") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (2L, Seq[java.lang.Float](1.0f, null, 3.0f)))
+      .toDF("id", "v")
+    val got = df.select(col("id"), vec.lsh_signature(col("v"), 4, 8).as("s"))
+      .orderBy("id").collect()
+    assert(!got(0).isNullAt(1) && got(0).getSeq[Long](1).size == 4)
+    assert(got(1).isNullAt(1), "null element must null the whole signature")
+  }
+
   test("lsh_signature SQL surface with literal knobs") {
     emb.createOrReplaceTempView("emb_fn_test2")
     val n = spark.sql(

@@ -38,8 +38,10 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(floatVec, Gen.chooseNum(1, 8), Gen.chooseNum(1, 16)) {
       (v, bands, bits) =>
         val e = LshSignature(Literal.create(v, ArrayType(FloatType)), bands, bits)
-        val a = e.compute(new GenericArrayData(v)).toLongArray()
-        val b = e.compute(new GenericArrayData(v.clone())).toLongArray()
+        val a = e.compute(new GenericArrayData(v))
+          .asInstanceOf[GenericArrayData].toLongArray()
+        val b = e.compute(new GenericArrayData(v.clone()))
+          .asInstanceOf[GenericArrayData].toLongArray()
         a.length == bands &&
           a.forall(s => s >= 0 && s < (1L << bits)) &&
           a.sameElements(b)

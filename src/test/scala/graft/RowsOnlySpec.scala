@@ -60,6 +60,13 @@ class RowsOnlySpec extends AnyFunSuite {
     assert(resized.filter(element_at(col("up"), 12) =!= 0.0).count() == 0)
     assert(resized.filter(element_at(col("down"), 1) =!= element_at(col("features"), 1))
       .count() == 0)
+    // empty payload → zero frames (sequence(0, -1) would fabricate two)
+    val empty = spark.sql("SELECT CAST('' AS BINARY) AS payload, CAST('ab' AS BINARY) AS p2")
+      .select(Multimodal.frames("payload", 64).as("none"),
+        Multimodal.frames("p2", 64).as("one"))
+      .head()
+    assert(empty.getSeq[Array[Byte]](0).isEmpty, "empty payload must yield no frames")
+    assert(empty.getSeq[Array[Byte]](1).size == 1)
   }
 
   test("q_mm_features: stable shape, nonzero norms, deterministic") {

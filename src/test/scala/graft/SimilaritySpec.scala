@@ -17,6 +17,15 @@ class SimilaritySpec extends AnyFunSuite {
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("the quadratic baseline refuses oversized input") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embedDupPairs(emb, 0.4, maxRows = 10).count()
+    }
+    assert(e.getMessage.contains("O(n²)"))
+    // under the fence it still runs
+    assert(Similarity.embedDupPairs(emb.limit(8), 0.9, maxRows = 10).count() >= 0)
+  }
+
   test("LSH at production knobs (16-bit bands) recovers every planted exact dup") {
     val planted = emb.unionByName(
       emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))

@@ -119,6 +119,110 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.select("event_id").distinct().count() == total)
   }
 
+  private def rmAll(paths: String*): Unit = paths.foreach { p =>
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(p))
+  }
+
+  /** One raw-schema replay file (ts = ns-since-epoch long, like the fixture)
+    * at `dir/name`. Rows: (event_id, minutes-offset, user, type, value). */
+  private def writeRawFile(dir: String, name: String,
+                           rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-03-01T10:00:00Z").getEpochSecond
+    rows.map { case (id, mins, user, typ, v) =>
+      (id, (base + mins * 60) * 1000000000L, user, typ, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(s"$dir/$name")
+    // flatten: the file source should see single files per step
+    val sub = new java.io.File(s"$dir/$name")
+    val part = sub.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, s"$name.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    rmAll(sub.getPath)
+  }
+
+  test("late rows beyond the watermark are dropped from closed windows") {
+    val src = "/tmp/graft-late-src"
+    val out = "/tmp/graft-late-out"
+    val cp = "/tmp/graft-late-cp"
+    rmAll(src, out, cp)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def drain(): Unit = {
+      val q = EventStreams.tumble(
+          EventStreams.readReplay(spark, src, watermark = "10 minutes"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: two events in W1=[10:00,10:10) plus one at 12:00 — the batch
+    // ends with watermark 11:50, far past W1's end, so W1 closes and emits
+    writeRawFile(src, "a",
+      Seq((1L, 1L, 7L, "click", 1.0), (2L, 2L, 7L, "click", 1.0),
+        (3L, 120L, 7L, "click", 1.0)))
+    drain()
+    // run 2 (same checkpoint): a LATE event at 10:03 — 107 minutes behind
+    // the restored watermark — plus 13:00 to advance the watermark and
+    // flush the 12:00 window
+    writeRawFile(src, "b", Seq((4L, 3L, 7L, "click", 1.0), (5L, 180L, 7L, "click", 1.0)))
+    drain()
+    val res = spark.read.parquet(out)
+    val w1 = res.filter(col("w_start") === lit("2024-03-01 10:00:00").cast("timestamp"))
+      .collect()
+    assert(w1.length == 1, s"closed window must emit exactly once, got ${w1.length}")
+    assert(w1.head.getAs[Long]("n") == 2,
+      "the late row must NOT be counted into the closed window")
+    // the in-time 12:00 event flushed normally in run 2
+    val w12 = res.filter(col("w_start") === lit("2024-03-01 12:00:00").cast("timestamp"))
+    assert(w12.count() == 1)
+  }
+
+  test("custom sessionization handles cross-trigger out-of-order events") {
+    import org.apache.spark.sql.Dataset
+    val src = "/tmp/graft-ooo-src"
+    val cp = "/tmp/graft-ooo-cp"
+    rmAll(src, cp)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    // per user: the LAST foreachBatch emission is that user's full, current
+    // session list (Update semantics) — accumulate latest-wins by user
+    val acc = scala.collection.mutable.Map.empty[Long, Seq[EventStreams.SessionOut]]
+    def drain(): Unit = {
+      val q = EventStreams.sessionizeCustom(
+          EventStreams.readReplay(spark, src, watermark = "3650 days"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (ds: Dataset[EventStreams.SessionOut], _: Long) =>
+          ds.collect().groupBy(_.user_id)
+            .foreach { case (u, rows) => acc(u) = rows.toSeq }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // trigger 1 (in order): sessions S1={10:00,10:05}, S2={10:40}, S3={11:30}
+    writeRawFile(src, "a", Seq((1L, 0L, 7L, "click", 1.0), (2L, 5L, 7L, "click", 1.0),
+      (3L, 40L, 7L, "click", 1.0), (4L, 90L, 7L, "click", 1.0)))
+    drain()
+    // trigger 2 (out of order): 09:00 opens an EARLIER session; 10:20
+    // bridges S1↔S2 into one; 11:00 extends the merged session (and the
+    // 11:00→11:30 gap is exactly 30 min — strict rule keeps S3 separate)
+    writeRawFile(src, "b", Seq((5L, -60L, 7L, "click", 1.0),
+      (6L, 20L, 7L, "click", 1.0), (7L, 60L, 7L, "click", 1.0)))
+    drain()
+    val base = java.time.Instant.parse("2024-03-01T10:00:00Z").getEpochSecond
+    def ts(mins: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(base + mins * 60))
+    val got = acc(7L).map(s => (s.s_start, s.n, s.sum_value)).sortBy(_._1.getTime)
+    val want = Seq((ts(-60), 1L, 1.0), (ts(0), 5L, 5.0), (ts(90), 1L, 1.0))
+    assert(got == want, s"expected $want, got $got")
+  }
+
   test("flatMapGroupsWithState sessionization == session_window aggregation") {
     val st = EventStreams.runToTable(
       EventStreams.sessionizeCustom(EventStreams.readEvents(spark, dir)).toDF(),
