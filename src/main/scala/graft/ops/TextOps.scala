@@ -80,27 +80,28 @@ object TextOps {
 
   /** [Q-text-langid-ngram] character-trigram language ID: score = number of
     * text trigram occurrences hitting each language's profile set (classic
-    * n-gram profile matching, tiny fixed profiles). Trigrams come from
-    * direct substring over the bound text (O(len)); scoring is a codegen'd
-    * filter, no UDF. Argmax with the same fixed priority as the
-    * marker-word variant. */
+    * n-gram profile matching, tiny fixed profiles).
+    *
+    * Occurrences are counted by substring search — length delta through
+    * `replace(text, trigram, '')` over 3 — which equals the sliding-window
+    * trigram count EXACTLY for these profiles: an occurrence of a 3-gram can
+    * overlap itself only if it has a border (first char == last char, or all
+    * chars equal), and none of the 15 profile trigrams does. This makes the
+    * whole query a row-local codegen'd projection: no trigram explode, no
+    * per-position lambda, NO SHUFFLE (the previous explode+groupBy shuffled
+    * ~len rows per document — at 100 TB that's re-shuffling the corpus ×3).
+    * The oracle keeps the position-enumeration formulation; the equality of
+    * the two countings is the cross-check. */
   def q_text_langid_ngram(s: SparkSession, d: String): DataFrame = {
-    def hits(profile: Seq[String]): Column = {
-      val inList = profile.map(t => s"'$t'").mkString(", ")
-      sum(expr(s"CASE WHEN t IN ($inList) THEN 1 ELSE 0 END")).cast("int")
-    }
-    // explode the trigrams ONCE and take all three profile counts in a
-    // single aggregation pass (map-side partial sums; one doc-keyed
-    // shuffle) — scoring via three filter() calls would materialize the
-    // trigram array once per profile
+    def occ(tri: String): Column =
+      (length(col("text")) - length(replace(col("text"), lit(tri), lit("")))) / 3
+    def score(profile: Seq[String]): Column =
+      profile.map(occ).reduce(_ + _).cast("int")
     Tables(s, d, "documents")
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
-        .as("t"))
-      .groupBy("doc_id", "lang")
-      .agg(hits(Seq("the", "he ", " th", "ing", "and")).as("en_s"),
-        hits(Seq("de ", " la", "el ", "que", "os ")).as("es_s"),
-        hits(Seq("er ", "der", "ie ", "ein", "sch")).as("de_s"))
+      .select(col("doc_id"), col("lang"),
+        score(Seq("the", "he ", " th", "ing", "and")).as("en_s"),
+        score(Seq("de ", " la", "el ", "que", "os ")).as("es_s"),
+        score(Seq("er ", "der", "ie ", "ein", "sch")).as("de_s"))
       .withColumn("pred_lang",
         when(col("es_s") > col("en_s") && col("es_s") >= col("de_s"), "es")
           .when(col("de_s") > col("en_s"), "de")

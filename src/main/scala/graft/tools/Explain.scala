@@ -21,9 +21,17 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
+    val (executed, qnames) = names.partition(_ == "--executed")
+    qnames.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (executed.nonEmpty) {
+        // run through the noop sink first, then print the FINAL adaptive
+        // plan — runtime stage reuse (ReusedExchange/ReusedSubquery) and
+        // AQE join re-plans only show up post-execution
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }
