@@ -81,6 +81,7 @@ object SparkEntry {
     "q_dedup_simhash" -> Dedup.q_dedup_simhash,
     "q_dedup_simhash_pairs" -> Dedup.q_dedup_simhash_pairs,
     "q_dedup_ngram" -> Dedup.q_dedup_ngram,
+    "q_dedup_ngram_capped" -> Dedup.q_dedup_ngram_capped,
     "q_dedup_cluster" -> Dedup.q_dedup_cluster,
     "q_dedup_embed" -> Similarity.q_dedup_embed,
     "q_sim_topk" -> Similarity.q_sim_topk,
@@ -194,6 +195,18 @@ object SparkEntry {
       "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
     "q_dedup_ngram" ->
       s"WITH s AS (SELECT doc_id, $shingleSql AS sh FROM documents), e AS (SELECT doc_id, unnest(sh) AS g FROM s), c AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id) SELECT a_id, b_id, CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jacc FROM c JOIN s x ON a_id = x.doc_id JOIN s y ON b_id = y.doc_id ORDER BY jacc DESC, a_id, b_id LIMIT 100",
+    "q_dedup_ngram_capped" ->
+      s"""WITH s AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         | e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         | k AS (SELECT g FROM e GROUP BY g HAVING count(*) <= 100),
+         | ek AS (SELECT e.doc_id, e.g FROM e JOIN k ON e.g = k.g),
+         | n AS (SELECT doc_id, count(*) AS nsh FROM ek GROUP BY doc_id),
+         | pc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |        FROM ek a JOIN ek b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) AS jacc
+         |FROM pc JOIN n x ON a_id = x.doc_id JOIN n y ON b_id = y.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) >= 0.2
+         |ORDER BY jacc DESC, a_id, b_id LIMIT 100""".stripMargin,
     "q_dedup_embed" ->
       s"SELECT a_id, b_id, cos_r FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosSql, 6) AS cos_r FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) c WHERE cos_r >= 0.4 ORDER BY a_id, b_id",
     "q_sim_topk" ->

@@ -184,10 +184,21 @@ object Dedup {
         col("a.nsh").as("na"), col("b.nsh").as("nb"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"), max(col("na")).as("na"), max(col("nb")).as("nb"))
-      .filter(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")) >= threshold)
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id"), (col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
   }
+
+  /** [Q-dedup-ngram-capped] the hot-shingle-capped Jaccard pair query as a
+    * declared, oracle-matched query: shingles in more than 100 docs (of the
+    * fixture's 500 at sf0.01 — true boilerplate) are excluded from both the
+    * candidate join and the per-doc sizes. This is the shape that holds at
+    * corpus scale: candidate fan-out per shingle is bounded by cap², and the
+    * cap itself is ONE keyed count aggregate. DuckDB-oracle-matched. */
+  def q_dedup_ngram_capped(s: SparkSession, d: String): DataFrame =
+    ngramPairs(Tables(s, d, "documents"), threshold = 0.2, maxDocFreq = Some(100L))
+      .orderBy(col("jacc").desc, col("a_id"), col("b_id"))
+      .limit(100)
 
   /** Connected components over an undirected pair list by iterative
     * min-label propagation: each round every vertex takes the min label in
