@@ -87,6 +87,8 @@ object SparkEntry {
     "q_sim_topk" -> Similarity.q_sim_topk,
     "q_sim_lsh" -> Similarity.q_sim_lsh,
     "q_sim_ivf" -> Similarity.q_sim_ivf,
+    "q_embed_quantize" -> Similarity.q_embed_quantize,
+    "q_text_stats" -> TextOps.q_text_stats,
     "q_text_tokens" -> TextOps.q_text_tokens,
     "q_text_tokens_re" -> TextOps.q_text_tokens_re,
     "q_text_quality" -> TextOps.q_text_quality,
@@ -249,6 +251,22 @@ object SparkEntry {
         " THEN 'es' WHEN " + sc(Seq("er ", "der", "ie ", "ein", "sch")) + " > " + sc(Seq("the", "he ", " th", "ing", "and")) +
         " THEN 'de' ELSE 'en' END AS pred_lang FROM documents"
     },
+    "q_embed_quantize" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |  list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS lo,
+        |  list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS hi
+        |  FROM embeddings),
+        | c AS (SELECT vec_id, v, lo, hi,
+        |  list_transform(v, x -> CAST(floor((x - lo) * 255 / (hi - lo) + 0.5) AS INT)) AS codes
+        |  FROM q)
+        |SELECT vec_id, round(lo, 6) AS lo_r, round(hi, 6) AS hi_r,
+        |  CAST(list_sum(codes) AS INT) AS sum_codes,
+        |  round(list_max(list_transform(list_zip(v, codes),
+        |    p -> abs(p[1] - (lo + p[2] * (hi - lo) / 255)))), 6) AS max_err_r
+        |FROM c""".stripMargin,
+    "q_text_stats" ->
+      "SELECT lang, count(*) AS n_docs, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens, quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens, quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens, CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_len FROM documents GROUP BY lang",
     "q_mm_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, source, lang FROM documents",
     "q_mm_frames" ->

@@ -194,4 +194,27 @@ object Similarity {
     * exact q_sim_topk baseline asserted in SimilaritySpec). */
   def q_sim_ivf(s: SparkSession, d: String): DataFrame =
     ivfNeighbors(Tables(s, d, "embeddings"), col("vec_id") < 5)
+
+  /** [Q-embed-quantize] per-vector scalar quantization to int8-range codes
+    * (min-max affine, 256 levels) — the embedding-compression step a
+    * training pipeline runs before storing billions of vectors (4x smaller
+    * than float32; IVF/LSH indexes operate on codes). Row-local, no
+    * shuffle; emits scalar summaries (code sum, max reconstruction error)
+    * so the oracle compares engine-independent values, not arrays.
+    * `floor(x + 0.5)` instead of round() keeps the two engines' halfway
+    * behavior trivially identical. DuckDB-oracle-matched. */
+  def q_embed_quantize(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("lo", expr("array_min(v)"))
+      .withColumn("hi", expr("array_max(v)"))
+      .withColumn("codes", expr(
+        "transform(v, x -> CAST(floor((x - lo) * 255 / (hi - lo) + 0.5D) AS INT))"))
+      .select(col("vec_id"),
+        round(col("lo"), 6).as("lo_r"),
+        round(col("hi"), 6).as("hi_r"),
+        expr("aggregate(codes, 0, (a, c) -> a + c)").as("sum_codes"),
+        round(expr(
+          "array_max(zip_with(v, codes, (x, c) -> abs(x - (lo + c * (hi - lo) / 255))))"),
+          6).as("max_err_r"))
 }

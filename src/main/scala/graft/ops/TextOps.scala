@@ -120,6 +120,21 @@ object TextOps {
       regexp_replace(col("text"), re, "<REDACTED>").as("redacted"))
   }
 
+  /** [Q-text-stats] per-language corpus statistics: doc counts, token
+    * budget (sum), exact token-count percentiles, average byte length — the
+    * reporting pass that sizes a training mix. ONE keyed aggregate with
+    * map-side partials; percentiles use the same exact interpolated
+    * `percentile` == `quantile_cont` correspondence as q_agg_quantile. */
+  def q_text_stats(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("lang"), size(tokens).as("nt"), length(col("text")).as("len"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("bigint").as("sum_tokens"),
+        expr("percentile(nt, 0.5)").as("p50_tokens"),
+        expr("percentile(nt, 0.9)").as("p90_tokens"),
+        (sum(col("len")).cast("double") / count(lit(1))).as("avg_len"))
+
   /** [Q-text-fingerprint] document fingerprints: xxhash64 of the full text +
     * winnowing-style min-shingle-hash. Engine-specific hash → rows-only check
     * (no DuckDB oracle). */

@@ -17,6 +17,19 @@ class SimilaritySpec extends AnyFunSuite {
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("scalar quantization: codes span 0..255 and reconstruction error is bounded") {
+    val q = Similarity.q_embed_quantize(spark, TestSpark.sf001)
+    val emb = Tables(spark, TestSpark.sf001, "embeddings")
+    assert(q.count() == emb.count())
+    // 64 codes/vector, each in [0,255]; extremes map to the endpoints, so
+    // the sum sits strictly inside (0, 64*255)
+    assert(q.filter(col("sum_codes") < 0 || col("sum_codes") > 64 * 255).count() == 0)
+    // max reconstruction error of 256-level min-max quantization is half a
+    // step: (hi-lo)/255/2
+    val bad = q.filter(col("max_err_r") > (col("hi_r") - col("lo_r")) / 255 / 2 + 1e-6)
+    assert(bad.count() == 0, "reconstruction error exceeds half a quant step")
+  }
+
   test("the quadratic baseline refuses oversized input") {
     val e = intercept[IllegalArgumentException] {
       Similarity.embedDupPairs(emb, 0.4, maxRows = 10).count()
