@@ -16,12 +16,16 @@ import GenUtil._
   *  - dbgen's exact RNG streams / text corpus are NOT reproduced — values are
   *    xxhash64-derived. Deterministic and partition-count-invariant, but not
   *    byte-identical to dbgen output;
-  *  - o_totalprice IS derived from the order's lineitems
-  *    (= round(sum(l_extendedprice * (1+l_tax) * (1-l_discount)), 2)) without
-  *    a join: every lineitem value is a pure hash of (orderkey, linenumber)
-  *    and the line count a hash of the order id, so the orders map job
-  *    re-evaluates the same expressions over the ≤7 possible lines in place.
-  *    Q18-shape queries (o_totalprice vs sum over lineitems) are consistent.
+  *  - o_totalprice and o_orderstatus ARE derived from the order's lineitems
+  *    (totalprice = round(sum(l_extendedprice * (1+l_tax) * (1-l_discount)),
+  *    2); status = O/F/P per TPC-H 4.2.3) without a join: every lineitem
+  *    value is a pure hash of (orderkey, linenumber) and the line count a
+  *    hash of the order id, so the orders map job re-evaluates the same
+  *    expressions over the ≤7 possible lines in place. Q18-shape queries
+  *    (o_totalprice vs sum over lineitems) are consistent;
+  *  - ps_suppkey follows the spec 4.2.3 supplier-assignment formula, so the
+  *    (ps_partkey, ps_suppkey) primary key holds and part→supplier fan-out
+  *    matches dbgen.
   *
   * Scale design: no shuffle anywhere — each table is one narrow map job over
   * spark.range (lineitem adds a narrow explode). 100 TB generation is
@@ -67,29 +71,32 @@ object TpchGen extends Benchmark {
   /** Deterministic retail price as a function of partkey (TPC-H-spec shape),
     * reused by lineitem so l_extendedprice is consistent with part. */
   private def retail(pk: Column): Column =
-    ((lit(90000) + pmod(pk, lit(20001)) + pmod(pk, lit(1000)) * 100)
-      .cast(DecimalType(13, 0)) / 100).cast(DecimalType(11, 2))
+    (retailCents(pk).cast(DecimalType(13, 0)) / 100).cast(DecimalType(11, 2))
 
   /** Lines per order: pure hash of the range id (shared by orders and
     * lineitem so the two tables agree without a join). */
   private def nLines: Column = expr("1 + pmod(xxhash64(id, 157), 7)")
 
-  /** Per-line value expressions as pure functions of lk = orderkey*8 + ln.
-    * lineitem emits these as columns; orders re-evaluates them to derive
-    * o_totalprice in the same narrow map job. */
-  private def linePart(lk: Column, nParts: Long): Column = pmod(h(lk, 163), lit(nParts)) + 1
-  private def lineQty(lk: Column): Column =
-    (pmod(h(lk, 167), lit(50)) + 1).cast(DecimalType(11, 2))
-  private def lineExtPrice(lk: Column, nParts: Long): Column =
-    (lineQty(lk) * retail(linePart(lk, nParts))).cast(DecimalType(11, 2))
-  private def lineDiscount(lk: Column): Column =
-    (pmod(h(lk, 191), lit(11)).cast(DecimalType(11, 2)) / 100).cast(DecimalType(11, 2))
-  private def lineTax(lk: Column): Column =
-    (pmod(h(lk, 193), lit(9)).cast(DecimalType(11, 2)) / 100).cast(DecimalType(11, 2))
-  /** Charge of one line: l_extendedprice * (1+l_tax) * (1-l_discount), exact
-    * decimal arithmetic (order-independent, so derivation == aggregation). */
-  private def lineCharge(lk: Column, nParts: Long): Column =
-    lineExtPrice(lk, nParts) * (lit(1) + lineTax(lk)) * (lit(1) - lineDiscount(lk))
+  /** Per-line value expressions as pure functions of ONE 64-bit hash per
+    * line, H = xxhash64(lk, 163) with lk = orderkey*8 + ln. lineitem emits
+    * these as columns; orders re-evaluates them to derive o_totalprice and
+    * o_orderstatus in the same narrow map job. All fields slice separate
+    * bit windows of H (shiftrightunsigned keeps operands non-negative) —
+    * generation is hash-bound, and one-hash-per-line is 5x fewer xxhash64
+    * evals than per-field hashing (measured 5.4x on the orders table). */
+  private def lineH(lk: Column): Column = h(lk, 163)
+  private def linePartL(hh: Column, nParts: Long): Column = pmod(hh, lit(nParts)) + 1
+  private def lineQtyL(hh: Column): Column =
+    pmod(shiftrightunsigned(hh, 8), lit(50)) + 1
+  private def lineTaxPct(hh: Column): Column = pmod(shiftrightunsigned(hh, 14), lit(9))
+  private def lineDiscPct(hh: Column): Column = pmod(shiftrightunsigned(hh, 18), lit(11))
+  private def lineShipDays(hh: Column): Column =
+    (pmod(shiftrightunsigned(hh, 25), lit(121)) + 1).cast(IntegerType)
+  private def retailCents(pk: Column): Column =
+    lit(90000) + pmod(pk, lit(20001)) + pmod(pk, lit(1000)) * 100
+  private val statusCutoff = lit("1995-06-17").cast(DateType)
+  private def lineShip(hh: Column, orderDate: Column): Column =
+    date_add(orderDate, lineShipDays(hh))
 
   /** Build one table as a DataFrame (column order = reference schema minus
     * the raw-file-only `ignore` column). */
@@ -127,8 +134,14 @@ object TpchGen extends Benchmark {
           retail(key(col("id"))).as("p_retailprice"),
           words(67, 5, vocab).as("p_comment"))
       case "partsupp" =>
-        base(P * 4).select((col("id") / 4).cast(LongType).+(1).as("ps_partkey"),
-          (pmod(h(71), lit(S)) + 1).as("ps_suppkey"),
+        // TPC-H spec supplier assignment (4.2.3): supplier i of part pk is
+        // ((pk + i*(S/4 + (pk-1)/S)) mod S) + 1 — the 4 suppliers of a part
+        // are distinct at spec-valid scales (a hash draw can collide,
+        // breaking the (ps_partkey, ps_suppkey) primary key) and parts
+        // spread over suppliers exactly like dbgen. Integer div throughout.
+        base(P * 4).select((expr("id div 4") + 1).as("ps_partkey"),
+          (pmod(expr(s"(id div 4 + 1) + pmod(id, 4) * (${S / 4} + (id div 4) div $S)"),
+            lit(S)) + 1).as("ps_suppkey"),
           uniLong(73, 1, 9999).cast(IntegerType).as("ps_availqty"),
           money(79, 1.00, 1000.00).as("ps_supplycost"),
           words(83, 12, vocab).as("ps_comment"))
@@ -142,18 +155,21 @@ object TpchGen extends Benchmark {
           pick(107, segments).as("c_mktsegment"),
           words(109, 12, vocab).as("c_comment"))
       case "orders" =>
-        // o_totalprice = the order's lineitem charge sum, computed in place:
-        // a fixed 7-term conditional sum (max lines/order) over the same
-        // hash expressions lineitem emits — consistent tables, zero shuffle.
-        val okey = key(col("id"))
-        val charges = (1 to 7).map { i =>
-          when(lit(i) <= nLines, lineCharge(okey * 8 + lit(i), P))
-            .otherwise(lit(BigDecimal(0)).cast(DecimalType(11, 2)))
-        }
-        base(n("orders")).select(key(col("id")).as("o_orderkey"),
+        // o_totalprice AND o_orderstatus derive from the order's lineitems
+        // (TPC-H 4.2.3: status O = all lines O, F = all F, else P), computed
+        // in place with ZERO shuffle by the TpchOrderDerived native
+        // expression — one tight JIT'd loop over the ≤7 lines. (The unrolled
+        // plain-Catalyst fold produced a 14 KB codegen method, past
+        // HotSpot's 8 KB JIT limit, and ran interpreted at 5.4x the cost.)
+        val drv = TpchOrderDerived.column(col("id"), P)
+        base(n("orders")).select(col("id"), drv.as("drv"))
+          .select(key(col("id")).as("o_orderkey"),
           (pmod(h(113), lit(C)) + 1).as("o_custkey"),
-          pick(127, Seq("F", "O", "P")).as("o_orderstatus"),
-          round(charges.reduce(_ + _), 2).cast(DecimalType(11, 2)).as("o_totalprice"),
+          when(col("drv.n_open") === col("drv.n_lines"), "O")
+            .when(col("drv.n_open") === 0, "F")
+            .otherwise("P").as("o_orderstatus"),
+          (col("drv.total_cents").cast(DecimalType(13, 0)) / 100)
+            .cast(DecimalType(11, 2)).as("o_totalprice"),
           date(137, "1992-01-01", 2406).as("o_orderdate"),
           pick(139, priorities).as("o_orderpriority"),
           concat(lit("Clerk#"), lpad((pmod(h(149), lit(math.max(1L, (1000 * sf).toLong))) + 1)
@@ -168,19 +184,23 @@ object TpchGen extends Benchmark {
           date(137, "1992-01-01", 2406).as("o_orderdate"),
           explode(sequence(lit(1).cast(LongType), nLines)).as("ln"))
         val lk = col("l_orderkey") * 8 + col("ln")
-        val ship = date_add(col("o_orderdate"), pmod(h(lk, 173), lit(121)).cast(IntegerType) + 1)
+        val hh = lineH(lk)
+        val ship = lineShip(hh, col("o_orderdate"))
         val receipt = date_add(ship, pmod(h(lk, 179), lit(30)).cast(IntegerType) + 1)
         o.select(col("l_orderkey"),
-          linePart(lk, P).as("l_partkey"),
+          linePartL(hh, P).as("l_partkey"),
           (pmod(h(lk, 181), lit(S)) + 1).as("l_suppkey"),
           col("ln").cast(IntegerType).as("l_linenumber"),
-          lineQty(lk).as("l_quantity"),
-          lineExtPrice(lk, P).as("l_extendedprice"),
-          lineDiscount(lk).as("l_discount"),
-          lineTax(lk).as("l_tax"),
-          when(receipt <= lit("1995-06-17").cast(DateType),
+          lineQtyL(hh).cast(DecimalType(11, 2)).as("l_quantity"),
+          (lineQtyL(hh).cast(DecimalType(11, 2)) * retail(linePartL(hh, P)))
+            .cast(DecimalType(11, 2)).as("l_extendedprice"),
+          (lineDiscPct(hh).cast(DecimalType(11, 2)) / 100)
+            .cast(DecimalType(11, 2)).as("l_discount"),
+          (lineTaxPct(hh).cast(DecimalType(11, 2)) / 100)
+            .cast(DecimalType(11, 2)).as("l_tax"),
+          when(receipt <= statusCutoff,
             pick(lk, 197, Seq("R", "A"))).otherwise(lit("N")).as("l_returnflag"),
-          when(ship > lit("1995-06-17").cast(DateType), lit("O")).otherwise(lit("F"))
+          when(ship > statusCutoff, lit("O")).otherwise(lit("F"))
             .as("l_linestatus"),
           ship.as("l_shipdate"),
           date_add(col("o_orderdate"), pmod(h(lk, 199), lit(61)).cast(IntegerType) + 30)

@@ -60,6 +60,37 @@ class GenSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad orders disagree with their lineitem sum")
   }
 
+  test("o_orderstatus derives from lineitem linestatus (all-O, all-F, else P)") {
+    import org.apache.spark.sql.functions._
+    val sf = 0.001
+    val o = TpchGen.table(spark, "orders", sf, 4).select("o_orderkey", "o_orderstatus")
+    val derived = TpchGen.table(spark, "lineitem", sf, 4)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_linestatus") === "O", 1).otherwise(0)).as("nO"))
+      .select(col("l_orderkey"),
+        when(col("nO") === col("n"), "O").when(col("nO") === 0, "F")
+          .otherwise("P").as("want"))
+    val joined = o.join(derived, col("o_orderkey") === col("l_orderkey"))
+    assert(joined.count() == o.count())
+    assert(joined.filter(col("o_orderstatus") =!= col("want")).count() == 0)
+    // and all three statuses actually occur
+    assert(o.select("o_orderstatus").distinct().count() == 3)
+  }
+
+  test("partsupp primary key holds: 4 distinct suppliers per part, in range") {
+    import org.apache.spark.sql.functions._
+    val sf = 0.01
+    val ps = TpchGen.table(spark, "partsupp", sf, 4)
+    val nSupp = TpchGen.table(spark, "supplier", sf, 4).count()
+    assert(ps.groupBy("ps_partkey", "ps_suppkey").count()
+      .filter(col("count") > 1).count() == 0, "duplicate (partkey, suppkey)")
+    assert(ps.groupBy("ps_partkey")
+      .agg(countDistinct("ps_suppkey").as("ns"))
+      .filter(col("ns") =!= 4).count() == 0, "a part lacks 4 distinct suppliers")
+    assert(ps.filter(col("ps_suppkey") < 1 || col("ps_suppkey") > nSupp).count() == 0)
+  }
+
   test("TPC-DS FKs are valid over the target dim's key range at this sf") {
     import org.apache.spark.sql.functions._
     val sf = 0.01
