@@ -72,7 +72,12 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val sh = docs.select(col("doc_id"), TextOps.shingleExpr(3).as("sh"))
+    // verify over HASHED shingle arrays: the join ships 8-byte longs
+    // instead of ~20-char strings and array_intersect compares longs;
+    // distinctness is preserved so Jaccard is unchanged (collision odds
+    // ~2^-64 per shingle pair — immaterial)
+    val sh = docs.select(col("doc_id"), TextOps.shingleExpr(3).as("sh0"))
+      .select(col("doc_id"), expr("transform(sh0, t -> xxhash64(t))").as("sh"))
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
