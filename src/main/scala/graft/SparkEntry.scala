@@ -62,6 +62,9 @@ object SparkEntry {
     "q_set_union" -> Relational.q_set_union,
     "q_set_intersect" -> Relational.q_set_intersect,
     "q_set_except" -> Relational.q_set_except,
+    "q_set_except_all" -> Relational.q_set_except_all,
+    "q_join_nullsafe" -> Relational.q_join_nullsafe,
+    "q_text_editdist" -> TextOps.q_text_editdist,
     // §2.8 scalar function families
     "q_fn_string" -> Relational.q_fn_string,
     "q_fn_date" -> Relational.q_fn_date,
@@ -177,6 +180,12 @@ object SparkEntry {
       "SELECT c_custkey FROM customer WHERE c_acctbal > 0 INTERSECT SELECT o_custkey FROM orders",
     "q_set_except" ->
       "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000",
+    "q_set_except_all" ->
+      "SELECT o_custkey, count(*) AS n_small FROM (SELECT o_custkey FROM orders EXCEPT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 150000) t GROUP BY o_custkey",
+    "q_join_nullsafe" ->
+      "SELECT k, count(*) AS n FROM (SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS k FROM orders) t1 JOIN (SELECT nullif(o_orderpriority, '1-URGENT') AS k2 FROM orders) t2 ON t1.k IS NOT DISTINCT FROM t2.k2 GROUP BY k",
+    "q_text_editdist" ->
+      "SELECT a.doc_id AS a_id, b.doc_id AS b_id, levenshtein(a.text, b.text) AS dist, round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) / greatest(length(a.text), length(b.text)), 6) AS sim_r FROM documents a JOIN documents b ON a.doc_id < 30 AND b.doc_id < 30 AND a.doc_id < b.doc_id ORDER BY a_id, b_id",
     "q_fn_string" ->
       "SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_name) AS name_l, substring(p_type, 1, 5) AS type5, CAST(length(p_name) AS INT) AS name_len, split_part(p_type, ' ', 1) AS type_head, regexp_extract(p_type, '(\\w+)$', 1) AS type_tail, p_brand || '#' || p_type AS brand_type, p_name LIKE '%a%' AS has_a FROM part",
     "q_fn_date" ->

@@ -373,6 +373,30 @@ object Relational {
       .except(t(s, d, "orders").filter(col("o_totalprice") > 300000)
         .select(col("o_custkey").as("c_custkey")))
 
+  /** [Q-set-except-all] MULTISET except: per-customer order rows minus one
+    * occurrence per matching row in the subtrahend — multiplicities
+    * subtract instead of the whole key vanishing (the EXCEPT ALL vs EXCEPT
+    * distinction). Aggregated afterwards so the oracle compares a total
+    * order. */
+  def q_set_except_all(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(col("o_custkey"))
+      .exceptAll(t(s, d, "orders").filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey")))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_small"))
+
+  /** [Q-join-nullsafe] null-safe equality join (`<=>` / IS NOT DISTINCT
+    * FROM): null keys MATCH null keys, unlike `=` which drops them. The
+    * nullable key is a derived nullif; Spark plans EqualNullSafe as a
+    * keyed hash join, not a nested loop (PlanGuardSpec enforces). */
+  def q_join_nullsafe(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val keys = o.select(nullif(col("o_orderpriority"), lit("1-URGENT")).as("k")).distinct()
+    val rows = o.select(nullif(col("o_orderpriority"), lit("1-URGENT")).as("k2"),
+      col("o_orderkey"))
+    keys.join(rows, col("k") <=> col("k2"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+  }
+
   // ---- §2.8 scalar function families ----------------------------------------
 
   /** [Q-fn-string] string family over part. */

@@ -135,6 +135,26 @@ object TextOps {
         expr("percentile(nt, 0.9)").as("p90_tokens"),
         (sum(col("len")).cast("double") / count(lit(1))).as("avg_len"))
 
+  /** [Q-text-editdist] Levenshtein fuzzy-duplicate verification over a
+    * candidate pair set — the character-level confirm step after a cheap
+    * blocking stage (here: the first 30 doc ids as a deterministic block;
+    * in production the candidates come from LSH/shingle blocking, never
+    * all-pairs). Edit distance is O(len²) per pair, which is exactly why
+    * it only ever runs on blocked candidates. Emits a similarity ratio
+    * 1 - dist/maxlen on a total order. */
+  def q_text_editdist(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+      .filter(col("doc_id") < 30).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id").as("a_id"), col("text").as("ta"))
+      .join(docs.select(col("doc_id").as("b_id"), col("text").as("tb")),
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ta"), col("tb")).as("dist"),
+        round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+          greatest(length(col("ta")), length(col("tb"))), 6).as("sim_r"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** [Q-text-fingerprint] document fingerprints: xxhash64 of the full text +
     * winnowing-style min-shingle-hash. Engine-specific hash → rows-only check
     * (no DuckDB oracle). */

@@ -17,8 +17,12 @@ class PlanGuardSpec extends AnyFunSuite {
     * constant-size build side is linear in n); q_sim_ivf's index build
     * scores every vector against the broadcast centroid set — O(n·C) with
     * C bounded (that scoring pass IS the IVF algorithm; the query-side
-    * candidate join is equi on the cell id). */
-  private val fenced = Set("q_dedup_embed", "q_join_cross", "q_sim_topk", "q_sim_ivf")
+    * candidate join is equi on the cell id); q_text_editdist pairs a
+    * FIXED 30-doc candidate block (the O(len²) confirm step only ever
+    * runs on blocked candidates — the blocking stages are the keyed
+    * LSH/shingle joins). */
+  private val fenced = Set("q_dedup_embed", "q_join_cross", "q_sim_topk", "q_sim_ivf",
+    "q_text_editdist")
 
   test("every unfenced declared query plans keyed joins only") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
