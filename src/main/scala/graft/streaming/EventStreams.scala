@@ -72,6 +72,21 @@ object EventStreams {
   def dedup(events: DataFrame): DataFrame =
     events.dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-stream interval SELF-join: per user, every (event a, event b)
+    * pair with b in (a.ts, a.ts + 1h] — the same semantics as the batch
+    * theta join (Relational.q_join_theta), which StreamingSpec asserts
+    * equality against. Both sides carry the source watermark and the join
+    * condition bounds event-time both ways, so each side's buffered state
+    * is evicted once the watermark passes ts + 1h — bounded state, keyed
+    * shuffle on user_id, the canonical Structured Streaming join shape. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val a = events.select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = events.select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    a.join(b, col("a_user") === col("b_user") &&
+      col("b_ts") > col("a_ts") &&
+      col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   // ---- custom per-user session state via flatMapGroupsWithState ----
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

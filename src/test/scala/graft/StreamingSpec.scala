@@ -42,6 +42,15 @@ class StreamingSpec extends AnyFunSuite {
     assertSame(st, Streams.q_stream_session(spark, dir), "session")
   }
 
+  test("stream-stream interval self-join == batch theta join") {
+    val joined = EventStreams.runToTable(
+      EventStreams.intervalJoin(EventStreams.readEvents(spark, dir)),
+      "t_ssjoin", OutputMode.Append)
+    val agg = joined.groupBy(col("a_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+    assertSame(agg, graft.ops.Relational.q_join_theta(spark, dir), "interval join")
+  }
+
   test("dropDuplicatesWithinWatermark removes in-watermark duplicates") {
     val st = EventStreams.runToTable(
       EventStreams.dedup(EventStreams.readEvents(spark, dir)),
