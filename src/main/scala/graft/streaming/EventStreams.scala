@@ -106,7 +106,14 @@ object EventStreams {
     * session list (Update semantics: downstream keeps the last version; a
     * merge supersedes its source sessions' earlier emits). Value sums use
     * 2-decimal BigDecimal — the same rounding as the batch query's
-    * cast(value AS DECIMAL(10,2)) — so results are order-independent. */
+    * cast(value AS DECIMAL(10,2)) — so results are order-independent.
+    *
+    * State is WATERMARK-BOUNDED (EventTimeTimeout): sessions whose
+    * end + gap falls behind the watermark get their final emit and leave
+    * the state; a group with no open sessions evicts entirely when its
+    * timeout fires; sub-watermark arrivals are dropped so an evicted
+    * session can't resurrect. Per-key memory is O(open sessions within
+    * the watermark horizon), not O(history). */
   def sessionizeCustom(events: DataFrame): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -139,16 +146,35 @@ object EventStreams {
     events.select(col("user_id"), col("ts"), col("value")).as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Ev], state: GroupState[List[SessionState]]) =>
-          val init = state.getOption.getOrElse(Nil)
-          val sessions = it.foldLeft(init) { (acc, e) =>
-            insert(acc, micros(e.ts),
-              BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          if (state.hasTimedOut) {
+            // the watermark passed every session's end + gap: all final and
+            // already emitted on the trigger that closed them — just free
+            // the state (THIS is what bounds per-key memory at scale)
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            val init = state.getOption.getOrElse(Nil)
+            // drop sub-watermark arrivals explicitly (watermark semantics:
+            // a closed-and-evicted session must not resurrect)
+            val sessions = it.filter(e => micros(e.ts) >= wmUs).foldLeft(init) {
+              (acc, e) => insert(acc, micros(e.ts),
+                BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+            }
+            // sessions the watermark already closed get their final emit
+            // this trigger and leave the state
+            val open = sessions.filterNot(ss => ss.lastTs + gapUs <= wmUs)
+            if (open.nonEmpty) {
+              state.update(open)
+              // +1 ms: the µs→ms floor could otherwise land exactly ON the
+              // watermark, which setTimeoutTimestamp rejects
+              state.setTimeoutTimestamp(open.map(_.lastTs).max / 1000 + gapMs + 1)
+            } else state.remove()
+            sessions.iterator.map(ss => SessionOut(user,
+              toTs(ss.start), ss.n, ss.sum.toDouble))
           }
-          state.update(sessions)
-          sessions.iterator.map(ss => SessionOut(user,
-            toTs(ss.start), ss.n, ss.sum.toDouble))
       }
   }
 

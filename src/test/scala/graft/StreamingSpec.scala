@@ -232,6 +232,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"expected $want, got $got")
   }
 
+  test("sessionization evicts watermark-closed sessions and drops resurrection attempts") {
+    import org.apache.spark.sql.Dataset
+    val src = "/tmp/graft-evict-src"
+    val cp = "/tmp/graft-evict-cp"
+    rmAll(src, cp)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    // latest emit per (user, session start): evicted sessions keep their
+    // final version; a resurrected session would overwrite it with a
+    // bigger n
+    val acc = scala.collection.mutable.Map.empty[(Long, java.sql.Timestamp), (Long, Double)]
+    def drain(): Unit = {
+      val q = EventStreams.sessionizeCustom(
+          EventStreams.readReplay(spark, src, watermark = "10 minutes"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (ds: Dataset[EventStreams.SessionOut], _: Long) =>
+          ds.collect().foreach(r => acc((r.user_id, r.s_start)) = (r.n, r.sum_value))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // drain 1: S1 = {10:00, 10:05}; 13:00 pushes the watermark to 12:50 —
+    // far past S1's end + gap (10:35), so S1 is emitted finally and evicted
+    writeRawFile(src, "a", Seq((1L, 0L, 7L, "click", 1.0), (2L, 5L, 7L, "click", 1.0),
+      (3L, 180L, 7L, "click", 1.0)))
+    drain()
+    // drain 2: a sub-watermark event at 10:07 must NOT resurrect S1;
+    // 13:05 extends the open 13:00 session normally
+    writeRawFile(src, "b", Seq((4L, 7L, 7L, "click", 1.0), (5L, 185L, 7L, "click", 1.0)))
+    drain()
+    val base = java.time.Instant.parse("2024-03-01T10:00:00Z").getEpochSecond
+    def ts(mins: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(base + mins * 60))
+    assert(acc((7L, ts(0))) == ((2L, 2.0)),
+      s"evicted session must keep its final (n=2) version, got ${acc((7L, ts(0)))}")
+    assert(acc((7L, ts(180))) == ((2L, 2.0)),
+      s"open session must keep growing, got ${acc((7L, ts(180)))}")
+  }
+
   test("flatMapGroupsWithState sessionization == session_window aggregation") {
     val st = EventStreams.runToTable(
       EventStreams.sessionizeCustom(EventStreams.readEvents(spark, dir)).toDF(),
