@@ -182,8 +182,9 @@ object vec {
 
 /** SQL-surface registration (`spark.sql.extensions=graft.GraftExtensions`
   * on a cluster, or `.withExtensions(new GraftExtensions)` when building a
-  * session): exposes `vector_dot(a, b)` and
-  * `lsh_signature(v, bands, bits)` to SQL. */
+  * session): exposes `vector_dot(a, b)` and `lsh_signature(v, bands, bits)`
+  * to SQL, and injects the optimizer-level unkeyed-join guard
+  * (graft.plans.JoinGuardRule, armed via `spark.graft.joinGuard=true`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -201,5 +202,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshSignature].getName, "lsh_signature"),
       (exprs: Seq[Expression]) => LshSignature(exprs(0),
         intLit(exprs(1), "bands"), intLit(exprs(2), "bitsPerBand"))))
+    ext.injectOptimizerRule(graft.plans.JoinGuardRule)
   }
 }

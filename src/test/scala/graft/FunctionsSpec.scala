@@ -80,6 +80,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(1).isNullAt(1), "null element must null the whole signature")
   }
 
+  test("join guard: armed, unkeyed joins fail at plan time; equi joins pass") {
+    val region = Tables(spark, TestSpark.sf001, "region")
+    val nation = Tables(spark, TestSpark.sf001, "nation")
+    spark.conf.set("spark.graft.joinGuard", "true")
+    try {
+      // cartesian and pure-theta joins must be refused before execution
+      val e1 = intercept[Exception] { region.crossJoin(nation).count() }
+      assert(e1.getMessage.contains("join guard"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        region.join(nation, col("n_nationkey") > col("r_regionkey")).count()
+      }
+      assert(e2.getMessage.contains("join guard"), e2.getMessage)
+      // keyed joins (incl. null-safe, and key-in-WHERE after pushdown) pass
+      assert(nation.join(region, col("n_regionkey") === col("r_regionkey"))
+        .count() == 25)
+      assert(nation.join(region, col("n_regionkey") <=> col("r_regionkey"))
+        .count() == 25)
+      assert(nation.crossJoin(region)
+        .where(col("n_regionkey") === col("r_regionkey")).count() == 25)
+    } finally spark.conf.unset("spark.graft.joinGuard")
+    // guard down: the same cartesian is allowed (fenced-baseline mode)
+    assert(region.crossJoin(nation).count() == 125)
+  }
+
   test("lsh_signature SQL surface with literal knobs") {
     emb.createOrReplaceTempView("emb_fn_test2")
     val n = spark.sql(
