@@ -161,10 +161,40 @@ object Similarity {
     * Query: each anchor probes its `probes` nearest cells, candidates come
     * from an EQUI-join on the cell id, exact cosine re-ranks them. Recall is
     * tunable via probes/numCells (recall vs brute force asserted in tests). */
-  def ivfNeighbors(emb: DataFrame, anchorPred: Column, k: Int = 10,
-                   numCells: Int = 16, probes: Int = 4): DataFrame = {
-    val cents = emb.filter(col("vec_id") < numCells)
+  /** Lloyd (k-means) refinement of the deterministic seed centroids:
+    * `iters` rounds of assign-to-nearest (broadcast centroids, map-side
+    * argmax — n×C reduces to n before any shuffle) + element-wise mean per
+    * cell (dim avg-aggregates in ONE keyed shuffle with map-side partials).
+    * Means run in EXACT DECIMAL: double sums are order-dependent, and a
+    * partitioning-dependent centroid would make every downstream ANN result
+    * flap run-to-run. Cells that lose all members drop out (standard Lloyd
+    * behavior; probing handles a shrunken cell count). */
+  def kmeansCentroids(emb: DataFrame, numCells: Int = 16, iters: Int = 1,
+                      dim: Int = 64): DataFrame = {
+    var cents = emb.filter(col("vec_id") < numCells)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosine("embedding", "cv").as("cs"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cs"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"))
+        .join(emb, "vec_id")
+      val means = (0 until dim).map(i =>
+        avg(expr(s"CAST(element_at(embedding, ${i + 1}) AS DECIMAL(20,10))")).as(s"m$i"))
+      cents = assigned.groupBy("cell")
+        .agg(means.head, means.tail: _*)
+        .select(col("cell"),
+          array((0 until dim).map(i => col(s"m$i").cast("double")): _*).as("cv"))
+    }
+    cents
+  }
+
+  def ivfNeighbors(emb: DataFrame, anchorPred: Column, k: Int = 10,
+                   numCells: Int = 16, probes: Int = 4,
+                   refineIters: Int = 1): DataFrame = {
+    val cents = kmeansCentroids(emb, numCells, refineIters)
     val scored = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine("embedding", "cv").as("cs"))
