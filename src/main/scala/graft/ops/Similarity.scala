@@ -221,9 +221,12 @@ object Similarity {
   }
 
   /** [Q-sim-ivf] IVF ANN of the anchor set (rows-only check; recall vs the
-    * exact q_sim_topk baseline asserted in SimilaritySpec). */
+    * exact q_sim_topk baseline asserted in SimilaritySpec). The declared
+    * query pins refineIters=0 (seed centroids) so the bench row measures
+    * the same index build round-over-round; the library default is one
+    * Lloyd round (recall-compared in SimilaritySpec). */
   def q_sim_ivf(s: SparkSession, d: String): DataFrame =
-    ivfNeighbors(Tables(s, d, "embeddings"), col("vec_id") < 5)
+    ivfNeighbors(Tables(s, d, "embeddings"), col("vec_id") < 5, refineIters = 0)
 
   /** [Q-embed-quantize] per-vector scalar quantization to int8-range codes
     * (min-max affine, 256 levels) — the embedding-compression step a

@@ -59,6 +59,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8")
   }
 
+  test("Lloyd-refined centroids keep (or improve) IVF recall") {
+    def recallOf(iters: Int): Double = {
+      val got = Similarity.ivfNeighbors(emb, col("vec_id") < 5, refineIters = iters)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val t = exactPairs
+      (t & got).size.toDouble / t.size
+    }
+    val seed = recallOf(0)
+    val refined = recallOf(1)
+    assert(refined >= seed - 0.1,
+      s"refinement degraded recall: seed=$seed refined=$refined")
+    assert(refined >= 0.8, s"refined IVF recall $refined < 0.8")
+  }
+
   test("tuned LSH has measurable recall on the fixture's moderate-sim regime") {
     val lsh = Similarity.q_sim_lsh(spark, TestSpark.sf001)
       .select("a_id", "b_id").collect()
