@@ -99,6 +99,9 @@ object SparkEntry {
     "q_text_langid_ngram" -> TextOps.q_text_langid_ngram,
     "q_text_fingerprint" -> TextOps.q_text_fingerprint,
     "q_text_redact" -> TextOps.q_text_redact,
+    "q_text_repetition" -> TextOps.q_text_repetition,
+    "q_text_gopher" -> TextOps.q_text_gopher,
+    "q_text_decontaminate" -> TextOps.q_text_decontaminate,
     "q_mm_meta" -> Multimodal.q_mm_meta,
     "q_mm_features" -> Multimodal.q_mm_features,
     "q_mm_frames" -> Multimodal.q_mm_frames,
@@ -276,6 +279,17 @@ object SparkEntry {
         |FROM c""".stripMargin,
     "q_text_stats" ->
       "SELECT lang, count(*) AS n_docs, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens, quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens, quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens, CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_len FROM documents GROUP BY lang",
+    "q_text_repetition" ->
+      s"SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, CAST(len($shingleSql) AS INT) AS n_distinct, CASE WHEN len(string_split(text, ' ')) >= 3 THEN round(1.0 - CAST(len($shingleSql) AS DOUBLE) / (len(string_split(text, ' ')) - 2), 6) ELSE 0.0 END AS rep_ratio FROM documents",
+    "q_text_gopher" ->
+      "SELECT doc_id, n_tokens, mean_wlen, sym_ratio, n_stop, (n_tokens BETWEEN 20 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0 AND sym_ratio < 0.1 AND n_stop >= 2) AS keep FROM (SELECT doc_id, n_tokens, CAST(len - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_wlen, CAST(n_sym AS DOUBLE) / len AS sym_ratio, n_stop FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, CAST(length(text) AS INT) AS len, CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS INT) AS n_sym, CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'de' OR x = 'la')) AS INT) AS n_stop FROM documents) a) b",
+    "q_text_decontaminate" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 7),
+        | i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))) AS sh FROM documents),
+        | e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        | ev AS (SELECT DISTINCT g FROM e WHERE doc_id < 50)
+        |SELECT e.doc_id, count(*) AS n_overlap FROM e JOIN ev ON e.g = ev.g
+        |WHERE e.doc_id >= 50 GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
     "q_mm_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, source, lang FROM documents",
     "q_mm_frames" ->

@@ -135,6 +135,61 @@ object TextOps {
         expr("percentile(nt, 0.9)").as("p90_tokens"),
         (sum(col("len")).cast("double") / count(lit(1))).as("avg_len"))
 
+  /** [Q-text-repetition] intra-document repetition ratio: 1 − distinct /
+    * total 3-gram shingles — the "repetitive text" quality filter (looping
+    * generations, boilerplate padding). Row-local, no shuffle. Docs shorter
+    * than one shingle score 0. */
+  def q_text_repetition(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), size(tokens).as("n_tokens"),
+        size(shingleExpr(3)).as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") >= 3,
+          round(lit(1.0) - col("n_distinct").cast("double") / (col("n_tokens") - 2), 6))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+
+  /** [Q-text-gopher] Gopher-style document quality rules: token-count
+    * bounds, mean-word-length bounds, symbol ratio, minimum stopword
+    * evidence — each rule emitted as a measure plus the composite keep
+    * flag. Row-local, no shuffle; the shape of every rule-based corpus
+    * filter pass. */
+  def q_text_gopher(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        size(tokens).as("n_tokens"),
+        length(col("text")).as("len"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("n_sym"),
+        size(expr("filter(split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'de' OR x = 'la')")).as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("len") - (col("n_tokens") - 1)).cast("double") / col("n_tokens")).as("mean_wlen"),
+        (col("n_sym").cast("double") / col("len")).as("sym_ratio"),
+        col("n_stop"))
+      .withColumn("keep",
+        col("n_tokens").between(20, 100000) &&
+          col("mean_wlen").between(3.0, 10.0) &&
+          col("sym_ratio") < 0.1 && col("n_stop") >= 2)
+
+  /** [Q-text-decontaminate] train/eval contamination detection: corpus docs
+    * sharing any exact 8-token shingle with the eval set (here: doc_id <
+    * 50 stands in for the benchmark suite), with the overlap count. The
+    * join is KEYED on the 64-bit shingle hash — at 100 TB this is one
+    * equi-join whose left side is the corpus shingle stream and right side
+    * the (much smaller, distinct) eval shingle set; never a text scan per
+    * eval doc. The decontamination pass every serious training corpus
+    * runs. */
+  def q_text_decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables(s, d, "documents")
+      .select(col("doc_id"), shingleExpr(8).as("sh0"))
+      .select(col("doc_id"),
+        explode(expr("transform(sh0, t -> xxhash64(t))")).as("g"))
+    val evalSh = sh.filter(col("doc_id") < 50).select(col("g")).distinct()
+    sh.filter(col("doc_id") >= 50)
+      .join(evalSh.hint("merge"), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
   /** [Q-text-editdist] Levenshtein fuzzy-duplicate verification over a
     * candidate pair set — the character-level confirm step after a cheap
     * blocking stage (here: the first 30 doc ids as a deterministic block;
