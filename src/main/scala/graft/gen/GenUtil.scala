@@ -46,6 +46,12 @@ object GenUtil {
       (pmod(h(tag), lit(max - 1)) + 2).cast(IntegerType)), " ")
   }
 
+  /** dbgen-shaped comment (1–2 grammar sentences from dbgen-flavored word
+    * lists) — delegates to the CommentText native expression: the Column
+    * formulation (16 literal-array picks + conditional second sentence)
+    * pushed whole-table codegen past HotSpot's 8 KB JIT limit. */
+  def comment(tag: Int): Column = CommentText.column(col("id"), tag)
+
   /** Date = base + uniform [0, span) days. */
   def date(tag: Int, base: String, spanDays: Int): Column =
     date_add(lit(base).cast(DateType), pmod(h(tag), lit(spanDays)).cast(IntegerType))

@@ -13,9 +13,11 @@ import GenUtil._
   * Fidelity notes (documented deviations from dbgen):
   *  - schemas, key ranges, FK validity, value domains and date windows follow
   *    the TPC-H spec shapes the reference's schemas imply (src/tpch.rs:140-241);
-  *  - dbgen's exact RNG streams / text corpus are NOT reproduced — values are
+  *  - dbgen's exact RNG streams are NOT reproduced — values are
   *    xxhash64-derived. Deterministic and partition-count-invariant, but not
-  *    byte-identical to dbgen output;
+  *    byte-identical to dbgen output. Comment columns follow the spec's
+  *    sentence-grammar SHAPE over dbgen-flavored word lists
+  *    (gen/TextGen.scala CommentText), not the exact dbgen corpus;
   *  - o_totalprice and o_orderstatus ARE derived from the order's lineitems
   *    (totalprice = round(sum(l_extendedprice * (1+l_tax) * (1-l_discount)),
   *    2); status = O/F/P per TPC-H 4.2.3) without a join: every lineitem
@@ -108,12 +110,12 @@ object TpchGen extends Benchmark {
       case "region" =>
         base(5).select(col("id").as("r_regionkey"),
           element_at(array(regions.map(lit): _*), col("id").cast(IntegerType) + 1).as("r_name"),
-          words(3, 6, vocab).as("r_comment"))
+          comment(3).as("r_comment"))
       case "nation" =>
         base(25).select(col("id").as("n_nationkey"),
           element_at(array(nations.map(x => lit(x._1)): _*), col("id").cast(IntegerType) + 1).as("n_name"),
           element_at(array(nations.map(x => lit(x._2.toLong)): _*), col("id").cast(IntegerType) + 1).as("n_regionkey"),
-          words(5, 8, vocab).as("n_comment"))
+          comment(5).as("n_comment"))
       case "supplier" =>
         base(S).select(key(col("id")).as("s_suppkey"),
           concat(lit("Supplier#"), lpad(key(col("id")).cast(StringType), 9, "0")).as("s_name"),
@@ -121,7 +123,7 @@ object TpchGen extends Benchmark {
           uniLong(11, 0, 24).as("s_nationkey"),
           phone(13).as("s_phone"),
           money(17, -999.99, 9999.99).as("s_acctbal"),
-          words(19, 10, vocab).as("s_comment"))
+          comment(19).as("s_comment"))
       case "part" =>
         base(P).select(key(col("id")).as("p_partkey"),
           concat_ws(" ", pick(23, colors), pick(29, colors), pick(31, colors)).as("p_name"),
@@ -132,7 +134,7 @@ object TpchGen extends Benchmark {
           uniLong(59, 1, 50).cast(IntegerType).as("p_size"),
           pick(61, containers).as("p_container"),
           retail(key(col("id"))).as("p_retailprice"),
-          words(67, 5, vocab).as("p_comment"))
+          comment(67).as("p_comment"))
       case "partsupp" =>
         // TPC-H spec supplier assignment (4.2.3): supplier i of part pk is
         // ((pk + i*(S/4 + (pk-1)/S)) mod S) + 1 — the 4 suppliers of a part
@@ -144,7 +146,7 @@ object TpchGen extends Benchmark {
             lit(S)) + 1).as("ps_suppkey"),
           uniLong(73, 1, 9999).cast(IntegerType).as("ps_availqty"),
           money(79, 1.00, 1000.00).as("ps_supplycost"),
-          words(83, 12, vocab).as("ps_comment"))
+          comment(83).as("ps_comment"))
       case "customer" =>
         base(C).select(key(col("id")).as("c_custkey"),
           concat(lit("Customer#"), lpad(key(col("id")).cast(StringType), 9, "0")).as("c_name"),
@@ -153,7 +155,7 @@ object TpchGen extends Benchmark {
           phone(101).as("c_phone"),
           money(103, -999.99, 9999.99).as("c_acctbal"),
           pick(107, segments).as("c_mktsegment"),
-          words(109, 12, vocab).as("c_comment"))
+          comment(109).as("c_comment"))
       case "orders" =>
         // o_totalprice AND o_orderstatus derive from the order's lineitems
         // (TPC-H 4.2.3: status O = all lines O, F = all F, else P), computed
@@ -175,7 +177,7 @@ object TpchGen extends Benchmark {
           concat(lit("Clerk#"), lpad((pmod(h(149), lit(math.max(1L, (1000 * sf).toLong))) + 1)
             .cast(StringType), 9, "0")).as("o_clerk"),
           lit(0).as("o_shippriority"),
-          words(151, 15, vocab).as("o_comment"))
+          comment(151).as("o_comment"))
       case "lineitem" =>
         // 1–7 lines per order, exploded from the orders id range (narrow op —
         // no shuffle; line values hash on (orderkey, linenumber)).
@@ -208,7 +210,7 @@ object TpchGen extends Benchmark {
           receipt.as("l_receiptdate"),
           pick(lk, 211, instructs).as("l_shipinstruct"),
           pick(lk, 223, modes).as("l_shipmode"),
-          words(227, 10, vocab).as("l_comment"))
+          comment(227).as("l_comment"))
       case other => throw new IllegalArgumentException(s"unknown TPC-H table: $other")
     }
   }
