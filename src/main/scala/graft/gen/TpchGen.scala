@@ -218,9 +218,11 @@ object TpchGen extends Benchmark {
   /** Raw-layout generation (reference parity: `{out}/{table}.tbl/part-*.tbl`
     * pipe-delimited with trailing '|', src/tpch.rs:96-129). */
   def generate(spark: SparkSession, scale: Double, partitions: Int, outputPath: String): Unit =
-    tableNames.foreach { tbl =>
-      writeRaw(table(spark, tbl, scale, partitions), outputPath, tbl, tableExt,
-        trailingPipe = true)
+    withoutWholeStageCodegen(spark) {
+      tableNames.foreach { tbl =>
+        writeRaw(table(spark, tbl, scale, partitions), outputPath, tbl, tableExt,
+          trailingPipe = true)
+      }
     }
 
   /** Spark-native fast path: generate straight to Parquet, skipping the text
@@ -228,9 +230,11 @@ object TpchGen extends Benchmark {
     * 100 TB-scale default). */
   def generateParquet(spark: SparkSession, scale: Double, partitions: Int,
                       outputPath: String, codec: String = "snappy"): Unit =
-    tableNames.foreach { tbl =>
-      table(spark, tbl, scale, partitions).write
-        .option("compression", graft.convert.Convert.validateCodec(codec))
-        .parquet(s"$outputPath/$tbl.parquet")
+    withoutWholeStageCodegen(spark) {
+      tableNames.foreach { tbl =>
+        table(spark, tbl, scale, partitions).write
+          .option("compression", graft.convert.Convert.validateCodec(codec))
+          .parquet(s"$outputPath/$tbl.parquet")
+      }
     }
 }

@@ -17,6 +17,7 @@ object GenTime {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("GRAFT_WSCG", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
