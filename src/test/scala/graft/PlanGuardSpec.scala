@@ -51,6 +51,14 @@ class PlanGuardSpec extends AnyFunSuite {
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(readSchema.contains("l_quantity") && !readSchema.contains("l_tax"),
       s"column pruning failed: $readSchema")
+    // the decontamination corpus/eval split predicates reach the scan, and
+    // only (doc_id, text) are read from documents
+    val dc = fmt("q_text_decontaminate")
+    assert(dc.contains("GreaterThanOrEqual(doc_id,50)") || dc.contains("LessThan(doc_id,50)"),
+      s"doc_id split not pushed:\n$dc")
+    val dcSchema = dc.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!dcSchema.contains("lang") && !dcSchema.contains("source"),
+      s"documents scan reads unused columns: $dcSchema")
   }
 
   test("fenced baselines are still the only nested-loop plans") {
