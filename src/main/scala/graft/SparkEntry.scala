@@ -73,6 +73,7 @@ object SparkEntry {
     "q_fn_array" -> Relational.q_fn_array,
     "q_fn_cond" -> Relational.q_fn_cond,
     "q_fn_map" -> Relational.q_fn_map,
+    "q_fn_bitwise" -> Relational.q_fn_bitwise,
     // §2.9 streaming (batch-equivalent declared queries)
     "q_stream_tumble" -> Streams.q_stream_tumble,
     "q_stream_slide" -> Streams.q_stream_slide,
@@ -167,6 +168,8 @@ object SparkEntry {
       "SELECT o_orderkey, CASE WHEN o_totalprice > 300000 THEN 'big' WHEN o_totalprice > 150000 THEN 'mid' ELSE 'small' END AS bucket, nullif(o_orderpriority, '1-URGENT') AS pri_or_null, coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT') AS pri_filled FROM orders",
     "q_fn_map" ->
       "WITH kv AS (SELECT unnest(json_keys(props)) AS k, props FROM events) SELECT k, count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v, max(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS max_v FROM kv GROUP BY k",
+    "q_fn_bitwise" ->
+      "SELECT o_orderkey, o_orderkey & 255 AS k_and, o_orderkey | 4096 AS k_or, xor(o_orderkey, o_custkey) AS k_xor, o_orderkey << 3 AS k_shl, o_orderkey >> 2 AS k_shr, CAST(bit_count(o_orderkey) AS INT) AS k_bits FROM orders",
     "q_win_rank" ->
       "SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS rnk, CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS drnk, CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders",
     "q_win_lag" ->

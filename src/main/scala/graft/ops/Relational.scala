@@ -446,6 +446,20 @@ object Relational {
       coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("URGENT"))
         .as("pri_filled"))
 
+  /** [Q-fn-bitwise] bitwise function family: and/or/xor, shifts, popcount
+    * — exact integer ops, row-local, cross-engine deterministic (unlike
+    * libm-backed float math, which differs per implementation and is
+    * deliberately NOT oracle-matched). */
+  def q_fn_bitwise(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      (col("o_orderkey").bitwiseAND(lit(255L))).as("k_and"),
+      (col("o_orderkey").bitwiseOR(lit(4096L))).as("k_or"),
+      (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("k_xor"),
+      shiftleft(col("o_orderkey"), 3).as("k_shl"),
+      shiftright(col("o_orderkey"), 2).as("k_shr"),
+      expr("bit_count(o_orderkey)").as("k_bits"))
+
   /** [Q-fn-map] map functions: parse props into map<string,bigint>, explode
     * to (k, v) rows, aggregate per key. from_json → MapType + generator
     * explode is the §2.8 map-family surface. */

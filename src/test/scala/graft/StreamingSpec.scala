@@ -42,6 +42,22 @@ class StreamingSpec extends AnyFunSuite {
     assertSame(st, Streams.q_stream_session(spark, dir), "session")
   }
 
+  test("stream-static broadcast enrichment == batch join") {
+    import org.apache.spark.sql.functions.broadcast
+    // static dim derived in batch: per-user tier by id parity
+    val dim = Tables(spark, dir, "events").select("user_id").distinct()
+      .withColumn("tier", when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    val enriched = EventStreams.runToTable(
+      EventStreams.readEvents(spark, dir)
+        .join(broadcast(dim), "user_id")
+        .groupBy("tier").agg(count(lit(1)).as("n")),
+      "t_enrich", OutputMode.Complete)
+    val batch = Tables(spark, dir, "events")
+      .join(broadcast(dim), "user_id")
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+    assertSame(enriched, batch, "stream-static enrichment")
+  }
+
   test("stream-stream interval self-join == batch theta join") {
     val joined = EventStreams.runToTable(
       EventStreams.intervalJoin(EventStreams.readEvents(spark, dir)),
