@@ -174,10 +174,14 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("nsh"),
         explode(expr("transform(sh, t -> xxhash64(t))")).as("g"))
     val ex = maxDocFreq.fold(exploded) { cap =>
-      // shingles are distinct per doc, so count(g) IS document frequency
-      val keep = exploded.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= cap).select("g")
-      exploded.drop("nsh").join(keep, "g")
+      // shingles are distinct per doc, so count(g) IS document frequency.
+      // Filter via the COMPLEMENT: the over-cap (hot) set is the tiny
+      // zipfian tail — broadcasting it turns the filter into a map-side
+      // anti-join, where joining against the (corpus-sized) surviving set
+      // would shuffle the whole exploded stream a second time.
+      val hot = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("g")
+      exploded.drop("nsh").join(broadcast(hot), Seq("g"), "left_anti")
         .withColumn("nsh", count(lit(1))
           .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
     }
