@@ -22,7 +22,12 @@ import GenUtil._
   *    (fkSuffix below), so join selectivity matches dsdgen's shape;
   *  - row counts follow the published sf1 cardinalities scaled linearly;
   *    calendar/fixed dimensions (date_dim, time_dim, income_band, ship_mode)
-  *    keep their spec-fixed cardinality at every scale.
+  *    keep their spec-fixed cardinality at every scale;
+  *  - date_dim and time_dim are TRUE CALENDARS (sk 1 = 1900-01-01 / second
+  *    0 of day; every derived field computed from the actual date/time),
+  *    and fact date FKs draw from the dsdgen-like 1998-2002 sales window —
+  *    d_year filters against generated facts have calendar-true
+  *    selectivity.
   *
   * Scale design: every table is ONE narrow map job over spark.range — no
   * shuffle, no driver data; 100 TB generation is bounded by write bandwidth.
@@ -94,6 +99,16 @@ object TpcdsGen extends Benchmark {
   private def fkTarget(colName: String): Option[String] =
     fkSuffix.collectFirst { case (suf, dim) if colName.endsWith(suf) => dim }
 
+  /** date_dim's calendar epoch: sk 1 = 1900-01-01 (73,049 rows → 2099). */
+  private val calEpoch = java.time.LocalDate.of(1900, 1, 1)
+  private def skOf(date: java.time.LocalDate): Long =
+    java.time.temporal.ChronoUnit.DAYS.between(calEpoch, date) + 1
+  /** Date FKs draw from the dsdgen-like 5-year sales window (1998-2002),
+    * not the full 200-year calendar — date-dim filters (d_year = 2000)
+    * then hit realistic selectivity on generated facts. */
+  private val dateSkLo = skOf(java.time.LocalDate.of(1998, 1, 1))
+  private val dateSkHi = skOf(java.time.LocalDate.of(2002, 12, 31))
+
   /** Deterministic column from (schema field, per-column tag). Type-driven:
     * surrogate keys sequential, FKs uniform over the target dim's key range
     * at this sf, strings word-salad, dates in the 1998–2003 window, decimals
@@ -106,6 +121,8 @@ object TpcdsGen extends Benchmark {
     // ...) resolves to date_dim and is generated as a date FK, not a dense
     // sequence.
     def skCol(cast: DataType): Column = fkTarget(f.name) match {
+      case Some("date_dim") if tbl != "date_dim" =>
+        uniLong(tag, dateSkLo, dateSkHi).cast(cast)
       case Some(dim) if !(isFirst && dim == tbl) =>
         uniLong(tag, 1, rowCount(dim, sf)).cast(cast)
       case Some(_) => (col("id") + 1).cast(cast) // own surrogate key
@@ -137,15 +154,99 @@ object TpcdsGen extends Benchmark {
     else base
   }
 
+  /** dsdgen-style 16-char business key (shared by the generic path and the
+    * calendar tables). */
+  private def bizId: Column =
+    concat(lit("AAAAAAAA"), lpad(conv(pmod(col("id"), lit(99999999L))
+      .cast(StringType), 10, 16), 8, "0"))
+
+  /** date_dim as a TRUE CALENDAR: sk 1 = 1900-01-01, every derived field
+    * (year/month/dow/quarter, sequence numbers, weekend/holiday flags,
+    * first/last-of-month and same-day-last-year/quarter sk links) computed
+    * from the actual date — not hash noise. A query filtering d_year = 2000
+    * against generated facts now has calendar-true selectivity. */
+  private def dateDim(baseDf: DataFrame): DataFrame = {
+    val epoch = lit("1900-01-01").cast(DateType)
+    val d = date_add(epoch, col("id").cast(IntegerType))
+    def skOfCol(c: Column): Column = (datediff(c, epoch) + 1).cast(IntegerType)
+    val weekSeq = (datediff(d, epoch).cast(IntegerType) / 7).cast(IntegerType)
+    val qSeq = ((year(d) - 1900) * 4 + quarter(d) - 1).cast(IntegerType)
+    def holiday(c: Column): Column =
+      when((month(c) === 12 && dayofmonth(c) === 25) ||
+        (month(c) === 7 && dayofmonth(c) === 4) ||
+        (month(c) === 1 && dayofmonth(c) === 1), "Y").otherwise("N")
+    val dayNames = array(Seq("Sunday", "Monday", "Tuesday", "Wednesday",
+      "Thursday", "Friday", "Saturday").map(lit): _*)
+    baseDf.select(
+      (col("id") + 1).cast(IntegerType).as("d_date_sk"),
+      bizId.as("d_date_id"),
+      d.as("d_date"),
+      ((year(d) - 1900) * 12 + month(d) - 1).cast(IntegerType).as("d_month_seq"),
+      weekSeq.as("d_week_seq"),
+      qSeq.as("d_quarter_seq"),
+      year(d).cast(IntegerType).as("d_year"),
+      (dayofweek(d) - 1).cast(IntegerType).as("d_dow"),
+      month(d).cast(IntegerType).as("d_moy"),
+      dayofmonth(d).cast(IntegerType).as("d_dom"),
+      quarter(d).cast(IntegerType).as("d_qoy"),
+      year(d).cast(IntegerType).as("d_fy_year"),
+      qSeq.as("d_fy_quarter_seq"),
+      weekSeq.as("d_fy_week_seq"),
+      element_at(dayNames, dayofweek(d)).as("d_day_name"),
+      concat(year(d).cast(StringType), lit("Q"),
+        quarter(d).cast(StringType)).as("d_quarter_name"),
+      holiday(d).as("d_holiday"),
+      when(dayofweek(d).isin(1, 7), "Y").otherwise("N").as("d_weekend"),
+      holiday(date_add(d, 1)).as("d_following_holiday"),
+      skOfCol(trunc(d, "MM")).as("d_first_dom"),
+      skOfCol(last_day(d)).as("d_last_dom"),
+      skOfCol(add_months(d, -12)).as("d_same_day_ly"),
+      skOfCol(add_months(d, -3)).as("d_same_day_lq"),
+      lit("N").as("d_current_day"),
+      lit("N").as("d_current_week"),
+      lit("N").as("d_current_month"),
+      lit("N").as("d_current_quarter"),
+      lit("N").as("d_current_year"))
+  }
+
+  /** time_dim as the true seconds-of-day table: sk 1 = 00:00:00; hour,
+    * minute, second, shift and meal-time bands all derive from the second
+    * index. */
+  private def timeDim(baseDf: DataFrame): DataFrame = {
+    val t = col("id").cast(IntegerType)
+    val hour = (t / 3600).cast(IntegerType)
+    baseDf.select(
+      (col("id") + 1).cast(IntegerType).as("t_time_sk"),
+      bizId.as("t_time_id"),
+      t.as("t_time"),
+      hour.as("t_hour"),
+      ((t / 60).cast(IntegerType) % 60).as("t_minute"),
+      (t % 60).as("t_second"),
+      when(hour < 12, "AM").otherwise("PM").as("t_am_pm"),
+      when(hour < 8, "third").when(hour < 16, "first")
+        .otherwise("second").as("t_shift"),
+      when(hour < 6, "night").when(hour < 12, "morning")
+        .when(hour < 18, "afternoon").otherwise("evening").as("t_sub_shift"),
+      when(hour >= 6 && hour < 9, "breakfast")
+        .when(hour >= 11 && hour < 14, "lunch")
+        .when(hour >= 17 && hour < 20, "dinner")
+        .otherwise(lit(null).cast(StringType)).as("t_meal_time"))
+  }
+
   /** Build one table as a DataFrame matching TpcdsSchemas(tbl) exactly. */
   def table(spark: SparkSession, tbl: String, sf: Double, partitions: Int): DataFrame = {
     val st = schema(tbl)
     val rows = rowCount(tbl, sf)
-    val baseDf = spark.range(0, rows, 1, math.max(1, partitions))
-    val cols = st.fields.zipWithIndex.map { case (f, i) =>
-      colFor(tbl, sf, f, tbl.hashCode * 131 + i * 31 + 17, isFirst = i == 0).as(f.name)
+    val baseDf = spark.range(0, rows, 1, math.max(1, partitions)).toDF()
+    tbl match {
+      case "date_dim" => dateDim(baseDf)
+      case "time_dim" => timeDim(baseDf)
+      case _ =>
+        val cols = st.fields.zipWithIndex.map { case (f, i) =>
+          colFor(tbl, sf, f, tbl.hashCode * 131 + i * 31 + 17, isFirst = i == 0).as(f.name)
+        }
+        baseDf.select(cols.toIndexedSeq: _*)
     }
-    baseDf.select(cols.toIndexedSeq: _*)
   }
 
   /** Raw-layout generation (reference parity: `{out}/{table}.dat/part-*.dat`

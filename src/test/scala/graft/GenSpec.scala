@@ -114,6 +114,33 @@ class GenSpec extends AnyFunSuite {
     assert(p3.exceptAll(p11).count() == 0 && p11.exceptAll(p3).count() == 0)
   }
 
+  test("date_dim and time_dim are true calendars; date FKs land in the sales window") {
+    import org.apache.spark.sql.functions._
+    val dd = TpcdsGen.table(spark, "date_dim", 1.0, 4)
+    // sk 1 = 1900-01-01; derived fields must agree with the actual date
+    val bad = dd.filter(
+      col("d_date") =!= expr("date_add(DATE'1900-01-01', d_date_sk - 1)") ||
+        col("d_year") =!= year(col("d_date")) ||
+        col("d_moy") =!= month(col("d_date")) ||
+        col("d_dom") =!= dayofmonth(col("d_date")) ||
+        col("d_qoy") =!= quarter(col("d_date")) ||
+        col("d_dow") =!= dayofweek(col("d_date")) - 1 ||
+        (col("d_weekend") === "Y") =!= dayofweek(col("d_date")).isin(1, 7))
+    assert(bad.count() == 0, "date_dim calendar fields inconsistent")
+    val td = TpcdsGen.table(spark, "time_dim", 1.0, 4)
+    val badT = td.filter(
+      col("t_time") =!= col("t_time_sk") - 1 ||
+        col("t_hour") * 3600 + col("t_minute") * 60 + col("t_second") =!= col("t_time"))
+    assert(badT.count() == 0, "time_dim fields inconsistent")
+    // fact date FKs: valid AND inside the 1998-2002 sales window
+    val ss = TpcdsGen.table(spark, "store_sales", 0.01, 4)
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+    assert(ss.filter(col("d_year") < 1998 || col("d_year") > 2002).count() == 0,
+      "sales dates outside the dsdgen-like window")
+    assert(ss.select(countDistinct(col("d_year"))).head().getLong(0) == 5,
+      "sales dates don't span the window")
+  }
+
   test("all 24 TPC-DS tables generate with exact schema and scaled row count") {
     TpcdsGen.tableNames.foreach { t =>
       val df = TpcdsGen.table(spark, t, 0.001, 2)
