@@ -133,6 +133,12 @@ object TpcdsGen extends Benchmark {
     val base: Column = f.dataType match {
       case IntegerType if f.name.endsWith("_sk") => skCol(IntegerType)
       case LongType if f.name.endsWith("_sk") => skCol(LongType)
+      // income_band is ordered $10k ranges (band k: [10k(k-1), 10k·k − 1]),
+      // so hd_income_band_sk joins carry real ordering semantics
+      case IntegerType if f.name == "ib_lower_bound" =>
+        (col("id") * 10000).cast(IntegerType)
+      case IntegerType if f.name == "ib_upper_bound" =>
+        ((col("id") + 1) * 10000 - 1).cast(IntegerType)
       case IntegerType if isFirst =>
         (col("id") + 1).cast(IntegerType) // surrogate key: dense, 1-based
       case IntegerType => uniLong(tag, 0, 9999).cast(IntegerType)
@@ -148,8 +154,9 @@ object TpcdsGen extends Benchmark {
       case other => throw new IllegalArgumentException(
         s"unsupported TPC-DS column type: $other (${f.name})")
     }
-    // ~5% deterministic nulls on nullable columns (keys stay dense)
-    if (f.nullable && !isFirst)
+    // ~5% deterministic nulls on nullable columns (keys stay dense;
+    // income-band bounds are structural, never null)
+    if (f.nullable && !isFirst && !f.name.startsWith("ib_"))
       when(pmod(h(tag + 7919), lit(20)) === 0, lit(null).cast(f.dataType)).otherwise(base)
     else base
   }
