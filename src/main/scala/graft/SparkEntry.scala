@@ -74,6 +74,8 @@ object SparkEntry {
     "q_fn_cond" -> Relational.q_fn_cond,
     "q_fn_map" -> Relational.q_fn_map,
     "q_fn_bitwise" -> Relational.q_fn_bitwise,
+    "q_win_range" -> Relational.q_win_range,
+    "q_agg_bool" -> Relational.q_agg_bool,
     // §2.9 streaming (batch-equivalent declared queries)
     "q_stream_tumble" -> Streams.q_stream_tumble,
     "q_stream_slide" -> Streams.q_stream_slide,
@@ -170,6 +172,10 @@ object SparkEntry {
       "WITH kv AS (SELECT unnest(json_keys(props)) AS k, props FROM events) SELECT k, count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v, max(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS max_v FROM kv GROUP BY k",
     "q_fn_bitwise" ->
       "SELECT o_orderkey, o_orderkey & 255 AS k_and, o_orderkey | 4096 AS k_or, xor(o_orderkey, o_custkey) AS k_xor, o_orderkey << 3 AS k_shl, o_orderkey >> 2 AS k_shr, CAST(bit_count(o_orderkey) AS INT) AS k_bits FROM orders",
+    "q_win_range" ->
+      s"SELECT event_id, user_id, value, count(*) OVER w AS n_1h, CAST(sum(CAST(value AS DECIMAL(10,2))) OVER w AS DOUBLE) AS sum_1h FROM (SELECT event_id, user_id, $evTs AS ts, value FROM events) e WINDOW w AS (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)",
+    "q_agg_bool" ->
+      "SELECT o_orderpriority, count(*) FILTER (o_totalprice > 300000) AS n_big, bool_and(o_totalprice > 900) AS all_above_min, bool_or(o_totalprice > 500000) AS any_huge, count(*) AS n FROM orders GROUP BY o_orderpriority",
     "q_win_rank" ->
       "SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS rnk, CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS drnk, CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders",
     "q_win_lag" ->

@@ -446,6 +446,31 @@ object Relational {
       coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("URGENT"))
         .as("pri_filled"))
 
+  /** [Q-win-range] event-time RANGE frame: trailing 1-hour window per user
+    * keyed by VALUE, not row position — a tie-insensitive frame (ROWS
+    * frames need a total order; RANGE frames don't), and the window shape
+    * sliding event-time aggregations take outside streaming. */
+  def q_win_range(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("n_1h", expr(
+        "count(*) OVER (PARTITION BY user_id ORDER BY ts " +
+          "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"))
+      .withColumn("sum_1h", expr(
+        "CAST(sum(CAST(value AS DECIMAL(10,2))) OVER (PARTITION BY user_id ORDER BY ts " +
+          "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+      .drop("ts")
+
+  /** [Q-agg-bool] boolean aggregate family: conditional count, universally/
+    * existentially quantified predicates per group. */
+  def q_agg_bool(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("count_if(o_totalprice > 300000)").as("n_big"),
+        expr("bool_and(o_totalprice > 900)").as("all_above_min"),
+        expr("bool_or(o_totalprice > 500000)").as("any_huge"),
+        count(lit(1)).as("n"))
+
   /** [Q-fn-bitwise] bitwise function family: and/or/xor, shifts, popcount
     * — exact integer ops, row-local, cross-engine deterministic (unlike
     * libm-backed float math, which differs per implementation and is
