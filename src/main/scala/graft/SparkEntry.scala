@@ -103,6 +103,7 @@ object SparkEntry {
     "q_text_fingerprint" -> TextOps.q_text_fingerprint,
     "q_text_redact" -> TextOps.q_text_redact,
     "q_sample" -> Sampling.q_sample,
+    "q_pack" -> TextOps.q_pack,
     "q_text_repetition" -> TextOps.q_text_repetition,
     "q_text_gopher" -> TextOps.q_text_gopher,
     "q_text_decontaminate" -> TextOps.q_text_decontaminate,
@@ -291,6 +292,8 @@ object SparkEntry {
       "SELECT lang, count(*) AS n_docs, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens, quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens, quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens, CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_len FROM documents GROUP BY lang",
     "q_sample" ->
       "SELECT lang, count(*) AS n_total, count(*) FILTER ((doc_id * 2654435761) % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 10 END) AS n_sampled FROM documents GROUP BY lang",
+    "q_pack" ->
+      "SELECT doc_id, doc_id % 8 AS shard, n_tokens, CAST(floor((cum - n_tokens) / 2048.0) AS INT) AS bin, CAST((cum - n_tokens) % 2048 AS INT) AS bin_offset FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, sum(CAST(len(string_split(text, ' ')) AS INT)) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS cum FROM documents) t",
     "q_text_repetition" ->
       s"SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, CAST(len($shingleSql) AS INT) AS n_distinct, CASE WHEN len(string_split(text, ' ')) >= 3 THEN round(1.0 - CAST(len($shingleSql) AS DOUBLE) / (len(string_split(text, ' ')) - 2), 6) ELSE 0.0 END AS rep_ratio FROM documents",
     "q_text_gopher" ->

@@ -190,6 +190,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [Q-pack] sequence-packing assignment: documents pack into fixed
+    * token-budget training sequences (budget 2048) by running token count.
+    * Packing is per SHARD (doc_id mod 8): a single global running sum would
+    * be one-partition sequential — the scale-killer — while sharded packing
+    * runs one keyed window per shard and wastes at most one partial bin per
+    * shard. This emits the assignment (shard, bin, offset); the actual
+    * concat/pad step is the writer's job. */
+  def q_pack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048
+    Tables(s, d, "documents")
+      .select(col("doc_id"), size(tokens).as("n_tokens"),
+        pmod(col("doc_id"), lit(8)).as("shard"))
+      .withColumn("cum", sum(col("n_tokens"))
+        .over(Window.partitionBy("shard").orderBy("doc_id")))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        // explicit floor: DuckDB CAST(double AS INT) rounds-to-nearest
+        // while Spark truncates — floor() first makes both exact
+        floor((col("cum") - col("n_tokens")) / budget).cast("int").as("bin"),
+        pmod(col("cum") - col("n_tokens"), lit(budget)).cast("int").as("bin_offset"))
+  }
+
   /** [Q-text-editdist] Levenshtein fuzzy-duplicate verification over a
     * candidate pair set — the character-level confirm step after a cheap
     * blocking stage (here: the first 30 doc ids as a deterministic block;
