@@ -96,8 +96,8 @@ object GenUtil {
         case _        => col(f.name).cast(StringType)
       }
     }
-    val line = if (trailingPipe) concat(concat_ws("|", cols: _*), lit("|"))
-               else concat_ws("|", cols: _*)
+    val line = if (trailingPipe) concat(concat_ws("|", cols.toIndexedSeq: _*), lit("|"))
+               else concat_ws("|", cols.toIndexedSeq: _*)
     df.select(line.as("value")).write
       .format("text").save(s"$outDir/$table.$ext")
   }

@@ -237,7 +237,7 @@ object Dedup {
     // fixpoint signal: unchanged sum ⇔ no label moved. One aggregate per
     // round instead of a full old-vs-new join.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var done = false
     var i = 0
