@@ -76,6 +76,27 @@ object Relational {
         col("n_lines"), col("sum_qty"), col("gross"))
   }
 
+  /** [Q-tpch-q18] TPC-H Q18 (large-volume customer): orders whose lineitem
+    * quantity total exceeds a threshold — a HAVING subquery turned into a
+    * pre-aggregated SEMI-join (the IN-subquery never materializes per-row),
+    * then the customer/order detail join re-aggregates quantities. The
+    * composite shape: agg → semi-join → 3-way join → agg → top-k on a
+    * total order. */
+  def q_tpch_q18(s: SparkSession, d: String): DataFrame = {
+    val big = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("bk"))
+      .agg(sum(col("l_quantity")).as("tot"))
+      .filter(col("tot") > 250).select("bk")
+    t(s, d, "orders")
+      .join(big, col("o_orderkey") === col("bk"), "left_semi")
+      .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
   /** [Q-join-star] TPC-H Q5 shape: 6-way star, dims broadcast, revenue/nation. */
   def q_join_star(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer")
