@@ -35,6 +35,7 @@ object SparkEntry {
     "q_join_sm" -> Relational.q_join_sm,
     "q_join_star" -> Relational.q_join_star,
     "q_tpch_q18" -> Relational.q_tpch_q18,
+    "q_tpch_q3" -> Relational.q_tpch_q3,
     "q_join_outer" -> Relational.q_join_outer,
     "q_join_semi" -> Relational.q_join_semi,
     "q_join_anti" -> Relational.q_join_anti,
@@ -139,6 +140,8 @@ object SparkEntry {
       s"SELECT n_name, CAST(sum($extDec * $oneMinusDisc) AS DOUBLE) AS revenue FROM customer, orders, lineitem, supplier, nation, region WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01' GROUP BY n_name",
     "q_tpch_q18" ->
       "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum(l_quantity) AS sum_qty FROM customer, orders, lineitem WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) AND c_custkey = o_custkey AND o_orderkey = l_orderkey GROUP BY 1, 2, 3, 4, 5 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100",
+    "q_tpch_q3" ->
+      s"SELECT l_orderkey, CAST(sum($extDec * $oneMinusDisc) AS DOUBLE) AS revenue, o_orderdate, o_orderpriority FROM customer, orders, lineitem WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY sum($extDec * $oneMinusDisc) DESC, o_orderdate, l_orderkey LIMIT 10",
     "q_join_outer" ->
       "SELECT c_count, count(*) AS custdist FROM (SELECT c_custkey, count(o_orderkey) AS c_count FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) t GROUP BY c_count",
     "q_join_semi" ->

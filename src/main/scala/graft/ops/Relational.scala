@@ -76,6 +76,25 @@ object Relational {
         col("n_lines"), col("sum_qty"), col("gross"))
   }
 
+  /** [Q-tpch-q3] TPC-H Q3 (shipping priority): segment-filtered customers'
+    * unshipped revenue per order, top-10 — selective filters pushed to all
+    * three scans, then keyed joins and one re-aggregation. */
+  def q_tpch_q3(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1995-03-15").cast(TimestampType)
+    t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, d, "orders").filter(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, d, "lineitem").filter(col("l_shipdate") > cut),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"), 4, 2)))
+        .as("rev_d"))
+      .orderBy(col("rev_d").desc, col("o_orderdate"), col("l_orderkey"))
+      .select(col("l_orderkey"), col("rev_d").cast(D).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .limit(10)
+  }
+
   /** [Q-tpch-q18] TPC-H Q18 (large-volume customer): orders whose lineitem
     * quantity total exceeds a threshold — a HAVING subquery turned into a
     * pre-aggregated SEMI-join (the IN-subquery never materializes per-row),
