@@ -36,7 +36,9 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () } // failures are reported by the timed pass
+      // NonFatal only: after an OOM/LinkageError the JVM is suspect and a
+      // timed pass would report garbage — let fatal errors abort the run
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ListBuffer.empty[String]
@@ -53,18 +55,25 @@ object Bench {
           failed += name
       }
     }
-    val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // millisecond precision: sub-ms digits are pure noise AND the full-
+    // precision line (~2.5 KB at 77 queries) overflowed the harness's
+    // stdout tail capture in rounds 2-3, front-truncating the JSON so it
+    // never parsed — the short line must fit the tail window whole
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = timings.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val fl = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val total = timings.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"n_failed":${failed.size},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$fl,"n_failed":${failed.size},"sf":"$sfDir"}"""
     println(json)
-    // stdout goes through sbt's logger ("[info] ..." prefixes), which broke
-    // the driver's JSON parse in round 2 — also write the bare line to a file
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
+    // print the line AGAIN as the very last output: whatever fixed-size tail
+    // of stdout the harness keeps, the final copy lands inside it complete
+    println(json)
     spark.stop()
     if (failed.nonEmpty) sys.exit(0) // failures are visible in the JSON itself
   }

@@ -141,6 +141,10 @@ object TpchGen extends Benchmark {
         // are distinct at spec-valid scales (a hash draw can collide,
         // breaking the (ps_partkey, ps_suppkey) primary key) and parts
         // spread over suppliers exactly like dbgen. Integer div throughout.
+        // Below S=4 the S/4 stride term is 0 and all four draws for a part
+        // collide — fail loudly rather than silently break the PK.
+        require(S >= 4,
+          s"partsupp needs S >= 4 suppliers for the 4.2.3 assignment formula (got S=$S; use sf >= 0.0004)")
         base(P * 4).select((expr("id div 4") + 1).as("ps_partkey"),
           (pmod(expr(s"(id div 4 + 1) + pmod(id, 4) * (${S / 4} + (id div 4) div $S)"),
             lit(S)) + 1).as("ps_suppkey"),

@@ -170,7 +170,18 @@ object Similarity {
     * flap run-to-run. Cells that lose all members drop out (standard Lloyd
     * behavior; probing handles a shrunken cell count). */
   def kmeansCentroids(emb: DataFrame, numCells: Int = 16, iters: Int = 1,
-                      dim: Int = 64): DataFrame = {
+                      dim: Int = 0): DataFrame = {
+    // dim <= 0 → derive from the data (one row's array length; a 64-dim
+    // hardcode silently truncated/null-padded refined centroids for any
+    // other corpus, and VectorDot's length-mismatch→null contract then
+    // nulled every cosine downstream). One cheap 1-row job, index build only.
+    val d = if (dim > 0) dim else {
+      require(iters >= 0, "iters must be >= 0")
+      val head = emb.select(size(col("embedding")).as("d")).head()
+      require(!head.isNullAt(0) && head.getInt(0) > 0,
+        "kmeansCentroids: cannot derive embedding dim (null/empty first vector); pass dim explicitly")
+      head.getInt(0)
+    }
     var cents = emb.filter(col("vec_id") < numCells)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"))
     for (_ <- 1 to iters) {
@@ -181,12 +192,12 @@ object Similarity {
         .agg(max(struct(col("cs"), col("cell"))).as("m"))
         .select(col("vec_id"), col("m.cell").as("cell"))
         .join(emb, "vec_id")
-      val means = (0 until dim).map(i =>
+      val means = (0 until d).map(i =>
         avg(expr(s"CAST(element_at(embedding, ${i + 1}) AS DECIMAL(20,10))")).as(s"m$i"))
       cents = assigned.groupBy("cell")
         .agg(means.head, means.tail: _*)
         .select(col("cell"),
-          array((0 until dim).map(i => col(s"m$i").cast("double")): _*).as("cv"))
+          array((0 until d).map(i => col(s"m$i").cast("double")): _*).as("cv"))
     }
     cents
   }

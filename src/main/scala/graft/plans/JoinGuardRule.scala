@@ -19,10 +19,19 @@ import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expres
   */
 case class JoinGuardRule(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
-  private def hasEquiKey(condition: Option[Expression]): Boolean =
-    condition.exists(splitConjunctivePredicates(_).exists {
-      case EqualTo(l, r) => l.references.nonEmpty && r.references.nonEmpty
-      case EqualNullSafe(l, r) => l.references.nonEmpty && r.references.nonEmpty
+  // mirrors ExtractEquiJoinKeys: a conjunct only counts as an equi key if
+  // each operand is evaluable against exactly one join side (either
+  // orientation). `a.x + b.y === b.z` references both sides on the left
+  // operand — NOT extractable, still a nested loop — and must not pass.
+  private def isEquiKey(l: Expression, r: Expression, j: Join): Boolean =
+    l.references.nonEmpty && r.references.nonEmpty &&
+      ((canEvaluate(l, j.left) && canEvaluate(r, j.right)) ||
+        (canEvaluate(l, j.right) && canEvaluate(r, j.left)))
+
+  private def hasEquiKey(j: Join): Boolean =
+    j.condition.exists(splitConjunctivePredicates(_).exists {
+      case EqualTo(l, r) => isEquiKey(l, r, j)
+      case EqualNullSafe(l, r) => isEquiKey(l, r, j)
       case _ => false
     })
 
@@ -33,7 +42,7 @@ case class JoinGuardRule(spark: SparkSession) extends Rule[LogicalPlan]
       // equi join and passes; an inner join with no condition is a
       // cartesian and fails
       plan.foreach {
-        case j: Join if !hasEquiKey(j.condition) =>
+        case j: Join if !hasEquiKey(j) =>
           throw new IllegalStateException(
             "graft join guard: join has no equi key and would execute as a " +
               s"nested loop / cartesian (type=${j.joinType}, condition=" +

@@ -104,6 +104,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(region.crossJoin(nation).count() == 125)
   }
 
+  test("join guard: mixed-side equality is NOT an equi key") {
+    // `a.x + b.y === b.z` is an EqualTo whose left operand references BOTH
+    // sides — ExtractEquiJoinKeys can't extract it, so it still executes as
+    // a nested loop; the guard must refuse it (round-3 false negative)
+    val region = Tables(spark, TestSpark.sf001, "region")
+    val nation = Tables(spark, TestSpark.sf001, "nation")
+    spark.conf.set("spark.graft.joinGuard", "true")
+    try {
+      val e = intercept[Exception] {
+        region.join(nation,
+          col("r_regionkey") + col("n_nationkey") === col("n_regionkey")).count()
+      }
+      assert(e.getMessage.contains("join guard"), e.getMessage)
+      // same shape with a genuine equi conjunct alongside still passes
+      assert(nation.join(region,
+        col("n_regionkey") === col("r_regionkey") &&
+          col("r_regionkey") + col("n_nationkey") >= col("n_regionkey"))
+        .count() == 25)
+    } finally spark.conf.unset("spark.graft.joinGuard")
+  }
+
   test("lsh_signature SQL surface with literal knobs") {
     emb.createOrReplaceTempView("emb_fn_test2")
     val n = spark.sql(

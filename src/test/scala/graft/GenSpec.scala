@@ -91,6 +91,15 @@ class GenSpec extends AnyFunSuite {
     assert(ps.filter(col("ps_suppkey") < 1 || col("ps_suppkey") > nSupp).count() == 0)
   }
 
+  test("partsupp fails loudly below the 4-supplier minimum (tiny sf)") {
+    // at sf < ~0.0004 the 4.2.3 stride term S/4 is 0 and all four draws for
+    // a part collide — the generator must refuse, not silently break the PK
+    val e = intercept[IllegalArgumentException] {
+      TpchGen.table(spark, "partsupp", 0.0001, 1)
+    }
+    assert(e.getMessage.contains("S >= 4"), e.getMessage)
+  }
+
   test("TPC-DS FKs are valid over the target dim's key range at this sf") {
     import org.apache.spark.sql.functions._
     val sf = 0.01

@@ -74,6 +74,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(refined >= 0.8, s"refined IVF recall $refined < 0.8")
   }
 
+  test("refined IVF derives the embedding dim from the data (non-64-dim corpus)") {
+    // round-3 bug: kmeansCentroids hardcoded dim=64, so any other corpus got
+    // truncated/padded centroids and VectorDot's length-mismatch→null
+    // contract nulled every downstream cosine
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim8 = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfNeighbors(dim8, col("vec_id") < 3, k = 5,
+      numCells = 4, probes = 2, refineIters = 1).cache()
+    assert(got.count() > 0, "refined IVF returned nothing on 8-dim input")
+    assert(got.filter(col("cos_r").isNull).count() == 0,
+      "null cosines — centroid dim mismatched the corpus dim")
+    got.unpersist()
+  }
+
   test("tuned LSH has measurable recall on the fixture's moderate-sim regime") {
     val lsh = Similarity.q_sim_lsh(spark, TestSpark.sf001)
       .select("a_id", "b_id").collect()
