@@ -112,6 +112,17 @@ object SparkEntry {
     "q_mm_meta" -> Multimodal.q_mm_meta,
     "q_mm_features" -> Multimodal.q_mm_features,
     "q_mm_frames" -> Multimodal.q_mm_frames,
+    // round-4 additions
+    "q_agg_stats" -> Relational.q_agg_stats,
+    "q_agg_listagg" -> Relational.q_agg_listagg,
+    "q_agg_argmax" -> Relational.q_agg_argmax,
+    "q_agg_approx_quantile" -> Relational.q_agg_approx_quantile,
+    "q_join_minsub" -> Relational.q_join_minsub,
+    "q_set_intersect_all" -> Relational.q_set_intersect_all,
+    "q_compact_latest" -> Relational.q_compact_latest,
+    "q_fn_interval" -> Relational.q_fn_interval,
+    "q_join_salted" -> Scale.q_join_salted,
+    "q_pipeline_clean" -> TextOps.q_pipeline_clean,
   )
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -315,5 +326,38 @@ object SparkEntry {
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, source, lang FROM documents",
     "q_mm_frames" ->
       "SELECT doc_id, CAST(ceil(length(text) / 64.0) AS INT) AS n_frames, md5(substring(text, 1, 64)) AS first_frame_md5 FROM documents",
+    // round-4 additions
+    "q_agg_stats" ->
+      "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, round(covar_samp(l_quantity, l_extendedprice), 3) AS cov_qp, round(stddev_samp(l_discount), 6) AS sd_disc, round(var_samp(l_quantity), 6) AS var_qty, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    "q_agg_listagg" ->
+      "SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+    "q_agg_argmax" ->
+      "SELECT user_id, arg_max(event_id, value * 10000000000 + event_id) AS ev_max, arg_min(event_id, value * 10000000000 + event_id) AS ev_min, max(value) AS max_v, min(value) AS min_v, count(*) AS n FROM events GROUP BY user_id",
+    "q_join_minsub" ->
+      "SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate FROM lineitem l JOIN (SELECT l_orderkey, min(l_shipdate) AS ms FROM lineitem GROUP BY l_orderkey) m ON l.l_orderkey = m.l_orderkey AND l.l_shipdate = m.ms",
+    "q_set_intersect_all" ->
+      "SELECT o_custkey, count(*) AS n_both FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 150000 INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t GROUP BY o_custkey",
+    "q_compact_latest" ->
+      s"SELECT user_id, event_id AS last_event_id, $evTs AS last_ts, value AS last_value, n_versions FROM (SELECT user_id, event_id, ts, value, row_number() OVER (PARTITION BY user_id ORDER BY $evTs DESC, event_id DESC) AS rn, count(*) OVER (PARTITION BY user_id) AS n_versions FROM events) t WHERE rn = 1",
+    "q_fn_interval" ->
+      s"SELECT event_id, $evTs + INTERVAL '90 minutes' AS ts_plus90, date_diff('minute', date_trunc('day', $evTs), $evTs) AS mins_into_day, CAST(floor(epoch($evTs)) AS BIGINT) AS epoch_s FROM events",
+    "q_join_salted" ->
+      "SELECT c_mktsegment, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+    "q_pipeline_clean" ->
+      s"""WITH m AS (SELECT doc_id, lang, md5(text) AS h,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |  CAST(length(text) AS INT) AS len,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS INT) AS n_sym,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'de' OR x = 'la')) AS INT) AS n_stop,
+         |  CAST(len($shingleSql) AS INT) AS n_distinct FROM documents),
+         | k AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+         | f AS (SELECT m.lang, m.n_tokens,
+         |   (m.n_tokens BETWEEN 20 AND 100000
+         |    AND CAST(m.len - (m.n_tokens - 1) AS DOUBLE) / m.n_tokens BETWEEN 3.0 AND 10.0
+         |    AND CAST(m.n_sym AS DOUBLE) / m.len < 0.1 AND m.n_stop >= 2
+         |    AND (CASE WHEN m.n_tokens >= 3 THEN 1.0 - CAST(m.n_distinct AS DOUBLE) / (m.n_tokens - 2) ELSE 0.0 END) <= 0.2
+         |    AND m.doc_id = k.keep_id) AS kept
+         |  FROM m JOIN k ON m.h = k.h)
+         |SELECT lang, count(*) AS n_docs, count(*) FILTER (kept) AS n_kept, CAST(coalesce(sum(n_tokens) FILTER (kept), 0) AS BIGINT) AS sum_tokens_kept FROM f GROUP BY lang""".stripMargin,
   )
 }

@@ -553,4 +553,115 @@ object Relational {
         "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
       ), 6).as("l2"),
       expr("CAST(array_max(embedding) AS DOUBLE)").as("max_e"))
+
+  // ---- round-4 additions ---------------------------------------------------
+
+  /** [Q-agg-stats] statistical aggregate family: Pearson correlation, sample
+    * covariance / stddev / variance per group — one keyed hash aggregate with
+    * map-side partial co-moments (Spark merges per-partition (n, mean, M2,
+    * co-moment) states, so the shuffle carries O(groups) rows regardless of
+    * input size). Outputs are rounded coarsely enough that the two engines'
+    * merge orders agree in every digit compared. */
+  def q_agg_stats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 3).as("cov_qp"),
+        round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        count(lit(1)).as("n"))
+
+  /** [Q-agg-listagg] ordered string aggregation (LISTAGG / string_agg):
+    * nation names per region, sorted then joined — the deterministic form
+    * (collect_list order is partition-dependent, so the sort INSIDE the
+    * aggregate is what makes this reproducible at any parallelism). */
+  def q_agg_listagg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+
+  /** [Q-agg-argmax] groupwise argmax/argmin (max_by / arg_max): the event id
+    * carrying each user's max and min value — ONE hash aggregate, no window,
+    * no self-join (the classic "row with the max" shapes that beginners
+    * write as a subquery rerun the scan; max_by folds it into the partial
+    * aggregation). Tie-break: the ranking value is value·10¹⁰ + event_id —
+    * fixture values have 2 decimals and ids stay < 10¹⁰−¹⁰⁴ ulp-exact in a
+    * double, so equal values deterministically resolve by id. */
+  def q_agg_argmax(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").groupBy("user_id")
+      .agg(expr("max_by(event_id, value * 10000000000D + event_id)").as("ev_max"),
+        expr("min_by(event_id, value * 10000000000D + event_id)").as("ev_min"),
+        max(col("value")).as("max_v"),
+        min(col("value")).as("min_v"),
+        count(lit(1)).as("n"))
+
+  /** [Q-join-minsub] groupwise-min subquery join (decorrelated correlated
+    * scalar subquery): every lineitem that is the EARLIEST-shipped line of
+    * its order. The correlated form (`WHERE l_shipdate = (SELECT min ...)`)
+    * decorrelates to aggregate-then-equi-join — the min side reduces to one
+    * row per order BEFORE the join, so the shuffle carries keys + one date,
+    * never the fact table twice. Ties (same min date) all qualify. */
+  def q_join_minsub(s: SparkSession, d: String): DataFrame = {
+    val l = t(s, d, "lineitem")
+    val m = l.groupBy(col("l_orderkey").as("mk"))
+      .agg(min(col("l_shipdate")).as("ms"))
+    l.join(m, col("l_orderkey") === col("mk") && col("l_shipdate") === col("ms"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+  }
+
+  /** [Q-set-intersect-all] multiset INTERSECT ALL: per-customer multiplicity
+    * is min(count_left, count_right), vs INTERSECT's key dedup — the other
+    * half of the bag-semantics pair with [Q-set-except-all]. Aggregated so
+    * the oracle compares a total order. */
+  def q_set_intersect_all(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      .intersectAll(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_both"))
+  }
+
+  /** [Q-compact-latest] latest-record-per-key compaction — the CDC/upsert
+    * materialization step (dedupe a change stream to current state): one
+    * keyed window, row_number on (ts, id) DESC picks the survivor, the
+    * version count rides along for audit. At 100 TB this is one shuffle on
+    * the primary key; the window never materializes more than a partition. */
+  def q_compact_latest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("value").as("last_value"), col("n_versions"))
+  }
+
+  /** [Q-fn-interval] interval / timestamp arithmetic family: interval add,
+    * minutes-into-day (aligned-boundary diff), epoch seconds — all row-local.
+    * `div 60` (integer) rather than `/60` so both engines count whole
+    * minutes from the midnight-aligned origin identically. */
+  def q_fn_interval(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").select(
+      col("event_id"),
+      (col("ts") + expr("INTERVAL 90 MINUTES")).as("ts_plus90"),
+      expr("(unix_timestamp(ts) - unix_timestamp(date_trunc('DAY', ts))) div 60")
+        .as("mins_into_day"),
+      unix_timestamp(col("ts")).as("epoch_s"))
+
+  /** [Q-agg-approx-quantile] quantile-sketch family: approx_percentile
+    * (Greenwald-Khanna) per group. Sketches are mergeable — partial sketches
+    * combine map-side, so the shuffle carries O(groups · accuracy) summary
+    * tuples, not rows; at 100 TB this is THE way to get percentiles (the
+    * exact `percentile` in q_agg_quantile collects each group's values).
+    * Sketch internals are engine-specific → rows-only driver check; the
+    * rank-error bound vs the exact quantile is asserted in ScalaTest. */
+  def q_agg_approx_quantile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").groupBy("o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50_a"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_a"),
+        expr("approx_percentile(o_totalprice, 0.99, 10000)").as("p99_a"),
+        count(lit(1)).as("n"))
 }

@@ -59,4 +59,24 @@ object Scale {
       explode(sequence(lit(0L), lit(saltFactor - 1L))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** [Q-join-salted] the salted skew join DECLARED — revenue per market
+    * segment through `saltedJoin(orders ⋈ customer)` with 8 salt sub-keys.
+    * The oracle is the PLAIN equi-join SQL: the driver's DuckDB hash-match
+    * is the proof that salting is purely a physical-layout transform (the
+    * ScalaTest equality check, made external). This is the static escalation
+    * for a pathologically hot key that AQE's runtime skew split can't fix
+    * (one logical key too big for ANY single task). */
+  def q_join_salted(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val big = graft.Tables(s, d, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val dim = graft.Tables(s, d, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    saltedJoin(big, dim, "custkey", saltFactor = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType)
+          .as("sum_price"))
+  }
 }

@@ -232,6 +232,50 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [Q-pipeline-clean] the end-to-end corpus-cleaning composite: Gopher
+    * quality rules + repetition filter + exact dedup (keep min doc_id per
+    * text digest), reported as per-language funnel counts — the whole
+    * training-data prep pass a user of this library actually runs, as ONE
+    * declared, oracle-matched query. Shape at 100 TB: all rule metrics are
+    * row-local projections; the only shuffles are the digest aggregate for
+    * the dedup keeper (32-byte keys) and the digest equi-join back — the
+    * documents themselves are never shuffled twice.
+    *
+    * The filters compare UNROUNDED doubles on both sides: each ratio is the
+    * same two integer-derived operands divided in IEEE double, so the Spark
+    * and DuckDB decisions are bit-identical — no boundary flapping. */
+  def q_pipeline_clean(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+    val keeper = docs
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("keep_id"))
+    val metrics = docs
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+        size(tokens).as("n_tokens"),
+        length(col("text")).as("len"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("n_sym"),
+        size(expr("filter(split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'de' OR x = 'la')")).as("n_stop"),
+        size(shingleExpr(3)).as("n_distinct"))
+      .withColumn("mean_wlen",
+        (col("len") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("sym_ratio", col("n_sym").cast("double") / col("len"))
+      .withColumn("rep_ratio",
+        when(col("n_tokens") >= 3,
+          lit(1.0) - col("n_distinct").cast("double") / (col("n_tokens") - 2))
+          .otherwise(lit(0.0)))
+      .withColumn("rule_keep",
+        col("n_tokens").between(20, 100000) &&
+          col("mean_wlen").between(3.0, 10.0) &&
+          col("sym_ratio") < 0.1 && col("n_stop") >= 2 &&
+          col("rep_ratio") <= 0.2)
+    metrics.join(keeper, "h")
+      .withColumn("kept", col("rule_keep") && col("doc_id") === col("keep_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("count_if(kept)").as("n_kept"),
+        coalesce(sum(when(col("kept"), col("n_tokens"))), lit(0))
+          .cast("bigint").as("sum_tokens_kept"))
+  }
+
   /** [Q-text-fingerprint] document fingerprints: xxhash64 of the full text +
     * winnowing-style min-shingle-hash. Engine-specific hash → rows-only check
     * (no DuckDB oracle). */

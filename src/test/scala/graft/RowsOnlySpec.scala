@@ -22,6 +22,28 @@ class RowsOnlySpec extends AnyFunSuite {
     assert(math.abs(ap - ep).toDouble / ep < 0.05, s"parts HLL $ap vs $ep")
   }
 
+  test("q_agg_approx_quantile: every sketch output is within GK rank error of exact") {
+    // GK guarantee at accuracy A: the returned value's true rank is within
+    // n/A of ceil(q*n). Verify per group by computing each approx value's
+    // actual rank in the group.
+    val approx = Relational.q_agg_approx_quantile(spark, TestSpark.sf001).collect()
+    val orders = Tables(spark, TestSpark.sf001, "orders")
+    approx.foreach { r =>
+      val pri = r.getString(r.fieldIndex("o_orderpriority"))
+      val n = r.getLong(r.fieldIndex("n"))
+      val vals = orders.filter(col("o_orderpriority") === pri)
+        .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+      val eps = math.max(n / 10000.0, 1.0) + 1 // rank slack: n/accuracy, >= 1
+      for ((fld, q) <- Seq(("p50_a", 0.5), ("p90_a", 0.9), ("p99_a", 0.99))) {
+        val v = r.getDouble(r.fieldIndex(fld))
+        assert(vals.contains(v), s"$pri/$fld: $v is not an actual data value")
+        val rank = vals.count(_ <= v)
+        assert(math.abs(rank - q * n) <= eps,
+          s"$pri/$fld: rank $rank of $v outside ${q * n} ± $eps")
+      }
+    }
+  }
+
   test("q_text_fingerprint: content-keyed and deterministic") {
     val fp = TextOps.q_text_fingerprint(spark, TestSpark.sf001)
     val docs = Tables(spark, TestSpark.sf001, "documents")
