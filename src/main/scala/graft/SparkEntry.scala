@@ -123,6 +123,12 @@ object SparkEntry {
     "q_fn_interval" -> Relational.q_fn_interval,
     "q_join_salted" -> Scale.q_join_salted,
     "q_pipeline_clean" -> TextOps.q_pipeline_clean,
+    "q_win_sessionize" -> Relational.q_win_sessionize,
+    "q_fn_hash" -> Relational.q_fn_hash,
+    "q_agg_hist" -> Relational.q_agg_hist,
+    "q_tpch_q10" -> Relational.q_tpch_q10,
+    "q_text_normalize" -> TextOps.q_text_normalize,
+    "q_dedup_norm" -> Dedup.q_dedup_norm,
   )
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -134,6 +140,8 @@ object SparkEntry {
     "list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
       "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
       "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
   private val shingleSql =
     "list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2), " +
       "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))"
@@ -359,5 +367,17 @@ object SparkEntry {
          |    AND m.doc_id = k.keep_id) AS kept
          |  FROM m JOIN k ON m.h = k.h)
          |SELECT lang, count(*) AS n_docs, count(*) FILTER (kept) AS n_kept, CAST(coalesce(sum(n_tokens) FILTER (kept), 0) AS BIGINT) AS sum_tokens_kept FROM f GROUP BY lang""".stripMargin,
+    "q_win_sessionize" ->
+      s"SELECT event_id, user_id, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts2, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid, new_s FROM (SELECT event_id, user_id, $evTs AS ts2, CAST(CASE WHEN lag($evTs) OVER (PARTITION BY user_id ORDER BY $evTs, event_id) IS NULL OR CAST(floor(epoch($evTs)) AS BIGINT) - CAST(floor(epoch(lag($evTs) OVER (PARTITION BY user_id ORDER BY $evTs, event_id))) AS BIGINT) >= 1800 THEN 1 ELSE 0 END AS BIGINT) AS new_s FROM events) a",
+    "q_fn_hash" ->
+      "SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256, substring(sha256(text), 1, 16) AS shard_key FROM documents",
+    "q_agg_hist" ->
+      "SELECT CAST(least(floor(o_totalprice / 30000), 19) AS INT) AS bin, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS mass FROM orders GROUP BY 1",
+    "q_tpch_q10" ->
+      s"SELECT c_custkey, c_name, c_acctbal, n_name, CAST(sum($extDec * $oneMinusDisc) AS DOUBLE) AS revenue FROM customer, orders, lineitem, nation WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' AND l_returnflag = 'R' AND c_nationkey = n_nationkey GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "q_text_normalize" ->
+      s"SELECT doc_id, CAST(length(text) AS INT) AS len_raw, CAST(length($normSql) AS INT) AS len_norm, md5($normSql) AS norm_md5 FROM documents",
+    "q_dedup_norm" ->
+      s"SELECT md5($normSql) AS norm_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
   )
 }

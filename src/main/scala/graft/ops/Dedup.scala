@@ -30,6 +30,17 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("text_md5"), col("keep_id"), col("n_copies"))
 
+  /** [Q-dedup-norm] exact dedup on CANONICALIZED text (TextOps.normExpr:
+    * lowercase, punctuation→space, whitespace collapse) — catches the
+    * formatting-only near-dups exact byte dedup misses while staying one
+    * hash aggregate keyed on a 128-bit digest (the same 100 TB shape as
+    * [Q-dedup-exact]: the shuffle moves 32-byte keys, never documents). */
+  def q_dedup_norm(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .groupBy(md5(TextOps.normExpr).as("norm_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("norm_md5"), col("keep_id"), col("n_copies"))
+
   /** MinHash signatures: `perms` hash permutations in `bands` bands.
     * One shingle row carries all `perms` hashes as SEPARATE min-aggregate
     * columns, so the whole signature reduces in a SINGLE hash-aggregate

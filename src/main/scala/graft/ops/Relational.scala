@@ -651,6 +651,69 @@ object Relational {
         .as("mins_into_day"),
       unix_timestamp(col("ts")).as("epoch_s"))
 
+  /** [Q-win-sessionize] batch gap-based sessionization as ROW-LEVEL
+    * attribution (the windowed complement of the session-window AGGREGATE in
+    * q_stream_session): a session starts when the gap from the previous
+    * event exceeds 30 min; the session id is the running count of session
+    * starts. Two stacked windows over ONE keyed shuffle (same partitioning,
+    * same order → Spark plans a single sort + two window operators). */
+  def q_win_sessionize(s: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("new_s",
+        when(col("ts").cast("long") - lag(col("ts"), 1).over(byTs).cast("long")
+          >= 1800 || lag(col("ts"), 1).over(byTs).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("sid"), col("new_s"))
+  }
+
+  /** [Q-fn-hash] cryptographic digest family: md5 / sha256 content digests —
+    * the content-addressing primitives every dedup and lineage pass keys on
+    * (32/64-hex-char strings, engine-independent by definition of the
+    * algorithms — unlike xxhash64, whose seed differs per engine). */
+  def q_fn_hash(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"),
+      md5(col("text")).as("text_md5"),
+      sha2(col("text"), 256).as("text_sha256"),
+      substring(sha2(col("text"), 256), 1, 16).as("shard_key"))
+
+  /** [Q-agg-hist] histogram binning: fixed-width buckets over a value range
+    * with count + mass per bucket. The bin id is floor arithmetic (NOT
+    * width_bucket, whose edge semantics differ across engines) — one
+    * row-local projection then one keyed aggregate; the standard
+    * distribution-profiling pass before choosing partition bounds. */
+  def q_agg_hist(s: SparkSession, d: String): DataFrame = {
+    val lo = 0.0; val width = 30000.0
+    t(s, d, "orders")
+      .withColumn("bin",
+        least(floor((col("o_totalprice") - lo) / width), lit(19.0)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast(D).as("mass"))
+  }
+
+  /** [Q-tpch-q10] TPC-H Q10 (returned-item reporting) composite: filter a
+    * quarter of orders + returned lineitems, 3-way keyed join with the
+    * nation dim broadcast, revenue aggregate, top-20 on a total order. */
+  def q_tpch_q10(s: SparkSession, d: String): DataFrame = {
+    val rev = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"), 4, 2)))
+    t(s, d, "customer")
+      .join(t(s, d, "orders"),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-04-01").cast(TimestampType))
+      .join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey") && col("l_returnflag") === "R")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(rev).cast(D).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** [Q-agg-approx-quantile] quantile-sketch family: approx_percentile
     * (Greenwald-Khanna) per group. Sketches are mergeable — partial sketches
     * combine map-side, so the shuffle carries O(groups · accuracy) summary

@@ -232,6 +232,23 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Canonical normalized text: lowercase, non-alphanumerics to spaces,
+    * runs of spaces collapsed, trimmed — the canonicalization applied
+    * before content-addressed dedup so trivial formatting differences
+    * don't defeat exact matching. Row-local regexp chain, codegen'd. */
+  private[ops] def normExpr: Column =
+    trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+      " +", " "))
+
+  /** [Q-text-normalize] text canonicalization audit: raw vs normalized
+    * length and the normalized digest (the dedup key for [Q-dedup-norm]). */
+  def q_text_normalize(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("len_raw"),
+      length(normExpr).as("len_norm"),
+      md5(normExpr).as("norm_md5"))
+
   /** [Q-pipeline-clean] the end-to-end corpus-cleaning composite: Gopher
     * quality rules + repetition filter + exact dedup (keep min doc_id per
     * text digest), reported as per-language funnel counts — the whole
