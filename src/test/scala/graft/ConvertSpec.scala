@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.convert.Convert
+import graft.convert.{Convert, Jsonl}
 import graft.gen.TpchGen
 import java.nio.file.Files
 
@@ -104,5 +104,24 @@ class ConvertSpec extends AnyFunSuite {
       .option("delimiter", "|").option("dateFormat", "yyyy-MM-dd")
       .csv(s"$dir/out/nation.csv")
     assert(back.count() == 25)
+  }
+
+  test("jsonl sink/source round-trips documents exactly (plain and gzip)") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val docs = Tables(spark, TestSpark.sf001, "documents")
+    for ((codec, sub) <- Seq("none" -> "plain", "gzip" -> "gz")) {
+      Jsonl.write(docs, s"$dir/$sub", codec)
+      val back = Jsonl.read(spark, s"$dir/$sub", docs.schema)
+      assert(back.count() == docs.count())
+      assert(back.exceptAll(docs).count() == 0, s"$codec round-trip diverged")
+      assert(docs.exceptAll(back).count() == 0, s"$codec round-trip diverged")
+    }
+    // gzip parts actually got the extension (compression reached the writer)
+    val gzParts = new java.io.File(s"$dir/gz").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(gzParts.nonEmpty && gzParts.forall(_.getName.endsWith(".json.gz")))
+    // whitelist: unknown codec rejected, write refuses to clobber
+    intercept[IllegalArgumentException] { Jsonl.validateCodec("brotli") }
+    intercept[Exception] { Jsonl.write(docs, s"$dir/plain") }
   }
 }
