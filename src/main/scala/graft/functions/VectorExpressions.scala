@@ -202,6 +202,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshSignature].getName, "lsh_signature"),
       (exprs: Seq[Expression]) => LshSignature(exprs(0),
         intLit(exprs(1), "bands"), intLit(exprs(2), "bitsPerBand"))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), intLit(exprs(1), "k"))))
     ext.injectOptimizerRule(graft.plans.JoinGuardRule)
   }
 }

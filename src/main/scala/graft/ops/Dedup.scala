@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.txt
 
 /** SURVEY.md §2.10 deduplication operators over `documents`.
   *
@@ -60,8 +61,9 @@ object Dedup {
     // makes wrapping long arithmetic an error, not a wrap.)
     val minAggs = (0 until perms).map(p =>
       min(xxhash64(col("h"), lit(p))).as(s"h$p"))
-    docs.select(col("doc_id"), explode(TextOps.shingleExpr(3)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    // shingle hashes come from the native ShingleHashes expression — one
+    // tight loop per row, bit-equal to the explode(shingle)+xxhash64 chain
+    docs.select(col("doc_id"), explode(txt.shingle_hashes(col("text"), 3)).as("h"))
       .groupBy("doc_id")
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"),
@@ -87,8 +89,7 @@ object Dedup {
     // instead of ~20-char strings and array_intersect compares longs;
     // distinctness is preserved so Jaccard is unchanged (collision odds
     // ~2^-64 per shingle pair — immaterial)
-    val sh = docs.select(col("doc_id"), TextOps.shingleExpr(3).as("sh0"))
-      .select(col("doc_id"), expr("transform(sh0, t -> xxhash64(t))").as("sh"))
+    val sh = docs.select(col("doc_id"), txt.shingle_hashes(col("text"), 3).as("sh"))
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
@@ -181,9 +182,8 @@ object Dedup {
     // shuffles 8-byte longs instead of ~20-char strings and compares in one
     // instruction (collision odds ~2^-64 per shingle pair — immaterial)
     val exploded = docs
-      .select(col("doc_id"), TextOps.shingleExpr(3).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("nsh"),
-        explode(expr("transform(sh, t -> xxhash64(t))")).as("g"))
+      .select(col("doc_id"), txt.shingle_hashes(col("text"), 3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
     val ex = maxDocFreq.fold(exploded) { cap =>
       // shingles are distinct per doc, so count(g) IS document frequency.
       // Filter via the COMPLEMENT: the over-cap (hot) set is the tiny
@@ -307,9 +307,8 @@ object Dedup {
     // array_intersect with one keyed join and one count shuffle. The per-doc
     // shingle count rides along as two ints instead of re-joined arrays.
     val ex = Tables(s, d, "documents")
-      .select(col("doc_id"), TextOps.shingleExpr(3).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("nsh"),
-        explode(expr("transform(sh, t -> xxhash64(t))")).as("g"))
+      .select(col("doc_id"), txt.shingle_hashes(col("text"), 3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
     // merge-hint the self-join: the EXPLODED side is ~|corpus| rows, so a
     // size-estimate-driven broadcast of it (what AQE picked here) ships and
     // rebuilds the whole shingle table per executor — the keyed shuffle is

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.txt
 
 /** SURVEY.md §2.10 text-analysis operators over the `documents` table.
   * Pure Catalyst built-ins (split/filter/transform/explode) — everything is
@@ -17,7 +18,7 @@ object TextOps {
     * (`transform(array(split(..)), t -> ..)`) — a naive inline `split(text)`
     * in the lambda body re-splits the text for every shingle position,
     * turning an O(len) tokenize into O(len²) per document. */
-  private[ops] def shingleExpr(k: Int = 3): Column = expr(
+  private[graft] def shingleExpr(k: Int = 3): Column = expr(
     s"""element_at(transform(array(split(text, ' ')), t ->
        |  CASE WHEN size(t) >= $k THEN
        |    array_distinct(transform(sequence(1, size(t) - ${k - 1}),
@@ -142,7 +143,7 @@ object TextOps {
   def q_text_repetition(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
       .select(col("doc_id"), size(tokens).as("n_tokens"),
-        size(shingleExpr(3)).as("n_distinct"))
+        size(txt.shingle_hashes(col("text"), 3)).as("n_distinct"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         when(col("n_tokens") >= 3,
           round(lit(1.0) - col("n_distinct").cast("double") / (col("n_tokens") - 2), 6))
@@ -179,9 +180,7 @@ object TextOps {
     * runs. */
   def q_text_decontaminate(s: SparkSession, d: String): DataFrame = {
     val sh = Tables(s, d, "documents")
-      .select(col("doc_id"), shingleExpr(8).as("sh0"))
-      .select(col("doc_id"),
-        explode(expr("transform(sh0, t -> xxhash64(t))")).as("g"))
+      .select(col("doc_id"), explode(txt.shingle_hashes(col("text"), 8)).as("g"))
     val evalSh = sh.filter(col("doc_id") < 50).select(col("g")).distinct()
     sh.filter(col("doc_id") >= 50)
       .join(evalSh.hint("merge"), "g")
@@ -271,7 +270,7 @@ object TextOps {
         length(col("text")).as("len"),
         length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("n_sym"),
         size(expr("filter(split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'de' OR x = 'la')")).as("n_stop"),
-        size(shingleExpr(3)).as("n_distinct"))
+        size(txt.shingle_hashes(col("text"), 3)).as("n_distinct"))
       .withColumn("mean_wlen",
         (col("len") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
       .withColumn("sym_ratio", col("n_sym").cast("double") / col("len"))
@@ -298,9 +297,8 @@ object TextOps {
     * (no DuckDB oracle). */
   def q_text_fingerprint(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
-      .withColumn("sh", shingleExpr(3))
       .select(col("doc_id"),
         xxhash64(col("text")).as("fp"),
-        expr("array_min(transform(sh, x -> xxhash64(x)))").as("min_shingle_fp"),
+        array_min(txt.shingle_hashes(col("text"), 3)).as("min_shingle_fp"),
         crc32(col("text")).as("crc"))
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.functions.vec
+import graft.functions.{txt, vec}
 
 /** The native Catalyst expressions (graft.functions) must be bit-identical
   * to the higher-order-function formulations they replace, and their SQL
@@ -102,6 +102,33 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.joinGuard")
     // guard down: the same cartesian is allowed (fenced-baseline mode)
     assert(region.crossJoin(nation).count() == 125)
+  }
+
+  test("shingle_hashes: bit-equal to the HOF shingle+xxhash64 formulation") {
+    val docs = Tables(spark, TestSpark.sf001, "documents")
+    for (k <- Seq(3, 8)) {
+      // identical values AND identical (first-occurrence) order — no sort
+      val bad = docs
+        .select(graft.ops.TextOps.shingleExpr(k).as("sh"),
+          txt.shingle_hashes(col("text"), k).as("nat"))
+        .select(expr("transform(sh, t -> xxhash64(t))").as("hof"), col("nat"))
+        .filter(not(col("hof") === col("nat")))
+      assert(bad.count() == 0, s"k=$k: native diverged from HOF")
+    }
+  }
+
+  test("shingle_hashes: short-text fallback, null, SQL surface") {
+    import spark.implicits._
+    val df = Seq((0L, "one two"), (1L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = df.select(col("id"), txt.shingle_hashes(col("t"), 3).as("sh"),
+      xxhash64(col("t")).as("whole")).orderBy("id").collect()
+    // fewer than k tokens → single hash of the whole text (shingleExpr contract)
+    assert(got(0).getSeq[Long](1) == Seq(got(0).getLong(2)))
+    assert(got(1).isNullAt(1))
+    df.createOrReplaceTempView("sh_fn_test")
+    val viaSql = spark.sql(
+      "SELECT shingle_hashes(t, 3) AS sh FROM sh_fn_test WHERE id = 0").collect()
+    assert(viaSql.head.getSeq[Long](0) == got(0).getSeq[Long](1))
   }
 
   test("join guard: mixed-side equality is NOT an equi key") {
