@@ -87,6 +87,131 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of space-tokenized text — ROW-LOCAL.
+  *
+  * Replicates the aggregate formulation exactly (token hash = xxhash64 seed
+  * 42 of the token's UTF-8 bytes; per-bit weight = Σ ±term_frequency; bit set
+  * when the weight is ≥ 0), but where the aggregate version shuffles the
+  * corpus twice (groupBy(doc, token) then 64 bit-sums per doc), this computes
+  * the whole signature inside the row projection: tokenize, count term
+  * frequencies in a local map, one 64-lane weight pass per distinct token.
+  * At 100 TB that is the difference between re-shuffling every token of the
+  * corpus and a map-only pass. Bit-equality with the aggregate form is
+  * asserted in FunctionsSpec.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected string input, got ${other.simpleString}")
+  }
+
+  def compute(s: UTF8String): Long = {
+    val toks = s.toString.split(" ", -1)
+    val freq = new java.util.HashMap[java.lang.Long, Int](math.min(toks.length * 2, 2048))
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      freq.merge(h, 1, Integer.sum _)
+      i += 1
+    }
+    val w = new Array[Long](64)
+    val it = freq.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = e.getKey.longValue()
+      val cnt = e.getValue.toLong
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) w(j) += cnt else w(j) -= cnt
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (w(j) >= 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash signature from a shingle-hash array — ROW-LOCAL.
+  *
+  * Permutation p of shingle hash h is the chained xxhash64 Spark computes
+  * for `xxhash64(h, p)` — s = hashLong(h, 42) then hashInt(p, s) — so the
+  * output is bit-equal to the aggregate formulation
+  * (min(xxhash64(col("h"), lit(p))) per doc), asserted in FunctionsSpec.
+  * The aggregate version explodes the corpus to one row per shingle and
+  * shuffles it into a 64-column min-aggregate; this computes all `perms`
+  * minima in one pass over the row's shingle array, so signature building
+  * is a map-only projection (composes with [[ShingleHashes]]).
+  */
+case class MinHashSig(child: Expression, perms: Int) extends UnaryExpression {
+  require(perms >= 1, s"perms must be >= 1, got $perms")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<bigint> input (shingle hashes), got ${other.simpleString}")
+  }
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = new Array[Long](perms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val base = XXH64.hashLong(arr.getLong(i), 42L)
+      var p = 0
+      while (p < perms) {
+        val h = XXH64.hashInt(p, base)
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = $ref.compute($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native text expressions. */
 object txt {
   /** Distinct k-token shingle hashes of `text` (xxhash64, seed 42) — the
@@ -94,4 +219,15 @@ object txt {
     * `transform(array_distinct(shingles), t -> xxhash64(t))`. */
   def shingle_hashes(text: Column, k: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), k))
+
+  /** Row-local 64-bit SimHash (xxhash64-seed-42 token hashes, ±tf bit
+    * weights) — bit-equal to the two-shuffle aggregate formulation. */
+  def simhash64(text: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text)))
+
+  /** Row-local MinHash signature over a shingle-hash array — bit-equal to
+    * the exploded min-aggregate formulation (`min(xxhash64(h, p))` per p). */
+  def minhash_sig(shingleHashes: Column, perms: Int): Column =
+    GraftColumnBridge.column(MinHashSig(
+      GraftColumnBridge.expression(shingleHashes), perms))
 }

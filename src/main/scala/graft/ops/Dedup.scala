@@ -54,23 +54,31 @@ object Dedup {
     * slice. */
   def minhashSignatures(docs: DataFrame, perms: Int = 64, bands: Int = 16): DataFrame = {
     val rows = perms / bands
-    // permutation p re-hashes the ONE base xxhash64 of the shingle with seed
-    // p: each of the 64 permutations hashes a fixed 12-byte (long, int)
-    // input instead of the full shingle string. (A multiply-add universal
-    // family would be cheaper still, but ANSI mode — Spark 4's default —
-    // makes wrapping long arithmetic an error, not a wrap.)
+    // the whole signature computes ROW-LOCALLY: native ShingleHashes (one
+    // tokenize+hash loop) feeds native MinHashSig (all `perms` permutation
+    // minima in one pass over the shingle array) — a map-only projection,
+    // where the aggregate formulation explodes the corpus to one row per
+    // shingle and shuffles it into a 64-column min-aggregate
+    // ([[minhashSigAgg]], kept as the bit-equality baseline).
+    docs.select(col("doc_id"),
+        txt.minhash_sig(txt.shingle_hashes(col("text"), 3), perms).as("sig"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> hash(slice(sig, b * $rows + 1, $rows)))")).as(Seq("band", "bucket")))
+  }
+
+  /** Aggregate MinHash signature (the declared semantics MinHashSig
+    * replicates): permutation p re-hashes the ONE base xxhash64 of the
+    * shingle — min(xxhash64(h, p)) per doc over exploded shingle rows.
+    * Kept as the cross-check baseline. */
+  private[graft] def minhashSigAgg(docs: DataFrame, perms: Int = 64): DataFrame = {
     val minAggs = (0 until perms).map(p =>
       min(xxhash64(col("h"), lit(p))).as(s"h$p"))
-    // shingle hashes come from the native ShingleHashes expression — one
-    // tight loop per row, bit-equal to the explode(shingle)+xxhash64 chain
     docs.select(col("doc_id"), explode(txt.shingle_hashes(col("text"), 3)).as("h"))
       .groupBy("doc_id")
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"),
         array((0 until perms).map(p => col(s"h$p")): _*).as("sig"))
-      .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> hash(slice(sig, b * $rows + 1, $rows)))")).as(Seq("band", "bucket")))
   }
 
   /** Candidate pairs from LSH banding, verified with exact shingle Jaccard.
@@ -110,12 +118,19 @@ object Dedup {
   def q_dedup_minhash_sig(s: SparkSession, d: String): DataFrame =
     minhashSignatures(Tables(s, d, "documents")).orderBy(col("doc_id"), col("band"))
 
-  /** 64-bit SimHash per document: token hash bits weighted by term frequency,
-    * sign-aggregated per bit position. The 64 per-bit weight sums run as 64
-    * SEPARATE sum aggregates over the (doc, token, count) rows — one
-    * hash-aggregate shuffle keyed by doc_id with map-side partial sums,
-    * instead of a 64× bit explosion through two extra shuffles. */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** 64-bit SimHash per document — ROW-LOCAL via the native SimHash64
+    * expression (graft.functions.SimHash64): the whole signature computes
+    * inside the projection, so simhashing a corpus is a map-only pass with
+    * NO shuffle at all. Bit-equal to [[simhashAgg]] (asserted in
+    * FunctionsSpec), which shuffles the corpus twice. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), txt.simhash64(col("text")).as("simhash"))
+
+  /** The aggregate SimHash formulation (the declared semantics the native
+    * expression replicates): token hash bits weighted by term frequency,
+    * sign-aggregated per bit position — 64 SEPARATE sum aggregates over the
+    * (doc, token, count) rows. Kept as the cross-check baseline. */
+  private[graft] def simhashAgg(docs: DataFrame): DataFrame = {
     val bitSums = (0 until 64).map { j =>
       sum(when(expr(s"shiftright(h, $j) & 1") === 1, col("cnt"))
         .otherwise(-col("cnt"))).as(s"w$j")

@@ -117,6 +117,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash64 is bit-equal to the two-shuffle aggregate formulation") {
+    val docs = Tables(spark, TestSpark.sf001, "documents")
+    val native = graft.ops.Dedup.simhash(docs)
+    val agg = graft.ops.Dedup.simhashAgg(docs)
+      .withColumnRenamed("simhash", "simhash_agg")
+    val bad = native.join(agg, "doc_id")
+      .filter(col("simhash") =!= col("simhash_agg"))
+    assert(bad.count() == 0, "native SimHash64 diverged from aggregate form")
+  }
+
+  test("minhash_sig is bit-equal to the exploded min-aggregate formulation") {
+    val docs = Tables(spark, TestSpark.sf001, "documents")
+    val native = docs.select(col("doc_id"),
+      txt.minhash_sig(txt.shingle_hashes(col("text"), 3), 64).as("sig"))
+    val agg = graft.ops.Dedup.minhashSigAgg(docs)
+      .withColumnRenamed("sig", "sig_agg")
+    val bad = native.join(agg, "doc_id")
+      .filter(not(col("sig") === col("sig_agg")))
+    assert(bad.count() == 0, "native MinHashSig diverged from aggregate form")
+  }
+
   test("shingle_hashes: short-text fallback, null, SQL surface") {
     import spark.implicits._
     val df = Seq((0L, "one two"), (1L, null.asInstanceOf[String])).toDF("id", "t")
