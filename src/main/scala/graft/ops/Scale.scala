@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Shuffle-shaping utilities for the 100 TB design point.
@@ -44,6 +44,24 @@ object Scale {
     * between scanning a day and scanning a decade. */
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.partitionBy(partCol).mode("overwrite").parquet(path)
+
+  /** Write `df` range-clustered on `cols`: repartitionByRange splits the
+    * key space into contiguous slices (range-partition shuffle with sampled
+    * bounds), sortWithinPartitions orders rows inside each file — so every
+    * parquet file and every row group covers a NARROW, mostly-disjoint key
+    * range. A reader filtering on `cols` then skips whole files/row groups
+    * from footer min/max stats alone (plus partition-level pruning when
+    * combined with writePartitioned). At 100 TB this data-CLUSTERING lever
+    * is what makes point/range lookups not scan the corpus; it composes
+    * with, and differs from, bucketize (join co-location) and
+    * writePartitioned (coarse directory pruning). */
+  def sortForSkipping(df: DataFrame, path: String, numFiles: Int,
+                      cols: String*): Unit = {
+    val cs = cols.map(col)
+    df.repartitionByRange(numFiles, cs: _*)
+      .sortWithinPartitions(cs: _*)
+      .write.mode(SaveMode.ErrorIfExists).parquet(path)
+  }
 
   /** Equi-join `big ⋈ dim` on `key` with the dim side replicated over
     * `saltFactor` sub-keys. The big side's salt is derived from xxhash64 of

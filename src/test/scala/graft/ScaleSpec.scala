@@ -59,6 +59,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(read.count() == want && want > 0)
   }
 
+  test("range-clustered layout: per-file key ranges are disjoint (skippable)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-clust").toString + "/ev"
+    val ev = Tables(spark, TestSpark.sf001, "events")
+      .select("event_id", "user_id", "value")
+    Scale.sortForSkipping(ev, path, 8, "user_id")
+    // footer-level claim: each parquet file covers a narrow user_id slice
+    // and the slices don't overlap — exactly what min/max row-group
+    // skipping needs to prune a point lookup down to one file
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length >= 4, s"expected several range files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("user_id"), max("user_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping file ranges: hi=$hi lo2=$lo2")
+      case _ =>
+    }
+    // content preserved, and a point filter still answers correctly
+    val back = spark.read.parquet(path)
+    assert(back.count() == ev.count())
+    val k = ev.select("user_id").head().getLong(0)
+    assert(back.filter(col("user_id") === k).count() ==
+      ev.filter(col("user_id") === k).count())
+  }
+
   test("salted join equals the unsalted join exactly") {
     val lineitem = Tables(spark, TestSpark.sf0001, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
