@@ -129,6 +129,9 @@ object SparkEntry {
     "q_tpch_q10" -> Relational.q_tpch_q10,
     "q_text_normalize" -> TextOps.q_text_normalize,
     "q_dedup_norm" -> Dedup.q_dedup_norm,
+    "q_agg_unpivot" -> Relational.q_agg_unpivot,
+    "q_ts_gapfill" -> Relational.q_ts_gapfill,
+    "q_text_tfidf" -> Relational.q_text_tfidf,
   )
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -379,5 +382,11 @@ object SparkEntry {
       s"SELECT doc_id, CAST(length(text) AS INT) AS len_raw, CAST(length($normSql) AS INT) AS len_norm, md5($normSql) AS norm_md5 FROM documents",
     "q_dedup_norm" ->
       s"SELECT md5($normSql) AS norm_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
+    "q_agg_unpivot" ->
+      "SELECT measure, count(*) AS n, CAST(sum(CAST(v AS DECIMAL(10,2))) AS DOUBLE) AS sum_v FROM (SELECT 'qty' AS measure, l_quantity AS v FROM lineitem UNION ALL SELECT 'disc', l_discount FROM lineitem UNION ALL SELECT 'tax', l_tax FROM lineitem) t GROUP BY measure",
+    "q_ts_gapfill" ->
+      s"WITH e AS (SELECT event_type, date_trunc('hour', $evTs) AS b FROM events), g0 AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM e GROUP BY event_type), g AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 hour)) AS b FROM g0), c AS (SELECT event_type, b, count(*) AS n0 FROM e GROUP BY 1, 2) SELECT g.event_type, g.b, coalesce(c.n0, 0) AS n FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.b = c.b",
+    "q_text_tfidf" ->
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.tf * (SELECT count(*) FROM documents) * 1.0 / df.df AS tfidf FROM tf JOIN df ON tf.term = df.term) SELECT doc_id, term, tf, df, tfidf, rn FROM (SELECT sc.*, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rn FROM sc) x WHERE rn <= 3",
   )
 }

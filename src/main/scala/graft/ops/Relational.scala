@@ -714,6 +714,57 @@ object Relational {
       .limit(20)
   }
 
+  /** [Q-agg-unpivot] UNPIVOT / melt via the stack generator: wide per-row
+    * measures become (measure, value) rows — the inverse of [Q-agg-pivot] —
+    * then one keyed aggregate per measure. stack() is a codegen'd generator:
+    * the 3x row fan-out happens inside the scan stage, no shuffle until the
+    * final small aggregate. */
+  def q_agg_unpivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(expr(
+        "stack(3, 'qty', l_quantity, 'disc', l_discount, 'tax', l_tax)")
+        .as(Seq("measure", "v")))
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), sum(dec(col("v"), 10, 2)).cast(D).as("sum_v"))
+
+  /** [Q-ts-gapfill] time-series resample + gap fill: an hourly bucket grid
+    * per event_type spanning [min, max] (sequence + explode — generated
+    * PER GROUP ROW, so there is no driver scalar and no 1-row cross join),
+    * left-joined to actual bucket counts, missing buckets filled with 0.
+    * The canonical densification step before any windowed model sees the
+    * series; grid size is O(groups · span/step), never corpus-sized. */
+  def q_ts_gapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_type"), date_trunc("HOUR", col("ts")).as("b"))
+    val grid = ev.groupBy("event_type").agg(min("b").as("mn"), max("b").as("mx"))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx, INTERVAL 1 HOUR)")).as("b"))
+    val counts = ev.groupBy("event_type", "b").agg(count(lit(1)).as("n0"))
+    grid.join(counts, Seq("event_type", "b"), "left_outer")
+      .select(col("event_type"), col("b"), coalesce(col("n0"), lit(0L)).as("n"))
+  }
+
+  /** [Q-text-tfidf] TF-IDF term ranking: term frequency per doc (one keyed
+    * aggregate), document frequency per term (second keyed aggregate over
+    * the ALREADY-reduced tf table — never re-touching the corpus), score =
+    * tf · N / df (rational in exact-integer doubles — no libm log, so both
+    * engines compute the identical value), top-3 terms per doc on a total
+    * order. The relevance-weighting pass behind corpus search and keyword
+    * extraction. */
+  def q_text_tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val nDocs = docs.count()
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", col("tf") * lit(nDocs.toDouble) / col("df"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))
+  }
+
   /** [Q-agg-approx-quantile] quantile-sketch family: approx_percentile
     * (Greenwald-Khanna) per group. Sketches are mergeable — partial sketches
     * combine map-side, so the shuffle carries O(groups · accuracy) summary

@@ -117,6 +117,20 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle_hashes edge cases still match the HOF form") {
+    import spark.implicits._
+    // empty string, runs of spaces (empty tokens), trailing space, unicode,
+    // repeated shingles (distinct dedup), exactly-k tokens
+    val edge = Seq("", "   ", "a  b c d", "a b c ", "ünï cödé ünï cödé ünï cödé",
+      "x y z", "r r r r r r r r").toDF("text")
+    val bad = edge
+      .select(graft.ops.TextOps.shingleExpr(3).as("sh"),
+        txt.shingle_hashes(col("text"), 3).as("nat"))
+      .select(expr("transform(sh, t -> xxhash64(t))").as("hof"), col("nat"))
+      .filter(not(col("hof") === col("nat")))
+    assert(bad.count() == 0)
+  }
+
   test("simhash64 is bit-equal to the two-shuffle aggregate formulation") {
     val docs = Tables(spark, TestSpark.sf001, "documents")
     val native = graft.ops.Dedup.simhash(docs)
