@@ -132,6 +132,9 @@ object SparkEntry {
     "q_agg_unpivot" -> Relational.q_agg_unpivot,
     "q_ts_gapfill" -> Relational.q_ts_gapfill,
     "q_text_tfidf" -> Relational.q_text_tfidf,
+    "q_agg_groupingid" -> Relational.q_agg_groupingid,
+    "q_fn_trycast" -> Relational.q_fn_trycast,
+    "q_agg_regr" -> Relational.q_agg_regr,
   )
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -388,5 +391,11 @@ object SparkEntry {
       s"WITH e AS (SELECT event_type, date_trunc('hour', $evTs) AS b FROM events), g0 AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM e GROUP BY event_type), g AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 hour)) AS b FROM g0), c AS (SELECT event_type, b, count(*) AS n0 FROM e GROUP BY 1, 2) SELECT g.event_type, g.b, coalesce(c.n0, 0) AS n FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.b = c.b",
     "q_text_tfidf" ->
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.tf * (SELECT count(*) FROM documents) * 1.0 / df.df AS tfidf FROM tf JOIN df ON tf.term = df.term) SELECT doc_id, term, tf, df, tfidf, rn FROM (SELECT sc.*, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rn FROM sc) x WHERE rn <= 3",
+    "q_agg_groupingid" ->
+      "SELECT r_name, n_name, count(*) AS n, CAST(grouping(r_name) AS INT) AS g_r, CAST(grouping(n_name) AS INT) AS g_n, CAST(grouping_id(r_name, n_name) AS INT) AS gid FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name)",
+    "q_fn_trycast" ->
+      "SELECT o_orderkey, TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri_num, TRY_CAST(o_orderpriority AS INT) AS bad_cast, CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice / (o_orderkey % 5) END AS div_or_null FROM orders",
+    "q_agg_regr" ->
+      "SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs FROM lineitem GROUP BY l_returnflag",
   )
 }

@@ -714,6 +714,42 @@ object Relational {
       .limit(20)
   }
 
+  /** [Q-agg-groupingid] grouping() / grouping_id() over a rollup: the
+    * standard way to tell "this column was aggregated away" from "this
+    * group's value is NULL" — without it, rollup outputs over nullable
+    * columns are ambiguous. grouping_id doubles as a deterministic level
+    * key for routing subtotal rows. */
+  def q_agg_groupingid(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("r_name")).cast("int").as("g_r"),
+        grouping(col("n_name")).cast("int").as("g_n"),
+        grouping_id().cast("int").as("gid"))
+
+  /** [Q-fn-trycast] error-safe conversion family: try_cast returns NULL
+    * where ANSI cast throws, try_divide nulls division by zero — the
+    * "dirty input doesn't kill the 100 TB job" contract (one malformed row
+    * failing a full corpus pass is the alternative). */
+  def q_fn_trycast(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pri_num"),
+      expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+      // double division (not decimal): the two engines' decimal-quotient
+      // precision rules differ, while double/long division is IEEE-identical
+      expr("try_divide(o_totalprice, o_orderkey % 5)").as("div_or_null"))
+
+  /** [Q-agg-regr] linear-regression aggregate family: slope / intercept /
+    * count per group (same mergeable co-moment machinery as [Q-agg-stats]) —
+    * trend fitting inside the aggregate, no model export round-trip. */
+  def q_agg_regr(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n_pairs"))
+
   /** [Q-agg-unpivot] UNPIVOT / melt via the stack generator: wide per-row
     * measures become (measure, value) rows — the inverse of [Q-agg-pivot] —
     * then one keyed aggregate per measure. stack() is a codegen'd generator:
