@@ -132,6 +132,7 @@ object SparkEntry {
     "q_agg_unpivot" -> Relational.q_agg_unpivot,
     "q_ts_gapfill" -> Relational.q_ts_gapfill,
     "q_text_tfidf" -> Relational.q_text_tfidf,
+    "q_text_decontaminate_bloom" -> TextOps.q_text_decontaminate_bloom,
     "q_agg_groupingid" -> Relational.q_agg_groupingid,
     "q_fn_trycast" -> Relational.q_fn_trycast,
     "q_agg_regr" -> Relational.q_agg_regr,
@@ -146,6 +147,13 @@ object SparkEntry {
     "list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
       "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
       "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+  private val decontaminateSql =
+    """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 7),
+      | i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))) AS sh FROM documents),
+      | e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      | ev AS (SELECT DISTINCT g FROM e WHERE doc_id < 50)
+      |SELECT e.doc_id, count(*) AS n_overlap FROM e JOIN ev ON e.g = ev.g
+      |WHERE e.doc_id >= 50 GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
   private val shingleSql =
@@ -329,13 +337,10 @@ object SparkEntry {
       s"SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, CAST(len($shingleSql) AS INT) AS n_distinct, CASE WHEN len(string_split(text, ' ')) >= 3 THEN round(1.0 - CAST(len($shingleSql) AS DOUBLE) / (len(string_split(text, ' ')) - 2), 6) ELSE 0.0 END AS rep_ratio FROM documents",
     "q_text_gopher" ->
       "SELECT doc_id, n_tokens, mean_wlen, sym_ratio, n_stop, (n_tokens BETWEEN 20 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0 AND sym_ratio < 0.1 AND n_stop >= 2) AS keep FROM (SELECT doc_id, n_tokens, CAST(len - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_wlen, CAST(n_sym AS DOUBLE) / len AS sym_ratio, n_stop FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, CAST(length(text) AS INT) AS len, CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS INT) AS n_sym, CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'de' OR x = 'la')) AS INT) AS n_stop FROM documents) a) b",
-    "q_text_decontaminate" ->
-      """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 7),
-        | i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))) AS sh FROM documents),
-        | e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-        | ev AS (SELECT DISTINCT g FROM e WHERE doc_id < 50)
-        |SELECT e.doc_id, count(*) AS n_overlap FROM e JOIN ev ON e.g = ev.g
-        |WHERE e.doc_id >= 50 GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+    "q_text_decontaminate" -> decontaminateSql,
+    // bloom prefilter is lossless (no false negatives) + exact verify join
+    // → identical result, identical oracle
+    "q_text_decontaminate_bloom" -> decontaminateSql,
     "q_mm_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, source, lang FROM documents",
     "q_mm_frames" ->

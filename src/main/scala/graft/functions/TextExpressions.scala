@@ -230,4 +230,27 @@ object txt {
   def minhash_sig(shingleHashes: Column, perms: Int): Column =
     GraftColumnBridge.column(MinHashSig(
       GraftColumnBridge.expression(shingleHashes), perms))
+
+  /** Bloom-filter aggregate over a long column (Spark's internal
+    * BloomFilterAggregate, not exposed in the public function registry) —
+    * the build side of the broadcast-bloom prefilter pattern. */
+  def bloom_filter_agg(c: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    GraftColumnBridge.column(
+      BloomFilterAggregate(GraftColumnBridge.expression(c),
+        Literal(estimatedItems), Literal(numBits), 0, 0).toAggregateExpression())
+  }
+
+  /** might_contain(<scalar-subquery bloom>, value) — row-local membership
+    * probe against a bloom built by a one-row aggregate plan (the same
+    * ScalarSubquery shape Spark's injected runtime filters use: the
+    * subquery runs once, its result broadcasts as a literal to every task).
+    * No false negatives → a LOSSLESS prefilter ahead of an exact join. */
+  def bloom_prefilter(bloomDf: org.apache.spark.sql.DataFrame, value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    GraftColumnBridge.column(BloomFilterMightContain(
+      ScalarSubquery(bloomDf.queryExecution.analyzed),
+      GraftColumnBridge.expression(value)))
+  }
 }

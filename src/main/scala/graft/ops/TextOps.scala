@@ -189,6 +189,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [Q-text-decontaminate-bloom] decontamination with a BLOOM-FILTER
+    * prefilter — the shape that wins when the corpus dwarfs the eval set:
+    * the eval shingle set folds into one bloom filter (a few hundred KB for
+    * millions of shingles), broadcast to every task; the corpus-side stream
+    * drops non-members ROW-LOCALLY before the join, so the exact verify
+    * join only sees the tiny might-contain survivors instead of every
+    * corpus shingle. Bloom filters have NO false negatives, so the
+    * prefilter is lossless, and the exact join removes false positives —
+    * the result is IDENTICAL to [[q_text_decontaminate]] and shares its
+    * DuckDB oracle. The bloom reaches the tasks as a SCALAR SUBQUERY
+    * (executed once, its result broadcast as a literal) — the same
+    * mechanism Spark's injected runtime filters use; no join carries it. */
+  def q_text_decontaminate_bloom(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables(s, d, "documents")
+      .select(col("doc_id"), explode(txt.shingle_hashes(col("text"), 8)).as("g"))
+    val evalSh = sh.filter(col("doc_id") < 50).select(col("g")).distinct()
+    val bloom = evalSh
+      .agg(txt.bloom_filter_agg(col("g"), 100000L, 800000L).as("bf"))
+    val pre = sh.filter(col("doc_id") >= 50)
+      .filter(txt.bloom_prefilter(bloom, col("g")))
+    pre.join(evalSh.hint("merge"), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
   /** [Q-pack] sequence-packing assignment: documents pack into fixed
     * token-budget training sequences (budget 2048) by running token count.
     * Packing is per SHARD (doc_id mod 8): a single global running sum would
