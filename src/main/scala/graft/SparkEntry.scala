@@ -136,6 +136,7 @@ object SparkEntry {
     "q_agg_groupingid" -> Relational.q_agg_groupingid,
     "q_fn_trycast" -> Relational.q_fn_trycast,
     "q_agg_regr" -> Relational.q_agg_regr,
+    "q_merge_upsert" -> Relational.q_merge_upsert,
   )
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -402,5 +403,7 @@ object SparkEntry {
       "SELECT o_orderkey, TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri_num, TRY_CAST(o_orderpriority AS INT) AS bad_cast, CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice / (o_orderkey % 5) END AS div_or_null FROM orders",
     "q_agg_regr" ->
       "SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs FROM lineitem GROUP BY l_returnflag",
+    "q_merge_upsert" ->
+      "WITH u AS (SELECT o_orderkey, '0-UPDATED' AS o_orderpriority, o_totalprice FROM orders WHERE o_totalprice > 400000), m AS (SELECT * FROM u UNION ALL SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders o WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = o.o_orderkey)) SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price FROM m GROUP BY o_orderpriority",
   )
 }

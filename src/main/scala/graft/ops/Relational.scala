@@ -714,6 +714,27 @@ object Relational {
       .limit(20)
   }
 
+  /** [Q-merge-upsert] batch MERGE / upsert-by-rewrite: apply an updates
+    * batch over a base table by key — updates win, unmatched base rows
+    * survive. Without a transactional table format this is the standard
+    * rewrite shape: updates ∪ (base ANTI-JOIN updates on the key) — one
+    * keyed anti-join, no full outer join, no row-by-row driver logic. The
+    * CDC-apply step that [Q-compact-latest] prepares batches for.
+    * Aggregated per priority so the oracle compares a small total order. */
+  def q_merge_upsert(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    // the "updates batch": big orders re-prioritized (a derived, deterministic stand-in)
+    val updates = base.filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), lit("0-UPDATED").as("o_orderpriority"),
+        col("o_totalprice"))
+    val merged = updates.unionByName(
+      base.join(updates.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti"))
+    merged.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast(D).as("sum_price"))
+  }
+
   /** [Q-agg-groupingid] grouping() / grouping_id() over a rollup: the
     * standard way to tell "this column was aggregated away" from "this
     * group's value is NULL" — without it, rollup outputs over nullable

@@ -62,6 +62,21 @@ object EventStreams {
       .withWatermark("ts", watermark)
   }
 
+  /** Streaming JSONL ingest — the corpus-drop path: new `.jsonl` files
+    * landing in a directory stream in with an APPLIED schema (inference
+    * would re-scan history per trigger) and watermark on event time. Pairs
+    * with convert.Jsonl for the batch edges; streaming == batch asserted
+    * in StreamingSpec. */
+  def readJsonl(spark: SparkSession, dir: String,
+                schema: StructType, tsCol: String,
+                watermark: String = "1 hour",
+                maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+      .withWatermark(tsCol, watermark)
+
   def tumble(events: DataFrame): DataFrame = Streams.tumbleAgg(events)
   def slide(events: DataFrame): DataFrame = Streams.slideAgg(events)
   def session(events: DataFrame): DataFrame = Streams.sessionAgg(events)

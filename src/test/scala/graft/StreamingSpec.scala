@@ -42,6 +42,20 @@ class StreamingSpec extends AnyFunSuite {
     assertSame(st, Streams.q_stream_session(spark, dir), "session")
   }
 
+  test("streaming JSONL ingest == batch (multi-file tumbling replay)") {
+    val jdir = "/tmp/graft-jsonl-stream"
+    rmAll(jdir)
+    val ev = Tables(spark, TestSpark.sf0001, "events")
+    // several part files so the throttled source takes multiple triggers —
+    // state continuity across micro-batches, not one AvailableNow gulp
+    graft.convert.Jsonl.write(ev.repartition(6), jdir)
+    val st = EventStreams.runToTable(
+      EventStreams.tumble(EventStreams.readJsonl(
+        spark, jdir, ev.schema, "ts", watermark = "1000 days", maxFilesPerTrigger = 2)),
+      "t_jsonl_tumble", OutputMode.Complete)
+    assertSame(st, Streams.q_stream_tumble(spark, TestSpark.sf0001), "jsonl tumble")
+  }
+
   test("stream-static broadcast enrichment == batch join") {
     import org.apache.spark.sql.functions.broadcast
     // static dim derived in batch: per-user tier by id parity
