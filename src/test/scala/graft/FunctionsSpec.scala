@@ -164,6 +164,11 @@ class FunctionsSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       "SELECT shingle_hashes(t, 3) AS sh FROM sh_fn_test WHERE id = 0").collect()
     assert(viaSql.head.getSeq[Long](0) == got(0).getSeq[Long](1))
+    // the other native text functions resolve from SQL too
+    val sig = spark.sql(
+      "SELECT simhash64(t) AS s, minhash_sig(shingle_hashes(t, 3), 8) AS m " +
+        "FROM sh_fn_test WHERE id = 0").collect().head
+    assert(!sig.isNullAt(0) && sig.getSeq[Long](1).size == 8)
   }
 
   test("join guard: mixed-side equality is NOT an equi key") {
