@@ -137,6 +137,7 @@ object SparkEntry {
     "q_fn_trycast" -> Relational.q_fn_trycast,
     "q_agg_regr" -> Relational.q_agg_regr,
     "q_merge_upsert" -> Relational.q_merge_upsert,
+    "q_join_full" -> Relational.q_join_full,
   )
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -405,5 +406,7 @@ object SparkEntry {
       "SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs FROM lineitem GROUP BY l_returnflag",
     "q_merge_upsert" ->
       "WITH u AS (SELECT o_orderkey, '0-UPDATED' AS o_orderpriority, o_totalprice FROM orders WHERE o_totalprice > 400000), m AS (SELECT * FROM u UNION ALL SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders o WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = o.o_orderkey)) SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price FROM m GROUP BY o_orderpriority",
+    "q_join_full" ->
+      "WITH big AS (SELECT o_custkey AS k1, count(*) AS n_big FROM orders WHERE o_totalprice > 300000 GROUP BY 1), urg AS (SELECT o_custkey AS k2, count(*) AS n_urgent FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1) SELECT coalesce(k1, k2) AS custkey, coalesce(n_big, 0) AS n_big, coalesce(n_urgent, 0) AS n_urgent, (k1 IS NOT NULL AND k2 IS NOT NULL) AS in_both FROM big FULL OUTER JOIN urg ON k1 = k2",
   )
 }

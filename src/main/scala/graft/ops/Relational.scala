@@ -714,6 +714,23 @@ object Relational {
       .limit(20)
   }
 
+  /** [Q-join-full] FULL OUTER join: two customer-key sets with disjoint and
+    * overlapping regions — rows survive from BOTH sides, null-padded where
+    * unmatched (the reconciliation shape: neither side is the driver).
+    * Planned as a sort-merge full outer on the key, one shuffle per side. */
+  def q_join_full(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val big = o.filter(col("o_totalprice") > 300000)
+      .groupBy(col("o_custkey").as("k1")).agg(count(lit(1)).as("n_big"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("k2")).agg(count(lit(1)).as("n_urgent"))
+    big.join(urgent, col("k1") === col("k2"), "full_outer")
+      .select(coalesce(col("k1"), col("k2")).as("custkey"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        (col("k1").isNotNull && col("k2").isNotNull).as("in_both"))
+  }
+
   /** [Q-merge-upsert] batch MERGE / upsert-by-rewrite: apply an updates
     * batch over a base table by key — updates win, unmatched base rows
     * survive. Without a transactional table format this is the standard

@@ -34,6 +34,33 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ShingleHashes/SimHash64 equal their HOF/aggregate forms on random text") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // random strings over a space-heavy alphabet (runs of spaces, unicode,
+    // punctuation) — the token-boundary edge cases a fixture can't cover
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar, 3 -> Gen.const(' '),
+      1 -> Gen.oneOf('é', 'ß', '中', '!', '.', '-'))
+    val strGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    val strs = Gen.listOfN(300, strGen).sample.getOrElse(Nil)
+    assert(strs.nonEmpty)
+    val df = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").cache()
+    val badShingle = df
+      .select(graft.ops.TextOps.shingleExpr(3).as("sh"),
+        graft.functions.txt.shingle_hashes(col("text"), 3).as("nat"))
+      .select(expr("transform(sh, t -> xxhash64(t))").as("hof"), col("nat"))
+      .filter(not(col("hof") === col("nat")))
+    assert(badShingle.count() == 0, "ShingleHashes diverged on random text")
+    val badSim = Dedup.simhash(df)
+      .join(Dedup.simhashAgg(df).withColumnRenamed("simhash", "agg"), "doc_id")
+      .filter(col("simhash") =!= col("agg"))
+    assert(badSim.count() == 0, "SimHash64 diverged on random text")
+    df.unpersist()
+  }
+
   test("LshSignature: shape, range, determinism, equal-input equality") {
     check(Prop.forAll(floatVec, Gen.chooseNum(1, 8), Gen.chooseNum(1, 16)) {
       (v, bands, bits) =>
