@@ -138,6 +138,7 @@ object SparkEntry {
     "q_agg_regr" -> Relational.q_agg_regr,
     "q_merge_upsert" -> Relational.q_merge_upsert,
     "q_join_full" -> Relational.q_join_full,
+    "q_win_rundistinct" -> Relational.q_win_rundistinct,
   )
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -408,5 +409,7 @@ object SparkEntry {
       "WITH u AS (SELECT o_orderkey, '0-UPDATED' AS o_orderpriority, o_totalprice FROM orders WHERE o_totalprice > 400000), m AS (SELECT * FROM u UNION ALL SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders o WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = o.o_orderkey)) SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price FROM m GROUP BY o_orderpriority",
     "q_join_full" ->
       "WITH big AS (SELECT o_custkey AS k1, count(*) AS n_big FROM orders WHERE o_totalprice > 300000 GROUP BY 1), urg AS (SELECT o_custkey AS k2, count(*) AS n_urgent FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1) SELECT coalesce(k1, k2) AS custkey, coalesce(n_big, 0) AS n_big, coalesce(n_urgent, 0) AS n_urgent, (k1 IS NOT NULL AND k2 IS NOT NULL) AS in_both FROM big FULL OUTER JOIN urg ON k1 = k2",
+    "q_win_rundistinct" ->
+      s"SELECT event_id, user_id, event_type, first_occ, CAST(sum(first_occ) OVER (PARTITION BY user_id ORDER BY $evTs, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_distinct_types FROM (SELECT event_id, user_id, event_type, ts, CAST(CASE WHEN row_number() OVER (PARTITION BY user_id, event_type ORDER BY $evTs, event_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS first_occ FROM events) t",
   )
 }

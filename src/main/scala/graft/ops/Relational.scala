@@ -714,6 +714,27 @@ object Relational {
       .limit(20)
   }
 
+  /** [Q-win-rundistinct] RUNNING DISTINCT COUNT per key — SQL windows can't
+    * express `count(DISTINCT) OVER`, so this is the standard two-window
+    * composition: mark each (user, event_type)'s FIRST occurrence with
+    * row_number()=1, then running-sum the markers in event order. Both
+    * windows share the user_id partitioning → one keyed shuffle, two sorts.
+    * The "how many distinct pages/actions so far" session-analytics shape. */
+  def q_win_rundistinct(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val running = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("first_occ",
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_types", sum(col("first_occ")).over(running))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("first_occ"), col("n_distinct_types"))
+  }
+
   /** [Q-join-full] FULL OUTER join: two customer-key sets with disjoint and
     * overlapping regions — rows survive from BOTH sides, null-padded where
     * unmatched (the reconciliation shape: neither side is the driver).
