@@ -31,6 +31,8 @@ object Main {
                               codec: String) extends Cmd
   final case class Query(name: String, input: String, output: Option[String],
                          limit: Int) extends Cmd
+  final case class Export(table: Option[String], query: Option[String],
+                          input: String, output: String, codec: String) extends Cmd
   case object ListQueries extends Cmd
 
   /** Pure, unit-testable argument parser. Throws IllegalArgumentException on
@@ -77,6 +79,22 @@ object Main {
           Query(name, input = req(m, "input"), output = m.get("output"),
             limit = m.getOrElse("limit", "20").toInt)
         }
+      case "export" =>
+        val m = opts(args.tail)
+        val table = m.get("table")
+        val query = m.get("query")
+        if (table.isEmpty == query.isEmpty)
+          throw new IllegalArgumentException(
+            s"export needs exactly one of --table or --query\n$usage")
+        query.foreach { q =>
+          if (!graft.SparkEntry.queries.contains(q))
+            throw new IllegalArgumentException(
+              s"unknown query: $q (see `query --list`)\n$usage")
+        }
+        val codec = m.getOrElse("codec", "none")
+        graft.convert.Jsonl.validateCodec(codec) // fail on bad codec at parse time
+        Export(table, query, input = req(m, "input"), output = req(m, "output"),
+          codec = codec)
       case other =>
         throw new IllegalArgumentException(s"unknown subcommand: $other\n$usage")
     }
@@ -93,6 +111,7 @@ object Main {
     case "-c" | "--codec"          => "codec"
     case "-q" | "--query"          => "query"
     case "-l" | "--limit"          => "limit"
+    case "-t" | "--table"          => "table"
     case other =>
       throw new IllegalArgumentException(s"unknown flag: $other\n$usage")
   }
@@ -104,7 +123,10 @@ object Main {
       |  convert  -b|--benchmark tpch|tpcds -i|--input DIR -o|--output DIR
       |           [-c|--codec snappy]
       |  query    -q|--query NAME -i|--input SFDIR [-o|--output DIR]
-      |           [-l|--limit N]   (or: query --list)""".stripMargin
+      |           [-l|--limit N]   (or: query --list)
+      |  export   (-t|--table NAME | -q|--query NAME) -i|--input SFDIR
+      |           -o|--output DIR [-c|--codec none|gzip|lz4|snappy]
+      |           (JSONL corpus export: DIR/NAME.jsonl/part-*.json[.gz])""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val cmd = parse(args.toIndexedSeq)
@@ -145,6 +167,15 @@ object Main {
             println(f"Wrote $name in ${(System.nanoTime() - t0) / 1e9}%.1f s")
           case None => df.show(limit, truncate = false)
         }
+      case Export(table, query, in, out, codec) =>
+        val (name, df) = table match {
+          case Some(t) => (t, graft.Tables(spark, in, t))
+          case None =>
+            val q = query.get
+            (q, graft.SparkEntry.queries(q)(spark, in))
+        }
+        graft.convert.Jsonl.write(df, s"$out/$name.jsonl", codec)
+        println(f"Exported $name as JSONL in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.stop()
   }

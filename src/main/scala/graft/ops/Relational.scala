@@ -212,6 +212,12 @@ object Relational {
   /** [Q-agg-pricing] TPC-H Q1: multi-aggregate pricing summary. */
   def q_agg_pricing(s: SparkSession, d: String): DataFrame = {
     val ext = dec(col("l_extendedprice"))
+    // p=8 keeps the PLAIN-money sum on Spark's compact-long Decimal path
+    // (sum buffer = p+10 ≤ 18): same exact value as the p=12 cast (prices
+    // < $1M), codegen'd long arithmetic instead of BigDecimal. The 4-6-dec
+    // product sums below need p ≥ 13 and take the BigDecimal path — the
+    // exactness they buy is the point (see SURVEY §7.5 analysis).
+    val ext8 = dec(col("l_extendedprice"), 8, 2)
     val oneMinusDisc = lit(1) - dec(col("l_discount"), 4, 2)
     val onePlusTax = lit(1) + dec(col("l_tax"), 4, 2)
     t(s, d, "lineitem")
@@ -219,11 +225,11 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(ext).cast(D).as("sum_base_price"),
+        sum(ext8).cast(D).as("sum_base_price"),
         sum(ext * oneMinusDisc).cast(D).as("sum_disc_price"),
         sum(ext * oneMinusDisc * onePlusTax).cast(D).as("sum_charge"),
         (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-        (sum(ext).cast(D) / count(lit(1))).as("avg_price"),
+        (sum(ext8).cast(D) / count(lit(1))).as("avg_price"),
         (sum(dec(col("l_discount"), 4, 2)).cast(D) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.cli.Main
-import graft.cli.Main.{ConvertCmd, Generate, ListQueries, Query}
+import graft.cli.Main.{ConvertCmd, Export, Generate, ListQueries, Query}
 
 /** CLI arg parsing (R10, SURVEY §5.1): subcommands, short/long flags,
   * benchmark aliases, validation errors — mirroring src/main.rs:22-119. */
@@ -49,6 +49,24 @@ class CliSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Main.parse(Seq("query", "-q", "q_nope", "-i", "/d")))
     assertThrows[IllegalArgumentException](Main.parse(Seq("query", "-i", "/d")))
+  }
+
+  test("export: table or query (exactly one), codec validated at parse time") {
+    val t = Main.parse(Seq("export", "-t", "documents", "-i", "/d", "-o", "/out"))
+    assert(t == Export(Some("documents"), None, "/d", "/out", "none"))
+    val q = Main.parse(Seq("export", "--query", "q_text_quality", "--input", "/d",
+      "--output", "/out", "--codec", "gzip"))
+    assert(q == Export(None, Some("q_text_quality"), "/d", "/out", "gzip"))
+    // neither / both / unknown query / bad codec all fail at parse time
+    assertThrows[IllegalArgumentException](
+      Main.parse(Seq("export", "-i", "/d", "-o", "/out")))
+    assertThrows[IllegalArgumentException](
+      Main.parse(Seq("export", "-t", "x", "-q", "q_topk", "-i", "/d", "-o", "/o")))
+    assertThrows[IllegalArgumentException](
+      Main.parse(Seq("export", "-q", "q_nope", "-i", "/d", "-o", "/o")))
+    assertThrows[IllegalArgumentException](
+      Main.parse(Seq("export", "-t", "documents", "-i", "/d", "-o", "/o",
+        "-c", "brotli")))
   }
 
   test("generator-path is accepted and ignored (Spark-native generation)") {
