@@ -63,6 +63,45 @@ object Scale {
       .write.mode(SaveMode.ErrorIfExists).parquet(path)
   }
 
+  /** Write `df` Z-ORDER clustered on TWO numeric columns: each column
+    * equi-width-buckets into 2^bits cells (`width_bucket` — row-local,
+    * codegen'd; the min/max scalars are one cheap aggregate, a write-path
+    * cost, not a per-query one), the two bucket ids bit-INTERLEAVE into a
+    * z-value, and the data range-partitions + sorts on z. Because the
+    * z-curve is locality-preserving in BOTH dimensions, every output file
+    * covers a compact rectangle of (c1, c2) space — so footer min/max
+    * stats prune lookups filtering on EITHER column, where a plain sort on
+    * c1 leaves every file spanning c2's full range. The two-dimensional
+    * complement of [[sortForSkipping]]. */
+  def zorderWrite(df: DataFrame, path: String, numFiles: Int,
+                  c1: String, c2: String, bits: Int = 8): Unit = {
+    require(bits >= 1 && bits <= 15, s"bits must be in [1,15], got $bits")
+    val r = df.agg(
+      min(col(c1).cast("double")), max(col(c1).cast("double")),
+      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    val (lo1, hi1, lo2, hi2) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    require(hi1 > lo1 && hi2 > lo2,
+      s"z-order needs non-degenerate ranges: [$lo1,$hi1] [$lo2,$hi2]")
+    val n = 1 << bits
+    def bucket(c: String, lo: Double, hi: Double) =
+      least(greatest(
+        expr(s"width_bucket(CAST($c AS DOUBLE), ${lo}d, ${hi}d, $n)") - 1,
+        lit(0)), lit(n - 1)).cast("long")
+    val b1 = bucket(c1, lo1, hi1)
+    val b2 = bucket(c2, lo2, hi2)
+    val z = (0 until bits).map(i =>
+      shiftleft(b1.bitwiseAND(lit(1L << i)), i) +
+        shiftleft(b2.bitwiseAND(lit(1L << i)), i + 1))
+      .reduce(_ + _)
+    val cols = df.columns.map(col).toSeq
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .select(cols: _*)
+      .write.mode(SaveMode.ErrorIfExists).parquet(path)
+  }
+
   /** Equi-join `big ⋈ dim` on `key` with the dim side replicated over
     * `saltFactor` sub-keys. The big side's salt is derived from xxhash64 of
     * the whole row (deterministic, uniform); the dim side explodes to all

@@ -88,6 +88,34 @@ class ScaleSpec extends AnyFunSuite {
       ev.filter(col("user_id") === k).count())
   }
 
+  test("z-order clustered layout bounds BOTH columns' per-file ranges") {
+    val path = java.nio.file.Files.createTempDirectory("graft-zord").toString + "/ev"
+    val ev = Tables(spark, TestSpark.sf001, "events")
+      .select("event_id", "user_id", "value")
+    Scale.zorderWrite(ev, path, 8, "user_id", "value")
+    val g = ev.agg(min("user_id"), max("user_id"), min("value"), max("value")).head()
+    val (ulo, uhi) = (g.getLong(0).toDouble, g.getLong(1).toDouble)
+    val (vlo, vhi) = (g.getDouble(2), g.getDouble(3))
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length >= 4)
+    val fracs = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("user_id"), max("user_id"), min("value"), max("value")).head()
+      ((r.getLong(1) - r.getLong(0)) / math.max(uhi - ulo, 1e-9),
+        (r.getDouble(3) - r.getDouble(2)) / math.max(vhi - vlo, 1e-9))
+    }
+    // a plain sort on user_id leaves EVERY file spanning value's full range
+    // (vFrac ≈ 1.0); the z-curve keeps each file a compact rectangle, so
+    // both dimensions' average per-file coverage stays well under full
+    val avgU = fracs.map(_._1).sum / fracs.length
+    val avgV = fracs.map(_._2).sum / fracs.length
+    assert(avgU < 0.8, s"avg user_id coverage $avgU not bounded")
+    assert(avgV < 0.8, s"avg value coverage $avgV not bounded")
+    // content preserved
+    assert(spark.read.parquet(path).count() == ev.count())
+  }
+
   test("salted join equals the unsalted join exactly") {
     val lineitem = Tables(spark, TestSpark.sf0001, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
