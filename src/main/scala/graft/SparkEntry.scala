@@ -402,7 +402,7 @@ object SparkEntry {
     "q_agg_groupingid" ->
       "SELECT r_name, n_name, count(*) AS n, CAST(grouping(r_name) AS INT) AS g_r, CAST(grouping(n_name) AS INT) AS g_n, CAST(grouping_id(r_name, n_name) AS INT) AS gid FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name)",
     "q_fn_trycast" ->
-      "SELECT o_orderkey, TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri_num, TRY_CAST(o_orderpriority AS INT) AS bad_cast, CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice / (o_orderkey % 5) END AS div_or_null FROM orders",
+      "SELECT o_orderkey, TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri_num, TRY_CAST(CASE WHEN o_orderkey % 1000 = 0 THEN o_orderpriority ELSE substring(o_orderpriority, 1, 1) END AS INT) AS mostly_clean, CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice / (o_orderkey % 5) END AS div_or_null FROM orders",
     "q_agg_regr" ->
       "SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs FROM lineitem GROUP BY l_returnflag",
     "q_merge_upsert" ->

@@ -796,12 +796,21 @@ object Relational {
   /** [Q-fn-trycast] error-safe conversion family: try_cast returns NULL
     * where ANSI cast throws, try_divide nulls division by zero — the
     * "dirty input doesn't kill the 100 TB job" contract (one malformed row
-    * failing a full corpus pass is the alternative). */
+    * failing a full corpus pass is the alternative).
+    *
+    * PERF NOTE (measured): Spark implements try_cast's failure path with a
+    * caught JVM exception PER FAILING ROW (~10 µs each) — an all-rows-dirty
+    * column cost 1.5 s/150k rows where the clean-cast projection runs in
+    * 0.2 s. try_cast is the safety net for the RARE dirty row, not a bulk
+    * parser; the dirty fraction here is a realistic 1/1000 (one bad batch
+    * in a corpus), which keeps the cost invisible. */
   def q_fn_trycast(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders").select(
       col("o_orderkey"),
       expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pri_num"),
-      expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+      // dirty 0.1%: non-numeric text reaches the cast only for key%1000=0
+      expr("try_cast(CASE WHEN o_orderkey % 1000 = 0 THEN o_orderpriority " +
+        "ELSE substring(o_orderpriority, 1, 1) END AS INT)").as("mostly_clean"),
       // double division (not decimal): the two engines' decimal-quotient
       // precision rules differ, while double/long division is IEEE-identical
       expr("try_divide(o_totalprice, o_orderkey % 5)").as("div_or_null"))
