@@ -59,6 +59,18 @@ class PlanGuardSpec extends AnyFunSuite {
     val dcSchema = dc.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!dcSchema.contains("lang") && !dcSchema.contains("source"),
       s"documents scan reads unused columns: $dcSchema")
+    // q_tpch_q10: the quarter range and returnflag='R' must hit their scans,
+    // and lineitem reads only the 4 needed columns
+    val q10 = fmt("q_tpch_q10")
+    assert(q10.contains("GreaterThanOrEqual(o_orderdate"),
+      s"Q10 date range not pushed:\n$q10")
+    assert(q10.contains("EqualTo(l_returnflag,R)"),
+      s"Q10 returnflag not pushed:\n$q10")
+    val q10Lineitem = q10.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("l_orderkey")).mkString
+    assert(q10Lineitem.nonEmpty && !q10Lineitem.contains("l_shipdate") &&
+      !q10Lineitem.contains("l_quantity"),
+      s"Q10 lineitem scan reads unused columns: $q10Lineitem")
   }
 
   test("fenced baselines are still the only nested-loop plans") {
