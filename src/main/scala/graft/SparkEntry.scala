@@ -139,6 +139,8 @@ object SparkEntry {
     "q_merge_upsert" -> Relational.q_merge_upsert,
     "q_join_full" -> Relational.q_join_full,
     "q_win_rundistinct" -> Relational.q_win_rundistinct,
+    "q_fn_string2" -> Relational.q_fn_string2,
+    "q_agg_moments" -> Relational.q_agg_moments,
   )
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -411,5 +413,9 @@ object SparkEntry {
       "WITH big AS (SELECT o_custkey AS k1, count(*) AS n_big FROM orders WHERE o_totalprice > 300000 GROUP BY 1), urg AS (SELECT o_custkey AS k2, count(*) AS n_urgent FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1) SELECT coalesce(k1, k2) AS custkey, coalesce(n_big, 0) AS n_big, coalesce(n_urgent, 0) AS n_urgent, (k1 IS NOT NULL AND k2 IS NOT NULL) AS in_both FROM big FULL OUTER JOIN urg ON k1 = k2",
     "q_win_rundistinct" ->
       s"SELECT event_id, user_id, event_type, first_occ, CAST(sum(first_occ) OVER (PARTITION BY user_id ORDER BY $evTs, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_distinct_types FROM (SELECT event_id, user_id, event_type, ts, CAST(CASE WHEN row_number() OVER (PARTITION BY user_id, event_type ORDER BY $evTs, event_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS first_occ FROM events) t",
+    "q_fn_string2" ->
+      "SELECT p_partkey, lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key10, rpad(p_brand, 12, '.') AS brand_pad, reverse(p_name) AS name_rev, translate(p_type, 'aeiou', '_____') AS type_novowel, repeat('*', (p_size % 5) + 1) AS stars, CAST(ascii(p_brand) AS INT) AS brand_ascii, p_brand || ':' || chr(65 + (p_size % 26)) AS brand_letter FROM part",
+    "q_agg_moments" ->
+      "WITH q AS (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(8,1)) AS x FROM lineitem), m AS (SELECT l_returnflag, count(*) AS n, CAST(sum(x) AS DOUBLE) AS s1, CAST(sum(x * x) AS DOUBLE) AS s2, CAST(sum(x * x * x) AS DOUBLE) AS s3 FROM q GROUP BY l_returnflag) SELECT l_returnflag, n, round(s1 / n, 6) AS mean_q, round(s2 / n - (s1 / n) * (s1 / n), 6) AS var_q, round(s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n), 6) AS m3_q FROM m",
   )
 }

@@ -758,6 +758,46 @@ object Relational {
         (col("k1").isNotNull && col("k2").isNotNull).as("in_both"))
   }
 
+  /** [Q-fn-string2] second string family: padding (fixed-width keys),
+    * reverse, translate (char-map scrub), repeat, ascii/chr — row-local,
+    * codegen'd; the formatting toolkit for key normalization and export. */
+  def q_fn_string2(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(
+      col("p_partkey"),
+      lpad(col("p_partkey").cast("string"), 10, "0").as("key10"),
+      rpad(col("p_brand"), 12, ".").as("brand_pad"),
+      reverse(col("p_name")).as("name_rev"),
+      translate(col("p_type"), "aeiou", "_____").as("type_novowel"),
+      repeat(lit("*"), pmod(col("p_size"), lit(5)) + 1).as("stars"),
+      ascii(col("p_brand")).as("brand_ascii"),
+      concat(col("p_brand"), lit(":"),
+        expr("chr(65 + CAST(p_size % 26 AS INT))")).as("brand_letter"))
+
+  /** [Q-agg-moments] exact central moments per group: mean, variance, and
+    * skewness derived from DECIMAL power sums (Σx, Σx², Σx³ — exact and
+    * order-independent), expanded via E[(x-μ)ᵏ] moment identities in
+    * IEEE-identical double arithmetic. This sidesteps the engines'
+    * DIFFERENT built-in `skewness` bias corrections (Spark: population g1;
+    * DuckDB: sample-adjusted) — with exact moments both sides compute the
+    * same number, so the statistic itself is oracle-matched. One keyed
+    * aggregate, map-side partials, same shuffle shape as any sum. */
+  def q_agg_moments(s: SparkSession, d: String): DataFrame = {
+    val x = dec(col("l_quantity"), 8, 1)
+    t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast(D).as("s1"),
+        sum(x * x).cast(D).as("s2"),
+        sum(x * x * x).cast(D).as("s3"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("s1") / col("n")), 6).as("mean_q"),
+        round((col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))), 6).as("var_q"),
+        round(
+          (col("s3") / col("n")
+            - lit(3.0) * (col("s1") / col("n")) * (col("s2") / col("n"))
+            + lit(2.0) * (col("s1") / col("n")) * (col("s1") / col("n")) * (col("s1") / col("n"))),
+          6).as("m3_q"))
+  }
+
   /** [Q-merge-upsert] batch MERGE / upsert-by-rewrite: apply an updates
     * batch over a base table by key — updates win, unmatched base rows
     * survive. Without a transactional table format this is the standard
