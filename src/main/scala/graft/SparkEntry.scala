@@ -141,6 +141,8 @@ object SparkEntry {
     "q_win_rundistinct" -> Relational.q_win_rundistinct,
     "q_fn_string2" -> Relational.q_fn_string2,
     "q_agg_moments" -> Relational.q_agg_moments,
+    "q_win_ffill" -> Relational.q_win_ffill,
+    "q_join_lateral" -> Relational.q_join_lateral,
   )
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -417,5 +419,9 @@ object SparkEntry {
       "SELECT p_partkey, lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key10, rpad(p_brand, 12, '.') AS brand_pad, reverse(p_name) AS name_rev, translate(p_type, 'aeiou', '_____') AS type_novowel, repeat('*', (p_size % 5) + 1) AS stars, CAST(ascii(p_brand) AS INT) AS brand_ascii, p_brand || ':' || chr(65 + (p_size % 26)) AS brand_letter FROM part",
     "q_agg_moments" ->
       "WITH q AS (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(8,1)) AS x FROM lineitem), m AS (SELECT l_returnflag, count(*) AS n, CAST(sum(x) AS DOUBLE) AS s1, CAST(sum(x * x) AS DOUBLE) AS s2, CAST(sum(x * x * x) AS DOUBLE) AS s3 FROM q GROUP BY l_returnflag) SELECT l_returnflag, n, round(s1 / n, 6) AS mean_q, round(s2 / n - (s1 / n) * (s1 / n), 6) AS var_q, round(s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n), 6) AS m3_q FROM m",
+    "q_win_ffill" ->
+      s"SELECT event_id, user_id, v_gappy, last_value(v_gappy IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY $evTs, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled FROM (SELECT event_id, user_id, ts, CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v_gappy FROM events) t",
+    "q_join_lateral" ->
+      "SELECT r.r_name, t.n_name, t.n_nationkey FROM region r, LATERAL (SELECT n_name, n_nationkey FROM nation n WHERE n.n_regionkey = r.r_regionkey ORDER BY n_name LIMIT 2) t",
   )
 }

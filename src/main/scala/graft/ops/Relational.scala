@@ -758,6 +758,39 @@ object Relational {
         (col("k1").isNotNull && col("k2").isNotNull).as("in_both"))
   }
 
+  /** [Q-win-ffill] FORWARD FILL: carry the last non-null observation
+    * forward per key (`last_value IGNORE NULLS` over an unbounded-preceding
+    * frame) — the time-series imputation step before any model sees a gappy
+    * series. Nulls are planted deterministically (every 7th event) so both
+    * engines fill the identical gaps. One keyed window. */
+  def q_win_ffill(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(pmod(col("event_id"), lit(7)) === 0, lit(null)).otherwise(col("value"))
+          .as("v_gappy"))
+      .withColumn("v_filled", last(col("v_gappy"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("v_gappy"), col("v_filled"))
+  }
+
+  /** [Q-join-lateral] LATERAL correlated subquery join through the SQL
+    * entry path (every other declared query uses the DataFrame API; this
+    * one exercises `spark.sql` + temp views as a first-class surface):
+    * for each region, its top-2 nations by name. Catalyst decorrelates
+    * the lateral limit into a ranked window join — same plan family as
+    * the hand-written row_number approach. */
+  def q_join_lateral(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "region").createOrReplaceTempView("v_region")
+    t(s, d, "nation").createOrReplaceTempView("v_nation")
+    s.sql(
+      """SELECT r.r_name, t.n_name, t.n_nationkey
+        |FROM v_region r,
+        |LATERAL (SELECT n_name, n_nationkey FROM v_nation n
+        |         WHERE n.n_regionkey = r.r_regionkey
+        |         ORDER BY n_name LIMIT 2) t""".stripMargin)
+  }
+
   /** [Q-fn-string2] second string family: padding (fixed-width keys),
     * reverse, translate (char-map scrub), repeat, ascii/chr — row-local,
     * codegen'd; the formatting toolkit for key normalization and export. */
