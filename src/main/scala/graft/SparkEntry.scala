@@ -143,6 +143,8 @@ object SparkEntry {
     "q_agg_moments" -> Relational.q_agg_moments,
     "q_win_ffill" -> Relational.q_win_ffill,
     "q_join_lateral" -> Relational.q_join_lateral,
+    "q_fn_array2" -> Relational.q_fn_array2,
+    "q_text_mask" -> Relational.q_text_mask,
   )
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -423,5 +425,9 @@ object SparkEntry {
       s"SELECT event_id, user_id, v_gappy, last_value(v_gappy IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY $evTs, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled FROM (SELECT event_id, user_id, ts, CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v_gappy FROM events) t",
     "q_join_lateral" ->
       "SELECT r.r_name, t.n_name, t.n_nationkey FROM region r, LATERAL (SELECT n_name, n_nationkey FROM nation n WHERE n.n_regionkey = r.r_regionkey ORDER BY n_name LIMIT 2) t",
+    "q_fn_array2" ->
+      "SELECT vec_id, round(list_sum(list_transform(list_slice(embedding, 1, 8), x -> CAST(x AS DOUBLE))), 6) AS head8_sum, CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS pos_max, CAST(embedding[-1] AS DOUBLE) AS last_e, CAST(len(list_distinct(embedding)) AS INT) AS n_distinct_e FROM embeddings",
+    "q_text_mask" ->
+      "SELECT c_custkey, regexp_replace(regexp_replace(regexp_replace(c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS name_masked, regexp_replace(regexp_replace(regexp_replace(c_mktsegment, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS seg_masked FROM customer",
   )
 }

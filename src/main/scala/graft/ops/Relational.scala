@@ -758,6 +758,29 @@ object Relational {
         (col("k1").isNotNull && col("k2").isNotNull).as("in_both"))
   }
 
+  /** [Q-fn-array2] second array family: slice + fold, element position
+    * lookup, negative indexing — all codegen'd row-local higher-order /
+    * positional ops over the embedding vectors. */
+  def q_fn_array2(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(
+      col("vec_id"),
+      round(expr(
+        "aggregate(slice(embedding, 1, 8), CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"
+      ), 6).as("head8_sum"),
+      expr("array_position(embedding, array_max(embedding))").as("pos_max"),
+      expr("CAST(element_at(embedding, -1) AS DOUBLE)").as("last_e"),
+      size(expr("array_distinct(embedding)")).as("n_distinct_e"))
+
+  /** [Q-text-mask] character-class masking (mask(): upper→X, lower→x,
+    * digit→n, punctuation kept) — the PII-shape-preserving scrub that
+    * keeps format signal (lengths, word shapes) while destroying content.
+    * Row-local; the oracle mirrors it with three regexp passes. */
+  def q_text_mask(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(
+      col("c_custkey"),
+      expr("mask(c_name)").as("name_masked"),
+      expr("mask(c_mktsegment)").as("seg_masked"))
+
   /** [Q-win-ffill] FORWARD FILL: carry the last non-null observation
     * forward per key (`last_value IGNORE NULLS` over an unbounded-preceding
     * frame) — the time-series imputation step before any model sees a gappy
