@@ -145,6 +145,8 @@ object SparkEntry {
     "q_join_lateral" -> Relational.q_join_lateral,
     "q_fn_array2" -> Relational.q_fn_array2,
     "q_text_mask" -> Relational.q_text_mask,
+    "q_fn_date2" -> Relational.q_fn_date2,
+    "q_fn_explode_outer" -> Relational.q_fn_explode_outer,
   )
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -429,5 +431,9 @@ object SparkEntry {
       "SELECT vec_id, round(list_sum(list_transform(list_slice(embedding, 1, 8), x -> CAST(x AS DOUBLE))), 6) AS head8_sum, CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS pos_max, CAST(embedding[-1] AS DOUBLE) AS last_e, CAST(len(list_distinct(embedding)) AS INT) AS n_distinct_e FROM embeddings",
     "q_text_mask" ->
       "SELECT c_custkey, regexp_replace(regexp_replace(regexp_replace(c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS name_masked, regexp_replace(regexp_replace(regexp_replace(c_mktsegment, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS seg_masked FROM customer",
+    "q_fn_date2" ->
+      "SELECT o_orderkey, CAST(last_day(o_orderdate) AS DATE) AS month_end, CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow, CAST(weekofyear(o_orderdate) AS INT) AS iso_week, CAST(dayofyear(o_orderdate) AS INT) AS doy, CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS epoch_days FROM orders",
+    "q_fn_explode_outer" ->
+      "SELECT e.vec_id, round(CAST(u.x AS DOUBLE), 6) AS x FROM embeddings e LEFT JOIN LATERAL (SELECT unnest(list_filter(embedding, v -> CAST(v AS DOUBLE) > 3.0)) AS x) u ON TRUE",
   )
 }

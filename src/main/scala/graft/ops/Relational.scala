@@ -758,6 +758,29 @@ object Relational {
         (col("k1").isNotNull && col("k2").isNotNull).as("in_both"))
   }
 
+  /** [Q-fn-date2] second date family: last_day, aligned day-of-week,
+    * ISO week number, day-of-year, epoch-day diff — row-local calendar
+    * arithmetic. (Spark's dayofweek is 1=Sunday; DuckDB's is 0=Sunday —
+    * the oracle adds 1 to align, a documented engine-semantics bridge.) */
+  def q_fn_date2(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      last_day(col("o_orderdate")).cast("date").as("month_end"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      weekofyear(col("o_orderdate")).as("iso_week"),
+      dayofyear(col("o_orderdate")).as("doy"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).as("epoch_days"))
+
+  /** [Q-fn-explode-outer] generator NULL semantics: explode_outer keeps
+    * the parent row (with a NULL element) when the array filters down to
+    * empty — plain explode silently DROPS it, which at corpus scale is a
+    * data-loss bug that no row count on the happy path catches. */
+  def q_fn_explode_outer(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(
+      col("vec_id"),
+      explode_outer(expr("filter(embedding, v -> CAST(v AS DOUBLE) > 3.0)")).as("x0"))
+      .select(col("vec_id"), round(expr("CAST(x0 AS DOUBLE)"), 6).as("x"))
+
   /** [Q-fn-array2] second array family: slice + fold, element position
     * lookup, negative indexing — all codegen'd row-local higher-order /
     * positional ops over the embedding vectors. */
