@@ -55,11 +55,13 @@ object Bench {
           failed += name
       }
     }
-    // millisecond precision: sub-ms digits are pure noise AND the full-
-    // precision line (~2.5 KB at 77 queries) overflowed the harness's
-    // stdout tail capture in rounds 2-3, front-truncating the JSON so it
-    // never parsed — the short line must fit the tail window whole
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // centisecond precision: sub-10ms digits are pure noise for a 2x
+    // regression gate, AND the full-precision line (~2.5 KB at 77 queries)
+    // overflowed the harness's stdout tail capture in rounds 2-3,
+    // front-truncating the JSON so it never parsed — the line must stay
+    // short enough that a complete copy fits the tail window as the query
+    // count grows (111 queries ≈ 2.3 KB at 2 decimals)
+    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = timings.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val fl = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val total = timings.values.sum
