@@ -55,27 +55,41 @@ object Bench {
           failed += name
       }
     }
-    // centisecond precision: sub-10ms digits are pure noise for a 2x
-    // regression gate, AND the full-precision line (~2.5 KB at 77 queries)
-    // overflowed the harness's stdout tail capture in rounds 2-3,
-    // front-truncating the JSON so it never parsed — the line must stay
-    // short enough that a complete copy fits the tail window as the query
-    // count grows (111 queries ≈ 2.3 KB at 2 decimals)
+    // The harness keeps only a fixed-size stdout TAIL (~2.2 KB); a single
+    // JSON line carrying all per-query times (~3-4 KB at 111+ queries) gets
+    // front-truncated and has never parsed (BENCH_r01..r04 "parsed": null).
+    // Output contract, rear-loaded so the tail window always holds it:
+    //   1. per-query times split across multiple ≤1 KB "part" lines;
+    //   2. the complete single-line JSON written to SPARK_GRAFT_BENCH_OUT;
+    //   3. the FINAL stdout line a compact (<1 KB regardless of query count)
+    //      summary — metric/value/unit, failure count, file pointer, and an
+    //      md5 over the queries object so the file/parts are verifiable.
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = timings.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val entries = timings.map { case (k, v) => s""""$k":${f(v)}""" }.toSeq
+    val qs = entries.mkString("{", ",", "}")
     val fl = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val total = timings.values.sum
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$fl,"n_failed":${failed.size},"sf":"$sfDir"}"""
-    println(json)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(qs.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$fl,"n_failed":${failed.size},"sf":"$sfDir","queries_md5":"$md5"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes("UTF-8"))
+        (fullJson + "\n").getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
-    // print the line AGAIN as the very last output: whatever fixed-size tail
-    // of stdout the harness keeps, the final copy lands inside it complete
-    println(json)
+    // greedy ≤900-byte packing keeps every part line safely inside a 1 KB
+    // window even after the {"part":i,"of":k,...} framing
+    val parts = scala.collection.mutable.ListBuffer(scala.collection.mutable.ListBuffer.empty[String])
+    entries.foreach { e =>
+      if (parts.last.map(_.length + 1).sum + e.length > 900) parts += scala.collection.mutable.ListBuffer.empty[String]
+      parts.last += e
+    }
+    val k = parts.size
+    parts.zipWithIndex.foreach { case (p, i) =>
+      println(s"""{"part":${i + 1},"of":$k,"queries":${p.mkString("{", ",", "}")}}""")
+    }
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${timings.size},"n_failed":${failed.size},"failed":$fl,"sf":"$sfDir","per_query_file":"$outPath","per_query_parts":$k,"queries_md5":"$md5"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(0) // failures are visible in the JSON itself
   }

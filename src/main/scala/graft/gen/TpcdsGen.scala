@@ -99,6 +99,94 @@ object TpcdsGen extends Benchmark {
   private def fkTarget(colName: String): Option[String] =
     fkSuffix.collectFirst { case (suf, dim) if colName.endsWith(suf) => dim }
 
+  /** Lines per basket: rows of a sales fact sharing one ticket/order number
+    * (dsdgen groups ~2-10 lineitems per ticket). All basket-level FKs
+    * (customer, date, time, store, demo, address — everything except the
+    * per-line item/promo) are drawn from the BASKET id, so the lines of one
+    * ticket describe one coherent transaction, exactly the invariant
+    * TPC-DS-shaped queries (returns joins, ticket rollups) rely on. */
+  private val basketLines: Map[String, Int] =
+    Map("store_sales" -> 3, "catalog_sales" -> 4, "web_sales" -> 4)
+
+  /** Ticket/order-number columns: dense basket ids (1-based), NOT hash noise —
+    * joining returns on (order, item) must hit the originating sale.
+    * IntegerType per the reference schema; overflows past ~6.4e9 rows/table
+    * (sf ≳ 2200), far beyond any published TPC-DS scale. */
+  private val orderNumberCols: Set[String] =
+    Set("ss_ticket_number", "cs_order_number", "ws_order_number")
+
+  /** Basket-level columns of a sales fact: every FK except the per-line
+    * item/promo picks. */
+  private def basketLevel(name: String): Boolean =
+    name.endsWith("_sk") && !name.endsWith("_item_sk") && !name.endsWith("_promo_sk")
+
+  private def tagOf(tbl: String, i: Int): Int = tbl.hashCode * 131 + i * 31 + 17
+
+  /** Spec-true dictionaries for the columns TPC-DS queries filter and group
+    * on (dsdgen draws these from fixed small domains, not free text; the
+    * published queries' selectivity depends on the domain sizes). Columns not
+    * listed here keep the generic word-salad strings. */
+  private val dictionaries: Map[String, Seq[String]] = {
+    val yn = Seq("Y", "N")
+    Map(
+      "cd_gender" -> Seq("M", "F"),
+      "cd_marital_status" -> Seq("M", "S", "D", "W", "U"),
+      "cd_education_status" -> Seq("Primary", "Secondary", "College",
+        "2 yr Degree", "4 yr Degree", "Advanced Degree", "Unknown"),
+      "cd_credit_rating" -> Seq("Low Risk", "Good", "High Risk", "Unknown"),
+      "hd_buy_potential" -> Seq("0-500", "501-1000", "1001-5000",
+        "5001-10000", ">10000", "Unknown"),
+      "i_category" -> Seq("Books", "Children", "Electronics", "Home",
+        "Jewelry", "Men", "Music", "Shoes", "Sports", "Women"),
+      "i_size" -> Seq("petite", "small", "medium", "large", "extra large",
+        "economy", "N/A"),
+      "ca_state" -> Seq("CA", "NY", "TX", "FL", "IL", "PA", "OH", "GA", "MI", "WA"),
+      "s_state" -> Seq("CA", "NY", "TX", "FL", "IL", "PA", "OH", "GA", "MI", "WA"),
+      "p_channel_dmail" -> yn, "p_channel_email" -> yn,
+      "p_channel_catalog" -> yn, "p_channel_tv" -> yn,
+      "p_channel_radio" -> yn, "p_channel_press" -> yn,
+      "p_channel_event" -> yn, "p_channel_demo" -> yn)
+  }
+
+  /** Returns-fact linkage: each returns row references an ACTUAL sales row
+    * (dsdgen emits a return for ~10% of sales; the reference gets this for
+    * free by shelling out to dsdgen, src/tpcds.rs:51-62). The linked sales
+    * row is a deterministic hash of the returns row id; item/order-number/
+    * customer/date columns re-evaluate the SALES table's expressions at that
+    * row, so `returns ⋈ sales ON (order, item)` has dsdgen-like selectivity. */
+  private case class ReturnsLink(salesTbl: String, orderCol: String,
+    returnedDateCol: String, soldDateCol: String, linked: Map[String, String])
+
+  private val returnsLinks: Map[String, ReturnsLink] = Map(
+    "store_returns" -> ReturnsLink("store_sales", "sr_ticket_number",
+      "sr_returned_date_sk", "ss_sold_date_sk", Map(
+        "sr_item_sk" -> "ss_item_sk",
+        "sr_customer_sk" -> "ss_customer_sk",
+        "sr_cdemo_sk" -> "ss_cdemo_sk",
+        "sr_hdemo_sk" -> "ss_hdemo_sk",
+        "sr_addr_sk" -> "ss_addr_sk",
+        "sr_store_sk" -> "ss_store_sk")),
+    "catalog_returns" -> ReturnsLink("catalog_sales", "cr_order_number",
+      "cr_returned_date_sk", "cs_sold_date_sk", Map(
+        "cr_item_sk" -> "cs_item_sk",
+        "cr_refunded_customer_sk" -> "cs_bill_customer_sk",
+        "cr_refunded_cdemo_sk" -> "cs_bill_cdemo_sk",
+        "cr_refunded_hdemo_sk" -> "cs_bill_hdemo_sk",
+        "cr_refunded_addr_sk" -> "cs_bill_addr_sk",
+        "cr_returning_customer_sk" -> "cs_bill_customer_sk",
+        "cr_call_center_sk" -> "cs_call_center_sk",
+        "cr_catalog_page_sk" -> "cs_catalog_page_sk",
+        "cr_warehouse_sk" -> "cs_warehouse_sk")),
+    "web_returns" -> ReturnsLink("web_sales", "wr_order_number",
+      "wr_returned_date_sk", "ws_sold_date_sk", Map(
+        "wr_item_sk" -> "ws_item_sk",
+        "wr_refunded_customer_sk" -> "ws_bill_customer_sk",
+        "wr_refunded_cdemo_sk" -> "ws_bill_cdemo_sk",
+        "wr_refunded_hdemo_sk" -> "ws_bill_hdemo_sk",
+        "wr_refunded_addr_sk" -> "ws_bill_addr_sk",
+        "wr_returning_customer_sk" -> "ws_bill_customer_sk",
+        "wr_web_page_sk" -> "ws_web_page_sk")))
+
   /** date_dim's calendar epoch: sk 1 = 1900-01-01 (73,049 rows → 2099). */
   private val calEpoch = java.time.LocalDate.of(1900, 1, 1)
   private def skOf(date: java.time.LocalDate): Long =
