@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness json-parses the LAST stdout line of
+// `sbt "runMain graft.Bench"`. Two sbt default behaviors break that:
+// the forked process's output is re-logged with an "[info] " prefix
+// (LoggedOutput), and sbt appends a "[success] Total time: ..." line
+// after the main returns. StdoutOutput passes the child's stdout
+// through verbatim; showSuccess drops the trailing banner, so the
+// bench's compact summary line is the literal last line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command loop, not a task — exclude it from
+// the unused-key lint so the warning doesn't pollute harness-parsed output
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

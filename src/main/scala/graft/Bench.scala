@@ -79,14 +79,17 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
     // greedy ≤900-byte packing keeps every part line safely inside a 1 KB
-    // window even after the {"part":i,"of":k,...} framing
+    // window even after the {"part":i,"of":k,...} framing; an entry larger
+    // than the budget gets a part of its own (never an infinite split), and
+    // an all-failed run emits no empty part line at all
     val parts = scala.collection.mutable.ListBuffer(scala.collection.mutable.ListBuffer.empty[String])
     entries.foreach { e =>
-      if (parts.last.map(_.length + 1).sum + e.length > 900) parts += scala.collection.mutable.ListBuffer.empty[String]
+      if (parts.last.nonEmpty && parts.last.map(_.length + 1).sum + e.length > 900)
+        parts += scala.collection.mutable.ListBuffer.empty[String]
       parts.last += e
     }
-    val k = parts.size
-    parts.zipWithIndex.foreach { case (p, i) =>
+    val k = if (entries.isEmpty) 0 else parts.size
+    if (entries.nonEmpty) parts.zipWithIndex.foreach { case (p, i) =>
       println(s"""{"part":${i + 1},"of":$k,"queries":${p.mkString("{", ",", "}")}}""")
     }
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${timings.size},"n_failed":${failed.size},"failed":$fl,"sf":"$sfDir","per_query_file":"$outPath","per_query_parts":$k,"queries_md5":"$md5"}""")
