@@ -27,6 +27,8 @@ object GenUtil {
   /** Uniform double in [0, 1). */
   def unif(tag: Int): Column =
     pmod(h(tag), lit(1000000000L)).cast(DoubleType) / 1e9
+  def unif(c: Column, tag: Int): Column =
+    pmod(h(c, tag), lit(1000000000L)).cast(DoubleType) / 1e9
 
   /** Money in [lo, hi] with 2 decimals, as Decimal(11,2). */
   def money(tag: Int, lo: Double, hi: Double): Column =
@@ -55,6 +57,8 @@ object GenUtil {
   /** Date = base + uniform [0, span) days. */
   def date(tag: Int, base: String, spanDays: Int): Column =
     date_add(lit(base).cast(DateType), pmod(h(tag), lit(spanDays)).cast(IntegerType))
+  def date(c: Column, tag: Int, base: String, spanDays: Int): Column =
+    date_add(lit(base).cast(DateType), pmod(h(c, tag), lit(spanDays)).cast(IntegerType))
 
   /** Phone like 25-989-741-2988. */
   def phone(tag: Int): Column = concat(

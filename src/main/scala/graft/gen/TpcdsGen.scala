@@ -27,7 +27,15 @@ import GenUtil._
   *    0 of day; every derived field computed from the actual date/time),
   *    and fact date FKs draw from the dsdgen-like 1998-2002 sales window —
   *    d_year filters against generated facts have calendar-true
-  *    selectivity.
+  *    selectivity;
+  *  - sales facts are BASKETED (dense ticket/order numbers shared by the
+  *    lines of one transaction; customer/date/store/demo FKs drawn at the
+  *    basket level) and returns facts re-evaluate the linked sales table's
+  *    expressions at an injectively chosen sales line, so
+  *    `returns ⋈ sales ON (order, item)` hits the originating sale —
+  *    see returnsCols;
+  *  - the columns TPC-DS queries filter/group on draw from spec-true small
+  *    dictionaries (`dictionaries` below), not free text.
   *
   * Scale design: every table is ONE narrow map job over spark.range — no
   * shuffle, no driver data; 100 TB generation is bounded by write bandwidth.
@@ -197,12 +205,24 @@ object TpcdsGen extends Benchmark {
   private val dateSkLo = skOf(java.time.LocalDate.of(1998, 1, 1))
   private val dateSkHi = skOf(java.time.LocalDate.of(2002, 12, 31))
 
-  /** Deterministic column from (schema field, per-column tag). Type-driven:
-    * surrogate keys sequential, FKs uniform over the target dim's key range
-    * at this sf, strings word-salad, dates in the 1998–2003 window, decimals
-    * in [0, 999.99] at the declared precision. */
+  /** Deterministic column from (schema field, per-column tag), evaluated at
+    * an EXPLICIT row identity: `line` drives per-line values, `basket`
+    * drives basket-level values (the FKs all lines of one sales ticket
+    * share). For non-basketed tables line == basket == col("id").
+    * Parameterizing the identity is what lets returnsTable RE-EVALUATE a
+    * sales table's expressions at the linked sales line id, so returns facts
+    * reference actual sales rows (dsdgen linkage, src/tpcds.rs:51-62).
+    * Type-driven: surrogate keys sequential, FKs uniform over the target
+    * dim's key range at this sf, strings word-salad (or the spec dictionary
+    * when `dictionaries` lists the column), dates in the 1998–2003 window,
+    * decimals in [0, 999.99] at the declared precision. */
   private def colFor(tbl: String, sf: Double, f: StructField, tag: Int,
-                     isFirst: Boolean): Column = {
+                     isFirst: Boolean, line: Column, basket: Column): Column = {
+    // Hash source for this column: basket-level FKs of a basketed fact hash
+    // the basket id (all lines of a ticket agree), everything else the line
+    // id. Null decisions reuse the same source, so a ticket's customer is
+    // null for ALL of its lines or none.
+    val src = if (basketLines.contains(tbl) && basketLevel(f.name)) basket else line
     // A *_sk column is this table's own surrogate only when it is the first
     // column AND its suffix resolves to the table itself (or nowhere, e.g.
     // cd_demo_sk). Fact tables' first column (ss_sold_date_sk, inv_date_sk,
@@ -210,43 +230,95 @@ object TpcdsGen extends Benchmark {
     // sequence.
     def skCol(cast: DataType): Column = fkTarget(f.name) match {
       case Some("date_dim") if tbl != "date_dim" =>
-        uniLong(tag, dateSkLo, dateSkHi).cast(cast)
+        uniLong(src, tag, dateSkLo, dateSkHi).cast(cast)
       case Some(dim) if !(isFirst && dim == tbl) =>
-        uniLong(tag, 1, rowCount(dim, sf)).cast(cast)
-      case Some(_) => (col("id") + 1).cast(cast) // own surrogate key
-      case None if isFirst => (col("id") + 1).cast(cast)
+        uniLong(src, tag, 1, rowCount(dim, sf)).cast(cast)
+      case Some(_) => (line + 1).cast(cast) // own surrogate key
+      case None if isFirst => (line + 1).cast(cast)
       case None => throw new IllegalArgumentException(
         s"unmapped FK column $tbl.${f.name}: add its suffix to fkSuffix")
     }
     val base: Column = f.dataType match {
+      // dense 1-based ticket/order number: the lines of one basket share it,
+      // and returns rows joining on (order, item) hit the originating sale
+      case IntegerType if orderNumberCols(f.name) =>
+        (basket + 1).cast(IntegerType)
       case IntegerType if f.name.endsWith("_sk") => skCol(IntegerType)
       case LongType if f.name.endsWith("_sk") => skCol(LongType)
       // income_band is ordered $10k ranges (band k: [10k(k-1), 10k·k − 1]),
       // so hd_income_band_sk joins carry real ordering semantics
       case IntegerType if f.name == "ib_lower_bound" =>
-        (col("id") * 10000).cast(IntegerType)
+        (line * 10000).cast(IntegerType)
       case IntegerType if f.name == "ib_upper_bound" =>
-        ((col("id") + 1) * 10000 - 1).cast(IntegerType)
+        ((line + 1) * 10000 - 1).cast(IntegerType)
       case IntegerType if isFirst =>
-        (col("id") + 1).cast(IntegerType) // surrogate key: dense, 1-based
-      case IntegerType => uniLong(tag, 0, 9999).cast(IntegerType)
-      case LongType => uniLong(tag, 0, 999999)
+        (line + 1).cast(IntegerType) // surrogate key: dense, 1-based
+      case IntegerType => uniLong(src, tag, 0, 9999).cast(IntegerType)
+      case LongType => uniLong(src, tag, 0, 999999)
       case StringType if f.name.endsWith("_id") =>
         // dsdgen-style 16-char business key, unique per row
-        concat(lit("AAAAAAAA"), lpad(conv(pmod(col("id"), lit(99999999L)).cast(StringType), 10, 16), 8, "0"))
-      case StringType => pick(tag, vocab)
-      case DateType => date(tag, "1998-01-01", 2000)
+        concat(lit("AAAAAAAA"), lpad(conv(pmod(line, lit(99999999L)).cast(StringType), 10, 16), 8, "0"))
+      case StringType if dictionaries.contains(f.name) =>
+        pick(src, tag, dictionaries(f.name))
+      case StringType => pick(src, tag, vocab)
+      case DateType => date(src, tag, "1998-01-01", 2000)
       case d: DecimalType =>
-        (pmod(h(tag), lit(100000L)).cast(DecimalType(12, 2)) / 100).cast(d)
-      case DoubleType => unif(tag)
+        (pmod(h(src, tag), lit(100000L)).cast(DecimalType(12, 2)) / 100).cast(d)
+      case DoubleType => unif(src, tag)
       case other => throw new IllegalArgumentException(
         s"unsupported TPC-DS column type: $other (${f.name})")
     }
     // ~5% deterministic nulls on nullable columns (keys stay dense;
-    // income-band bounds are structural, never null)
-    if (f.nullable && !isFirst && !f.name.startsWith("ib_"))
-      when(pmod(h(tag + 7919), lit(20)) === 0, lit(null).cast(f.dataType)).otherwise(base)
+    // income-band bounds are structural and order numbers are PK members —
+    // never null)
+    if (f.nullable && !isFirst && !f.name.startsWith("ib_") && !orderNumberCols(f.name))
+      when(pmod(h(src, tag + 7919), lit(20)) === 0, lit(null).cast(f.dataType)).otherwise(base)
     else base
+  }
+
+  /** Columns of a returns fact: each row re-evaluates its linked sales
+    * table's column expressions at a deterministically chosen sales LINE id,
+    * so `returns ⋈ sales ON (order_number, item_sk)` lands on the
+    * originating sale with dsdgen-like ~1-in-10 selectivity — item, order
+    * number, customer/demo/address/store FKs all agree with the sale.
+    * The sales line is chosen INJECTIVELY (returns row r draws uniformly
+    * inside the sales block [r·stride, (r+1)·stride)), so no sales line is
+    * returned twice; (order, item) uniqueness then holds up to the sales
+    * table's own same-basket duplicate-item odds (~L²/2/|item| of baskets).
+    * The returned date is the linked sale's sold date + 0–90 days, clamped
+    * to the sales window — returns never precede their sale. */
+  private def returnsCols(tbl: String, sf: Double): Seq[Column] = {
+    val rl = returnsLinks(tbl)
+    val st = schema(tbl)
+    val sIndex = schema(rl.salesTbl).fields.zipWithIndex
+      .map { case (f, i) => f.name -> (f, i) }.toMap
+    val salesRows = rowCount(rl.salesTbl, sf)
+    val returnsRows = rowCount(tbl, sf)
+    val stride = math.max(1L, salesRows / math.max(1L, returnsRows))
+    val sid0 = col("id") * stride + uniLong(col("id"), tagOf(tbl, -1), 0, stride - 1)
+    // injective while returnsRows·stride ≤ salesRows; the degenerate tail
+    // (returns ≥ sales at extreme-tiny sf) degrades to pmod — valid FKs,
+    // some sales lines returned twice
+    val sid = if (returnsRows * stride <= salesRows) sid0 else pmod(sid0, lit(salesRows))
+    val sBkt = floor(sid / basketLines(rl.salesTbl)).cast(LongType)
+    def salesAt(colName: String): Column = {
+      val (sfld, si) = sIndex(colName)
+      colFor(rl.salesTbl, sf, sfld, tagOf(rl.salesTbl, si),
+        isFirst = si == 0, line = sid, basket = sBkt)
+    }
+    st.fields.zipWithIndex.map { case (f, i) =>
+      val c: Column =
+        if (f.name == rl.orderCol) (sBkt + 1).cast(f.dataType)
+        else if (f.name == rl.returnedDateCol)
+          least(salesAt(rl.soldDateCol).cast(LongType) +
+            uniLong(col("id"), tagOf(tbl, i), 0, 90), lit(dateSkHi)).cast(f.dataType)
+        else rl.linked.get(f.name) match {
+          case Some(salesCol) => salesAt(salesCol).cast(f.dataType)
+          case None =>
+            colFor(tbl, sf, f, tagOf(tbl, i), isFirst = false, col("id"), col("id"))
+        }
+      c.as(f.name)
+    }.toIndexedSeq
   }
 
   /** dsdgen-style 16-char business key (shared by the generic path and the
@@ -336,9 +408,14 @@ object TpcdsGen extends Benchmark {
     tbl match {
       case "date_dim" => dateDim(baseDf)
       case "time_dim" => timeDim(baseDf)
+      case t if returnsLinks.contains(t) =>
+        baseDf.select(returnsCols(t, sf): _*)
       case _ =>
+        val line = col("id")
+        val basket = if (basketLines.contains(tbl))
+          floor(line / basketLines(tbl)).cast(LongType) else line
         val cols = st.fields.zipWithIndex.map { case (f, i) =>
-          colFor(tbl, sf, f, tbl.hashCode * 131 + i * 31 + 17, isFirst = i == 0).as(f.name)
+          colFor(tbl, sf, f, tagOf(tbl, i), isFirst = i == 0, line, basket).as(f.name)
         }
         baseDf.select(cols.toIndexedSeq: _*)
     }

@@ -173,4 +173,71 @@ class GenSpec extends AnyFunSuite {
       assert(TpcdsGen.rowCount(t, 0.001) == TpcdsGen.rowCount(t, 100.0), t)
     }
   }
+
+  test("sales facts are basketed: dense tickets, basket-coherent FKs") {
+    import org.apache.spark.sql.functions._
+    val sf = 0.01
+    val ss = TpcdsGen.table(spark, "store_sales", sf, 4)
+    val rows = TpcdsGen.rowCount("store_sales", sf)
+    // ticket numbers are dense 1..ceil(rows/3), 3 lines per full basket
+    val agg = ss.groupBy("ss_ticket_number").count()
+    assert(agg.count() == (rows + 2) / 3, "ticket count != ceil(rows/3)")
+    assert(agg.filter(col("count") > 3).count() == 0, "basket with >3 lines")
+    val Array(lo, hi) = ss.agg(min("ss_ticket_number"), max("ss_ticket_number"))
+      .head().toSeq.map(_.asInstanceOf[Int]).toArray
+    assert(lo == 1 && hi == (rows + 2) / 3, s"tickets not dense [$lo,$hi]")
+    // every basket-level FK (incl. its null decision) is constant per ticket
+    val bad = ss.groupBy("ss_ticket_number").agg(
+      countDistinct(col("ss_customer_sk")).as("nc"),
+      countDistinct(col("ss_sold_date_sk")).as("nd"),
+      countDistinct(col("ss_store_sk")).as("ns"),
+      (count(lit(1)) - count(col("ss_customer_sk"))).as("nullc"),
+      count(lit(1)).as("n"))
+      .filter(col("nc") > 1 || col("nd") > 1 || col("ns") > 1 ||
+        (col("nullc") =!= 0 && col("nullc") =!= col("n")))
+    assert(bad.count() == 0, "basket-level FK varies within a ticket")
+  }
+
+  test("returns facts reference actual sales rows (join on order+item)") {
+    import org.apache.spark.sql.functions._
+    val sf = 0.01
+    val ss = TpcdsGen.table(spark, "store_sales", sf, 4)
+    val sr = TpcdsGen.table(spark, "store_returns", sf, 4)
+    val j = sr.join(ss,
+      sr("sr_ticket_number") === ss("ss_ticket_number") &&
+        sr("sr_item_sk") === ss("ss_item_sk"), "left")
+    // every return hits its originating sale (item/ticket are PK members,
+    // never null); ≥ because a basket can rarely repeat an item
+    assert(j.filter(ss("ss_item_sk").isNull).count() == 0,
+      "a return references no sales row")
+    assert(j.count() >= sr.count())
+    // the linked columns agree with the matched sale, nulls included
+    assert(j.filter(!(sr("sr_customer_sk") <=> ss("ss_customer_sk"))).count() == 0,
+      "sr_customer_sk disagrees with the originating sale")
+    // returns never precede their sale
+    assert(j.filter(sr("sr_returned_date_sk") < ss("ss_sold_date_sk")).count() == 0,
+      "a return predates its sale")
+    // injective draw: ~10% of sales lines returned, none twice (up to the
+    // same-basket duplicate-item odds, which the ≥ above absorbs)
+    assert(sr.select("sr_ticket_number", "sr_item_sk").distinct().count()
+      >= (sr.count() * 95) / 100, "returns heavily collide on (order,item)")
+    // and returns generation is partition-count invariant like everything
+    val p3 = TpcdsGen.table(spark, "store_returns", 0.001, 3)
+    val p11 = TpcdsGen.table(spark, "store_returns", 0.001, 11)
+    assert(p3.exceptAll(p11).count() == 0 && p11.exceptAll(p3).count() == 0)
+  }
+
+  test("dictionary columns draw from their spec domains") {
+    import org.apache.spark.sql.functions._
+    val cd = TpcdsGen.table(spark, "customer_demographics", 0.001, 2)
+    val genders = cd.select("cd_gender").filter(col("cd_gender").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(genders.subsetOf(Set("M", "F")) && genders.size == 2, genders)
+    val item = TpcdsGen.table(spark, "item", 0.01, 2)
+    val cats = item.select("i_category").filter(col("i_category").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(cats.subsetOf(Set("Books", "Children", "Electronics", "Home",
+      "Jewelry", "Men", "Music", "Shoes", "Sports", "Women")), cats)
+    assert(cats.size >= 8, s"category domain under-covered: $cats")
+  }
 }
