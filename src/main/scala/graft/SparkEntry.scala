@@ -26,7 +26,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q_agg_pricing(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // §2.3 projection / filter
     "q_proj" -> Relational.q_proj,
     "q_filter" -> Relational.q_filter,
@@ -147,7 +148,8 @@ object SparkEntry {
     "q_text_mask" -> Relational.q_text_mask,
     "q_fn_date2" -> Relational.q_fn_date2,
     "q_fn_explode_outer" -> Relational.q_fn_explode_outer,
-  )
+    "q_win_rank2" -> Relational.q_win_rank2,
+  ) ++ Tpcds.queries // §2.14 TPC-DS workload over generated TPC-DS parquet
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
   private val oneMinusDisc = "(1 - CAST(l_discount AS DECIMAL(4,2)))"
@@ -435,5 +437,9 @@ object SparkEntry {
       "SELECT o_orderkey, CAST(last_day(o_orderdate) AS DATE) AS month_end, CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow, CAST(weekofyear(o_orderdate) AS INT) AS iso_week, CAST(dayofyear(o_orderdate) AS INT) AS doy, CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS epoch_days FROM orders",
     "q_fn_explode_outer" ->
       "SELECT e.vec_id, round(CAST(u.x AS DOUBLE), 6) AS x FROM embeddings e LEFT JOIN LATERAL (SELECT unnest(list_filter(embedding, v -> CAST(v AS DOUBLE) > 3.0)) AS x) u ON TRUE",
-  )
+    // q_win_rank2's two-phase formulation must equal the plain single-window
+    // rank — the oracle IS that single window
+    "q_win_rank2" ->
+      "SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS rnk, CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders",
+  ) ++ Tpcds.oracle // DuckDB over the generated TPC-DS parquet (sf0.01-pinned)
 }

@@ -271,18 +271,34 @@ object Relational {
       .na.fill(0L, types)
   }
 
+  /** Hard fence for the exact-percentile oracle baseline: Spark's exact
+    * `percentile` buffers EVERY group value in the aggregation buffer —
+    * with 5 priority groups that is n/5 doubles in one task's memory, an
+    * OOM-class plan at production scale. Same policy as the all-pairs
+    * embed baseline ([[Similarity.embedBaselineMaxRows]]): throw rather
+    * than silently run it big. The scale path is [[q_agg_approx_quantile]]
+    * (mergeable GK sketch, bounded memory). */
+  val exactQuantileMaxRows: Long = 10000000L
+
   /** [Q-agg-quantile] exact interpolated percentiles per group (Spark
-    * `percentile` == DuckDB `quantile_cont`). Exact percentile sorts within
-    * the aggregate; the scalable variant is approx_percentile (t-digest) —
-    * same API shape, sketch-mergeable, for when a full sort per group is
-    * off the table. */
-  def q_agg_quantile(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders")
+    * `percentile` == DuckDB `quantile_cont`). FENCED oracle baseline: the
+    * row-count guard (metadata-only parquet count) refuses input where the
+    * per-group value buffer would be memory-unsafe; the scalable variant is
+    * [[q_agg_approx_quantile]] (t-digest/GK — same API shape,
+    * sketch-mergeable, no full sort per group). */
+  def q_agg_quantile(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val n = orders.count()
+    require(n <= exactQuantileMaxRows,
+      s"q_agg_quantile is the fenced exact-percentile oracle baseline; input " +
+        s"has $n rows (max $exactQuantileMaxRows). Use q_agg_approx_quantile at scale.")
+    orders
       .groupBy("o_orderpriority")
       .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
         expr("percentile(o_totalprice, 0.9)").as("p90"),
         expr("percentile(o_totalprice, 0.99)").as("p99"),
         count(lit(1)).as("n"))
+  }
 
   /** [Q-agg-gsets] explicit GROUPING SETS ((r_name), (n_name)) — both
     * one-dimension marginals in a single pass (one shuffle; Catalyst expands
@@ -305,7 +321,10 @@ object Relational {
 
   // ---- §2.6 window functions ----------------------------------------------
 
-  /** [Q-win-rank] rank/dense_rank/row_number of orders by price per priority. */
+  /** [Q-win-rank] rank/dense_rank/row_number of orders by price per priority.
+    * NOTE the window partitions on a 5-value key: at 100× scale that is five
+    * tasks each sorting n/5 rows — [[q_win_rank2]] is the scale-safe
+    * two-phase formulation of the same ranking (parallelism ∝ data). */
   def q_win_rank(s: SparkSession, d: String): DataFrame = {
     val byPrice = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
     val total = Window.partitionBy("o_orderpriority")
@@ -364,6 +383,41 @@ object Relational {
       ntile(4).over(total).as("quartile"),
       percent_rank().over(byPrice).as("pr"),
       cume_dist().over(byPrice).as("cd"))
+  }
+
+  /** [Q-win-rank2] scale-safe two-phase rank: the low-cardinality-window
+    * escape hatch for [[q_win_rank]]'s 5-value partition key.
+    *
+    * Phase 1: range-repartition by (key, order cols) so each of P tasks
+    * holds a contiguous slice of every priority's price order, then
+    * row_number within (slice, key) — windows of ~n/P rows, P ∝ data, no
+    * 5-task straggler. Phase 2: per-(slice, key) counts (P×5 rows — tiny)
+    * cumulated per key give each slice's offset; global row_number = local
+    * + broadcast-joined offset. Tie-aware rank is then min(row_number) over
+    * the (key, price) tie group — a hash shuffle on the DIVERSE (key,
+    * price) pair, never the 5-value key alone. Output ≡ rank()/row_number()
+    * over (partition by priority order by price desc), judged by the same
+    * single-window oracle SQL. */
+  def q_win_rank2(s: SparkSession, d: String): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    val parted = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .repartitionByRange(p, col("o_orderpriority"), col("o_totalprice").desc,
+        col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+    val local = Window.partitionBy("pid", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val withLocal = parted.withColumn("lrn", row_number().over(local))
+    val cum = Window.partitionBy("o_orderpriority").orderBy("pid")
+    val offsets = withLocal.groupBy("pid", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", sum("cnt").over(cum) - col("cnt"))
+      .select("pid", "o_orderpriority", "off")
+    val ties = Window.partitionBy("o_orderpriority", "o_totalprice")
+    withLocal.join(broadcast(offsets), Seq("pid", "o_orderpriority"))
+      .withColumn("rn", (col("lrn") + col("off")).cast(IntegerType))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        min(col("rn")).over(ties).as("rnk"), col("rn"))
   }
 
   // ---- §2.7 sort / limit / top-k / set ops ----------------------------------

@@ -79,4 +79,38 @@ class PlanGuardSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("TPC-DS star queries broadcast their dims and prune the fact scan") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def fmt(name: String): String =
+      SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // Q3: both dims broadcast (the fact side never shuffles), the November
+    // slice pushed into the date_dim scan, the fact scan pruned to the 3
+    // needed columns
+    val q3 = fmt("q_tpcds_q3")
+    assert(q3.contains("BroadcastHashJoin") && !q3.contains("SortMergeJoin"),
+      s"Q3 dims not broadcast:\n$q3")
+    assert(q3.contains("EqualTo(d_moy,11)"), s"d_moy not pushed:\n$q3")
+    assert(q3.contains("EqualTo(i_category,Books)"), s"i_category not pushed:\n$q3")
+    val ssSchema = q3.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("ss_")).mkString
+    assert(ssSchema.contains("ss_ext_sales_price") && !ssSchema.contains("ss_net_profit"),
+      s"store_sales scan not pruned: $ssSchema")
+    // the returns⋈sales join is keyed on the (ticket, item) PK
+    val qr = fmt("q_tpcds_returns")
+    assert(qr.contains("sr_ticket_number") && qr.contains("ss_ticket_number"),
+      s"returns join not on the ticket key:\n$qr")
+    assert(!qr.contains("BroadcastNestedLoopJoin") && !qr.contains("CartesianProduct"))
+  }
+
+  test("q_win_rank2 range-partitions by data, not by the 5-value key") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val plan = SparkEntry.queries("q_win_rank2")(spark, TestSpark.sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"two-phase rank lost its range repartition:\n$plan")
+    // the big window runs over (pid, priority) — parallelism ∝ data
+    assert(plan.contains("pid"), s"local window not slice-keyed:\n$plan")
+  }
 }
