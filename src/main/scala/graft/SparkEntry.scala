@@ -149,6 +149,7 @@ object SparkEntry {
     "q_fn_date2" -> Relational.q_fn_date2,
     "q_fn_explode_outer" -> Relational.q_fn_explode_outer,
     "q_win_rank2" -> Relational.q_win_rank2,
+    "q_win_ntile2" -> Relational.q_win_ntile2,
   ) ++ Tpcds.queries // §2.14 TPC-DS workload over generated TPC-DS parquet
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -441,5 +442,9 @@ object SparkEntry {
     // rank — the oracle IS that single window
     "q_win_rank2" ->
       "SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS rnk, CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders",
+    // q_win_ntile2's derived ntile/percent_rank/cume_dist must equal the
+    // plain single-window forms — the oracle IS q_win_ntile's window SQL
+    "q_win_ntile2" ->
+      "SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)",
   ) ++ Tpcds.oracle // DuckDB over the generated TPC-DS parquet (sf0.01-pinned)
 }

@@ -21,4 +21,62 @@ object Tables {
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Data files of a parquet table dir (skips _SUCCESS / hidden files). */
+  private def parquetFiles(spark: SparkSession, path: String) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val files = p.getFileSystem(conf).listStatus(p).iterator.map(_.getPath)
+      .filter { f =>
+        val n = f.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq
+    (conf, files)
+  }
+
+  private val rowCountCache = new scala.collection.concurrent.TrieMap[String, Long]
+
+  /** Exact row count of a parquet table read driver-side from file footers —
+    * NO Spark job (footer metadata only; a few KB per file). Used by scale
+    * fences that must not add a job to the measured query path. Cached per
+    * directory (fixture tables are immutable for a session's lifetime). */
+  def footerRowCount(spark: SparkSession, dir: String, name: String): Long =
+    rowCountCache.getOrElseUpdate(s"$dir/$name.parquet", {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val (conf, files) = parquetFiles(spark, s"$dir/$name.parquet")
+      files.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+
+  private val rangeCache =
+    new scala.collection.concurrent.TrieMap[String, Option[(Double, Double)]]
+
+  /** Driver-side (min, max) of a DOUBLE column from parquet footer
+    * statistics — NO Spark job. None if any footer lacks double stats for
+    * the column (caller picks a fallback). A production deployment over a
+    * catalog would take the same two numbers from table statistics; the
+    * point is that value-range slicing reads METADATA, not data. */
+  def footerDoubleRange(spark: SparkSession, dir: String, name: String,
+                        column: String): Option[(Double, Double)] =
+    rangeCache.getOrElseUpdate(s"$dir/$name.parquet#$column", {
+      import org.apache.parquet.column.statistics.DoubleStatistics
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val (conf, files) = parquetFiles(spark, s"$dir/$name.parquet")
+      val perBlock = files.flatMap { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column)
+            .map(_.getStatistics).collect {
+              case ds: DoubleStatistics if !ds.isEmpty => (ds.getMin, ds.getMax)
+            }
+        } finally r.close()
+      }
+      if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+      else Some((perBlock.map(_.get._1).min, perBlock.map(_.get._2).max))
+    })
 }

@@ -16,9 +16,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // q_tpcds_* oracle SQL reads generated parquet at a path pinned to
+        // Tpcds.oracleScale; dumping results from another fixture scale
+        // would hash-mismatch against DIFFERENT data. Fail loud instead.
+        if (ops.Tpcds.queries.contains(name) && !ops.Tpcds.oracleCompatible(sfDir))
+          throw new IllegalStateException(
+            s"$name's oracle is pinned to ${ops.Tpcds.oracleScale}-generated " +
+              s"data; verifying at '$sfDir' would compare against the wrong " +
+              s"scale. Run Verify at ${ops.Tpcds.oracleScale}.")
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -404,6 +404,20 @@ object TpcdsGen extends Benchmark {
   def table(spark: SparkSession, tbl: String, sf: Double, partitions: Int): DataFrame = {
     val st = schema(tbl)
     val rows = rowCount(tbl, sf)
+    // Ticket/order numbers are Int32 per the reference schema; past
+    // Int.MaxValue baskets a silent non-ANSI Long→Int cast would wrap them
+    // negative and corrupt the returns⋈sales PK linkage. Fail LOUD instead
+    // (covers the sales fact itself and the returns fact that re-evaluates
+    // the linked sales table's basket ids).
+    val basketSrc = returnsLinks.get(tbl).map(_.salesTbl).getOrElse(tbl)
+    if (basketLines.contains(basketSrc)) {
+      val baskets = rowCount(basketSrc, sf) / basketLines(basketSrc) + 1
+      require(baskets <= Int.MaxValue.toLong,
+        s"generating '$tbl' at sf=$sf needs $baskets $basketSrc baskets, but " +
+          s"ticket/order numbers are Int32 (reference schema) and would wrap. " +
+          s"Max supported sf for $basketSrc ≈ " +
+          f"${Int.MaxValue.toLong * basketLines(basketSrc) / (sf1Counts(basketSrc)._1.toDouble)}%.0f.")
+    }
     val baseDf = spark.range(0, rows, 1, math.max(1, partitions)).toDF()
     tbl match {
       case "date_dim" => dateDim(baseDf)

@@ -282,13 +282,15 @@ object Relational {
 
   /** [Q-agg-quantile] exact interpolated percentiles per group (Spark
     * `percentile` == DuckDB `quantile_cont`). FENCED oracle baseline: the
-    * row-count guard (metadata-only parquet count) refuses input where the
-    * per-group value buffer would be memory-unsafe; the scalable variant is
-    * [[q_agg_approx_quantile]] (t-digest/GK — same API shape,
+    * row-count guard refuses input where the per-group value buffer would
+    * be memory-unsafe. The count comes from parquet FOOTERS read driver-side
+    * ([[graft.Tables.footerRowCount]], cached per dir) — zero Spark jobs, so
+    * the fence adds nothing to the measured query path. The scalable variant
+    * is [[q_agg_approx_quantile]] (t-digest/GK — same API shape,
     * sketch-mergeable, no full sort per group). */
   def q_agg_quantile(s: SparkSession, d: String): DataFrame = {
     val orders = t(s, d, "orders")
-    val n = orders.count()
+    val n = graft.Tables.footerRowCount(s, d, "orders")
     require(n <= exactQuantileMaxRows,
       s"q_agg_quantile is the fenced exact-percentile oracle baseline; input " +
         s"has $n rows (max $exactQuantileMaxRows). Use q_agg_approx_quantile at scale.")
@@ -388,23 +390,54 @@ object Relational {
   /** [Q-win-rank2] scale-safe two-phase rank: the low-cardinality-window
     * escape hatch for [[q_win_rank]]'s 5-value partition key.
     *
-    * Phase 1: range-repartition by (key, order cols) so each of P tasks
-    * holds a contiguous slice of every priority's price order, then
-    * row_number within (slice, key) — windows of ~n/P rows, P ∝ data, no
-    * 5-task straggler. Phase 2: per-(slice, key) counts (P×5 rows — tiny)
-    * cumulated per key give each slice's offset; global row_number = local
-    * + broadcast-joined offset. Tie-aware rank is then min(row_number) over
-    * the (key, price) tie group — a hash shuffle on the DIVERSE (key,
-    * price) pair, never the 5-value key alone. Output ≡ rank()/row_number()
-    * over (partition by priority order by price desc), judged by the same
-    * single-window oracle SQL. */
+    * Phase 1: assign each row a slice id computed DETERMINISTICALLY from
+    * the data — equi-width buckets over the order column between its
+    * broadcast min/max (descending: higher price → lower pid) — then
+    * row_number within (slice, key): windows of ~n/P rows hash-shuffled on
+    * the diverse (pid, key) pair, P ∝ data, no 5-task straggler. Phase 2:
+    * per-(slice, key) counts (P×5 rows — tiny) cumulated per key give each
+    * slice's offset; global row_number = local + broadcast-joined offset.
+    * Tie-aware rank is then min(row_number) over the (key, price) tie
+    * group. Output ≡ rank()/row_number() over (partition by priority order
+    * by price desc), judged by the same single-window oracle SQL.
+    *
+    * Why not repartitionByRange + spark_partition_id: this query derives
+    * TWO subtrees (offsets agg, join input) from the sliced frame, and a
+    * sampled range shuffle is seeded per materialization — the branches
+    * only agree if Catalyst happens to reuse the exchange. A pid that is a
+    * pure function of the row is identical in both branches by
+    * construction, whatever the planner does. The bucket bounds come from
+    * parquet FOOTER statistics read driver-side
+    * ([[graft.Tables.footerDoubleRange]] — metadata, no Spark job, no
+    * join in the plan); if stats are absent the fixed fallback range only
+    * unbalances the buckets — the clamped pid stays a monotone
+    * deterministic function of the price, so ranks stay exact. Equi-width
+    * slicing assumes the order column is not pathologically clustered on
+    * one value; a skewed deployment would swap in sampled-quantile
+    * boundaries, keeping the same determinism (boundaries become data,
+    * not partitioner state). */
   def q_win_rank2(s: SparkSession, d: String): DataFrame = {
+    val ties = Window.partitionBy("o_orderpriority", "o_totalprice")
+    twoPhaseRowNumbers(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        min(col("rn")).over(ties).as("rnk"), col("rn"))
+  }
+
+  /** Shared phase-1+2 of the scale-safe window family ([[q_win_rank2]],
+    * [[q_win_ntile2]]): global row_number over (partition by priority order
+    * by price desc, orderkey) without ever shuffling on the 5-value key —
+    * returns (o_orderkey, o_orderpriority, o_totalprice, rn). See
+    * [[q_win_rank2]]'s scaladoc for the determinism design. */
+  private def twoPhaseRowNumbers(s: SparkSession, d: String): DataFrame = {
     val p = s.sparkContext.defaultParallelism
-    val parted = t(s, d, "orders")
+    val base = t(s, d, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .repartitionByRange(p, col("o_orderpriority"), col("o_totalprice").desc,
-        col("o_orderkey"))
-      .withColumn("pid", spark_partition_id())
+    val (lo, hi) = graft.Tables.footerDoubleRange(s, d, "orders", "o_totalprice")
+      .getOrElse((0.0, 1e7))
+    val parted = base
+      .withColumn("pid", least(lit(p - 1), greatest(lit(0),
+        floor((lit(hi) - col("o_totalprice")) * p / lit(hi - lo + 1e-9))
+          .cast(IntegerType))))
     val local = Window.partitionBy("pid", "o_orderpriority")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val withLocal = parted.withColumn("lrn", row_number().over(local))
@@ -413,11 +446,38 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("off", sum("cnt").over(cum) - col("cnt"))
       .select("pid", "o_orderpriority", "off")
-    val ties = Window.partitionBy("o_orderpriority", "o_totalprice")
     withLocal.join(broadcast(offsets), Seq("pid", "o_orderpriority"))
       .withColumn("rn", (col("lrn") + col("off")).cast(IntegerType))
+      .drop("pid", "lrn", "off")
+  }
+
+  /** [Q-win-ntile2] scale-safe ntile/percent_rank/cume_dist: the same
+    * escape hatch [[q_win_rank2]] built for rank, extended to the three
+    * remaining distribution functions — all derivable from the two-phase
+    * global row_number plus a broadcast per-key count (5 rows):
+    * `ntile(k)` places row rn in the bucket boundary formula over (n, k);
+    * `percent_rank` = (tie-rank − 1)/(n − 1); `cume_dist` = (last tie
+    * row's rn)/n. The only window over the raw 5-value key is gone; tie
+    * windows key on the diverse (priority, price) pair. Replaces
+    * [[q_win_ntile]]'s single-partition-per-key plan at scale. */
+  def q_win_ntile2(s: SparkSession, d: String): DataFrame = {
+    val k = 4
+    val counts = t(s, d, "orders").groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val ties = Window.partitionBy("o_orderpriority", "o_totalprice")
+    val q = col("n").divide(k).cast(LongType) // floor(n/k)
+    val r = col("n") % k                      // first r buckets get q+1 rows
+    twoPhaseRowNumbers(s, d)
+      .withColumn("rnk", min(col("rn")).over(ties))
+      .withColumn("mx", max(col("rn")).over(ties))
+      .join(broadcast(counts), Seq("o_orderpriority"))
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-        min(col("rn")).over(ties).as("rnk"), col("rn"))
+        when(col("rn") <= r * (q + 1), floor((col("rn") - 1) / (q + 1)) + 1)
+          .otherwise(r + floor((col("rn") - r * (q + 1) - 1) / q) + 1)
+          .cast(IntegerType).as("quartile"),
+        when(col("n") === 1, lit(0.0))
+          .otherwise((col("rnk") - 1).cast(DoubleType) / (col("n") - 1)).as("pr"),
+        (col("mx").cast(DoubleType) / col("n")).as("cd"))
   }
 
   // ---- §2.7 sort / limit / top-k / set ops ----------------------------------

@@ -45,22 +45,44 @@ object Tpcds {
     s"$root/$base"
   }
 
-  /** Generate-once: all 24 tables at the fixture-matched scale, marker-
-    * gated. Generation is deterministic and partition-count invariant
-    * (GenSpec), so a rebuild after a wiped cache produces identical
-    * content; a partial dir from a crashed run is deleted and redone. */
+  /** Generate-once: all 24 tables at the fixture-matched scale. Safe across
+    * THREADS (JVM `synchronized` — also keeps FileChannel.lock from throwing
+    * OverlappingFileLockException) and across PROCESSES (an exclusive
+    * FileChannel lock on `<sf>.lock` serializes generators, and the dir is
+    * built in a temp sibling then ATOMIC_MOVE'd into place with the
+    * `_GRAFT_COMPLETE` marker already inside — so the marker is only ever
+    * visible in a fully-written dir, and no JVM deletes a dir that carries
+    * it). Generation is deterministic and partition-count invariant
+    * (GenSpec); a partial dir from a crashed run has no marker and is swept
+    * under the lock. */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val dir = dataDir(sfDir)
-    val marker = java.nio.file.Paths.get(dir, "_GRAFT_COMPLETE")
-    if (!java.nio.file.Files.exists(marker)) {
-      val sf = new java.io.File(sfDir).getName.drop(2).toDouble
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(p)) {
-        val it = java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        try it.forEach(f => java.nio.file.Files.delete(f)) finally it.close()
-      }
-      TpcdsGen.generateParquet(spark, sf, 16, dir)
-      java.nio.file.Files.createFile(marker)
+    val dirPath = Paths.get(dir)
+    val marker = dirPath.resolve("_GRAFT_COMPLETE")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(Paths.get(root))
+      val lockPath = Paths.get(root, s"${dirPath.getFileName}.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until any concurrent generator finishes
+        try {
+          if (!Files.exists(marker)) { // re-check under the lock
+            def sweep(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+              val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              try it.forEach(f => Files.delete(f)) finally it.close()
+            }
+            sweep(dirPath) // markerless partial from a crashed run
+            val tmp = Paths.get(root, s".${dirPath.getFileName}.tmp")
+            sweep(tmp)
+            val sf = new java.io.File(sfDir).getName.drop(2).toDouble
+            TpcdsGen.generateParquet(spark, sf, 16, tmp.toString)
+            Files.createFile(tmp.resolve("_GRAFT_COMPLETE"))
+            Files.move(tmp, dirPath, StandardCopyOption.ATOMIC_MOVE)
+          }
+        } finally lock.release()
+      } finally ch.close()
     }
     dir
   }
@@ -179,10 +201,19 @@ object Tpcds {
       .agg(sum(col("price")).cast(DoubleType).as("ext_price"))
   }
 
+  /** The one fixture scale whose generated data the static oracle SQL reads.
+    * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
+    * any other fixture scale fails with an explanatory error instead of an
+    * opaque wrong-scale hash mismatch. Bench (no oracle) runs at any scale. */
+  val oracleScale = "sf0.01"
+
+  /** True iff `sfDir`'s generated data is what [[oracle]]'s pinned paths read. */
+  def oracleCompatible(sfDir: String): Boolean =
+    new java.io.File(sfDir).getName == oracleScale
+
   /** DuckDB oracle SQL over the SAME generated parquet, path-pinned to the
-    * driver's correctness scale (sf0.01): the q_tpcds_* family hash-matches
-    * only when checked at sf0.01. */
-  private def P(name: String) = s"'$root/sf0.01/$name.parquet/*.parquet'"
+    * driver's correctness scale ([[oracleScale]]). */
+  private def P(name: String) = s"'$root/$oracleScale/$name.parquet/*.parquet'"
 
   val oracle: Map[String, String] = Map(
     "q_tpcds_q3" ->

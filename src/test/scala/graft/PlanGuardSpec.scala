@@ -104,13 +104,18 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!qr.contains("BroadcastNestedLoopJoin") && !qr.contains("CartesianProduct"))
   }
 
-  test("q_win_rank2 range-partitions by data, not by the 5-value key") {
+  test("q_win_rank2 slices by deterministic data buckets, not by the 5-value key") {
     import org.apache.spark.sql.execution.ExplainMode
     val plan = SparkEntry.queries("q_win_rank2")(spark, TestSpark.sf0001)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(plan.toLowerCase.contains("rangepartitioning"),
-      s"two-phase rank lost its range repartition:\n$plan")
-    // the big window runs over (pid, priority) — parallelism ∝ data
+    // the big window runs over (pid, priority) — parallelism ∝ data; the
+    // shuffle key must include the slice id, never the 5-value key alone
     assert(plan.contains("pid"), s"local window not slice-keyed:\n$plan")
+    val shuffles = plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(shuffles.contains("pid"), s"no (pid, key) hash shuffle:\n$plan")
+    // correctness must not hinge on exchange reuse: the slice id is a pure
+    // function of the row (no SPARK_PARTITION_ID in any branch)
+    assert(!plan.toUpperCase.contains("SPARK_PARTITION_ID"),
+      s"pid still derived from physical partition placement:\n$plan")
   }
 }
