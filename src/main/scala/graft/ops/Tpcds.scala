@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.gen.TpcdsGen
@@ -201,6 +201,145 @@ object Tpcds {
       .agg(sum(col("price")).cast(DoubleType).as("ext_price"))
   }
 
+  /** [Q-tpcds-q1] TPC-DS Q1 shape: the CORRELATED-SUBQUERY workload —
+    * customers whose yearly store-returns total exceeds 1.2× their store's
+    * average. Expressed as actual correlated scalar subqueries in SQL so
+    * Catalyst's decorrelation does the rewrite (RewriteCorrelatedScalarSubquery
+    * turns both into per-store aggregates joined back on ctr_store_sk — the
+    * plan a hand-decorrelation would build: one extra keyed shuffle of the
+    * TINY per-(customer, store) aggregate, never a per-row subquery). The
+    * 1.2× threshold is compared in exact integer/decimal cross-multiplied
+    * form (total × count × 5 > sum × 6) so the filter boundary is
+    * bit-identical in Spark and DuckDB — avg() would divide in decimal on
+    * one engine and double on the other. */
+  def q_tpcds_q1(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    Seq("store_returns", "date_dim", "store", "customer")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(s"graft_$n"))
+    spark.sql("""
+      WITH ctr AS (
+        SELECT sr_customer_sk AS ctr_customer_sk, sr_store_sk AS ctr_store_sk,
+               sum(sr_return_amt) AS ctr_total_return
+        FROM graft_store_returns
+        JOIN graft_date_dim ON sr_returned_date_sk = d_date_sk
+        WHERE d_year = 2000
+        GROUP BY sr_customer_sk, sr_store_sk)
+      SELECT c_customer_id
+      FROM ctr ctr1
+      JOIN graft_store ON ctr1.ctr_store_sk = s_store_sk
+      JOIN graft_customer ON ctr1.ctr_customer_sk = c_customer_sk
+      WHERE s_state IN ('IL', 'CA', 'NY')
+        AND ctr1.ctr_total_return * (SELECT count(*) * 5 FROM ctr ctr2
+                                     WHERE ctr2.ctr_store_sk = ctr1.ctr_store_sk)
+          > (SELECT sum(ctr_total_return) * 6 FROM ctr ctr2
+             WHERE ctr2.ctr_store_sk = ctr1.ctr_store_sk)""")
+  }
+
+  /** [Q-tpcds-q91] TPC-DS Q91 shape: catalog_returns ⋈ catalog_sales on the
+    * (order, item) PK — exercising the catalog-channel returns linkage the
+    * generator wires (TpcdsGen.returnsLinks) — rolled up per call center
+    * with the returned-year dim. The fact⋈fact join shuffles on its PK
+    * (both sides corpus-sized at scale); call_center and the date slice
+    * broadcast. */
+  def q_tpcds_q91(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val cc = t(spark, dir, "call_center")
+      .select("cc_call_center_sk", "cc_call_center_id")
+    val cs = t(spark, dir, "catalog_sales")
+      .select("cs_order_number", "cs_item_sk", "cs_net_paid")
+    t(spark, dir, "catalog_returns")
+      .join(cs, col("cr_order_number") === col("cs_order_number") &&
+        col("cr_item_sk") === col("cs_item_sk"))
+      .join(broadcast(dd), col("cr_returned_date_sk") === col("d_date_sk"))
+      .join(broadcast(cc), col("cr_call_center_sk") === col("cc_call_center_sk"))
+      .groupBy(col("cc_call_center_id"))
+      .agg(count(lit(1)).as("n_returns"),
+        sum(col("cr_return_amount")).cast(DoubleType).as("returned_amt"),
+        sum(col("cr_net_loss")).cast(DoubleType).as("net_loss"),
+        sum(col("cs_net_paid")).cast(DoubleType).as("sold_amt"))
+  }
+
+  /** [Q-tpcds-q85] TPC-DS Q85 shape: web_returns ⋈ web_sales on the
+    * (order, item) PK, explained by reason and sliced by the sale's web
+    * site and page — touches all three web-channel dims. reason/web_page/
+    * web_site are fixed-small → broadcast; the PK join shuffles. */
+  def q_tpcds_q85(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val ws = t(spark, dir, "web_sales")
+      .select("ws_order_number", "ws_item_sk", "ws_web_site_sk", "ws_net_profit")
+    val rs = t(spark, dir, "reason").select("r_reason_sk", "r_reason_desc")
+    val wp = t(spark, dir, "web_page").select("wp_web_page_sk")
+    val st = t(spark, dir, "web_site").select("web_site_sk", "web_site_id")
+    t(spark, dir, "web_returns")
+      .join(ws, col("wr_order_number") === col("ws_order_number") &&
+        col("wr_item_sk") === col("ws_item_sk"))
+      .join(broadcast(rs), col("wr_reason_sk") === col("r_reason_sk"))
+      .join(broadcast(wp), col("wr_web_page_sk") === col("wp_web_page_sk"))
+      .join(broadcast(st), col("ws_web_site_sk") === col("web_site_sk"))
+      .groupBy(col("web_site_id"), col("r_reason_desc"))
+      .agg(count(lit(1)).as("n_returns"),
+        sum(col("wr_return_amt")).cast(DoubleType).as("returned_amt"),
+        sum(col("ws_net_profit")).cast(DoubleType).as("net_profit"))
+  }
+
+  /** [Q-tpcds-q99] TPC-DS Q99 shape: catalog shipping-delay distribution —
+    * days between sold and ship date bucketed at 30/60/90/120, by
+    * warehouse × ship mode × call center. One fact scan through three
+    * broadcast dims + the ship-date month slice; the only shuffle carries
+    * the ≤ |wh|×|sm|×|cc| aggregation rows. */
+  def q_tpcds_q99(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_month_seq").between(1200, 1211)).select("d_date_sk")
+    val wh = t(spark, dir, "warehouse").select("w_warehouse_sk", "w_warehouse_name")
+    val sm = t(spark, dir, "ship_mode").select("sm_ship_mode_sk", "sm_type")
+    val cc = t(spark, dir, "call_center").select("cc_call_center_sk", "cc_call_center_id")
+    val delay = col("cs_ship_date_sk") - col("cs_sold_date_sk")
+    def bucket(c: Column) = sum(when(c, 1L).otherwise(0L))
+    t(spark, dir, "catalog_sales")
+      .join(broadcast(dd), col("cs_ship_date_sk") === col("d_date_sk"))
+      .join(broadcast(wh), col("cs_warehouse_sk") === col("w_warehouse_sk"))
+      .join(broadcast(sm), col("cs_ship_mode_sk") === col("sm_ship_mode_sk"))
+      .join(broadcast(cc), col("cs_call_center_sk") === col("cc_call_center_sk"))
+      .groupBy(substring(col("w_warehouse_name"), 1, 20).as("wh"),
+        col("sm_type"), col("cc_call_center_id"))
+      .agg(bucket(delay <= 30).as("d30"),
+        bucket(delay > 30 && delay <= 60).as("d60"),
+        bucket(delay > 60 && delay <= 90).as("d90"),
+        bucket(delay > 90 && delay <= 120).as("d120"),
+        bucket(delay > 120).as("dmore"))
+  }
+
+  /** [Q-tpcds-q84] TPC-DS Q84 shape: store returns attributed through the
+    * customer's household demographics and income band, sliced by address
+    * state. The two scaling dims (customer, customer_address) join KEYED —
+    * deliberately not broadcast: both grow ∝ sf, so at 100 TB these are
+    * sort-merge/shuffle-hash joins (AQE may still broadcast them at test
+    * scale — that's a size decision, not a plan-shape one). The fixed-size
+    * household_demographics and income_band broadcast. */
+  def q_tpcds_q84(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val cu = t(spark, dir, "customer")
+      .select("c_customer_sk", "c_current_addr_sk", "c_current_hdemo_sk")
+    val ca = t(spark, dir, "customer_address")
+      .filter(col("ca_state").isin("CA", "TX")).select("ca_address_sk", "ca_state")
+    val hd = t(spark, dir, "household_demographics")
+      .filter(col("hd_buy_potential") === ">10000")
+      .select("hd_demo_sk", "hd_income_band_sk")
+    val ib = t(spark, dir, "income_band")
+      .select("ib_income_band_sk", "ib_lower_bound")
+    t(spark, dir, "store_returns")
+      .join(cu, col("sr_customer_sk") === col("c_customer_sk"))
+      .join(ca, col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(broadcast(hd), col("c_current_hdemo_sk") === col("hd_demo_sk"))
+      .join(broadcast(ib), col("hd_income_band_sk") === col("ib_income_band_sk"))
+      .groupBy(col("ca_state"), col("ib_lower_bound"))
+      .agg(count(lit(1)).as("n_returns"),
+        sum(col("sr_return_amt")).cast(DoubleType).as("returned_amt"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -272,7 +411,74 @@ object Tpcds {
          |JOIN ${P("time_dim")} ON tim = t_time_sk
          |WHERE d_moy = 11 AND d_year = 2000 AND i_category = 'Electronics'
          |  AND t_meal_time IN ('breakfast', 'dinner')
-         |GROUP BY i_brand_id, i_brand, t_hour""".stripMargin)
+         |GROUP BY i_brand_id, i_brand, t_hour""".stripMargin,
+    "q_tpcds_q1" ->
+      s"""WITH ctr AS (
+         |  SELECT sr_customer_sk AS ctr_customer_sk, sr_store_sk AS ctr_store_sk,
+         |         sum(sr_return_amt) AS ctr_total_return
+         |  FROM ${P("store_returns")}
+         |  JOIN ${P("date_dim")} ON sr_returned_date_sk = d_date_sk
+         |  WHERE d_year = 2000
+         |  GROUP BY sr_customer_sk, sr_store_sk)
+         |SELECT c_customer_id
+         |FROM ctr ctr1
+         |JOIN ${P("store")} ON ctr1.ctr_store_sk = s_store_sk
+         |JOIN ${P("customer")} ON ctr1.ctr_customer_sk = c_customer_sk
+         |WHERE s_state IN ('IL', 'CA', 'NY')
+         |  AND ctr1.ctr_total_return * (SELECT count(*) * 5 FROM ctr ctr2
+         |                               WHERE ctr2.ctr_store_sk = ctr1.ctr_store_sk)
+         |    > (SELECT sum(ctr_total_return) * 6 FROM ctr ctr2
+         |       WHERE ctr2.ctr_store_sk = ctr1.ctr_store_sk)""".stripMargin,
+    "q_tpcds_q91" ->
+      s"""SELECT cc_call_center_id, count(*) AS n_returns,
+         | CAST(sum(cr_return_amount) AS DOUBLE) AS returned_amt,
+         | CAST(sum(cr_net_loss) AS DOUBLE) AS net_loss,
+         | CAST(sum(cs_net_paid) AS DOUBLE) AS sold_amt
+         |FROM ${P("catalog_returns")}
+         |JOIN ${P("catalog_sales")}
+         |  ON cr_order_number = cs_order_number AND cr_item_sk = cs_item_sk
+         |JOIN ${P("date_dim")} ON cr_returned_date_sk = d_date_sk
+         |JOIN ${P("call_center")} ON cr_call_center_sk = cc_call_center_sk
+         |WHERE d_year = 2000
+         |GROUP BY cc_call_center_id""".stripMargin,
+    "q_tpcds_q85" ->
+      s"""SELECT web_site_id, r_reason_desc, count(*) AS n_returns,
+         | CAST(sum(wr_return_amt) AS DOUBLE) AS returned_amt,
+         | CAST(sum(ws_net_profit) AS DOUBLE) AS net_profit
+         |FROM ${P("web_returns")}
+         |JOIN ${P("web_sales")}
+         |  ON wr_order_number = ws_order_number AND wr_item_sk = ws_item_sk
+         |JOIN ${P("reason")} ON wr_reason_sk = r_reason_sk
+         |JOIN ${P("web_page")} ON wr_web_page_sk = wp_web_page_sk
+         |JOIN ${P("web_site")} ON ws_web_site_sk = web_site_sk
+         |GROUP BY web_site_id, r_reason_desc""".stripMargin,
+    "q_tpcds_q99" ->
+      s"""SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, cc_call_center_id,
+         | CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+         | CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 30
+         |   AND cs_ship_date_sk - cs_sold_date_sk <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+         | CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 60
+         |   AND cs_ship_date_sk - cs_sold_date_sk <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+         | CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 90
+         |   AND cs_ship_date_sk - cs_sold_date_sk <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+         | CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 120 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+         |FROM ${P("catalog_sales")}
+         |JOIN ${P("date_dim")} ON cs_ship_date_sk = d_date_sk
+         |JOIN ${P("warehouse")} ON cs_warehouse_sk = w_warehouse_sk
+         |JOIN ${P("ship_mode")} ON cs_ship_mode_sk = sm_ship_mode_sk
+         |JOIN ${P("call_center")} ON cs_call_center_sk = cc_call_center_sk
+         |WHERE d_month_seq BETWEEN 1200 AND 1211
+         |GROUP BY substr(w_warehouse_name, 1, 20), sm_type, cc_call_center_id""".stripMargin,
+    "q_tpcds_q84" ->
+      s"""SELECT ca_state, ib_lower_bound, count(*) AS n_returns,
+         | CAST(sum(sr_return_amt) AS DOUBLE) AS returned_amt
+         |FROM ${P("store_returns")}
+         |JOIN ${P("customer")} ON sr_customer_sk = c_customer_sk
+         |JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
+         |JOIN ${P("household_demographics")} ON c_current_hdemo_sk = hd_demo_sk
+         |JOIN ${P("income_band")} ON hd_income_band_sk = ib_income_band_sk
+         |WHERE ca_state IN ('CA', 'TX') AND hd_buy_potential = '>10000'
+         |GROUP BY ca_state, ib_lower_bound""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -280,5 +486,10 @@ object Tpcds {
     "q_tpcds_q7" -> q_tpcds_q7,
     "q_tpcds_returns" -> q_tpcds_returns,
     "q_tpcds_q22" -> q_tpcds_q22,
-    "q_tpcds_q71" -> q_tpcds_q71)
+    "q_tpcds_q71" -> q_tpcds_q71,
+    "q_tpcds_q1" -> q_tpcds_q1,
+    "q_tpcds_q91" -> q_tpcds_q91,
+    "q_tpcds_q85" -> q_tpcds_q85,
+    "q_tpcds_q99" -> q_tpcds_q99,
+    "q_tpcds_q84" -> q_tpcds_q84)
 }

@@ -100,6 +100,23 @@ class GenSpec extends AnyFunSuite {
     assert(e.getMessage.contains("S >= 4"), e.getMessage)
   }
 
+  test("basketed TPC-DS facts fail loudly past the Int32 ticket ceiling") {
+    // ticket/order numbers are Int32 per the reference schema; a basket
+    // count past Int.MaxValue would wrap them negative in non-ANSI mode and
+    // corrupt the returns⋈sales PK linkage — the generator must refuse
+    // (plan construction time, no job). store_sales hits 2^31 baskets at
+    // sf ≈ 2237; the returns fact re-evaluates the same basket ids and must
+    // refuse too.
+    for (tbl <- Seq("store_sales", "store_returns")) {
+      val e = intercept[IllegalArgumentException] {
+        TpcdsGen.table(spark, tbl, 3000, 1)
+      }
+      assert(e.getMessage.contains("would wrap"), e.getMessage)
+    }
+    // well under the ceiling: constructs fine
+    TpcdsGen.table(spark, "store_sales", 100, 1)
+  }
+
   test("TPC-DS FKs are valid over the target dim's key range at this sf") {
     import org.apache.spark.sql.functions._
     val sf = 0.01

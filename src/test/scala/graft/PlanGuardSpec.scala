@@ -102,6 +102,24 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(qr.contains("sr_ticket_number") && qr.contains("ss_ticket_number"),
       s"returns join not on the ticket key:\n$qr")
     assert(!qr.contains("BroadcastNestedLoopJoin") && !qr.contains("CartesianProduct"))
+    // catalog/web returns linkage queries join their facts on the (order,
+    // item) PK, never nested-loop
+    for ((name, key) <- Seq("q_tpcds_q91" -> "cr_order_number",
+      "q_tpcds_q85" -> "wr_order_number")) {
+      val p = fmt(name)
+      assert(p.contains(key), s"$name fact join not on the order PK:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name planned an unkeyed join:\n$p")
+    }
+    // Q99 is one fact scan through broadcast dims: no sort-merge anywhere
+    val q99 = fmt("q_tpcds_q99")
+    assert(q99.contains("BroadcastHashJoin") && !q99.contains("SortMergeJoin"),
+      s"Q99 dims not broadcast:\n$q99")
+    // Q1's correlated subqueries must decorrelate to aggregate joins — a
+    // per-row subquery shape would show as a nested-loop or cartesian plan
+    val q1 = fmt("q_tpcds_q1")
+    assert(!q1.contains("BroadcastNestedLoopJoin") && !q1.contains("CartesianProduct"),
+      s"Q1 subqueries did not decorrelate:\n$q1")
   }
 
   test("q_win_rank2 slices by deterministic data buckets, not by the 5-value key") {
