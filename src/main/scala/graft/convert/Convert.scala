@@ -32,12 +32,30 @@ import java.nio.file.{Files, Paths}
   */
 object Convert {
 
+  /** True iff the JVM LZO codec parquet-mr resolves for LZO pages is on the
+    * classpath. hadoop-lzo is GPL and never ships with Spark, so on a stock
+    * deployment this is false and an lzo write would otherwise die MID-JOB
+    * with ClassNotFoundException inside a task. (Driver-side probe; Spark
+    * deployments ship one classpath to driver and executors.) */
+  lazy val lzoCodecPresent: Boolean =
+    try { Class.forName("com.hadoop.compression.lzo.LzoCodec"); true }
+    catch { case _: Throwable => false }
+
   /** Codec whitelist (src/lib.rs:186-199). Returns the Spark codec name or
-    * throws, mirroring the reference's NotImplemented error. */
+    * throws, mirroring the reference's NotImplemented error. lzo is
+    * whitelisted per reference parity, but when the hadoop-lzo codec class
+    * is absent we fail HERE — validation time, before any job — with the
+    * same deliberate error shape as an unknown codec, instead of a
+    * ClassNotFoundException from a running task. */
   def validateCodec(codec: String): String = codec.toLowerCase match {
     case "snappy" => "snappy"
     case "lz4"    => "lz4"
-    case "lzo"    => "lzo"
+    case "lzo" =>
+      if (!lzoCodecPresent) throw new IllegalArgumentException(
+        "Unsupported compression codec: lzo (accepted by the reference, but " +
+          "com.hadoop.compression.lzo.LzoCodec is not on this classpath — " +
+          "hadoop-lzo is GPL and not bundled; install it or use snappy/lz4/none)")
+      "lzo"
     case "none" | "uncompressed" => "uncompressed"
     case other =>
       throw new IllegalArgumentException(

@@ -15,12 +15,31 @@ class ConvertSpec extends AnyFunSuite {
   test("codec whitelist: snappy/lz4/lzo/none pass, others rejected") {
     assert(Convert.validateCodec("snappy") == "snappy")
     assert(Convert.validateCodec("LZ4") == "lz4")
-    assert(Convert.validateCodec("lzo") == "lzo")
     assert(Convert.validateCodec("none") == "uncompressed")
     assert(Convert.validateCodec("uncompressed") == "uncompressed")
     // brotli/gzip/zstd are deliberately disabled in the reference
     Seq("gzip", "zstd", "brotli", "nope").foreach { c =>
       assertThrows[IllegalArgumentException](Convert.validateCodec(c))
+    }
+  }
+
+  test("lzo end-to-end: real round-trip when the codec exists, fail-fast when not") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("k", "v")
+    if (Convert.lzoCodecPresent) {
+      // environment actually has hadoop-lzo: the whitelist passes it
+      // through and a write+read round-trip must preserve the data
+      assert(Convert.validateCodec("lzo") == "lzo")
+      val out = java.nio.file.Files.createTempDirectory("lzo").toString + "/t.parquet"
+      df.write.option("compression", "lzo").parquet(out)
+      assert(spark.read.parquet(out).exceptAll(df).count() == 0)
+    } else {
+      // stock classpath (this container): validation itself must throw the
+      // deliberate IllegalArgumentException BEFORE any job — never a
+      // mid-task ClassNotFoundException
+      val e = intercept[IllegalArgumentException](Convert.validateCodec("lzo"))
+      assert(e.getMessage.contains("lzo") && e.getMessage.contains("classpath"),
+        e.getMessage)
     }
   }
 
