@@ -49,6 +49,12 @@ object TpcdsGen extends Benchmark {
   def schema(table: String): StructType = TpcdsSchemas(table)
 
   /** Published sf=1 row counts (facts scale linearly; `fixed` dims don't). */
+  /** Generated-content version: bump when generation semantics change so
+    * marker-gated caches ([[graft.ops.Tpcds.ensure]]) regenerate instead of
+    * serving stale content against new invariant tests.
+    * v2: arithmetically coherent sales/returns money columns. */
+  val genVersion = 2
+
   private val sf1Counts: Map[String, (Long, Boolean)] = Map(
     "call_center"            -> (6L, false),
     "catalog_page"           -> (11718L, false),
@@ -205,6 +211,78 @@ object TpcdsGen extends Benchmark {
   private val dateSkLo = skOf(java.time.LocalDate.of(1998, 1, 1))
   private val dateSkHi = skOf(java.time.LocalDate.of(2002, 12, 31))
 
+  /** Per-column tag keyed by column NAME (stable across call sites): the
+    * derived-money expressions must re-draw the SAME primitive (quantity,
+    * markup, discount …) from several consuming columns. */
+  private def tagFor(tbl: String, name: String): Int =
+    tagOf(tbl, schema(tbl).fieldNames.indexOf(name))
+
+  private val D2 = DecimalType(7, 2)
+  private def d2(c: Column): Column = c.cast(D2)
+
+  /** Sales-fact money columns, ARITHMETICALLY COHERENT (dsdgen emits these
+    * as a derivation chain, not independent draws — queries with
+    * price-arithmetic predicates depend on it): per-line primitives
+    * quantity ∈ [1,100], wholesale ∈ [1,99.99], markup ∈ [1.20,2.50],
+    * discount ∈ [0,0.90], tax ∈ [0,9%] drive
+    * list = whl·markup, sales = list·(1−disc), ext_* = unit·qty,
+    * net_paid = ext_sales − coupon, net_profit = net_paid − ext_wholesale,
+    * with every stored value rounded to cents (DECIMAL(7,2)) so the
+    * relations hold EXACTLY on the stored columns. All decimal arithmetic —
+    * deterministic and partition-invariant like every other column; bounds
+    * keep every ext value < 25 000, inside DECIMAL(7,2). Evaluated at the
+    * explicit line id, so returnsCols re-derives the SAME values at the
+    * linked sales line. None for non-money columns → generic path. */
+  private def salesMoney(tbl: String, name: String, line: Column): Option[Column] = {
+    if (!basketLines.contains(tbl)) return None
+    val pfx = name.take(2)
+    def t(n: String) = tagFor(tbl, s"${pfx}_$n")
+    def frac(tag: Int, n: Int) = // uniform k/100 for k in [0, n-1], exact decimal
+      pmod(h(line, tag), lit(n.toLong)).cast(DecimalType(12, 2)) / 100
+    lazy val qty = (pmod(h(line, t("quantity")), lit(100L)) + 1).cast(IntegerType)
+    lazy val whl = d2((pmod(h(line, t("wholesale_cost")), lit(9900L)) + 100)
+      .cast(DecimalType(12, 2)) / 100)
+    lazy val markup = lit(BigDecimal("1.20")) + frac(t("list_price"), 131)
+    lazy val disc = frac(t("sales_price"), 91)
+    lazy val taxRate = frac(t("ext_tax"), 10)
+    lazy val list = d2(whl * markup)
+    lazy val sales = d2(list * (lit(1) - disc))
+    lazy val extSales = d2(sales * qty)
+    lazy val coupon = when(pmod(h(line, t("coupon_amt")), lit(5)) < 4, d2(lit(0)))
+      .otherwise(d2(extSales * frac(t("coupon_amt") + 1, 51)))
+    lazy val extTax = d2(extSales * taxRate)
+    lazy val netPaid = d2(extSales - coupon)
+    lazy val extShip = d2(list * qty * frac(t("ext_ship_cost"), 51))
+    name.drop(3) match {
+      case "quantity"           => Some(qty)
+      case "wholesale_cost"     => Some(whl)
+      case "list_price"         => Some(list)
+      case "sales_price"        => Some(sales)
+      case "ext_discount_amt"   => Some(d2((list - sales) * qty))
+      case "ext_sales_price"    => Some(extSales)
+      case "ext_wholesale_cost" => Some(d2(whl * qty))
+      case "ext_list_price"     => Some(d2(list * qty))
+      case "ext_tax"            => Some(extTax)
+      case "coupon_amt"         => Some(coupon)
+      case "ext_ship_cost"      => Some(extShip)
+      case "net_paid"           => Some(netPaid)
+      case "net_paid_inc_tax"   => Some(d2(netPaid + extTax))
+      case "net_paid_inc_ship"  => Some(d2(netPaid + extShip))
+      case "net_paid_inc_ship_tax" => Some(d2(netPaid + extShip + extTax))
+      case "net_profit"         => Some(d2(netPaid - d2(whl * qty)))
+      case _                    => None
+    }
+  }
+
+  /** ~5% deterministic nulls on a nullable non-structural column (shared by
+    * the generic and returns paths; keys, income-band bounds and order
+    * numbers stay dense). */
+  private def nullify(f: StructField, src: Column, tag: Int, base: Column): Column =
+    if (f.nullable && !f.name.startsWith("ib_") && !orderNumberCols(f.name))
+      when(pmod(h(src, tag + 7919), lit(20)) === 0, lit(null).cast(f.dataType))
+        .otherwise(base)
+    else base
+
   /** Deterministic column from (schema field, per-column tag), evaluated at
     * an EXPLICIT row identity: `line` drives per-line values, `basket`
     * drives basket-level values (the FKs all lines of one sales ticket
@@ -238,7 +316,7 @@ object TpcdsGen extends Benchmark {
       case None => throw new IllegalArgumentException(
         s"unmapped FK column $tbl.${f.name}: add its suffix to fkSuffix")
     }
-    val base: Column = f.dataType match {
+    val base: Column = salesMoney(tbl, f.name, src).getOrElse(f.dataType match {
       // dense 1-based ticket/order number: the lines of one basket share it,
       // and returns rows joining on (order, item) hit the originating sale
       case IntegerType if orderNumberCols(f.name) =>
@@ -267,13 +345,8 @@ object TpcdsGen extends Benchmark {
       case DoubleType => unif(src, tag)
       case other => throw new IllegalArgumentException(
         s"unsupported TPC-DS column type: $other (${f.name})")
-    }
-    // ~5% deterministic nulls on nullable columns (keys stay dense;
-    // income-band bounds are structural and order numbers are PK members —
-    // never null)
-    if (f.nullable && !isFirst && !f.name.startsWith("ib_") && !orderNumberCols(f.name))
-      when(pmod(h(src, tag + 7919), lit(20)) === 0, lit(null).cast(f.dataType)).otherwise(base)
-    else base
+    })
+    if (isFirst) base else nullify(f, src, tag, base)
   }
 
   /** Columns of a returns fact: each row re-evaluates its linked sales
@@ -306,6 +379,45 @@ object TpcdsGen extends Benchmark {
       colFor(rl.salesTbl, sf, sfld, tagOf(rl.salesTbl, si),
         isFirst = si == 0, line = sid, basket = sBkt)
     }
+    // Returns money columns, coherent with the LINKED SALE (dsdgen invariants
+    // the published returns queries lean on): return_quantity ∈ [1, sold
+    // quantity]; return_amt = sold unit sales_price × returned quantity;
+    // the refund split (cash + reversed charge + credit) sums EXACTLY to
+    // amt-inc-tax (credit is the residual); net_loss = amt_inc_tax + fee +
+    // ship cost. A null at the linked sale (its own ~5% draw) propagates —
+    // matching dsdgen's nullable money columns.
+    val sPfx = Map("store_sales" -> "ss", "catalog_sales" -> "cs",
+      "web_sales" -> "ws")(rl.salesTbl)
+    def returnsMoney(name: String): Option[Column] = {
+      // every cross-reference recurses under the CANONICAL column name, so
+      // each leaf's hash draw is tagged by its own column no matter which
+      // consumer asked — the same value everywhere, like stored columns
+      def cref(suffix: String): Column = returnsMoney(s"${pfxOf(tbl)}_$suffix").get
+      def frac(off: Int, n: Int) = pmod(h(col("id"), tagFor(tbl, name) + off),
+        lit(n.toLong)).cast(DecimalType(12, 2)) / 100
+      val amt = if (tbl == "catalog_returns") "return_amount" else "return_amt"
+      name.drop(3) match {
+        case "return_quantity" =>
+          Some((pmod(h(col("id"), tagFor(tbl, name)),
+            salesAt(s"${sPfx}_quantity").cast(LongType)) + 1).cast(IntegerType))
+        case "return_amt" | "return_amount" =>
+          Some(d2(salesAt(s"${sPfx}_sales_price") * cref("return_quantity")))
+        case "return_tax"         => Some(d2(cref(amt) * frac(13, 10)))
+        case "return_amt_inc_tax" => Some(d2(cref(amt) + cref("return_tax")))
+        case "fee" => Some(d2((pmod(h(col("id"), tagFor(tbl, name)), lit(9951L)) + 50)
+          .cast(DecimalType(12, 2)) / 100))
+        case "return_ship_cost" => Some(d2(cref(amt) * frac(17, 51)))
+        case "refunded_cash" => Some(d2(cref("return_amt_inc_tax") * frac(19, 101)))
+        case "reversed_charge" => Some(d2((cref("return_amt_inc_tax") -
+          cref("refunded_cash")) * frac(23, 101)))
+        case "store_credit" | "account_credit" =>
+          Some(d2(cref("return_amt_inc_tax") - cref("refunded_cash") -
+            cref("reversed_charge")))
+        case "net_loss" =>
+          Some(d2(cref("return_amt_inc_tax") + cref("fee") + cref("return_ship_cost")))
+        case _ => None
+      }
+    }
     st.fields.zipWithIndex.map { case (f, i) =>
       val c: Column =
         if (f.name == rl.orderCol) (sBkt + 1).cast(f.dataType)
@@ -314,12 +426,22 @@ object TpcdsGen extends Benchmark {
             uniLong(col("id"), tagOf(tbl, i), 0, 90), lit(dateSkHi)).cast(f.dataType)
         else rl.linked.get(f.name) match {
           case Some(salesCol) => salesAt(salesCol).cast(f.dataType)
-          case None =>
-            colFor(tbl, sf, f, tagOf(tbl, i), isFirst = false, col("id"), col("id"))
+          case None => returnsMoney(f.name) match {
+            case Some(m) => nullify(f, col("id"), tagOf(tbl, i), d2OrSelf(f, m))
+            case None =>
+              colFor(tbl, sf, f, tagOf(tbl, i), isFirst = false, col("id"), col("id"))
+          }
         }
       c.as(f.name)
     }.toIndexedSeq
   }
+
+  /** Returns-table column prefix (sr/cr/wr). */
+  private def pfxOf(tbl: String): String = tbl.take(1) + "r"
+
+  /** Cast a derived money column to the field's declared type (no-op for
+    * the IntegerType return_quantity). */
+  private def d2OrSelf(f: StructField, c: Column): Column = c.cast(f.dataType)
 
   /** dsdgen-style 16-char business key (shared by the generic path and the
     * calendar tables). */

@@ -34,7 +34,10 @@ import graft.gen.TpcdsGen
   * same two exact values once.
   */
 object Tpcds {
-  private val root = "/tmp/graft_tpcds"
+  /** Version-keyed so a generator-semantics bump regenerates rather than
+    * serving a stale cache (the oracle paths derive from the same root, so
+    * Spark and DuckDB always read the same generation). */
+  private val root = s"/tmp/graft_tpcds/gen${TpcdsGen.genVersion}"
 
   /** TPC-DS materialization dir for a fixture sf dir (basename-keyed:
     * /root/testdata/sf0.01 → /tmp/graft_tpcds/sf0.01). */

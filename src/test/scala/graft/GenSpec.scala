@@ -244,6 +244,76 @@ class GenSpec extends AnyFunSuite {
     assert(p3.exceptAll(p11).count() == 0 && p11.exceptAll(p3).count() == 0)
   }
 
+  test("sales money columns are arithmetically coherent") {
+    import org.apache.spark.sql.functions._
+    // the derivation chain holds EXACTLY on stored (cent-rounded) columns
+    // wherever the participating columns are non-null; bounds keep every
+    // ext value inside DECIMAL(7,2)
+    for (t <- Seq("store_sales", "catalog_sales", "web_sales")) {
+      val p = Map("store_sales" -> "ss", "catalog_sales" -> "cs",
+        "web_sales" -> "ws")(t)
+      val df = TpcdsGen.table(spark, t, 0.01, 4)
+      def c(n: String) = col(s"${p}_$n")
+      def d2(x: org.apache.spark.sql.Column) =
+        x.cast(org.apache.spark.sql.types.DecimalType(7, 2))
+      val checks = Seq(
+        ("qty in [1,100]", c("quantity") < 1 || c("quantity") > 100),
+        ("sales <= list", c("sales_price") > c("list_price")),
+        // decimal literal: a double 2.5 would take the double-rounding path
+        // and disagree on exact-halfway cents
+        ("list <= 2.5x wholesale",
+          c("list_price") > d2(c("wholesale_cost") * lit(BigDecimal("2.50")))),
+        ("ext_sales = sales x qty", c("ext_sales_price") =!= d2(c("sales_price") * c("quantity"))),
+        ("ext_list = list x qty", c("ext_list_price") =!= d2(c("list_price") * c("quantity"))),
+        ("ext_wholesale = whl x qty", c("ext_wholesale_cost") =!= d2(c("wholesale_cost") * c("quantity"))),
+        ("ext_discount = (list-sales) x qty",
+          c("ext_discount_amt") =!= d2((c("list_price") - c("sales_price")) * c("quantity"))),
+        ("net_paid = ext_sales - coupon", c("net_paid") =!= d2(c("ext_sales_price") - c("coupon_amt"))),
+        ("net_paid_inc_tax = net_paid + tax", c("net_paid_inc_tax") =!= d2(c("net_paid") + c("ext_tax"))),
+        ("net_profit = net_paid - ext_wholesale",
+          c("net_profit") =!= d2(c("net_paid") - c("ext_wholesale_cost"))))
+      for ((label, viol) <- checks)
+        assert(df.filter(viol).count() == 0, s"$t: $label violated")
+      // most coupons are zero (promo-driven), but not all
+      val withCoupon = df.filter(c("coupon_amt") > 0).count()
+      assert(withCoupon > 0 && withCoupon < df.count() / 2, s"$t coupon shape")
+    }
+  }
+
+  test("returns money columns are coherent with the linked sale") {
+    import org.apache.spark.sql.functions._
+    val ss = TpcdsGen.table(spark, "store_sales", 0.01, 4)
+    val sr = TpcdsGen.table(spark, "store_returns", 0.01, 4)
+    def d2(x: org.apache.spark.sql.Column) =
+      x.cast(org.apache.spark.sql.types.DecimalType(7, 2))
+    val j = sr.join(ss, sr("sr_ticket_number") === ss("ss_ticket_number") &&
+      sr("sr_item_sk") === ss("ss_item_sk"))
+    // can't return more than was sold; refund value prices returned units
+    // at the sale's unit price. A basket can (rarely) repeat an item, so a
+    // return matches >1 sales line — the invariant is EXISTS a matched line
+    // satisfying it (the one the generator linked), not ALL matches.
+    val perReturn = j
+      .filter(sr("sr_return_quantity").isNotNull && ss("ss_quantity").isNotNull &&
+        sr("sr_return_amt").isNotNull && ss("ss_sales_price").isNotNull)
+      .groupBy(sr("sr_ticket_number"), sr("sr_item_sk"),
+        sr("sr_return_quantity"), sr("sr_return_amt"))
+      .agg(max(ss("ss_quantity")).as("max_qty"),
+        max((sr("sr_return_amt") ===
+          d2(ss("ss_sales_price") * sr("sr_return_quantity"))).cast("int")).as("amt_ok"))
+    assert(perReturn.filter(col("sr_return_quantity") > col("max_qty")).count() == 0,
+      "returned more than sold")
+    assert(sr.filter(col("sr_return_quantity") < 1).count() == 0)
+    assert(perReturn.filter(col("amt_ok") === 0).count() == 0,
+      "return_amt != unit sales price x returned qty on every matched line")
+    // the refund split sums exactly; net_loss decomposes exactly
+    assert(sr.filter(col("sr_refunded_cash") + col("sr_reversed_charge") +
+      col("sr_store_credit") =!= col("sr_return_amt_inc_tax")).count() == 0,
+      "refund split does not sum to amt_inc_tax")
+    assert(sr.filter(col("sr_net_loss") =!= d2(col("sr_return_amt_inc_tax") +
+      col("sr_fee") + col("sr_return_ship_cost"))).count() == 0,
+      "net_loss decomposition broken")
+  }
+
   test("dictionary columns draw from their spec domains") {
     import org.apache.spark.sql.functions._
     val cd = TpcdsGen.table(spark, "customer_demographics", 0.001, 2)
