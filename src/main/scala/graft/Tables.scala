@@ -22,16 +22,26 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Data files of a parquet table dir (skips _SUCCESS / hidden files). */
+  /** Data files of a parquet table dir (skips _SUCCESS / hidden files).
+    * RECURSIVE: a nested/hive-partitioned layout contributes every leaf
+    * file, so footer-derived counts used by scale fences can never
+    * undercount. Files under a hidden/_ directory (e.g. _temporary) are
+    * excluded, matching Spark's own path filter. */
   private def parquetFiles(spark: SparkSession, path: String) = {
     val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(path)
-    val files = p.getFileSystem(conf).listStatus(p).iterator.map(_.getPath)
-      .filter { f =>
-        val n = f.getName
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-      }.toSeq
-    (conf, files)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val p = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    val it = fs.listFiles(p, true)
+    val files = scala.collection.mutable.ListBuffer.empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      // every path component below the table root must be visible
+      val visible = Iterator.iterate(f)(_.getParent)
+        .takeWhile(q => q != null && q != p)
+        .forall(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+      if (f.getName.endsWith(".parquet") && visible) files += f
+    }
+    (conf, files.toSeq)
   }
 
   private val rowCountCache = new scala.collection.concurrent.TrieMap[String, Long]

@@ -427,17 +427,25 @@ object Relational {
     * [[q_win_ntile2]]): global row_number over (partition by priority order
     * by price desc, orderkey) without ever shuffling on the 5-value key —
     * returns (o_orderkey, o_orderpriority, o_totalprice, rn). See
-    * [[q_win_rank2]]'s scaladoc for the determinism design. */
+    * [[q_win_rank2]]'s scaladoc for the determinism design.
+    *
+    * Null handling: a NULL o_totalprice buckets to the LAST slice (pid is
+    * computed over coalesce(price, lo), never null), matching the desc
+    * NULLS LAST sort order both windows use, and the offsets join is
+    * null-safe on o_orderpriority — so nullable input flows through with
+    * single-window semantics instead of being silently inner-joined away. */
   private def twoPhaseRowNumbers(s: SparkSession, d: String): DataFrame = {
     val p = s.sparkContext.defaultParallelism
     val base = t(s, d, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
     val (lo, hi) = graft.Tables.footerDoubleRange(s, d, "orders", "o_totalprice")
       .getOrElse((0.0, 1e7))
+    // NULL price → lo → clamped pid p-1: the last bucket, where desc NULLS
+    // LAST ordering places those rows anyway, so pid stays monotone
     val parted = base
       .withColumn("pid", least(lit(p - 1), greatest(lit(0),
-        floor((lit(hi) - col("o_totalprice")) * p / lit(hi - lo + 1e-9))
-          .cast(IntegerType))))
+        floor((lit(hi) - coalesce(col("o_totalprice"), lit(lo))) * p
+          / lit(hi - lo + 1e-9)).cast(IntegerType))))
     val local = Window.partitionBy("pid", "o_orderpriority")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val withLocal = parted.withColumn("lrn", row_number().over(local))
@@ -445,10 +453,12 @@ object Relational {
     val offsets = withLocal.groupBy("pid", "o_orderpriority")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("off", sum("cnt").over(cum) - col("cnt"))
-      .select("pid", "o_orderpriority", "off")
-    withLocal.join(broadcast(offsets), Seq("pid", "o_orderpriority"))
+      .select(col("pid").as("off_pid"), col("o_orderpriority").as("off_key"),
+        col("off"))
+    withLocal.join(broadcast(offsets),
+        col("pid") === col("off_pid") && col("o_orderpriority") <=> col("off_key"))
       .withColumn("rn", (col("lrn") + col("off")).cast(IntegerType))
-      .drop("pid", "lrn", "off")
+      .drop("pid", "off_pid", "off_key", "lrn", "off")
   }
 
   /** [Q-win-ntile2] scale-safe ntile/percent_rank/cume_dist: the same
@@ -462,15 +472,17 @@ object Relational {
     * [[q_win_ntile]]'s single-partition-per-key plan at scale. */
   def q_win_ntile2(s: SparkSession, d: String): DataFrame = {
     val k = 4
+    // null-safe key match so a NULL priority group keeps its count row
     val counts = t(s, d, "orders").groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"))
+      .select(col("o_orderpriority").as("cnt_key"), col("n"))
     val ties = Window.partitionBy("o_orderpriority", "o_totalprice")
     val q = col("n").divide(k).cast(LongType) // floor(n/k)
     val r = col("n") % k                      // first r buckets get q+1 rows
     twoPhaseRowNumbers(s, d)
       .withColumn("rnk", min(col("rn")).over(ties))
       .withColumn("mx", max(col("rn")).over(ties))
-      .join(broadcast(counts), Seq("o_orderpriority"))
+      .join(broadcast(counts), col("o_orderpriority") <=> col("cnt_key"))
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
         when(col("rn") <= r * (q + 1), floor((col("rn") - 1) / (q + 1)) + 1)
           .otherwise(r + floor((col("rn") - r * (q + 1) - 1) / q) + 1)

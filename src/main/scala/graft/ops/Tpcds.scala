@@ -77,6 +77,7 @@ object Tpcds {
               try it.forEach(f => Files.delete(f)) finally it.close()
             }
             sweep(dirPath) // markerless partial from a crashed run
+            sweepStaleSiblings(Paths.get(root))
             val tmp = Paths.get(root, s".${dirPath.getFileName}.tmp")
             sweep(tmp)
             val sf = new java.io.File(sfDir).getName.drop(2).toDouble
@@ -88,6 +89,27 @@ object Tpcds {
       } finally ch.close()
     }
     dir
+  }
+
+  /** Stale-generation hygiene: a genVersion bump orphans the previous gen*
+    * trees (and any pre-versioning sf* dirs) under the cache parent — sweep
+    * every sibling of `current` when generating a new version, so version
+    * bumps don't leak disk. Called under the generation lock; best-effort —
+    * a failure to delete one stale sibling never blocks generation. */
+  private[graft] def sweepStaleSiblings(current: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val parent = current.getParent
+    val keep = current.getFileName.toString
+    if (parent != null && Files.isDirectory(parent)) {
+      val kids = Files.list(parent)
+      try kids.forEach { k =>
+        if (k.getFileName.toString != keep)
+          try {
+            val it = Files.walk(k).sorted(java.util.Comparator.reverseOrder())
+            try it.forEach(f => Files.delete(f)) finally it.close()
+          } catch { case scala.util.control.NonFatal(_) => () }
+      } finally kids.close()
+    }
   }
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Relational, Tpcds}
+
+/** Edge-case hardening tests (round-8 ADVICE items): nullable input through
+  * the two-phase window family, nested parquet layouts through the footer
+  * row-count fence, and stale-generation cache sweeping. */
+class RobustnessSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** A fixture dir whose orders table carries NULL o_totalprice AND NULL
+    * o_orderpriority rows — the shapes the inner equi-join in the two-phase
+    * window family used to silently drop. */
+  private lazy val nullableOrdersDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullorders").toString
+    val rows = (1L to 500L).map { k =>
+      val prio = if (k % 11 == 0) null else s"${k % 5 + 1}-P${k % 5 + 1}"
+      val price = if (k % 7 == 0) null else java.lang.Double.valueOf((k * 37 % 1000) + 0.25)
+      (k, prio, price)
+    }
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .repartition(4)
+      .write.parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("q_win_rank2 keeps NULL price/priority rows and matches the single-window form") {
+    val got = Relational.q_win_rank2(spark, nullableOrdersDir)
+    val base = spark.read.parquet(s"$nullableOrdersDir/orders.parquet")
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+    val wu = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = base.select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice"),
+      rank().over(w).cast("int").as("rnk"),
+      row_number().over(wu).cast("int").as("rn"))
+    assert(got.count() === 500) // nothing dropped
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("q_win_ntile2 keeps NULL price/priority rows and matches the single-window form") {
+    val got = Relational.q_win_ntile2(spark, nullableOrdersDir)
+    val base = spark.read.parquet(s"$nullableOrdersDir/orders.parquet")
+    val wu = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+    val want = base.select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice"),
+      ntile(4).over(wu).cast("int").as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+    assert(got.count() === 500)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("footerRowCount recurses into nested (hive-partitioned) layouts and skips hidden dirs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    (1 to 1000).map(i => (i, i % 4)).toDF("v", "k")
+      .write.partitionBy("k").parquet(s"$dir/t.parquet")
+    // a _temporary-style dir with a stray parquet file must NOT be counted
+    val hidden = java.nio.file.Paths.get(s"$dir/t.parquet/_temporary")
+    java.nio.file.Files.createDirectories(hidden)
+    val leaf = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/t.parquet"))
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
+      .findFirst().get()
+    java.nio.file.Files.copy(leaf, hidden.resolve("junk.parquet"))
+    assert(Tables.footerRowCount(spark, dir, "t") === 1000L)
+  }
+
+  test("sweepStaleSiblings removes every non-current cache generation") {
+    import java.nio.file.{Files, Paths}
+    val parent = Files.createTempDirectory("graft-sweep")
+    val current = parent.resolve("gen9")
+    Files.createDirectories(current.resolve("sf0.01"))
+    Files.write(current.resolve("sf0.01/_GRAFT_COMPLETE"), Array.emptyByteArray)
+    // stale: an older generation tree, a legacy unversioned dir, a loose lock
+    Files.createDirectories(parent.resolve("gen8/sf0.01"))
+    Files.write(parent.resolve("gen8/sf0.01/x"), "stale".getBytes)
+    Files.createDirectories(parent.resolve("sf0.001"))
+    Files.write(parent.resolve("sf0.001.lock"), Array.emptyByteArray)
+    Tpcds.sweepStaleSiblings(current)
+    val left = { val s = Files.list(parent); try { val l = s.iterator(); val b =
+      scala.collection.mutable.ListBuffer.empty[String]
+      while (l.hasNext) b += l.next().getFileName.toString; b.toList } finally s.close() }
+    assert(left === List("gen9"))
+    assert(Files.exists(current.resolve("sf0.01/_GRAFT_COMPLETE")))
+  }
+}
