@@ -150,6 +150,14 @@ object SparkEntry {
     "q_fn_explode_outer" -> Relational.q_fn_explode_outer,
     "q_win_rank2" -> Relational.q_win_rank2,
     "q_win_ntile2" -> Relational.q_win_ntile2,
+    // §2.4/§2.5 published TPC-H breadth (ops/Tpch.scala)
+    "q_tpch_q4" -> Tpch.q_tpch_q4,
+    "q_tpch_q7" -> Tpch.q_tpch_q7,
+    "q_tpch_q8" -> Tpch.q_tpch_q8,
+    "q_tpch_q14" -> Tpch.q_tpch_q14,
+    "q_tpch_q15" -> Tpch.q_tpch_q15,
+    "q_tpch_q17" -> Tpch.q_tpch_q17,
+    "q_tpch_q22" -> Tpch.q_tpch_q22,
   ) ++ Tpcds.queries // §2.14 TPC-DS workload over generated TPC-DS parquet
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
@@ -446,5 +454,21 @@ object SparkEntry {
     // plain single-window forms — the oracle IS q_win_ntile's window SQL
     "q_win_ntile2" ->
       "SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)",
+    // ---- published TPC-H breadth (ops/Tpch.scala; adapted predicates noted
+    //      in each query's scaladoc where the fixture lacks a column) ----
+    "q_tpch_q4" ->
+      "SELECT o_orderpriority, count(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-10-01' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY) GROUP BY o_orderpriority",
+    "q_tpch_q7" ->
+      s"SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(year(l_shipdate) AS INT) AS l_year, $extDec * $oneMinusDisc AS volume FROM supplier, lineitem, orders, customer, nation n1, nation n2 WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31') shipping GROUP BY supp_nation, cust_nation, l_year",
+    "q_tpch_q8" ->
+      s"SELECT o_year, CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume END) AS DOUBLE) / CAST(sum(volume) AS DOUBLE) AS mkt_share FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year, $extDec * $oneMinusDisc AS volume, n2.n_name AS nation FROM part, lineitem, supplier, orders, customer, nation n1, nation n2, region WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31' AND p_type = 'ECONOMY') all_nations GROUP BY o_year",
+    "q_tpch_q14" ->
+      s"SELECT (100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $extDec * $oneMinusDisc END) AS DOUBLE)) / CAST(sum($extDec * $oneMinusDisc) AS DOUBLE) AS promo_revenue FROM lineitem, part WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'",
+    "q_tpch_q15" ->
+      s"WITH revenue AS (SELECT l_suppkey AS supplier_no, sum($extDec * $oneMinusDisc) AS total FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue FROM supplier, revenue WHERE s_suppkey = supplier_no AND total = (SELECT max(total) FROM revenue) ORDER BY s_suppkey",
+    "q_tpch_q17" ->
+      "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly FROM lineitem, part WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_size <= 15 AND l_quantity < 0.2 * (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)",
+    "q_tpch_q22" ->
+      "SELECT cntrycode, count(*) AS numcust, CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal FROM (SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal, c_custkey FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)) cs WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) FROM customer WHERE c_nationkey % 5 IN (0, 1, 2) AND c_acctbal > 0.00) AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY cntrycode",
   ) ++ Tpcds.oracle // DuckDB over the generated TPC-DS parquet (sf0.01-pinned)
 }

@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Published TPC-H query shapes beyond the ones in [[Relational]] (Q3, Q5,
+  * Q10, Q13, Q18 live there). The reference generates TPC-H data precisely so
+  * engines can run this workload over it (/root/reference/README.md:3-6,
+  * schemas /root/reference/src/tpch.rs:140-241); this file widens the
+  * declared coverage with the remaining shapes expressible over the fixture
+  * tables' column subset (TESTDATA.md — no partsupp, no l_commitdate/
+  * l_receiptdate/l_shipmode/p_container/c_phone). Queries whose published
+  * predicates need a missing column keep the published PLAN SHAPE with an
+  * adapted predicate and say so in their scaladoc.
+  *
+  * Shared scale rules (same as [[Relational]]): money stays DECIMAL until one
+  * final cast to DOUBLE; ratios divide two exact sums as doubles; scalar
+  * subqueries become 1-row broadcast HASH joins on a column-derived constant
+  * key (never a nested-loop cross join — PlanGuardSpec forbids those); every
+  * LIMIT sits on a total order.
+  */
+object Tpch {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column = c.cast(DecimalType(p, s))
+  private val D = DoubleType
+  /** volume = l_extendedprice * (1 - l_discount), exact. */
+  private def vol: Column = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"), 4, 2))
+
+  /** [Q-tpch-q4] TPC-H Q4 (order priority checking): EXISTS-correlated
+    * lineitem probe folded into a LEFT SEMI join, then a tiny count per
+    * priority. Adapted predicate: the fixture has no l_commitdate/
+    * l_receiptdate, so "late line" is l_shipdate more than 90 days after
+    * the order date — same correlated-exists decorrelation, same
+    * fact-semi-fact plan. The semi join keys on l_orderkey; the 90-day
+    * condition rides along as a residual, so nothing unkeyed is planned. */
+  def q_tpch_q4(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-10-01").cast(TimestampType))
+      .join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+
+  // (TPC-H Q6 is already declared: q_filter in [[Relational]] carries Q6's
+  //  exact predicates and aggregate — not duplicated here.)
+
+  /** [Q-tpch-q7] TPC-H Q7 (volume shipping): two-nation trade volume by
+    * year. The nation dim joins twice under different roles (supplier's
+    * nation, customer's nation) — both broadcast and pre-filtered to the
+    * two nations of interest so the pair predicate prunes fact rows at the
+    * join, not after. Facts shuffle only on their PK/FK join keys. */
+  def q_tpch_q7(s: SparkSession, d: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2")
+    val n1 = t(s, d, "nation").filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = t(s, d, "nation").filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    t(s, d, "supplier")
+      .join(t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("l_shipdate") <= lit("1997-12-31").cast(TimestampType)),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .withColumn("l_year", year(col("l_shipdate")))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(vol).cast(D).as("revenue"))
+  }
+
+  /** [Q-tpch-q8] TPC-H Q8 (national market share): one nation's share of a
+    * region's revenue for one part type, by order year — the
+    * ratio-of-conditional-sum shape. Both aggregates stay DECIMAL and the
+    * single division happens once in DOUBLE on both engines. part is
+    * filtered then broadcast (selective dim); region⋈nation pre-joins
+    * driver-free into a broadcast customer-nation slice. */
+  def q_tpch_q8(s: SparkSession, d: String): DataFrame = {
+    val pt = t(s, d, "part").filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val custN = t(s, d, "nation")
+      .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppN = t(s, d, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+    t(s, d, "lineitem")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("o_orderdate") <= lit("1997-12-31").cast(TimestampType)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
+      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppN), col("s_nationkey") === col("sn_key"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("volume", vol)
+      .groupBy("o_year")
+      .agg((sum(when(col("nation") === "NATION_5", col("volume"))).cast(D) /
+        sum(col("volume")).cast(D)).as("mkt_share"))
+  }
+
+  /** [Q-tpch-q14] TPC-H Q14 (promotion effect): one-month promo revenue
+    * ratio — conditional sum over a broadcast part join, two exact DECIMAL
+    * sums, one DOUBLE division. */
+  def q_tpch_q14(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-10-01").cast(TimestampType))
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("volume", vol)
+      .agg(((lit(100.0) * sum(when(col("p_type") === "PROMO", col("volume"))).cast(D)) /
+        sum(col("volume")).cast(D)).as("promo_revenue"))
+
+  /** [Q-tpch-q15] TPC-H Q15 (top supplier): quarter revenue per supplier,
+    * then the suppliers matching the scalar MAX. The scalar subquery is a
+    * 1-row aggregate joined back by VALUE EQUALITY (total_revenue = max) —
+    * an equi-key, so it plans as a broadcast HASH join, and because both
+    * sides are exact DECIMAL the equality can't flap in the last ulp the
+    * way a double max would across partitionings. */
+  def q_tpch_q15(s: SparkSession, d: String): DataFrame = {
+    val rev = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(vol).as("total"))
+    val mx = rev.agg(max(col("total")).as("mx"))
+    rev.join(broadcast(mx), col("total") === col("mx"))
+      .join(t(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total").cast(D).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** [Q-tpch-q17] TPC-H Q17 (small-quantity-order revenue): the correlated
+    * per-part average decorrelated into a keyed aggregate joined back on
+    * p_partkey (both sides broadcast-small after the selective part
+    * filter). Adapted predicate: no p_container in the fixture, so the
+    * part slice is (p_brand, p_size); the threshold stays the published
+    * 0.2 × avg(l_quantity), computed as exact-sum ÷ count. */
+  def q_tpch_q17(s: SparkSession, d: String): DataFrame = {
+    val pts = t(s, d, "part")
+      .filter(col("p_brand") === "Brand#23" && col("p_size") <= 15)
+      .select("p_partkey")
+    val li = t(s, d, "lineitem")
+      .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+    val avgQ = li.groupBy(col("p_partkey").as("ap_key"))
+      .agg((sum(dec(col("l_quantity"))).cast(D) / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(avgQ), col("p_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast(D) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** [Q-tpch-q22] TPC-H Q22 (global sales opportunity): customers above the
+    * positive-balance average with no orders, counted per country code.
+    * Adapted predicate: no c_phone in the fixture, so the country code is
+    * c_nationkey % 5 restricted to {0,1,2}. The plan shape is the
+    * published one — scalar-average subquery (1-row broadcast hash join on
+    * a literal key), NOT EXISTS as a LEFT ANTI join on c_custkey, then a
+    * tiny keyed aggregate. */
+  def q_tpch_q22(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+      .withColumn("cntrycode", (col("c_nationkey") % 5).cast(IntegerType))
+      .filter(col("cntrycode").isin(0, 1, 2))
+    // the constant join key is DERIVED from a NULLABLE column on each side
+    // (x*0, not lit(0)): Catalyst folds keys built from literals or
+    // non-nullable aggregates (count*0 → 0), and once one side is a literal
+    // the condition stops being an extractable equi-key and the planner
+    // degrades the scalar attach to a BroadcastNestedLoopJoin cross product.
+    // Nullable-column arithmetic can't fold, so this stays a broadcast HASH
+    // join of the 1-row aggregate (PlanGuardSpec-clean).
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec(col("c_acctbal"))).cast(D) / count(lit(1))).as("avg_bal"))
+      .withColumn("jk", (col("avg_bal") * 0).cast(IntegerType))
+    cust.withColumn("jk", (col("c_custkey") * 0).cast(IntegerType))
+      .join(broadcast(avgBal), Seq("jk"))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast(D).as("totacctbal"))
+  }
+}
