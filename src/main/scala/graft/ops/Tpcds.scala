@@ -365,6 +365,131 @@ object Tpcds {
         sum(col("sr_return_amt")).cast(DoubleType).as("returned_amt"))
   }
 
+  /** [Q-tpcds-q36] TPC-DS Q36 shape: gross margin by category/class with a
+    * ROLLUP and a rank WINDOW OVER THE AGGREGATE — the window runs over the
+    * few-hundred-row rollup result (never the fact), partitioned by the
+    * hierarchy level and the parent category exactly as published. Margins
+    * divide two exact DECIMAL sums once in DOUBLE, so the rank order is
+    * bit-identical across engines and partitionings. */
+  def q_tpcds_q36(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val it = t(spark, dir, "item").select("i_item_sk", "i_category", "i_class")
+    val agg = t(spark, dir, "store_sales")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .rollup(col("i_category"), col("i_class"))
+      .agg((sum(col("ss_net_profit")).cast(DoubleType) /
+          sum(col("ss_ext_sales_price")).cast(DoubleType)).as("gross_margin"),
+        (grouping(col("i_category")) + grouping(col("i_class")))
+          .cast(org.apache.spark.sql.types.IntegerType).as("lochierarchy"),
+        grouping(col("i_class")).as("gclass"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lochierarchy"),
+        when(col("gclass") === 0, col("i_category")))
+      .orderBy(col("gross_margin").asc)
+    agg.select(col("gross_margin"), col("i_category"), col("i_class"),
+      col("lochierarchy"),
+      rank().over(w).cast(org.apache.spark.sql.types.IntegerType)
+        .as("rank_within_parent"))
+  }
+
+  /** [Q-tpcds-q47] TPC-DS Q47 shape: monthly brand sales vs the brand-year
+    * average with prior/next month neighbors — the WINDOW-OVER-AGGREGATE
+    * time-series shape. The fact shuffles once on the (category, brand,
+    * year, month) group keys; both windows then run over the ~small
+    * aggregate. All window arithmetic stays DECIMAL (sum-over-window,
+    * lag/lead) with one final DOUBLE cast per output column, so no
+    * float-summation-order flap between engines. */
+  def q_tpcds_q47(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year").isin(1999, 2000, 2001))
+      .select("d_date_sk", "d_year", "d_moy")
+    val it = t(spark, dir, "item").select("i_item_sk", "i_category", "i_brand")
+    val m = t(spark, dir, "store_sales")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_category"), col("i_brand"), col("d_year"), col("d_moy"))
+      .agg(sum(col("ss_sales_price")).as("s"))
+    val wy = org.apache.spark.sql.expressions.Window
+      .partitionBy("i_category", "i_brand", "d_year")
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("i_category", "i_brand").orderBy("d_year", "d_moy")
+    m.withColumn("avg_monthly_sales",
+        sum(col("s")).over(wy).cast(DoubleType) / count(lit(1)).over(wy))
+      .withColumn("psum", lag(col("s"), 1).over(ws).cast(DoubleType))
+      .withColumn("nsum", lead(col("s"), 1).over(ws).cast(DoubleType))
+      .filter(col("d_year") === 2000 && col("avg_monthly_sales") > 0)
+      .select(col("i_category"), col("i_brand"), col("d_year"), col("d_moy"),
+        col("s").cast(DoubleType).as("sum_sales"), col("avg_monthly_sales"),
+        col("psum"), col("nsum"))
+  }
+
+  /** [Q-tpcds-q59] TPC-DS Q59 shape: week-over-year comparison — weekly
+    * day-of-week sales totals SELF-JOINED on (week_seq = week_seq − 52).
+    * The pivot to day columns is conditional aggregation (one pass, no
+    * pivot shuffle); the self-join keys two tiny weekly aggregates on the
+    * shifted week sequence, with the year-2000 week filter applied via a
+    * broadcast semi-join on date_dim. Ratios divide exact DECIMAL sums as
+    * DOUBLE once. */
+  def q_tpcds_q59(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    def dow(name: String): Column =
+      sum(when(col("d_day_name") === name, col("ss_sales_price")))
+    val dd = t(spark, dir, "date_dim")
+      .select("d_date_sk", "d_week_seq", "d_day_name")
+    val wss = t(spark, dir, "store_sales")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("d_week_seq"))
+      .agg(dow("Sunday").as("sun"), dow("Monday").as("mon"),
+        dow("Tuesday").as("tue"), dow("Wednesday").as("wed"),
+        dow("Thursday").as("thu"), dow("Friday").as("fri"),
+        dow("Saturday").as("sat"))
+    val wk2000 = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select(col("d_week_seq").as("wk")).distinct()
+    val y = wss.join(broadcast(wk2000), col("d_week_seq") === col("wk"), "left_semi")
+    val z = wss.select(col("d_week_seq").as("w2"), col("sun").as("sun2"),
+      col("mon").as("mon2"), col("tue").as("tue2"), col("wed").as("wed2"),
+      col("thu").as("thu2"), col("fri").as("fri2"), col("sat").as("sat2"))
+    def r(a: String, b: String): Column =
+      (col(a).cast(DoubleType) / col(b).cast(DoubleType)).as(s"${a}_r")
+    y.join(z, col("d_week_seq") === col("w2") - 52)
+      .select(col("d_week_seq").as("week_seq"), r("sun", "sun2"), r("mon", "mon2"),
+        r("tue", "tue2"), r("wed", "wed2"), r("thu", "thu2"), r("fri", "fri2"),
+        r("sat", "sat2"))
+  }
+
+  /** [Q-tpcds-q88] TPC-DS Q88 shape: the 8 half-hour-bucket store traffic
+    * counts. The published SQL cross-joins 8 separate scalar subqueries —
+    * 8 fact scans; re-expressed Spark-first as ONE scan with conditional
+    * aggregation (count(when(bucket))), which is the plan a 100 TB run
+    * needs: time_dim and the demographics filter broadcast, zero shuffles
+    * beyond the single 1-row aggregate. Same 8 numbers, same filters. */
+  def q_tpcds_q88(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val td = t(spark, dir, "time_dim")
+      .filter(col("t_hour").between(8, 12))
+      .select("t_time_sk", "t_hour", "t_minute")
+    val hd = t(spark, dir, "household_demographics")
+      .filter(col("hd_dep_count") <= 10).select("hd_demo_sk")
+    def bucket(h: Int, firstHalf: Boolean): Column =
+      count(when(col("t_hour") === h &&
+        (if (firstHalf) col("t_minute") < 30 else col("t_minute") >= 30), 1))
+    t(spark, dir, "store_sales")
+      .join(broadcast(hd), col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .join(broadcast(td), col("ss_sold_time_sk") === col("t_time_sk"))
+      .agg(bucket(8, false).as("h8_30_to_9"),
+        bucket(9, true).as("h9_to_9_30"),
+        bucket(9, false).as("h9_30_to_10"),
+        bucket(10, true).as("h10_to_10_30"),
+        bucket(10, false).as("h10_30_to_11"),
+        bucket(11, true).as("h11_to_11_30"),
+        bucket(11, false).as("h11_30_to_12"),
+        bucket(12, true).as("h12_to_12_30"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -503,7 +628,75 @@ object Tpcds {
          |JOIN ${P("household_demographics")} ON c_current_hdemo_sk = hd_demo_sk
          |JOIN ${P("income_band")} ON hd_income_band_sk = ib_income_band_sk
          |WHERE ca_state IN ('CA', 'TX') AND hd_buy_potential = '>10000'
-         |GROUP BY ca_state, ib_lower_bound""".stripMargin)
+         |GROUP BY ca_state, ib_lower_bound""".stripMargin,
+    "q_tpcds_q36" ->
+      s"""SELECT CAST(sum(ss_net_profit) AS DOUBLE) / CAST(sum(ss_ext_sales_price) AS DOUBLE) AS gross_margin,
+         | i_category, i_class,
+         | CAST(GROUPING(i_category) + GROUPING(i_class) AS INT) AS lochierarchy,
+         | CAST(rank() OVER (
+         |   PARTITION BY GROUPING(i_category) + GROUPING(i_class),
+         |     CASE WHEN GROUPING(i_class) = 0 THEN i_category END
+         |   ORDER BY CAST(sum(ss_net_profit) AS DOUBLE) / CAST(sum(ss_ext_sales_price) AS DOUBLE) ASC) AS INT)
+         |   AS rank_within_parent
+         |FROM ${P("store_sales")}
+         |JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         |WHERE d_year = 2000
+         |GROUP BY ROLLUP(i_category, i_class)""".stripMargin,
+    "q_tpcds_q47" ->
+      s"""SELECT * FROM (
+         | SELECT i_category, i_brand, d_year, d_moy,
+         |  CAST(s AS DOUBLE) AS sum_sales,
+         |  CAST(sum(s) OVER wy AS DOUBLE) / count(*) OVER wy AS avg_monthly_sales,
+         |  CAST(lag(s) OVER ws AS DOUBLE) AS psum,
+         |  CAST(lead(s) OVER ws AS DOUBLE) AS nsum
+         | FROM (
+         |  SELECT i_category, i_brand, d_year, d_moy, sum(ss_sales_price) AS s
+         |  FROM ${P("store_sales")}
+         |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |  JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         |  WHERE d_year IN (1999, 2000, 2001)
+         |  GROUP BY i_category, i_brand, d_year, d_moy) m
+         | WINDOW wy AS (PARTITION BY i_category, i_brand, d_year),
+         |  ws AS (PARTITION BY i_category, i_brand ORDER BY d_year, d_moy)
+         |) v WHERE d_year = 2000 AND avg_monthly_sales > 0""".stripMargin,
+    "q_tpcds_q59" ->
+      s"""WITH wss AS (
+         | SELECT d_week_seq,
+         |  sum(CASE WHEN d_day_name = 'Sunday' THEN ss_sales_price END) AS sun,
+         |  sum(CASE WHEN d_day_name = 'Monday' THEN ss_sales_price END) AS mon,
+         |  sum(CASE WHEN d_day_name = 'Tuesday' THEN ss_sales_price END) AS tue,
+         |  sum(CASE WHEN d_day_name = 'Wednesday' THEN ss_sales_price END) AS wed,
+         |  sum(CASE WHEN d_day_name = 'Thursday' THEN ss_sales_price END) AS thu,
+         |  sum(CASE WHEN d_day_name = 'Friday' THEN ss_sales_price END) AS fri,
+         |  sum(CASE WHEN d_day_name = 'Saturday' THEN ss_sales_price END) AS sat
+         | FROM ${P("store_sales")}
+         | JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         | GROUP BY d_week_seq)
+         |SELECT y.d_week_seq AS week_seq,
+         | CAST(y.sun AS DOUBLE) / CAST(z.sun AS DOUBLE) AS sun_r,
+         | CAST(y.mon AS DOUBLE) / CAST(z.mon AS DOUBLE) AS mon_r,
+         | CAST(y.tue AS DOUBLE) / CAST(z.tue AS DOUBLE) AS tue_r,
+         | CAST(y.wed AS DOUBLE) / CAST(z.wed AS DOUBLE) AS wed_r,
+         | CAST(y.thu AS DOUBLE) / CAST(z.thu AS DOUBLE) AS thu_r,
+         | CAST(y.fri AS DOUBLE) / CAST(z.fri AS DOUBLE) AS fri_r,
+         | CAST(y.sat AS DOUBLE) / CAST(z.sat AS DOUBLE) AS sat_r
+         |FROM wss y JOIN wss z ON y.d_week_seq = z.d_week_seq - 52
+         |WHERE y.d_week_seq IN (SELECT d_week_seq FROM ${P("date_dim")} WHERE d_year = 2000)""".stripMargin,
+    "q_tpcds_q88" ->
+      s"""SELECT
+         | count(*) FILTER (WHERE t_hour = 8 AND t_minute >= 30) AS h8_30_to_9,
+         | count(*) FILTER (WHERE t_hour = 9 AND t_minute < 30) AS h9_to_9_30,
+         | count(*) FILTER (WHERE t_hour = 9 AND t_minute >= 30) AS h9_30_to_10,
+         | count(*) FILTER (WHERE t_hour = 10 AND t_minute < 30) AS h10_to_10_30,
+         | count(*) FILTER (WHERE t_hour = 10 AND t_minute >= 30) AS h10_30_to_11,
+         | count(*) FILTER (WHERE t_hour = 11 AND t_minute < 30) AS h11_to_11_30,
+         | count(*) FILTER (WHERE t_hour = 11 AND t_minute >= 30) AS h11_30_to_12,
+         | count(*) FILTER (WHERE t_hour = 12 AND t_minute < 30) AS h12_to_12_30
+         |FROM ${P("store_sales")}
+         |JOIN ${P("household_demographics")} ON ss_hdemo_sk = hd_demo_sk
+         |JOIN ${P("time_dim")} ON ss_sold_time_sk = t_time_sk
+         |WHERE hd_dep_count <= 10 AND t_hour BETWEEN 8 AND 12""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -516,5 +709,9 @@ object Tpcds {
     "q_tpcds_q91" -> q_tpcds_q91,
     "q_tpcds_q85" -> q_tpcds_q85,
     "q_tpcds_q99" -> q_tpcds_q99,
-    "q_tpcds_q84" -> q_tpcds_q84)
+    "q_tpcds_q84" -> q_tpcds_q84,
+    "q_tpcds_q36" -> q_tpcds_q36,
+    "q_tpcds_q47" -> q_tpcds_q47,
+    "q_tpcds_q59" -> q_tpcds_q59,
+    "q_tpcds_q88" -> q_tpcds_q88)
 }

@@ -122,6 +122,59 @@ class PlanGuardSpec extends AnyFunSuite {
       s"Q1 subqueries did not decorrelate:\n$q1")
   }
 
+  test("TPC-H breadth queries broadcast their dims and keep scalar subqueries hashed") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def fmt(name: String): String =
+      SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // Q4: the correlated EXISTS decorrelates to a LEFT SEMI keyed on the
+    // order key (the 90-day condition rides as a residual, never a loop)
+    val q4 = fmt("q_tpch_q4")
+    assert(q4.contains("LeftSemi"), s"Q4 EXISTS did not become a semi join:\n$q4")
+    // Q7: both nation roles broadcast, with the two-nation slice pushed
+    // into the nation scans
+    val q7 = fmt("q_tpch_q7")
+    assert(q7.contains("BroadcastHashJoin"), s"Q7 nations not broadcast:\n$q7")
+    assert(q7.contains("In(n_name"), s"Q7 nation slice not pushed:\n$q7")
+    // Q15: the scalar MAX attaches by value equality — a broadcast HASH
+    // join, never a nested loop (also covered by the global guard)
+    val q15 = fmt("q_tpch_q15")
+    assert(q15.contains("BroadcastHashJoin"), s"Q15 max not hash-attached:\n$q15")
+    // Q22: NOT EXISTS is a LEFT ANTI and the scalar average attaches as a
+    // hash join on the column-derived constant key
+    val q22 = fmt("q_tpch_q22")
+    assert(q22.contains("LeftAnti"), s"Q22 NOT EXISTS not an anti join:\n$q22")
+    assert(!q22.contains("BroadcastNestedLoopJoin"),
+      s"Q22 scalar subquery degraded to a nested loop:\n$q22")
+  }
+
+  test("new TPC-DS shapes: single-pass Q88, keyed Q59 self-join, windows over aggregates") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def fmt(name: String): String =
+      SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // Q88: the published 8-subquery shape must stay ONE fact scan with
+    // conditional aggregation — broadcast dims, no sort-merge anywhere
+    val q88 = fmt("q_tpcds_q88")
+    val factScans = q88.linesIterator
+      .count(l => l.contains("ReadSchema") && l.contains("ss_sold_time_sk"))
+    assert(factScans == 1, s"Q88 scans the fact $factScans times:\n$q88")
+    assert(q88.contains("BroadcastHashJoin") && !q88.contains("SortMergeJoin"),
+      s"Q88 dims not broadcast:\n$q88")
+    // Q59: the week-over-year comparison self-joins two weekly aggregates
+    // on the shifted week key (equi — the global guard already forbids a
+    // nested loop; assert the key is actually the week sequence)
+    val q59 = fmt("q_tpcds_q59")
+    assert(q59.contains("d_week_seq"), s"Q59 self-join lost its week key:\n$q59")
+    // Q36/Q47: the rank/lag windows must run over the AGGREGATE (Window
+    // above an Expand/HashAggregate), never over the raw fact
+    val q36 = fmt("q_tpcds_q36")
+    assert(q36.contains("Expand"), s"Q36 rollup lost its Expand:\n$q36")
+    assert(q36.contains("Window"), s"Q36 rank window missing:\n$q36")
+    val q47 = fmt("q_tpcds_q47")
+    assert(q47.contains("Window"), s"Q47 windows missing:\n$q47")
+  }
+
   test("q_win_rank2 slices by deterministic data buckets, not by the 5-value key") {
     import org.apache.spark.sql.execution.ExplainMode
     val plan = SparkEntry.queries("q_win_rank2")(spark, TestSpark.sf0001)
