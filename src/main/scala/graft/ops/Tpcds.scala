@@ -450,9 +450,16 @@ object Tpcds {
     val wk2000 = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
       .select(col("d_week_seq").as("wk")).distinct()
     val y = wss.join(broadcast(wk2000), col("d_week_seq") === col("wk"), "left_semi")
-    val z = wss.select(col("d_week_seq").as("w2"), col("sun").as("sun2"),
-      col("mon").as("mon2"), col("tue").as("tue2"), col("wed").as("wed2"),
-      col("thu").as("thu2"), col("fri").as("fri2"), col("sat").as("sat2"))
+    // the comparison side is semi-filtered to (year-2000 weeks + 52) so ITS
+    // fact scan prunes to ~one year too — Catalyst pushes both semi joins
+    // below the aggregates into the broadcast date_dim side, so each of the
+    // two fact passes aggregates only its single year instead of the whole
+    // history (cheaper at 100 TB than one unpruned scan + exchange reuse)
+    val z = wss.join(broadcast(wk2000.select((col("wk") + 52).as("wkz"))),
+        col("d_week_seq") === col("wkz"), "left_semi")
+      .select(col("d_week_seq").as("w2"), col("sun").as("sun2"),
+        col("mon").as("mon2"), col("tue").as("tue2"), col("wed").as("wed2"),
+        col("thu").as("thu2"), col("fri").as("fri2"), col("sat").as("sat2"))
     def r(a: String, b: String): Column =
       (col(a).cast(DoubleType) / col(b).cast(DoubleType)).as(s"${a}_r")
     y.join(z, col("d_week_seq") === col("w2") - 52)

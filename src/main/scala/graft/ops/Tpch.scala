@@ -158,6 +158,28 @@ object Tpch {
       .agg((sum(dec(col("l_extendedprice"))).cast(D) / lit(7.0)).as("avg_yearly"))
   }
 
+  /** [Q-tpch-q19] TPC-H Q19 (discounted revenue): the DISJUNCTIVE-predicate
+    * shape — an OR of three (brand, size-range, quantity-range) conjuncts
+    * spanning BOTH join sides. Catalyst must split it: the common
+    * `p_partkey` equi-key stays the join key, the brand/size union is
+    * inferred as a single-side filter pushed to the part scan, and the
+    * per-branch residue evaluates on the joined row. Adapted predicate:
+    * no p_container/l_shipmode/l_shipinstruct in the fixture, so the
+    * branches pair brand+size with quantity bands (same three-branch OR
+    * structure as published). */
+  def q_tpch_q19(s: SparkSession, d: String): DataFrame = {
+    val branch = (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(sum(vol).cast(D).as("revenue"))
+  }
+
   /** [Q-tpch-q22] TPC-H Q22 (global sales opportunity): customers above the
     * positive-balance average with no orders, counted per country code.
     * Adapted predicate: no c_phone in the fixture, so the country code is
