@@ -52,8 +52,14 @@ object TpcdsGen extends Benchmark {
   /** Generated-content version: bump when generation semantics change so
     * marker-gated caches ([[graft.ops.Tpcds.ensure]]) regenerate instead of
     * serving stale content against new invariant tests.
-    * v2: arithmetically coherent sales/returns money columns. */
-  val genVersion = 2
+    * v2: arithmetically coherent sales/returns money columns.
+    * v3: distinct items within a basket — (order_number, item_sk) is a
+    * true PK on every sales channel. */
+  val genVersion = 3
+
+  /** Prime step of the within-basket item tour (see the item case in
+    * colFor); must stay coprime to every supported item row count. */
+  private val itemStep = 1000003L
 
   private val sf1Counts: Map[String, (Long, Boolean)] = Map(
     "call_center"            -> (6L, false),
@@ -309,6 +315,22 @@ object TpcdsGen extends Benchmark {
     def skCol(cast: DataType): Column = fkTarget(f.name) match {
       case Some("date_dim") if tbl != "date_dim" =>
         uniLong(src, tag, dateSkLo, dateSkHi).cast(cast)
+      case Some("item") if basketLines.contains(tbl) =>
+        // DISTINCT items within a basket — the TPC-DS (order_number,
+        // item_sk) PK dsdgen guarantees: line k of a basket takes stop k of
+        // a prime-stepped tour of the item table starting at a basket hash.
+        // The step is coprime to |item| (required below), so the ≤4 lines
+        // of one basket land on distinct items while the marginal
+        // distribution stays hash-uniform across baskets. An independent
+        // per-line draw collides at ~L²/2/|item| per basket and breaks the
+        // returns⋈sales PK join's row identity.
+        val n = rowCount("item", sf)
+        require(BigInt(n).gcd(BigInt(itemStep)) == 1,
+          s"item row count $n shares a factor with the basket item step " +
+            s"$itemStep: pick a different prime step")
+        val lineIdx = line - basket * basketLines(tbl)
+        (pmod(pmod(h(basket, tag), lit(n)) + lineIdx * lit(itemStep % n), lit(n)) + 1)
+          .cast(cast)
       case Some(dim) if !(isFirst && dim == tbl) =>
         uniLong(src, tag, 1, rowCount(dim, sf)).cast(cast)
       case Some(_) => (line + 1).cast(cast) // own surrogate key

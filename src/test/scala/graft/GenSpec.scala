@@ -215,6 +215,21 @@ class GenSpec extends AnyFunSuite {
     assert(bad.count() == 0, "basket-level FK varies within a ticket")
   }
 
+  test("(order_number, item_sk) is a true PK on every sales channel") {
+    import org.apache.spark.sql.functions._
+    // dsdgen guarantees distinct items within a ticket; the prime-stepped
+    // basket item tour reproduces that exactly (not just w.h.p.)
+    for ((tbl, ord, item) <- Seq(
+      ("store_sales", "ss_ticket_number", "ss_item_sk"),
+      ("catalog_sales", "cs_order_number", "cs_item_sk"),
+      ("web_sales", "ws_order_number", "ws_item_sk"))) {
+      val df = TpcdsGen.table(spark, tbl, 0.01, 4)
+      val n = df.count()
+      val d = df.select(ord, item).distinct().count()
+      assert(d == n, s"$tbl: $n rows but only $d distinct ($ord, $item) pairs")
+    }
+  }
+
   test("returns facts reference actual sales rows (join on order+item)") {
     import org.apache.spark.sql.functions._
     val sf = 0.01
@@ -223,21 +238,20 @@ class GenSpec extends AnyFunSuite {
     val j = sr.join(ss,
       sr("sr_ticket_number") === ss("ss_ticket_number") &&
         sr("sr_item_sk") === ss("ss_item_sk"), "left")
-    // every return hits its originating sale (item/ticket are PK members,
-    // never null); ≥ because a basket can rarely repeat an item
+    // every return hits EXACTLY its originating sale: (ticket, item) is a
+    // true PK on the sales side since v3, so the left join is 1:1
     assert(j.filter(ss("ss_item_sk").isNull).count() == 0,
       "a return references no sales row")
-    assert(j.count() >= sr.count())
+    assert(j.count() == sr.count(), "returns⋈sales fan-out: PK violated")
     // the linked columns agree with the matched sale, nulls included
     assert(j.filter(!(sr("sr_customer_sk") <=> ss("ss_customer_sk"))).count() == 0,
       "sr_customer_sk disagrees with the originating sale")
     // returns never precede their sale
     assert(j.filter(sr("sr_returned_date_sk") < ss("ss_sold_date_sk")).count() == 0,
       "a return predates its sale")
-    // injective draw: ~10% of sales lines returned, none twice (up to the
-    // same-basket duplicate-item odds, which the ≥ above absorbs)
+    // injective draw: ~10% of sales lines returned, none twice
     assert(sr.select("sr_ticket_number", "sr_item_sk").distinct().count()
-      >= (sr.count() * 95) / 100, "returns heavily collide on (order,item)")
+      == sr.count(), "returns collide on (order,item)")
     // and returns generation is partition-count invariant like everything
     val p3 = TpcdsGen.table(spark, "store_returns", 0.001, 3)
     val p11 = TpcdsGen.table(spark, "store_returns", 0.001, 11)
