@@ -54,8 +54,12 @@ object TpcdsGen extends Benchmark {
     * serving stale content against new invariant tests.
     * v2: arithmetically coherent sales/returns money columns.
     * v3: distinct items within a basket — (order_number, item_sk) is a
-    * true PK on every sales channel. */
-  val genVersion = 3
+    * true PK on every sales channel.
+    * v4: warehouse is a per-line draw and the warehouse dim keeps its sf1
+    * floor of 5 at small scales (dsdgen ships one order's lines from
+    * possibly different warehouses — the published Q95 premise; a
+    * 1-warehouse world makes it unsatisfiable). */
+  val genVersion = 4
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -81,7 +85,10 @@ object TpcdsGen extends Benchmark {
     "store_sales"            -> (2880404L, false),
     "store_returns"          -> (287514L, false),
     "web_page"               -> (60L, false),
-    "warehouse"              -> (5L, false),
+    // fixed: dsdgen keeps tiny physical-site dims at their sf1 floor at
+    // small scales (a 1-warehouse world makes the published multi-warehouse
+    // predicates, e.g. Q95's, unsatisfiable); grows only ~4x by sf1000
+    "warehouse"              -> (5L, true),
     "time_dim"               -> (86400L, true),
     "web_site"               -> (30L, false),
     "web_returns"            -> (71763L, false),
@@ -136,9 +143,12 @@ object TpcdsGen extends Benchmark {
     Set("ss_ticket_number", "cs_order_number", "ws_order_number")
 
   /** Basket-level columns of a sales fact: every FK except the per-line
-    * item/promo picks. */
+    * item/promo/warehouse picks (dsdgen ships the lines of one order from
+    * possibly different warehouses — the premise of the published Q95
+    * "more than one warehouse" predicate). */
   private def basketLevel(name: String): Boolean =
-    name.endsWith("_sk") && !name.endsWith("_item_sk") && !name.endsWith("_promo_sk")
+    name.endsWith("_sk") && !name.endsWith("_item_sk") &&
+      !name.endsWith("_promo_sk") && !name.endsWith("_warehouse_sk")
 
   private def tagOf(tbl: String, i: Int): Int = tbl.hashCode * 131 + i * 31 + 17
 

@@ -497,6 +497,69 @@ object Tpcds {
         bucket(12, true).as("h12_to_12_30"))
   }
 
+  /** [Q-tpcds-q51] TPC-DS Q51 shape: per-item CUMULATIVE daily revenue on
+    * the web and store channels, FULL OUTER joined on (item, day), keeping
+    * days where the web run-rate leads. Each channel aggregates once
+    * (shuffle on its group keys), the cumulative window runs over the
+    * per-item-day aggregate in exact DECIMAL, and the full outer join keys
+    * on (item, date) — the null-padded comparison filters deterministically
+    * in both engines (NULL > x is never true). */
+  def q_tpcds_q51(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_moy") <= 3)
+      .select("d_date_sk", "d_date")
+    def cumul(fact: String, pfx: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("item_sk").orderBy("d_date")
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(s"${pfx}_sold_date_sk") === col("d_date_sk"))
+        .groupBy(col(s"${pfx}_item_sk").as("item_sk"), col("d_date"))
+        .agg(sum(col(s"${pfx}_sales_price")).as("sales"))
+        .withColumn("cume", sum(col("sales")).over(w))
+        .select(col("item_sk"), col("d_date"), col("cume"))
+    }
+    val web = cumul("web_sales", "ws")
+    val store = cumul("store_sales", "ss")
+      .select(col("item_sk").as("s_item_sk"), col("d_date").as("s_d_date"),
+        col("cume").as("s_cume"))
+    // a channel with no row for (item, day) counts as 0 so the outer rows
+    // survive the comparison (a bare NULL > x would silently inner-join)
+    web.join(store,
+        col("item_sk") === col("s_item_sk") && col("d_date") === col("s_d_date"),
+        "full_outer")
+      .filter(coalesce(col("cume"), lit(0)) > coalesce(col("s_cume"), lit(0)))
+      .select(coalesce(col("item_sk"), col("s_item_sk")).as("item_sk"),
+        coalesce(col("d_date"), col("s_d_date")).as("d_date"),
+        col("cume").cast(DoubleType).as("web_cumulative"),
+        col("s_cume").cast(DoubleType).as("store_cumulative"))
+  }
+
+  /** [Q-tpcds-q95] TPC-DS Q95 shape: ship-window web orders that shipped
+    * from MORE THAN ONE warehouse and were (partly) returned. The published
+    * correlated EXISTS self-join decorrelates Spark-first into a per-order
+    * `count(DISTINCT warehouse) > 1` aggregate (ONE shuffle on the order
+    * number instead of an order-keyed self-join), and the returns probe is
+    * a semi join on the order PK. Aggregates: distinct orders + exact
+    * DECIMAL cost sums. */
+  def q_tpcds_q95(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_moy") <= 2).select("d_date_sk")
+    val ws = t(spark, dir, "web_sales")
+    val multiWh = ws.groupBy(col("ws_order_number").as("mw_order"))
+      .agg(countDistinct(col("ws_warehouse_sk")).as("nwh"))
+      .filter(col("nwh") > 1).select("mw_order")
+    val returned = t(spark, dir, "web_returns")
+      .select(col("wr_order_number").as("r_order"))
+    ws.join(broadcast(dd), col("ws_ship_date_sk") === col("d_date_sk"))
+      .join(multiWh, col("ws_order_number") === col("mw_order"), "left_semi")
+      .join(returned, col("ws_order_number") === col("r_order"), "left_semi")
+      .agg(countDistinct(col("ws_order_number")).as("order_count"),
+        sum(col("ws_ext_ship_cost")).cast(DoubleType).as("total_shipping_cost"),
+        sum(col("ws_net_profit")).cast(DoubleType).as("total_net_profit"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -703,7 +766,34 @@ object Tpcds {
          |FROM ${P("store_sales")}
          |JOIN ${P("household_demographics")} ON ss_hdemo_sk = hd_demo_sk
          |JOIN ${P("time_dim")} ON ss_sold_time_sk = t_time_sk
-         |WHERE hd_dep_count <= 10 AND t_hour BETWEEN 8 AND 12""".stripMargin)
+         |WHERE hd_dep_count <= 10 AND t_hour BETWEEN 8 AND 12""".stripMargin,
+    "q_tpcds_q51" ->
+      s"""WITH web AS (
+         | SELECT ws_item_sk AS item_sk, d_date,
+         |  sum(sum(ws_sales_price)) OVER (PARTITION BY ws_item_sk ORDER BY d_date) AS cume
+         | FROM ${P("web_sales")} JOIN ${P("date_dim")} ON ws_sold_date_sk = d_date_sk
+         | WHERE d_year = 2000 AND d_moy <= 3 GROUP BY ws_item_sk, d_date),
+         |store AS (
+         | SELECT ss_item_sk AS item_sk, d_date,
+         |  sum(sum(ss_sales_price)) OVER (PARTITION BY ss_item_sk ORDER BY d_date) AS cume
+         | FROM ${P("store_sales")} JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         | WHERE d_year = 2000 AND d_moy <= 3 GROUP BY ss_item_sk, d_date)
+         |SELECT COALESCE(w.item_sk, s.item_sk) AS item_sk,
+         | COALESCE(w.d_date, s.d_date) AS d_date,
+         | CAST(w.cume AS DOUBLE) AS web_cumulative,
+         | CAST(s.cume AS DOUBLE) AS store_cumulative
+         |FROM web w FULL OUTER JOIN store s
+         | ON w.item_sk = s.item_sk AND w.d_date = s.d_date
+         |WHERE COALESCE(w.cume, 0) > COALESCE(s.cume, 0)""".stripMargin,
+    "q_tpcds_q95" ->
+      s"""SELECT count(DISTINCT ws_order_number) AS order_count,
+         | CAST(sum(ws_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+         | CAST(sum(ws_net_profit) AS DOUBLE) AS total_net_profit
+         |FROM ${P("web_sales")} JOIN ${P("date_dim")} ON ws_ship_date_sk = d_date_sk
+         |WHERE d_year = 2000 AND d_moy <= 2
+         | AND ws_order_number IN (SELECT ws_order_number FROM ${P("web_sales")}
+         |   GROUP BY ws_order_number HAVING count(DISTINCT ws_warehouse_sk) > 1)
+         | AND ws_order_number IN (SELECT wr_order_number FROM ${P("web_returns")})""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -720,5 +810,7 @@ object Tpcds {
     "q_tpcds_q36" -> q_tpcds_q36,
     "q_tpcds_q47" -> q_tpcds_q47,
     "q_tpcds_q59" -> q_tpcds_q59,
-    "q_tpcds_q88" -> q_tpcds_q88)
+    "q_tpcds_q88" -> q_tpcds_q88,
+    "q_tpcds_q51" -> q_tpcds_q51,
+    "q_tpcds_q95" -> q_tpcds_q95)
 }

@@ -140,6 +140,12 @@ class PlanGuardSpec extends AnyFunSuite {
     // join, never a nested loop (also covered by the global guard)
     val q15 = fmt("q_tpch_q15")
     assert(q15.contains("BroadcastHashJoin"), s"Q15 max not hash-attached:\n$q15")
+    // Q19: the three-branch OR spans both join sides; the planner must
+    // still infer the single-side brand/size union onto the part scan
+    // (disjunctive pushdown) while keeping the partkey equi-join
+    val q19 = fmt("q_tpch_q19")
+    assert(q19.contains("Or(And(EqualTo(p_brand,Brand#12)") ||
+      q19.contains("In(p_brand"), s"Q19 disjunction not pushed to part:\n$q19")
     // Q22: NOT EXISTS is a LEFT ANTI and the scalar average attaches as a
     // hash join on the column-derived constant key
     val q22 = fmt("q_tpch_q22")
