@@ -560,6 +560,36 @@ object Tpcds {
         sum(col("ws_net_profit")).cast(DoubleType).as("total_net_profit"))
   }
 
+  /** [Q-tpcds-q72] TPC-DS Q72 shape — the join-order stress query: catalog
+    * sales ⋈ weekly inventory snapshots on (item, week) with the
+    * low-stock inequality residual. BOTH sides are facts, so this is the
+    * one declared query whose primary join legitimately shuffles two fact
+    * tables — each keyed on the composite (item_sk, week_seq), with the
+    * date dims broadcast into both sides first so the shuffled rows carry
+    * only the join columns + measures. At 100 TB this plan shuffles each
+    * fact exactly once on a high-cardinality composite key; the
+    * demographics filter prunes the sales side before its exchange. */
+  def q_tpcds_q72(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val d1 = t(spark, dir, "date_dim")
+      .select(col("d_date_sk").as("d1_sk"), col("d_week_seq").as("wk"))
+    val d2 = t(spark, dir, "date_dim")
+      .select(col("d_date_sk").as("d2_sk"), col("d_week_seq").as("wk2"))
+    val hd = t(spark, dir, "household_demographics")
+      .filter(col("hd_buy_potential") === ">10000").select("hd_demo_sk")
+    val inv = t(spark, dir, "inventory")
+      .join(broadcast(d2), col("inv_date_sk") === col("d2_sk"))
+      .select(col("inv_item_sk"), col("wk2"), col("inv_quantity_on_hand"))
+    t(spark, dir, "catalog_sales")
+      .join(broadcast(hd), col("cs_bill_hdemo_sk") === col("hd_demo_sk"))
+      .join(broadcast(d1), col("cs_sold_date_sk") === col("d1_sk"))
+      .join(inv, col("inv_item_sk") === col("cs_item_sk") &&
+        col("wk2") === col("wk") &&
+        col("inv_quantity_on_hand") < col("cs_quantity"))
+      .groupBy(col("cs_item_sk"), col("wk"))
+      .agg(count(lit(1)).as("low_stock_count"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -793,7 +823,18 @@ object Tpcds {
          |WHERE d_year = 2000 AND d_moy <= 2
          | AND ws_order_number IN (SELECT ws_order_number FROM ${P("web_sales")}
          |   GROUP BY ws_order_number HAVING count(DISTINCT ws_warehouse_sk) > 1)
-         | AND ws_order_number IN (SELECT wr_order_number FROM ${P("web_returns")})""".stripMargin)
+         | AND ws_order_number IN (SELECT wr_order_number FROM ${P("web_returns")})""".stripMargin,
+    "q_tpcds_q72" ->
+      s"""SELECT cs_item_sk, d1.d_week_seq AS wk, count(*) AS low_stock_count
+         |FROM ${P("catalog_sales")}
+         |JOIN ${P("household_demographics")} ON cs_bill_hdemo_sk = hd_demo_sk
+         |JOIN ${P("date_dim")} d1 ON cs_sold_date_sk = d1.d_date_sk
+         |JOIN ${P("inventory")} ON inv_item_sk = cs_item_sk
+         |JOIN ${P("date_dim")} d2 ON inv_date_sk = d2.d_date_sk
+         |WHERE hd_buy_potential = '>10000'
+         |  AND d2.d_week_seq = d1.d_week_seq
+         |  AND inv_quantity_on_hand < cs_quantity
+         |GROUP BY cs_item_sk, d1.d_week_seq""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -812,5 +853,6 @@ object Tpcds {
     "q_tpcds_q59" -> q_tpcds_q59,
     "q_tpcds_q88" -> q_tpcds_q88,
     "q_tpcds_q51" -> q_tpcds_q51,
-    "q_tpcds_q95" -> q_tpcds_q95)
+    "q_tpcds_q95" -> q_tpcds_q95,
+    "q_tpcds_q72" -> q_tpcds_q72)
 }
