@@ -172,6 +172,15 @@ class PlanGuardSpec extends AnyFunSuite {
     // nested loop; assert the key is actually the week sequence)
     val q59 = fmt("q_tpcds_q59")
     assert(q59.contains("d_week_seq"), s"Q59 self-join lost its week key:\n$q59")
+    // Q72: the fact⋈fact join must be the ONLY non-broadcast join — both
+    // facts shuffle once on the composite (item, week) key, the three dims
+    // broadcast into the sides below the exchanges
+    val q72 = fmt("q_tpcds_q72")
+    val bigJoins = q72.linesIterator
+      .count(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(bigJoins == 2, // one header line + one node-detail line per plan
+      s"Q72 should have exactly one shuffled fact join:\n$q72")
+    assert(q72.contains("BroadcastHashJoin"), s"Q72 dims not broadcast:\n$q72")
     // Q36/Q47: the rank/lag windows must run over the AGGREGATE (Window
     // above an Expand/HashAggregate), never over the raw fact
     val q36 = fmt("q_tpcds_q36")
