@@ -158,6 +158,7 @@ object SparkEntry {
     "q_tpch_q15" -> Tpch.q_tpch_q15,
     "q_tpch_q17" -> Tpch.q_tpch_q17,
     "q_tpch_q19" -> Tpch.q_tpch_q19,
+    "q_tpch_q21" -> Tpch.q_tpch_q21,
     "q_tpch_q22" -> Tpch.q_tpch_q22,
   ) ++ Tpcds.queries // §2.14 TPC-DS workload over generated TPC-DS parquet
 
@@ -471,6 +472,10 @@ object SparkEntry {
       "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly FROM lineitem, part WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_size <= 15 AND l_quantity < 0.2 * (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)",
     "q_tpch_q19" ->
       s"SELECT CAST(sum($extDec * $oneMinusDisc) AS DOUBLE) AS revenue FROM lineitem, part WHERE l_partkey = p_partkey AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))",
+    // the oracle keeps Q21's CORRELATED form (EXISTS + NOT EXISTS) so the
+    // per-order-aggregate decorrelation is externally cross-checked
+    "q_tpch_q21" ->
+      "SELECT s_name, count(*) AS numwait FROM lineitem l1, supplier WHERE l1.l_suppkey = s_suppkey AND l1.l_returnflag = 'R' AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100",
     "q_tpch_q22" ->
       "SELECT cntrycode, count(*) AS numcust, CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal FROM (SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal, c_custkey FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)) cs WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) FROM customer WHERE c_nationkey % 5 IN (0, 1, 2) AND c_acctbal > 0.00) AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY cntrycode",
   ) ++ Tpcds.oracle // DuckDB over the generated TPC-DS parquet (sf0.01-pinned)

@@ -180,6 +180,33 @@ object Tpch {
       .agg(sum(vol).cast(D).as("revenue"))
   }
 
+  /** [Q-tpch-q21] TPC-H Q21 (suppliers who kept orders waiting): the
+    * DOUBLE-correlated shape — EXISTS (another supplier in the order) AND
+    * NOT EXISTS (another supplier with the same problem) — decorrelated
+    * Spark-first into ONE per-order aggregate (distinct suppliers, distinct
+    * problem-suppliers) broadcast back on the order key: two correlated
+    * subqueries become one shuffle instead of two order-keyed self-joins.
+    * Adapted problem predicate: the fixture has no commit/receipt dates, so
+    * "kept waiting" is a RETURNED line (l_returnflag = 'R'); the published
+    * fault isolation — order has ≥2 suppliers, exactly one at fault — is
+    * unchanged. Top-100 on a total order. */
+  def q_tpch_q21(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val perOrder = li.groupBy(col("l_orderkey").as("po_key"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_fault"))
+      .filter(col("n_supp") >= 2 && col("n_fault") === 1)
+      .select("po_key")
+    li.filter(col("l_returnflag") === "R")
+      .join(perOrder, col("l_orderkey") === col("po_key"), "left_semi")
+      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** [Q-tpch-q22] TPC-H Q22 (global sales opportunity): customers above the
     * positive-balance average with no orders, counted per country code.
     * Adapted predicate: no c_phone in the fixture, so the country code is
