@@ -58,8 +58,10 @@ object TpcdsGen extends Benchmark {
     * v4: warehouse is a per-line draw and the warehouse dim keeps its sf1
     * floor of 5 at small scales (dsdgen ships one order's lines from
     * possibly different warehouses — the published Q95 premise; a
-    * 1-warehouse world makes it unsatisfiable). */
-  val genVersion = 4
+    * 1-warehouse world makes it unsatisfiable).
+    * v5: functionally-dependent item merchandise hierarchy (brand → class
+    * → category, ids 1:1 with strings). */
+  val genVersion = 5
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -290,6 +292,37 @@ object TpcdsGen extends Benchmark {
     }
   }
 
+  /** Item merchandise hierarchy, FUNCTIONALLY DEPENDENT like dsdgen's:
+    * brand → class → category, with every `*_id` the 1:1 numeric key of its
+    * string (dsdgen ties them; independent draws make a grouping by
+    * (i_brand_id, i_brand) fan out to one group per item). Category comes
+    * from the spec dictionary (same hash/tag as the pick, so id and string
+    * agree); each category owns 16 classes, each class 10 brands —
+    * class_id ∈ [1,160] and brand_id ∈ [11,1610] encode their parents, so
+    * rollups over the hierarchy carry real containment semantics. */
+  private def itemCol(tbl: String, name: String, src: Column): Option[Column] = {
+    if (tbl != "item") return None
+    def t(n: String) = tagFor("item", n)
+    def str(c: Column) = c.cast(StringType)
+    lazy val catIdx = pmod(h(src, t("i_category")), lit(dictionaries("i_category").size.toLong))
+    lazy val classK = pmod(h(src, t("i_class")), lit(16L))
+    lazy val classId = catIdx * 16 + classK + 1
+    lazy val brandK = pmod(h(src, t("i_brand")), lit(10L))
+    lazy val brandId = classId * 10 + brandK + 1
+    lazy val manuId = pmod(h(src, t("i_manufact")), lit(1000L)) + 1
+    name match {
+      case "i_category_id" => Some((catIdx + 1).cast(IntegerType))
+      case "i_class" =>
+        Some(concat(lit("class_"), str(catIdx + 1), lit("_"), str(classK + 1)))
+      case "i_class_id" => Some(classId.cast(IntegerType))
+      case "i_brand" => Some(concat(lit("brand_"), str(brandId)))
+      case "i_brand_id" => Some(brandId.cast(IntegerType))
+      case "i_manufact" => Some(concat(lit("manu_"), str(manuId)))
+      case "i_manufact_id" => Some(manuId.cast(IntegerType))
+      case _ => None
+    }
+  }
+
   /** ~5% deterministic nulls on a nullable non-structural column (shared by
     * the generic and returns paths; keys, income-band bounds and order
     * numbers stay dense). */
@@ -348,7 +381,8 @@ object TpcdsGen extends Benchmark {
       case None => throw new IllegalArgumentException(
         s"unmapped FK column $tbl.${f.name}: add its suffix to fkSuffix")
     }
-    val base: Column = salesMoney(tbl, f.name, src).getOrElse(f.dataType match {
+    val base: Column = salesMoney(tbl, f.name, src)
+      .orElse(itemCol(tbl, f.name, src)).getOrElse(f.dataType match {
       // dense 1-based ticket/order number: the lines of one basket share it,
       // and returns rows joining on (order, item) hit the originating sale
       case IntegerType if orderNumberCols(f.name) =>

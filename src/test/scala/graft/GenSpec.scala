@@ -215,6 +215,24 @@ class GenSpec extends AnyFunSuite {
     assert(bad.count() == 0, "basket-level FK varies within a ticket")
   }
 
+  test("item merchandise hierarchy: brand → class → category, ids 1:1 with strings") {
+    import org.apache.spark.sql.functions._
+    val it = TpcdsGen.table(spark, "item", 0.01, 4)
+    // functional dependencies over non-null pairs, both directions for the
+    // id↔string pairs (dsdgen ties them; a violation means a grouping by
+    // (id, string) would fan out)
+    for ((a, b) <- Seq(
+      "i_brand" -> "i_class", "i_class" -> "i_category",
+      "i_brand_id" -> "i_brand", "i_brand" -> "i_brand_id",
+      "i_class_id" -> "i_class", "i_class" -> "i_class_id",
+      "i_category_id" -> "i_category", "i_category" -> "i_category_id",
+      "i_manufact_id" -> "i_manufact", "i_manufact" -> "i_manufact_id")) {
+      val fanout = it.filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(a).agg(countDistinct(col(b)).as("n")).filter(col("n") > 1)
+      assert(fanout.count() == 0, s"$a does not determine $b")
+    }
+  }
+
   test("(order_number, item_sk) is a true PK on every sales channel") {
     import org.apache.spark.sql.functions._
     // dsdgen guarantees distinct items within a ticket; the prime-stepped
