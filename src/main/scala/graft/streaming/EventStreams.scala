@@ -102,6 +102,25 @@ object EventStreams {
       col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Stream-stream interval LEFT OUTER self-join: like [[intervalJoin]]
+    * but an event with NO successor inside its hour emits null-padded —
+    * the "did anything follow?" enrichment shape. An unmatched row can
+    * only be emitted once the WATERMARK passes its join-window end
+    * (a_ts + 1h): before that the stream cannot know no match is coming.
+    * Rows whose window is still open when the input is exhausted stay
+    * withheld — that is the streaming delivery contract, and the
+    * StreamingSpec equality asserts exactly it: matched rows equal the
+    * batch join everywhere; unmatched rows equal the batch join's
+    * null-padded rows restricted to watermark-closed windows. */
+  def intervalJoinOuter(events: DataFrame): DataFrame = {
+    val a = events.select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+      col("event_id").as("a_event"))
+    val b = events.select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    a.join(b, col("a_user") === col("b_user") &&
+      col("b_ts") > col("a_ts") &&
+      col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+  }
+
   // ---- custom per-user session state via flatMapGroupsWithState ----
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -81,6 +81,30 @@ class StreamingSpec extends AnyFunSuite {
     assertSame(agg, graft.ops.Relational.q_join_theta(spark, dir), "interval join")
   }
 
+  test("stream-stream interval LEFT OUTER join == batch outer join on closed windows") {
+    val st = EventStreams.runToTable(
+      EventStreams.intervalJoinOuter(EventStreams.readEvents(spark, dir)),
+      "t_ssojoin", OutputMode.Append)
+    val ev = Tables(spark, dir, "events")
+    val a = ev.select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+      col("event_id").as("a_event"))
+    val b = ev.select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val batch = a.join(b, col("a_user") === col("b_user") &&
+      col("b_ts") > col("a_ts") &&
+      col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+    // matched rows emit as soon as both sides are seen — equal everywhere
+    assertSame(st.filter(col("b_ts").isNotNull),
+      batch.filter(col("b_ts").isNotNull), "outer join matched rows")
+    // an unmatched row emits only once the final watermark (max ts − 1h
+    // delay) passes its join-window end (a_ts + 1h): the closed windows
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val wm = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)
+    assertSame(st.filter(col("b_ts").isNull),
+      batch.filter(col("b_ts").isNull &&
+        col("a_ts") + expr("INTERVAL 1 HOUR") < lit(wm)),
+      "outer join null-padded closed windows")
+  }
+
   test("dropDuplicatesWithinWatermark removes in-watermark duplicates") {
     val st = EventStreams.runToTable(
       EventStreams.dedup(EventStreams.readEvents(spark, dir)),
