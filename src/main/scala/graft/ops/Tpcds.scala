@@ -590,6 +590,41 @@ object Tpcds {
       .agg(count(lit(1)).as("low_stock_count"))
   }
 
+  /** [Q-tpcds-q29] TPC-DS Q29 shape — the THREE-fact chain: items bought
+    * in store, RETURNED, then bought again by the same customer through
+    * the catalog. The first fact join rides the (ticket, item) PK the
+    * generator guarantees (returns hit their originating sale 1:1); the
+    * second keys on the composite (customer, item) with the
+    * repurchase-after-return date as a residual. Each fact shuffles at
+    * most once on a composite key; item broadcasts; the rollup output is
+    * Q29's triple quantity summary per category. */
+  def q_tpcds_q29(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val it = t(spark, dir, "item").select("i_item_sk", "i_category")
+    val ss = t(spark, dir, "store_sales").select(
+      col("ss_ticket_number"), col("ss_item_sk"), col("ss_customer_sk"),
+      col("ss_quantity"))
+    val sr = t(spark, dir, "store_returns").select(
+      col("sr_ticket_number"), col("sr_item_sk"), col("sr_customer_sk"),
+      col("sr_return_quantity"), col("sr_returned_date_sk"))
+    val cs = t(spark, dir, "catalog_sales").select(
+      col("cs_bill_customer_sk"), col("cs_item_sk"), col("cs_quantity"),
+      col("cs_sold_date_sk"))
+    ss.join(sr, col("ss_ticket_number") === col("sr_ticket_number") &&
+        col("ss_item_sk") === col("sr_item_sk"))
+      .join(cs, col("cs_bill_customer_sk") === col("sr_customer_sk") &&
+        col("cs_item_sk") === col("sr_item_sk") &&
+        col("cs_sold_date_sk") >= col("sr_returned_date_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_category"))
+      .agg(sum(col("ss_quantity")).cast(org.apache.spark.sql.types.LongType)
+          .as("store_sales_quantity"),
+        sum(col("sr_return_quantity")).cast(org.apache.spark.sql.types.LongType)
+          .as("store_returns_quantity"),
+        sum(col("cs_quantity")).cast(org.apache.spark.sql.types.LongType)
+          .as("catalog_sales_quantity"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -834,7 +869,20 @@ object Tpcds {
          |WHERE hd_buy_potential = '>10000'
          |  AND d2.d_week_seq = d1.d_week_seq
          |  AND inv_quantity_on_hand < cs_quantity
-         |GROUP BY cs_item_sk, d1.d_week_seq""".stripMargin)
+         |GROUP BY cs_item_sk, d1.d_week_seq""".stripMargin,
+    "q_tpcds_q29" ->
+      s"""SELECT i_category,
+         | CAST(sum(ss_quantity) AS BIGINT) AS store_sales_quantity,
+         | CAST(sum(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+         | CAST(sum(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+         |FROM ${P("store_sales")}
+         |JOIN ${P("store_returns")} ON ss_ticket_number = sr_ticket_number
+         | AND ss_item_sk = sr_item_sk
+         |JOIN ${P("catalog_sales")} ON cs_bill_customer_sk = sr_customer_sk
+         | AND cs_item_sk = sr_item_sk
+         | AND cs_sold_date_sk >= sr_returned_date_sk
+         |JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         |GROUP BY i_category""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -854,5 +902,6 @@ object Tpcds {
     "q_tpcds_q88" -> q_tpcds_q88,
     "q_tpcds_q51" -> q_tpcds_q51,
     "q_tpcds_q95" -> q_tpcds_q95,
-    "q_tpcds_q72" -> q_tpcds_q72)
+    "q_tpcds_q72" -> q_tpcds_q72,
+    "q_tpcds_q29" -> q_tpcds_q29)
 }
