@@ -160,7 +160,8 @@ object SparkEntry {
     "q_tpch_q19" -> Tpch.q_tpch_q19,
     "q_tpch_q21" -> Tpch.q_tpch_q21,
     "q_tpch_q22" -> Tpch.q_tpch_q22,
-  ) ++ Tpcds.queries // §2.14 TPC-DS workload over generated TPC-DS parquet
+  ) ++ Tpcds.queries ++ // §2.14 TPC-DS workload over generated TPC-DS parquet
+    TpchFull.queries // partsupp-dependent TPC-H over generated full-schema parquet
 
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
   private val oneMinusDisc = "(1 - CAST(l_discount AS DECIMAL(4,2)))"
@@ -477,6 +478,7 @@ object SparkEntry {
     "q_tpch_q21" ->
       "SELECT s_name, count(*) AS numwait FROM lineitem l1, supplier WHERE l1.l_suppkey = s_suppkey AND l1.l_returnflag = 'R' AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100",
     "q_tpch_q22" ->
-      "SELECT cntrycode, count(*) AS numcust, CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal FROM (SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal, c_custkey FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)) cs WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) FROM customer WHERE c_nationkey % 5 IN (0, 1, 2) AND c_acctbal > 0.00) AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY cntrycode",
-  ) ++ Tpcds.oracle // DuckDB over the generated TPC-DS parquet (sf0.01-pinned)
+      "SELECT cntrycode, count(*) AS numcust, CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal FROM (SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal, c_custkey FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)) cs WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) FROM customer WHERE c_nationkey % 5 IN (0, 1, 2) AND c_acctbal > 0.00) AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) GROUP BY cntrycode",
+  ) ++ Tpcds.oracle ++ // DuckDB over the generated TPC-DS parquet (sf0.01-pinned)
+    TpchFull.oracle // DuckDB over the generated TPC-H parquet (sf0.01-pinned)
 }

@@ -17,14 +17,20 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
-        // q_tpcds_* oracle SQL reads generated parquet at a path pinned to
-        // Tpcds.oracleScale; dumping results from another fixture scale
-        // would hash-mismatch against DIFFERENT data. Fail loud instead.
+        // generated-data oracle SQL (q_tpcds_*, partsupp TPC-H) reads
+        // parquet at a path pinned to the module's oracleScale; dumping
+        // results from another fixture scale would hash-mismatch against
+        // DIFFERENT data. Fail loud instead.
         if (ops.Tpcds.queries.contains(name) && !ops.Tpcds.oracleCompatible(sfDir))
           throw new IllegalStateException(
             s"$name's oracle is pinned to ${ops.Tpcds.oracleScale}-generated " +
               s"data; verifying at '$sfDir' would compare against the wrong " +
               s"scale. Run Verify at ${ops.Tpcds.oracleScale}.")
+        if (ops.TpchFull.queries.contains(name) && !ops.TpchFull.oracleCompatible(sfDir))
+          throw new IllegalStateException(
+            s"$name's oracle is pinned to ${ops.TpchFull.oracleScale}-generated " +
+              s"data; verifying at '$sfDir' would compare against the wrong " +
+              s"scale. Run Verify at ${ops.TpchFull.oracleScale}.")
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       } catch { case e: Throwable =>

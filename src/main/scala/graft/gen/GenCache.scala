@@ -1,0 +1,83 @@
+package graft.gen
+
+import org.apache.spark.sql.SparkSession
+
+/** Generate-once materialization cache for benchmark parquet (shared by the
+  * TPC-DS and full-TPC-H query workloads — `ops.Tpcds` / `ops.TpchFull`).
+  *
+  * Safe across THREADS (JVM `synchronized` — also keeps FileChannel.lock
+  * from throwing OverlappingFileLockException) and across PROCESSES (an
+  * exclusive FileChannel lock on `<sf>.lock` serializes generators, and the
+  * dir is built in a temp sibling then ATOMIC_MOVE'd into place with the
+  * `_GRAFT_COMPLETE` marker already inside — so the marker is only ever
+  * visible in a fully-written dir, and no JVM deletes a dir that carries
+  * it). A partial dir from a crashed run has no marker and is swept under
+  * the lock, as are stale sibling generations after a genVersion bump.
+  *
+  * Single-node plumbing: callers version the `root` per generator semantics
+  * (`gen<N>`); a multi-driver deployment would use a shared filesystem
+  * location, which this same tmp+atomic-rename protocol already supports.
+  */
+object GenCache {
+  /** Materialize `root/<sf-basename>` once; returns the dir. `generate`
+    * receives (spark, sf, tmpDir) and must write every table under tmpDir. */
+  def ensure(spark: SparkSession, root: String, sfDir: String)
+            (generate: (SparkSession, Double, String) => Unit): String =
+    synchronized {
+      import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+      val base = new java.io.File(sfDir).getName
+      require(base.startsWith("sf") && base.drop(2).toDoubleOption.nonEmpty,
+        s"cannot derive a scale from fixture dir '$sfDir'")
+      val dir = s"$root/$base"
+      val dirPath = Paths.get(dir)
+      val marker = dirPath.resolve("_GRAFT_COMPLETE")
+      if (!Files.exists(marker)) {
+        Files.createDirectories(Paths.get(root))
+        val lockPath = Paths.get(root, s"$base.lock")
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock() // blocks until any concurrent generator finishes
+          try {
+            if (!Files.exists(marker)) { // re-check under the lock
+              sweep(dirPath) // markerless partial from a crashed run
+              sweepStaleSiblings(Paths.get(root))
+              val tmp = Paths.get(root, s".$base.tmp")
+              sweep(tmp)
+              generate(spark, base.drop(2).toDouble, tmp.toString)
+              Files.createFile(tmp.resolve("_GRAFT_COMPLETE"))
+              Files.move(tmp, dirPath, StandardCopyOption.ATOMIC_MOVE)
+            }
+          } finally lock.release()
+        } finally ch.close()
+      }
+      dir
+    }
+
+  private def sweep(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      try it.forEach(f => Files.delete(f)) finally it.close()
+    }
+  }
+
+  /** Stale-generation hygiene: a genVersion bump orphans the previous gen*
+    * trees under the cache parent — sweep every sibling of `current` when
+    * generating a new version, so version bumps don't leak disk. Called
+    * under the generation lock; best-effort — a failure to delete one
+    * stale sibling never blocks generation. */
+  private[graft] def sweepStaleSiblings(current: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val parent = current.getParent
+    val keep = current.getFileName.toString
+    if (parent != null && Files.isDirectory(parent)) {
+      val kids = Files.list(parent)
+      try kids.forEach { k =>
+        if (k.getFileName.toString != keep)
+          try sweep(k)
+          catch { case scala.util.control.NonFatal(_) => () }
+      } finally kids.close()
+    }
+  }
+}

@@ -35,6 +35,11 @@ import GenUtil._
   */
 object TpchGen extends Benchmark {
   val name = "tpch"
+  /** Generated-content version for marker-gated caches
+    * ([[graft.ops.TpchFull]] via [[GenCache]]): bump when generation
+    * semantics change so caches regenerate instead of serving stale
+    * content. v1: initial full-schema generation. */
+  val genVersion = 1
   def tableNames: Seq[String] = TpchSchemas.tableNames
   def tableExt: String = TpchSchemas.tableExt
   def schema(table: String): StructType = TpchSchemas(table)

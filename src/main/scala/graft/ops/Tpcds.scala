@@ -48,69 +48,15 @@ object Tpcds {
     s"$root/$base"
   }
 
-  /** Generate-once: all 24 tables at the fixture-matched scale. Safe across
-    * THREADS (JVM `synchronized` — also keeps FileChannel.lock from throwing
-    * OverlappingFileLockException) and across PROCESSES (an exclusive
-    * FileChannel lock on `<sf>.lock` serializes generators, and the dir is
-    * built in a temp sibling then ATOMIC_MOVE'd into place with the
-    * `_GRAFT_COMPLETE` marker already inside — so the marker is only ever
-    * visible in a fully-written dir, and no JVM deletes a dir that carries
-    * it). Generation is deterministic and partition-count invariant
-    * (GenSpec); a partial dir from a crashed run has no marker and is swept
-    * under the lock. */
-  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
-    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
-    val dir = dataDir(sfDir)
-    val dirPath = Paths.get(dir)
-    val marker = dirPath.resolve("_GRAFT_COMPLETE")
-    if (!Files.exists(marker)) {
-      Files.createDirectories(Paths.get(root))
-      val lockPath = Paths.get(root, s"${dirPath.getFileName}.lock")
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock() // blocks until any concurrent generator finishes
-        try {
-          if (!Files.exists(marker)) { // re-check under the lock
-            def sweep(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-              val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-              try it.forEach(f => Files.delete(f)) finally it.close()
-            }
-            sweep(dirPath) // markerless partial from a crashed run
-            sweepStaleSiblings(Paths.get(root))
-            val tmp = Paths.get(root, s".${dirPath.getFileName}.tmp")
-            sweep(tmp)
-            val sf = new java.io.File(sfDir).getName.drop(2).toDouble
-            TpcdsGen.generateParquet(spark, sf, 16, tmp.toString)
-            Files.createFile(tmp.resolve("_GRAFT_COMPLETE"))
-            Files.move(tmp, dirPath, StandardCopyOption.ATOMIC_MOVE)
-          }
-        } finally lock.release()
-      } finally ch.close()
+  /** Generate-once: all 24 tables at the fixture-matched scale, via the
+    * shared crash-safe cache protocol ([[graft.gen.GenCache]]: exclusive
+    * file lock, tmp + atomic rename, marker-gated, stale-generation
+    * sweeping). Generation is deterministic and partition-count invariant
+    * (GenSpec). */
+  def ensure(spark: SparkSession, sfDir: String): String =
+    graft.gen.GenCache.ensure(spark, root, sfDir) { (s, sf, tmp) =>
+      TpcdsGen.generateParquet(s, sf, 16, tmp)
     }
-    dir
-  }
-
-  /** Stale-generation hygiene: a genVersion bump orphans the previous gen*
-    * trees (and any pre-versioning sf* dirs) under the cache parent — sweep
-    * every sibling of `current` when generating a new version, so version
-    * bumps don't leak disk. Called under the generation lock; best-effort —
-    * a failure to delete one stale sibling never blocks generation. */
-  private[graft] def sweepStaleSiblings(current: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    val parent = current.getParent
-    val keep = current.getFileName.toString
-    if (parent != null && Files.isDirectory(parent)) {
-      val kids = Files.list(parent)
-      try kids.forEach { k =>
-        if (k.getFileName.toString != keep)
-          try {
-            val it = Files.walk(k).sorted(java.util.Comparator.reverseOrder())
-            try it.forEach(f => Files.delete(f)) finally it.close()
-          } catch { case scala.util.control.NonFatal(_) => () }
-      } finally kids.close()
-    }
-  }
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

@@ -213,7 +213,10 @@ object Tpch {
     * c_nationkey % 5 restricted to {0,1,2}. The plan shape is the
     * published one — scalar-average subquery (1-row broadcast hash join on
     * a literal key), NOT EXISTS as a LEFT ANTI join on c_custkey, then a
-    * tiny keyed aggregate. */
+    * tiny keyed aggregate. The anti-join predicate is "no HIGH-VALUE order"
+    * (> 300k): the fixture's order/customer ratio (10:1) leaves zero
+    * customers with no orders at all, which would make the published
+    * bare NOT EXISTS vacuously empty. */
   def q_tpch_q22(s: SparkSession, d: String): DataFrame = {
     val cust = t(s, d, "customer")
       .withColumn("cntrycode", (col("c_nationkey") % 5).cast(IntegerType))
@@ -231,7 +234,8 @@ object Tpch {
     cust.withColumn("jk", (col("c_custkey") * 0).cast(IntegerType))
       .join(broadcast(avgBal), Seq("jk"))
       .filter(col("c_acctbal") > col("avg_bal"))
-      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("cntrycode")
       .agg(count(lit(1)).as("numcust"),
         sum(dec(col("c_acctbal"))).cast(D).as("totacctbal"))

@@ -3,7 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Relational, Tpcds}
+import graft.gen.GenCache
+import graft.ops.Relational
 
 /** Edge-case hardening tests (round-8 ADVICE items): nullable input through
   * the two-phase window family, nested parquet layouts through the footer
@@ -85,7 +86,7 @@ class RobustnessSpec extends AnyFunSuite {
     Files.write(parent.resolve("gen8/sf0.01/x"), "stale".getBytes)
     Files.createDirectories(parent.resolve("sf0.001"))
     Files.write(parent.resolve("sf0.001.lock"), Array.emptyByteArray)
-    Tpcds.sweepStaleSiblings(current)
+    GenCache.sweepStaleSiblings(current)
     val left = { val s = Files.list(parent); try { val l = s.iterator(); val b =
       scala.collection.mutable.ListBuffer.empty[String]
       while (l.hasNext) b += l.next().getFileName.toString; b.toList } finally s.close() }
