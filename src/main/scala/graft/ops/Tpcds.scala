@@ -571,6 +571,35 @@ object Tpcds {
           .as("catalog_sales_quantity"))
   }
 
+  /** [Q-tpcds-q14] TPC-DS Q14 shape: items sold through ALL THREE channels
+    * — an INTERSECT chain over the per-channel distinct item sets — then
+    * per-channel totals restricted to those cross-channel items via semi
+    * joins. INTERSECT is a keyed set-op (aggregate + join on item_sk, a
+    * dense int key); each channel's fact streams once through a semi join
+    * against the (small) cross-channel set. */
+  def q_tpcds_q14(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    def items(fact: String, pfx: String): DataFrame =
+      t(spark, dir, fact).select(col(s"${pfx}_item_sk").as("item_sk")).distinct()
+    val cross = items("store_sales", "ss")
+      .intersect(items("catalog_sales", "cs"))
+      .intersect(items("web_sales", "ws"))
+    def chan(fact: String, pfx: String, name: String): DataFrame =
+      t(spark, dir, fact)
+        .join(cross, col(s"${pfx}_item_sk") === col("item_sk"), "left_semi")
+        .select(lit(name).as("channel"),
+          col(s"${pfx}_item_sk").as("item"),
+          col(s"${pfx}_quantity").as("qty"),
+          col(s"${pfx}_ext_sales_price").as("amt"))
+    chan("store_sales", "ss", "store")
+      .union(chan("catalog_sales", "cs", "catalog"))
+      .union(chan("web_sales", "ws", "web"))
+      .groupBy(col("channel"))
+      .agg(sum(col("qty")).cast(org.apache.spark.sql.types.LongType).as("qty"),
+        sum(col("amt")).cast(DoubleType).as("amt"),
+        countDistinct(col("item")).as("n_items"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -828,7 +857,27 @@ object Tpcds {
          | AND cs_item_sk = sr_item_sk
          | AND cs_sold_date_sk >= sr_returned_date_sk
          |JOIN ${P("item")} ON ss_item_sk = i_item_sk
-         |GROUP BY i_category""".stripMargin)
+         |GROUP BY i_category""".stripMargin,
+    "q_tpcds_q14" ->
+      s"""WITH cross_items AS (
+         | SELECT ss_item_sk AS item_sk FROM ${P("store_sales")}
+         | INTERSECT SELECT cs_item_sk FROM ${P("catalog_sales")}
+         | INTERSECT SELECT ws_item_sk FROM ${P("web_sales")})
+         |SELECT channel, CAST(sum(qty) AS BIGINT) AS qty,
+         | CAST(sum(amt) AS DOUBLE) AS amt, count(DISTINCT item) AS n_items
+         |FROM (
+         | SELECT 'store' AS channel, ss_item_sk AS item, ss_quantity AS qty,
+         |  ss_ext_sales_price AS amt FROM ${P("store_sales")}
+         |  WHERE ss_item_sk IN (SELECT item_sk FROM cross_items)
+         | UNION ALL
+         | SELECT 'catalog', cs_item_sk, cs_quantity, cs_ext_sales_price
+         |  FROM ${P("catalog_sales")}
+         |  WHERE cs_item_sk IN (SELECT item_sk FROM cross_items)
+         | UNION ALL
+         | SELECT 'web', ws_item_sk, ws_quantity, ws_ext_sales_price
+         |  FROM ${P("web_sales")}
+         |  WHERE ws_item_sk IN (SELECT item_sk FROM cross_items)) u
+         |GROUP BY channel""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -849,5 +898,6 @@ object Tpcds {
     "q_tpcds_q51" -> q_tpcds_q51,
     "q_tpcds_q95" -> q_tpcds_q95,
     "q_tpcds_q72" -> q_tpcds_q72,
-    "q_tpcds_q29" -> q_tpcds_q29)
+    "q_tpcds_q29" -> q_tpcds_q29,
+    "q_tpcds_q14" -> q_tpcds_q14)
 }

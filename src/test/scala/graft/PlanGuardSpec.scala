@@ -190,6 +190,27 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(q47.contains("Window"), s"Q47 windows missing:\n$q47")
   }
 
+  test("partsupp TPC-H queries: Q9 has one fact-fact join, Q2/Q11 attach scalars hashed") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def fmt(name: String): String =
+      SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // Q9: lineitem⋈partsupp on the composite PK is the ONE shuffled join;
+    // part/supplier/orders/nation ride broadcasts at test scale
+    val q9 = fmt("q_tpch_q9")
+    assert(q9.contains("ps_partkey") && q9.contains("ps_suppkey"),
+      s"Q9 partsupp join lost its composite key:\n$q9")
+    assert(!q9.contains("BroadcastNestedLoopJoin") && !q9.contains("CartesianProduct"))
+    // Q2: the min-cost attach is a broadcast hash join on (partkey, cost)
+    val q2 = fmt("q_tpch_q2")
+    assert(q2.contains("mn_cost"), s"Q2 min-cost attach missing:\n$q2")
+    assert(!q2.contains("BroadcastNestedLoopJoin") && !q2.contains("CartesianProduct"))
+    // Q11: the fraction-of-total threshold attaches hashed, never nested-loop
+    val q11 = fmt("q_tpch_q11")
+    assert(!q11.contains("BroadcastNestedLoopJoin") && !q11.contains("CartesianProduct"),
+      s"Q11 scalar threshold degraded to a nested loop:\n$q11")
+  }
+
   test("q_win_rank2 slices by deterministic data buckets, not by the 5-value key") {
     import org.apache.spark.sql.execution.ExplainMode
     val plan = SparkEntry.queries("q_win_rank2")(spark, TestSpark.sf0001)
