@@ -600,6 +600,39 @@ object Tpcds {
         countDistinct(col("item")).as("n_items"))
   }
 
+  /** [Q-tpcds-q11] TPC-DS Q11 shape: customers whose web spend grew faster
+    * year-over-year than their store spend. The published form self-joins
+    * four per-customer-year CTEs; re-expressed Spark-first as ONE
+    * conditional aggregate per channel (year pivoted inside the agg — two
+    * fact shuffles total, on the customer key) and a single customer-keyed
+    * join between the two channel summaries. The growth comparison divides
+    * exact DECIMAL year sums as DOUBLE on both engines; first-year-zero
+    * customers are excluded exactly as published. */
+  def q_tpcds_q11(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year").isin(2000, 2001)).select("d_date_sk", "d_year")
+    def spend(fact: String, dateCol: String, custCol: String, pricePfx: String) =
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .filter(col(custCol).isNotNull)
+        .groupBy(col(custCol).as("cust"))
+        .agg(sum(when(col("d_year") === 2000, col(s"${pricePfx}_ext_sales_price")))
+            .as("y1"),
+          sum(when(col("d_year") === 2001, col(s"${pricePfx}_ext_sales_price")))
+            .as("y2"))
+    val store = spend("store_sales", "ss_sold_date_sk", "ss_customer_sk", "ss")
+      .select(col("cust").as("s_cust"), col("y1").as("s_y1"), col("y2").as("s_y2"))
+    val web = spend("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk", "ws")
+    web.join(store, col("cust") === col("s_cust"))
+      .filter(col("y1") > 0 && col("s_y1") > 0)
+      .filter((col("y2").cast(DoubleType) / col("y1").cast(DoubleType)) >
+        (col("s_y2").cast(DoubleType) / col("s_y1").cast(DoubleType)))
+      .select(col("cust").as("customer_sk"),
+        (col("y2").cast(DoubleType) / col("y1").cast(DoubleType)).as("web_growth"),
+        (col("s_y2").cast(DoubleType) / col("s_y1").cast(DoubleType)).as("store_growth"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -877,7 +910,29 @@ object Tpcds {
          | SELECT 'web', ws_item_sk, ws_quantity, ws_ext_sales_price
          |  FROM ${P("web_sales")}
          |  WHERE ws_item_sk IN (SELECT item_sk FROM cross_items)) u
-         |GROUP BY channel""".stripMargin)
+         |GROUP BY channel""".stripMargin,
+    "q_tpcds_q11" ->
+      s"""WITH s AS (
+         | SELECT ss_customer_sk AS cust,
+         |  sum(CASE WHEN d_year = 2000 THEN ss_ext_sales_price END) AS y1,
+         |  sum(CASE WHEN d_year = 2001 THEN ss_ext_sales_price END) AS y2
+         | FROM ${P("store_sales")} JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         | WHERE d_year IN (2000, 2001) AND ss_customer_sk IS NOT NULL
+         | GROUP BY ss_customer_sk),
+         |w AS (
+         | SELECT ws_bill_customer_sk AS cust,
+         |  sum(CASE WHEN d_year = 2000 THEN ws_ext_sales_price END) AS y1,
+         |  sum(CASE WHEN d_year = 2001 THEN ws_ext_sales_price END) AS y2
+         | FROM ${P("web_sales")} JOIN ${P("date_dim")} ON ws_sold_date_sk = d_date_sk
+         | WHERE d_year IN (2000, 2001) AND ws_bill_customer_sk IS NOT NULL
+         | GROUP BY ws_bill_customer_sk)
+         |SELECT w.cust AS customer_sk,
+         | CAST(w.y2 AS DOUBLE) / CAST(w.y1 AS DOUBLE) AS web_growth,
+         | CAST(s.y2 AS DOUBLE) / CAST(s.y1 AS DOUBLE) AS store_growth
+         |FROM w JOIN s ON w.cust = s.cust
+         |WHERE w.y1 > 0 AND s.y1 > 0
+         | AND CAST(w.y2 AS DOUBLE) / CAST(w.y1 AS DOUBLE) >
+         |     CAST(s.y2 AS DOUBLE) / CAST(s.y1 AS DOUBLE)""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -899,5 +954,6 @@ object Tpcds {
     "q_tpcds_q95" -> q_tpcds_q95,
     "q_tpcds_q72" -> q_tpcds_q72,
     "q_tpcds_q29" -> q_tpcds_q29,
-    "q_tpcds_q14" -> q_tpcds_q14)
+    "q_tpcds_q14" -> q_tpcds_q14,
+    "q_tpcds_q11" -> q_tpcds_q11)
 }
