@@ -65,8 +65,14 @@ object GenCache {
   /** Stale-generation hygiene: a genVersion bump orphans the previous gen*
     * trees under the cache parent — sweep every sibling of `current` when
     * generating a new version, so version bumps don't leak disk. Called
-    * under the generation lock; best-effort — a failure to delete one
-    * stale sibling never blocks generation. */
+    * under the NEW generation's lock only, which says nothing about the
+    * sibling: a concurrently running older-version process (CI during a
+    * rolling upgrade) may be mid-generation in it. So a sibling is swept
+    * only if every per-scale `<sf>.lock` inside it can be exclusively
+    * tryLock'd first — a held lock (or this JVM's own overlapping lock)
+    * skips the sibling; it gets swept by a later run once idle.
+    * Best-effort throughout — a failure to delete one stale sibling never
+    * blocks generation. */
   private[graft] def sweepStaleSiblings(current: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     val parent = current.getParent
@@ -75,9 +81,37 @@ object GenCache {
       val kids = Files.list(parent)
       try kids.forEach { k =>
         if (k.getFileName.toString != keep)
-          try sweep(k)
+          try sweepIfUnlocked(k)
           catch { case scala.util.control.NonFatal(_) => () }
       } finally kids.close()
     }
+  }
+
+  /** Sweep a stale generation dir after acquiring EVERY `*.lock` file inside
+    * it (non-blocking). Locks are held through the sweep — deleting a locked
+    * file is safe on POSIX, and the owner crashing mid-delete just leaves a
+    * markerless partial for the next sweep. A plain file sibling (stray
+    * lock of an already-swept generation) is deleted directly. */
+  private def sweepIfUnlocked(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardOpenOption}
+    if (!Files.isDirectory(p)) { Files.deleteIfExists(p); return }
+    val locks = Files.list(p)
+    val lockFiles = try {
+      import scala.jdk.CollectionConverters._
+      locks.iterator().asScala.filter(_.getFileName.toString.endsWith(".lock")).toList
+    } finally locks.close()
+    val channels = scala.collection.mutable.ListBuffer
+      .empty[java.nio.channels.FileChannel]
+    try {
+      val allAcquired = lockFiles.forall { lf =>
+        val ch = java.nio.channels.FileChannel.open(lf,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        channels += ch
+        try ch.tryLock() != null
+        catch { case _: java.nio.channels.OverlappingFileLockException => false }
+      }
+      if (allAcquired) sweep(p)
+    } finally channels.foreach(ch =>
+      try ch.close() catch { case scala.util.control.NonFatal(_) => () })
   }
 }

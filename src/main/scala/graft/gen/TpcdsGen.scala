@@ -60,8 +60,13 @@ object TpcdsGen extends Benchmark {
     * possibly different warehouses — the published Q95 premise; a
     * 1-warehouse world makes it unsatisfiable).
     * v5: functionally-dependent item merchandise hierarchy (brand → class
-    * → category, ids 1:1 with strings). */
-  val genVersion = 5
+    * → category, ids 1:1 with strings).
+    * v6: hierarchy-member null coherence — the id and string of one
+    * hierarchy member draw ONE shared null decision (independent ~5%
+    * draws left rows with i_brand_id non-null but i_brand null, so a
+    * grouping by (i_brand_id, i_brand) still fanned an id into a
+    * (string, NULL) second group). */
+  val genVersion = 6
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -323,6 +328,17 @@ object TpcdsGen extends Benchmark {
     }
   }
 
+  /** Item hierarchy members whose id column must share its STRING column's
+    * null decision: one ~5% draw per member, so i_brand_id is null exactly
+    * when i_brand is (the FD test groups by the pair; a lone-null row would
+    * fan one id into a (string, NULL) second group). Same coherence idea as
+    * basket-level null decisions riding the basket hash. */
+  private val itemNullPeer: Map[String, String] = Map(
+    "i_category_id" -> "i_category",
+    "i_class_id" -> "i_class",
+    "i_brand_id" -> "i_brand",
+    "i_manufact_id" -> "i_manufact")
+
   /** ~5% deterministic nulls on a nullable non-structural column (shared by
     * the generic and returns paths; keys, income-band bounds and order
     * numbers stay dense). */
@@ -371,6 +387,13 @@ object TpcdsGen extends Benchmark {
         require(BigInt(n).gcd(BigInt(itemStep)) == 1,
           s"item row count $n shares a factor with the basket item step " +
             s"$itemStep: pick a different prime step")
+        // the tour only yields distinct items while a basket's lines fit in
+        // one lap — at degenerate scales (item rows < lines per basket) the
+        // PK would silently break along with the returns⋈sales 1:1 linkage
+        require(n >= basketLines(tbl),
+          s"item row count $n < ${basketLines(tbl)} lines per $tbl basket: " +
+            s"the (order_number, item_sk) PK cannot hold; use sf >= " +
+            f"${basketLines(tbl) / sf1Counts("item")._1.toDouble}%.6f")
         val lineIdx = line - basket * basketLines(tbl)
         (pmod(pmod(h(basket, tag), lit(n)) + lineIdx * lit(itemStep % n), lit(n)) + 1)
           .cast(cast)
@@ -412,7 +435,12 @@ object TpcdsGen extends Benchmark {
       case other => throw new IllegalArgumentException(
         s"unsupported TPC-DS column type: $other (${f.name})")
     })
-    if (isFirst) base else nullify(f, src, tag, base)
+    // id↔string pairs of one item-hierarchy member null together: the id
+    // column borrows its string peer's tag for the null draw
+    val nullTag =
+      if (tbl == "item") itemNullPeer.get(f.name).map(tagFor("item", _)).getOrElse(tag)
+      else tag
+    if (isFirst) base else nullify(f, src, nullTag, base)
   }
 
   /** Columns of a returns fact: each row re-evaluates its linked sales

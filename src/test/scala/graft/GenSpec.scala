@@ -231,6 +231,39 @@ class GenSpec extends AnyFunSuite {
         .groupBy(a).agg(countDistinct(col(b)).as("n")).filter(col("n") > 1)
       assert(fanout.count() == 0, s"$a does not determine $b")
     }
+    // id and string of one member are null TOGETHER (v6): otherwise a
+    // grouping by (id, string) still fans an id into a (string, NULL)
+    // second group that the non-null FD check above can't see
+    for ((idc, strc) <- Seq(
+      "i_category_id" -> "i_category", "i_class_id" -> "i_class",
+      "i_brand_id" -> "i_brand", "i_manufact_id" -> "i_manufact")) {
+      assert(it.filter(col(idc).isNull =!= col(strc).isNull).count() == 0,
+        s"$idc and $strc draw independent null decisions")
+      assert(it.filter(col(idc).isNull).count() > 0,
+        s"$idc carries no nulls at all — the coherence check is vacuous")
+    }
+  }
+
+  test("stale-generation sweep skips a sibling whose scale lock is held") {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val parent = Files.createTempDirectory("graft_gencache_test")
+    val stale = parent.resolve("gen1")
+    val cur = parent.resolve("gen2")
+    Files.createDirectories(stale.resolve("sf0.01"))
+    Files.createDirectories(cur)
+    val lockFile = stale.resolve("sf0.01.lock")
+    val ch = java.nio.channels.FileChannel.open(lockFile,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    // tryLock in THIS JVM marks the file locked for any other channel too
+    // (OverlappingFileLockException) — exactly the signal sweep must honor
+    val held = ch.tryLock()
+    try {
+      graft.gen.GenCache.sweepStaleSiblings(cur)
+      assert(Files.exists(stale.resolve("sf0.01")),
+        "sweep deleted a generation whose scale lock was held")
+    } finally { held.release(); ch.close() }
+    graft.gen.GenCache.sweepStaleSiblings(cur)
+    assert(!Files.exists(stale), "sweep skipped an unlocked stale generation")
   }
 
   test("(order_number, item_sk) is a true PK on every sales channel") {
