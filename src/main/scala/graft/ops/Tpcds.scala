@@ -35,17 +35,22 @@ import graft.gen.TpcdsGen
   */
 object Tpcds {
   /** Version-keyed so a generator-semantics bump regenerates rather than
-    * serving a stale cache (the oracle paths derive from the same root, so
-    * Spark and DuckDB always read the same generation). */
+    * serving a stale cache. The DEFAULT root also anchors the pinned
+    * oracle paths, so Spark and DuckDB read the same generation; a
+    * `spark.graft.cacheRoot` override ([[graft.gen.GenCache.rootFor]])
+    * relocates the live cache for cluster/shared-FS deployments and is
+    * not oracle-checkable. */
   private val root = s"/tmp/graft_tpcds/gen${TpcdsGen.genVersion}"
+  private def liveRoot(spark: SparkSession): String =
+    graft.gen.GenCache.rootFor(spark, s"graft_tpcds/gen${TpcdsGen.genVersion}")
 
   /** TPC-DS materialization dir for a fixture sf dir (basename-keyed:
-    * /root/testdata/sf0.01 → /tmp/graft_tpcds/sf0.01). */
-  def dataDir(sfDir: String): String = {
+    * /root/testdata/sf0.01 → <cacheRoot>/graft_tpcds/genN/sf0.01). */
+  def dataDir(spark: SparkSession, sfDir: String): String = {
     val base = new java.io.File(sfDir).getName
     require(base.startsWith("sf") && base.drop(2).toDoubleOption.nonEmpty,
       s"cannot derive a TPC-DS scale from fixture dir '$sfDir'")
-    s"$root/$base"
+    s"${liveRoot(spark)}/$base"
   }
 
   /** Generate-once: all 24 tables at the fixture-matched scale, via the
@@ -54,7 +59,7 @@ object Tpcds {
     * sweeping). Generation is deterministic and partition-count invariant
     * (GenSpec). */
   def ensure(spark: SparkSession, sfDir: String): String =
-    graft.gen.GenCache.ensure(spark, root, sfDir) { (s, sf, tmp) =>
+    graft.gen.GenCache.ensure(spark, liveRoot(spark), sfDir) { (s, sf, tmp) =>
       TpcdsGen.generateParquet(s, sf, 16, tmp)
     }
 
@@ -633,6 +638,190 @@ object Tpcds {
         (col("s_y2").cast(DoubleType) / col("s_y1").cast(DoubleType)).as("store_growth"))
   }
 
+  /** [Q-tpcds-q42] TPC-DS Q42 shape: November revenue by item CATEGORY for
+    * one year — the category-level rollup the genVersion-5 functionally-
+    * dependent hierarchy makes meaningful ((i_category_id, i_category) is
+    * 1:1, so the pair grouping has one group per category, not per item).
+    * Adapted predicate: the published i_manager_id = 1 point filter is
+    * empty under hash-uniform manager ids at test scale; a manager RANGE
+    * (1..500 of the 0..9999 domain) keeps the published ~5% selectivity
+    * shape. Same plan as Q3: facts stream through two broadcast dims, one
+    * shuffle of ≤ |categories| aggregation rows. */
+  def q_tpcds_q42(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_moy") === 11 && col("d_year") === 2000)
+      .select("d_date_sk", "d_year")
+    val it = t(spark, dir, "item")
+      .filter(col("i_manager_id").between(1, 500))
+      .select("i_item_sk", "i_category_id", "i_category")
+    t(spark, dir, "store_sales")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("d_year"), col("i_category_id"), col("i_category"))
+      .agg(sum(col("ss_ext_sales_price")).cast(DoubleType).as("sum_sales"))
+  }
+
+  /** [Q-tpcds-q52] TPC-DS Q52 shape: Q42's twin at BRAND grain — November
+    * revenue by (i_brand_id, i_brand) for one year, the grouping that
+    * required the 1:1 id↔string tie (and, since genVersion 6, the shared
+    * null decision — an id with a lone-null string would fan into a second
+    * group). Same adapted manager-range slice and broadcast-star plan. */
+  def q_tpcds_q52(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_moy") === 11 && col("d_year") === 2000)
+      .select("d_date_sk", "d_year")
+    val it = t(spark, dir, "item")
+      .filter(col("i_manager_id").between(1, 500))
+      .select("i_item_sk", "i_brand_id", "i_brand")
+    t(spark, dir, "store_sales")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("d_year"), col("i_brand_id"), col("i_brand"))
+      .agg(sum(col("ss_ext_sales_price")).cast(DoubleType).as("ext_price"))
+  }
+
+  /** [Q-tpcds-q25] TPC-DS Q25 shape: the bought-in-store → returned →
+    * re-bought-by-catalog chain (Q29's machinery) at (item, store) grain
+    * with per-leg date windows and a PROFIT triple — ss_net_profit /
+    * sr_net_loss / cs_net_profit, the money columns whose coherent
+    * derivation chains genVersion 2 introduced. Adapted windows: the
+    * published single-month d1 slice leaves the triple join empty at
+    * verification scale; year windows (sale 2001, return/re-buy 2001-02)
+    * keep every leg's date-dim join and the published chain semantics.
+    * Plan: two composite-keyed fact shuffles, everything else broadcast. */
+  def q_tpcds_q25(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val d1 = t(spark, dir, "date_dim").filter(col("d_year") === 2001)
+      .select(col("d_date_sk").as("d1_sk"))
+    val d2 = t(spark, dir, "date_dim").filter(col("d_year").isin(2001, 2002))
+      .select(col("d_date_sk").as("d2_sk"))
+    val d3 = t(spark, dir, "date_dim").filter(col("d_year").isin(2001, 2002))
+      .select(col("d_date_sk").as("d3_sk"))
+    val st = t(spark, dir, "store").select("s_store_sk", "s_store_id", "s_store_name")
+    val it = t(spark, dir, "item").select("i_item_sk", "i_item_id", "i_item_desc")
+    val ss = t(spark, dir, "store_sales").select(
+      col("ss_sold_date_sk"), col("ss_item_sk"), col("ss_store_sk"),
+      col("ss_customer_sk"), col("ss_ticket_number"), col("ss_net_profit"))
+    val sr = t(spark, dir, "store_returns").select(
+      col("sr_returned_date_sk"), col("sr_item_sk"), col("sr_customer_sk"),
+      col("sr_ticket_number"), col("sr_net_loss"))
+    val cs = t(spark, dir, "catalog_sales").select(
+      col("cs_sold_date_sk"), col("cs_bill_customer_sk"), col("cs_item_sk"),
+      col("cs_net_profit"))
+    ss.join(broadcast(d1), col("ss_sold_date_sk") === col("d1_sk"))
+      .join(sr, col("ss_ticket_number") === col("sr_ticket_number") &&
+        col("ss_item_sk") === col("sr_item_sk") &&
+        col("ss_customer_sk") === col("sr_customer_sk"))
+      .join(broadcast(d2), col("sr_returned_date_sk") === col("d2_sk"))
+      .join(cs, col("cs_bill_customer_sk") === col("sr_customer_sk") &&
+        col("cs_item_sk") === col("sr_item_sk"))
+      .join(broadcast(d3), col("cs_sold_date_sk") === col("d3_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_item_id"), col("i_item_desc"),
+        col("s_store_id"), col("s_store_name"))
+      .agg(sum(col("ss_net_profit")).cast(DoubleType).as("store_sales_profit"),
+        sum(col("sr_net_loss")).cast(DoubleType).as("store_returns_loss"),
+        sum(col("cs_net_profit")).cast(DoubleType).as("catalog_sales_profit"))
+  }
+
+  /** [Q-tpcds-q77] TPC-DS Q77 shape: the three-channel sales-AND-returns
+    * profit rollup over the cr/wr returns linkage — per-location sales,
+    * returns and profit for each channel in one year, UNION ALL'd and rolled up over
+    * (channel, location). store and web returns LEFT-join their channel's
+    * sales at the location key; the catalog channel attaches its single
+    * returns TOTAL to every call center (the published form cross-joins the
+    * cs/cr CTEs; here the total is a 1-row aggregate attached by a
+    * broadcast HASH join on a nullable-derived constant key — same result
+    * rows, no nested loop). Null location FKs (~5%) are filtered like the
+    * published dim inner joins would. Six fact scans each aggregate
+    * map-side to ≤|locations| rows — at 100 TB the only wide data movement
+    * is the six keyed aggregations. */
+  def q_tpcds_q77(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val DEC = org.apache.spark.sql.types.DecimalType(27, 2)
+    def dec(c: Column) = c.cast(DEC)
+    val z = lit(BigDecimal(0)).cast(DEC)
+    def leg(fact: String, dateCol: String, idCol: String,
+            amtCol: String, profitCol: String, amt: String, profit: String) =
+      t(spark, dir, fact).filter(col(idCol).isNotNull)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .groupBy(col(idCol).as(s"${fact.take(2)}_id"))
+        .agg(dec(sum(col(amtCol))).as(amt), dec(sum(col(profitCol))).as(profit))
+    val ss = leg("store_sales", "ss_sold_date_sk", "ss_store_sk",
+      "ss_ext_sales_price", "ss_net_profit", "sales", "profit")
+    val sr = leg("store_returns", "sr_returned_date_sk", "sr_store_sk",
+      "sr_return_amt", "sr_net_loss", "returns", "profit_loss")
+    // store/web: LEFT join returns onto sales at the location key
+    def channel(sales: DataFrame, returns: DataFrame, sid: String, rid: String,
+                name: String) =
+      sales.join(returns.withColumnRenamed(returns.columns.head, rid),
+          col(sid) === col(rid), "left_outer")
+        .select(lit(name).as("channel"), col(sid).as("id"), col("sales"),
+          coalesce(col("returns"), z).as("returns"),
+          dec(col("profit") - coalesce(col("profit_loss"), z)).as("profit"))
+    val storeCh = channel(ss, sr, "st_id", "sr_rid", "store channel")
+    val ws = leg("web_sales", "ws_sold_date_sk", "ws_web_page_sk",
+      "ws_ext_sales_price", "ws_net_profit", "sales", "profit")
+    val wr = leg("web_returns", "wr_returned_date_sk", "wr_web_page_sk",
+      "wr_return_amt", "wr_net_loss", "returns", "profit_loss")
+    val webCh = channel(ws, wr, "we_id", "wr_rid", "web channel")
+    val cs = leg("catalog_sales", "cs_sold_date_sk", "cs_call_center_sk",
+      "cs_ext_sales_price", "cs_net_profit", "sales", "profit")
+    val cr = t(spark, dir, "catalog_returns")
+      .join(broadcast(dd), col("cr_returned_date_sk") === col("d_date_sk"))
+      .agg(dec(sum(col("cr_return_amount"))).as("returns"),
+        dec(sum(col("cr_net_loss"))).as("profit_loss"))
+    // 1-row channel total attached to every call center: nullable-derived
+    // constant keys keep this a broadcast HASH join (a literal key folds
+    // and degrades to a nested loop — PlanGuardSpec forbids that)
+    val catalogCh = cs
+      .withColumn("jk", coalesce(col("sales") * 0, lit(0)).cast(org.apache.spark.sql.types.IntegerType))
+      .join(broadcast(cr.withColumn("jk",
+        coalesce(col("returns") * 0, lit(0)).cast(org.apache.spark.sql.types.IntegerType))), Seq("jk"))
+      .select(lit("catalog channel").as("channel"), col("ca_id").as("id"),
+        col("sales"), col("returns"),
+        dec(col("profit") - col("profit_loss")).as("profit"))
+    storeCh.union(catalogCh).union(webCh)
+      .rollup(col("channel"), col("id"))
+      .agg(sum(col("sales")).cast(DoubleType).as("sales"),
+        sum(col("returns")).cast(DoubleType).as("returns"),
+        sum(col("profit")).cast(DoubleType).as("profit"))
+  }
+
+  /** [Q-tpcds-q93] TPC-DS Q93 shape: actual net sales after returns — per
+    * customer, (quantity − returned quantity) × unit price when a line was
+    * partially returned, the full line value otherwise. This leans directly
+    * on the generator's arithmetic coherence invariants (GenSpec): the
+    * (ticket, item) PK makes the LEFT join 1:1 and return_quantity ≤ sold
+    * quantity keeps net sales non-negative. Plan: ONE keyed fact⋈fact
+    * shuffle on the composite PK, then a customer-keyed aggregate; bottom-
+    * 100 on a total order. */
+  def q_tpcds_q93(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val ss = t(spark, dir, "store_sales").select(
+      col("ss_ticket_number"), col("ss_item_sk"), col("ss_customer_sk"),
+      col("ss_quantity"), col("ss_sales_price"))
+    val sr = t(spark, dir, "store_returns").select(
+      col("sr_ticket_number"), col("sr_item_sk"), col("sr_return_quantity"))
+    ss.join(sr, col("ss_ticket_number") === col("sr_ticket_number") &&
+        col("ss_item_sk") === col("sr_item_sk"), "left_outer")
+      .filter(col("ss_customer_sk").isNotNull)
+      .select(col("ss_customer_sk"),
+        when(col("sr_return_quantity").isNotNull,
+          (col("ss_quantity") - col("sr_return_quantity")) * col("ss_sales_price"))
+          .otherwise(col("ss_quantity") * col("ss_sales_price")).as("act_sales"))
+      .groupBy(col("ss_customer_sk"))
+      .agg(sum(col("act_sales")).as("sum_dec"))
+      .select(col("ss_customer_sk"), col("sum_dec").cast(DoubleType).as("sumsales"))
+      .orderBy(col("sumsales"), col("ss_customer_sk"))
+      .limit(100)
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -932,7 +1121,91 @@ object Tpcds {
          |FROM w JOIN s ON w.cust = s.cust
          |WHERE w.y1 > 0 AND s.y1 > 0
          | AND CAST(w.y2 AS DOUBLE) / CAST(w.y1 AS DOUBLE) >
-         |     CAST(s.y2 AS DOUBLE) / CAST(s.y1 AS DOUBLE)""".stripMargin)
+         |     CAST(s.y2 AS DOUBLE) / CAST(s.y1 AS DOUBLE)""".stripMargin,
+    "q_tpcds_q42" ->
+      s"""SELECT d_year, i_category_id, i_category,
+         | CAST(sum(ss_ext_sales_price) AS DOUBLE) AS sum_sales
+         |FROM ${P("store_sales")} JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         |WHERE d_moy = 11 AND d_year = 2000 AND i_manager_id BETWEEN 1 AND 500
+         |GROUP BY d_year, i_category_id, i_category""".stripMargin,
+    "q_tpcds_q52" ->
+      s"""SELECT d_year, i_brand_id, i_brand,
+         | CAST(sum(ss_ext_sales_price) AS DOUBLE) AS ext_price
+         |FROM ${P("store_sales")} JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         |WHERE d_moy = 11 AND d_year = 2000 AND i_manager_id BETWEEN 1 AND 500
+         |GROUP BY d_year, i_brand_id, i_brand""".stripMargin,
+    "q_tpcds_q25" ->
+      s"""SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+         | CAST(sum(ss_net_profit) AS DOUBLE) AS store_sales_profit,
+         | CAST(sum(sr_net_loss) AS DOUBLE) AS store_returns_loss,
+         | CAST(sum(cs_net_profit) AS DOUBLE) AS catalog_sales_profit
+         |FROM ${P("store_sales")}
+         |JOIN ${P("date_dim")} d1 ON ss_sold_date_sk = d1.d_date_sk
+         |JOIN ${P("store_returns")} ON ss_ticket_number = sr_ticket_number
+         | AND ss_item_sk = sr_item_sk AND ss_customer_sk = sr_customer_sk
+         |JOIN ${P("date_dim")} d2 ON sr_returned_date_sk = d2.d_date_sk
+         |JOIN ${P("catalog_sales")} ON cs_bill_customer_sk = sr_customer_sk
+         | AND cs_item_sk = sr_item_sk
+         |JOIN ${P("date_dim")} d3 ON cs_sold_date_sk = d3.d_date_sk
+         |JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         |JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         |WHERE d1.d_year = 2001 AND d2.d_year IN (2001, 2002)
+         | AND d3.d_year IN (2001, 2002)
+         |GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name""".stripMargin,
+    "q_tpcds_q77" ->
+      s"""WITH dd AS (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2000),
+         | ss AS (SELECT ss_store_sk AS id, sum(ss_ext_sales_price) AS sales,
+         |   sum(ss_net_profit) AS profit
+         |  FROM ${P("store_sales")} JOIN dd ON ss_sold_date_sk = d_date_sk
+         |  WHERE ss_store_sk IS NOT NULL GROUP BY ss_store_sk),
+         | sr AS (SELECT sr_store_sk AS id, sum(sr_return_amt) AS returns,
+         |   sum(sr_net_loss) AS profit_loss
+         |  FROM ${P("store_returns")} JOIN dd ON sr_returned_date_sk = d_date_sk
+         |  WHERE sr_store_sk IS NOT NULL GROUP BY sr_store_sk),
+         | cs AS (SELECT cs_call_center_sk AS id, sum(cs_ext_sales_price) AS sales,
+         |   sum(cs_net_profit) AS profit
+         |  FROM ${P("catalog_sales")} JOIN dd ON cs_sold_date_sk = d_date_sk
+         |  WHERE cs_call_center_sk IS NOT NULL GROUP BY cs_call_center_sk),
+         | cr AS (SELECT sum(cr_return_amount) AS returns,
+         |   sum(cr_net_loss) AS profit_loss
+         |  FROM ${P("catalog_returns")} JOIN dd ON cr_returned_date_sk = d_date_sk),
+         | ws AS (SELECT ws_web_page_sk AS id, sum(ws_ext_sales_price) AS sales,
+         |   sum(ws_net_profit) AS profit
+         |  FROM ${P("web_sales")} JOIN dd ON ws_sold_date_sk = d_date_sk
+         |  WHERE ws_web_page_sk IS NOT NULL GROUP BY ws_web_page_sk),
+         | wr AS (SELECT wr_web_page_sk AS id, sum(wr_return_amt) AS returns,
+         |   sum(wr_net_loss) AS profit_loss
+         |  FROM ${P("web_returns")} JOIN dd ON wr_returned_date_sk = d_date_sk
+         |  WHERE wr_web_page_sk IS NOT NULL GROUP BY wr_web_page_sk)
+         |SELECT channel, id, CAST(sum(sales) AS DOUBLE) AS sales,
+         | CAST(sum(returns) AS DOUBLE) AS returns,
+         | CAST(sum(profit) AS DOUBLE) AS profit
+         |FROM (
+         | SELECT 'store channel' AS channel, ss.id, sales,
+         |  coalesce(sr.returns, 0) AS returns,
+         |  profit - coalesce(sr.profit_loss, 0) AS profit
+         | FROM ss LEFT JOIN sr ON ss.id = sr.id
+         | UNION ALL
+         | SELECT 'catalog channel', cs.id, sales, cr.returns,
+         |  profit - cr.profit_loss FROM cs, cr
+         | UNION ALL
+         | SELECT 'web channel', ws.id, sales, coalesce(wr.returns, 0),
+         |  profit - coalesce(wr.profit_loss, 0)
+         | FROM ws LEFT JOIN wr ON ws.id = wr.id) x
+         |GROUP BY ROLLUP(channel, id)""".stripMargin,
+    "q_tpcds_q93" ->
+      s"""SELECT ss_customer_sk, CAST(sum(act_sales) AS DOUBLE) AS sumsales
+         |FROM (SELECT ss_customer_sk,
+         |   CASE WHEN sr_return_quantity IS NOT NULL
+         |     THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+         |     ELSE ss_quantity * ss_sales_price END AS act_sales
+         |  FROM ${P("store_sales")} LEFT JOIN ${P("store_returns")}
+         |   ON sr_ticket_number = ss_ticket_number AND ss_item_sk = sr_item_sk
+         |  WHERE ss_customer_sk IS NOT NULL) t
+         |GROUP BY ss_customer_sk
+         |ORDER BY sumsales NULLS FIRST, ss_customer_sk LIMIT 100""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -955,5 +1228,10 @@ object Tpcds {
     "q_tpcds_q72" -> q_tpcds_q72,
     "q_tpcds_q29" -> q_tpcds_q29,
     "q_tpcds_q14" -> q_tpcds_q14,
-    "q_tpcds_q11" -> q_tpcds_q11)
+    "q_tpcds_q11" -> q_tpcds_q11,
+    "q_tpcds_q42" -> q_tpcds_q42,
+    "q_tpcds_q52" -> q_tpcds_q52,
+    "q_tpcds_q25" -> q_tpcds_q25,
+    "q_tpcds_q77" -> q_tpcds_q77,
+    "q_tpcds_q93" -> q_tpcds_q93)
 }

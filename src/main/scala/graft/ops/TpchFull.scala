@@ -19,10 +19,15 @@ import graft.gen.TpchGen
   * SAME generated parquet via paths pinned to the driver's correctness
   * scale. */
 object TpchFull {
+  /** Default root anchors the pinned oracle paths; the live cache follows
+    * `spark.graft.cacheRoot` ([[graft.gen.GenCache.rootFor]]) so cluster
+    * deployments can point it at a shared filesystem. */
   private val root = s"/tmp/graft_tpchfull/gen${TpchGen.genVersion}"
 
   def ensure(spark: SparkSession, sfDir: String): String =
-    graft.gen.GenCache.ensure(spark, root, sfDir) { (s, sf, tmp) =>
+    graft.gen.GenCache.ensure(spark,
+      graft.gen.GenCache.rootFor(spark, s"graft_tpchfull/gen${TpchGen.genVersion}"),
+      sfDir) { (s, sf, tmp) =>
       TpchGen.generateParquet(s, sf, 16, tmp)
     }
 
@@ -173,12 +178,91 @@ object TpchFull {
       .orderBy(col("s_name"))
   }
 
+  /** [Q-tpch-q12] TPC-H Q12 (shipping modes and order priority), PUBLISHED
+    * predicates — the last of the 22 published TPC-H queries to land, now
+    * that the generator carries l_shipmode/l_commitdate/l_receiptdate
+    * (reference cols src/tpch.rs:215-218). One fact⋈fact equi-join on the
+    * order key (the mode+date filter prunes lineitem ~25x first, but at
+    * scale both sides stay corpus-sized — no broadcast), then a two-bucket
+    * conditional count per ship mode. */
+  def q_tpch_q12(s: SparkSession, d: String): DataFrame = {
+    val dir = ensure(s, d)
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+        col("l_commitdate") < col("l_receiptdate") &&
+        col("l_shipdate") < col("l_commitdate") &&
+        col("l_receiptdate") >= lit("1994-01-01").cast(DateType) &&
+        col("l_receiptdate") < lit("1995-01-01").cast(DateType))
+      .select("l_orderkey", "l_shipmode")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_shipmode"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  /** [Q-tpch-q4-full] TPC-H Q4 with the PUBLISHED late-line predicate
+    * (l_commitdate < l_receiptdate) over the generated full-schema parquet —
+    * the published-predicate twin of the fixture-adapted
+    * [[Tpch.q_tpch_q4]]. Same plan: EXISTS folded into a LEFT SEMI join on
+    * the order key with the late condition pushed into the probe side's
+    * scan filter. */
+  def q_tpch_q4_full(s: SparkSession, d: String): DataFrame = {
+    val dir = ensure(s, d)
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1993-07-01").cast(DateType) &&
+        col("o_orderdate") < lit("1993-10-01").cast(DateType))
+      .join(t(s, dir, "lineitem")
+          .filter(col("l_commitdate") < col("l_receiptdate"))
+          .select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** [Q-tpch-q21-full] TPC-H Q21 with the PUBLISHED fault predicate
+    * (l_receiptdate > l_commitdate) and nation/status filters — the twin of
+    * the fixture-adapted [[Tpch.q_tpch_q21]], same double-correlated
+    * decorrelation: EXISTS (another supplier) AND NOT EXISTS (another
+    * faulty supplier) collapse to ONE per-order aggregate of two distinct
+    * counts, attached back by a semi join on the order key. F-status
+    * orders prune via a second semi join; supplier⋈nation broadcasts. */
+  def q_tpch_q21_full(s: SparkSession, d: String): DataFrame = {
+    val dir = ensure(s, d)
+    val li = t(s, dir, "lineitem")
+    val late = col("l_receiptdate") > col("l_commitdate")
+    val perOrder = li.groupBy(col("l_orderkey").as("po_key"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_fault"))
+      .filter(col("n_supp") >= 2 && col("n_fault") === 1)
+      .select("po_key")
+    val saudi = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "SAUDI ARABIA")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    li.filter(late)
+      .select("l_orderkey", "l_suppkey")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(perOrder, col("l_orderkey") === col("po_key"), "left_semi")
+      .join(saudi, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q2" -> q_tpch_q2,
     "q_tpch_q9" -> q_tpch_q9,
     "q_tpch_q11" -> q_tpch_q11,
     "q_tpch_q16" -> q_tpch_q16,
-    "q_tpch_q20" -> q_tpch_q20)
+    "q_tpch_q20" -> q_tpch_q20,
+    "q_tpch_q12" -> q_tpch_q12,
+    "q_tpch_q4_full" -> q_tpch_q4_full,
+    "q_tpch_q21_full" -> q_tpch_q21_full)
 
   val oracle: Map[String, String] = Map(
     "q_tpch_q2" ->
@@ -240,5 +324,38 @@ object TpchFull {
          |    SELECT 0.5 * sum(l_quantity) FROM ${P("lineitem")}
          |    WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey))
          | AND s_nationkey = n_nationkey AND n_name = 'CANADA'
-         |ORDER BY s_name""".stripMargin)
+         |ORDER BY s_name""".stripMargin,
+    "q_tpch_q12" ->
+      s"""SELECT l_shipmode,
+         | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         |FROM ${P("orders")}, ${P("lineitem")}
+         |WHERE o_orderkey = l_orderkey AND l_shipmode IN ('MAIL', 'SHIP')
+         | AND l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
+         | AND l_receiptdate >= DATE '1994-01-01'
+         | AND l_receiptdate < DATE '1995-01-01'
+         |GROUP BY l_shipmode""".stripMargin,
+    "q_tpch_q4_full" ->
+      s"""SELECT o_orderpriority, count(*) AS order_count FROM ${P("orders")}
+         |WHERE o_orderdate >= DATE '1993-07-01'
+         | AND o_orderdate < DATE '1993-10-01'
+         | AND EXISTS (SELECT 1 FROM ${P("lineitem")}
+         |  WHERE l_orderkey = o_orderkey AND l_commitdate < l_receiptdate)
+         |GROUP BY o_orderpriority""".stripMargin,
+    // the oracle keeps the published CORRELATED form (EXISTS + NOT EXISTS)
+    // so the per-order-aggregate decorrelation is externally cross-checked
+    "q_tpch_q21_full" ->
+      s"""SELECT s_name, count(*) AS numwait
+         |FROM ${P("lineitem")} l1, ${P("orders")}, ${P("supplier")}, ${P("nation")}
+         |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         | AND o_orderstatus = 'F' AND l1.l_receiptdate > l1.l_commitdate
+         | AND EXISTS (SELECT 1 FROM ${P("lineitem")} l2
+         |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         | AND NOT EXISTS (SELECT 1 FROM ${P("lineitem")} l3
+         |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+         |   AND l3.l_receiptdate > l3.l_commitdate)
+         | AND s_nationkey = n_nationkey AND n_name = 'SAUDI ARABIA'
+         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
 }

@@ -211,6 +211,46 @@ class PlanGuardSpec extends AnyFunSuite {
       s"Q11 scalar threshold degraded to a nested loop:\n$q11")
   }
 
+  test("round-9 shapes: brand/category stars broadcast, profit chains keyed, Q77 scalar hashed") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def fmt(name: String): String =
+      SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // Q42/Q52: same star as Q3 — both dims broadcast, manager slice pushed
+    // into the item scan, fact never shuffles before the aggregate
+    for (name <- Seq("q_tpcds_q42", "q_tpcds_q52")) {
+      val p = fmt(name)
+      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        s"$name dims not broadcast:\n$p")
+      assert(p.contains("GreaterThanOrEqual(i_manager_id,1)"),
+        s"$name manager slice not pushed:\n$p")
+    }
+    // Q25: the two fact⋈fact joins ride composite keys (ticket+item,
+    // customer+item); the three date dims, store and item broadcast
+    val q25 = fmt("q_tpcds_q25")
+    assert(q25.contains("sr_ticket_number") && q25.contains("cs_bill_customer_sk"),
+      s"Q25 fact joins lost their composite keys:\n$q25")
+    assert(q25.contains("BroadcastHashJoin"), s"Q25 dims not broadcast:\n$q25")
+    // Q77: six map-side location aggregates; the catalog channel's 1-row
+    // returns total must attach as a broadcast HASH join (the global guard
+    // already forbids the nested-loop degradation), and the rollup keeps
+    // its Expand
+    val q77 = fmt("q_tpcds_q77")
+    assert(q77.contains("BroadcastHashJoin"), s"Q77 scalar not hash-attached:\n$q77")
+    assert(q77.contains("Expand"), s"Q77 rollup lost its Expand:\n$q77")
+    // Q93: ONE shuffled fact join on the (ticket, item) PK
+    val q93 = fmt("q_tpcds_q93")
+    assert(q93.contains("sr_ticket_number"), s"Q93 join not on the ticket PK:\n$q93")
+    // Q12: the mode+date filters reach the lineitem scan; the join is the
+    // keyed order-key equi-join
+    val q12 = fmt("q_tpch_q12")
+    assert(q12.contains("In(l_shipmode"), s"Q12 shipmode not pushed:\n$q12")
+    assert(q12.contains("l_orderkey"), s"Q12 join lost the order key:\n$q12")
+    // Q21 published twin: both EXISTS legs collapse to semi joins
+    val q21f = fmt("q_tpch_q21_full")
+    assert(q21f.contains("LeftSemi"), s"Q21-full lost its semi joins:\n$q21f")
+  }
+
   test("q_win_rank2 slices by deterministic data buckets, not by the 5-value key") {
     import org.apache.spark.sql.execution.ExplainMode
     val plan = SparkEntry.queries("q_win_rank2")(spark, TestSpark.sf0001)
