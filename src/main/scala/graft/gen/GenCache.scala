@@ -19,6 +19,21 @@ import org.apache.spark.sql.SparkSession
   * location, which this same tmp+atomic-rename protocol already supports.
   */
 object GenCache {
+  /** Cache parent for benchmark materializations. Defaults to `/tmp`
+    * (single-node); set `spark.graft.cacheRoot` to a shared-filesystem
+    * mount (a POSIX path every driver sees — NFS, FUSE, local SSD array)
+    * so a fleet of drivers shares ONE generated-parquet cache: the
+    * lock + tmp + atomic-rename + marker protocol below is already
+    * multi-process safe on a shared FS, so the first driver generates and
+    * the rest wait on the lock then reuse. NOT an HDFS/S3 URI — the
+    * protocol uses java.nio file locks, which need a POSIX mount.
+    *
+    * The DuckDB oracle SQL pins absolute paths under the DEFAULT root
+    * ([[graft.ops.Tpcds.oracleScale]]): run the correctness gate without
+    * an override (benchmarks at any scale are free to use one). */
+  def rootFor(spark: SparkSession, sub: String): String =
+    s"${spark.conf.get("spark.graft.cacheRoot", "/tmp").stripSuffix("/")}/$sub"
+
   /** Materialize `root/<sf-basename>` once; returns the dir. `generate`
     * receives (spark, sf, tmpDir) and must write every table under tmpDir. */
   def ensure(spark: SparkSession, root: String, sfDir: String)

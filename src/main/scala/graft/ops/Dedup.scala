@@ -267,23 +267,32 @@ object Dedup {
     * partial-agg-friendly keyed shuffles), until fixpoint. Converges in
     * O(component diameter) rounds; near-dup components are dense (LSH/
     * Jaccard cliques), so diameter is tiny. Lineage is truncated per round
-    * with localCheckpoint so plan size stays O(1) across iterations (at
-    * cluster scale, use a checkpoint dir instead). The result is
-    * deterministic: label = min doc_id reachable. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * so plan size stays O(1) across iterations: by default with
+    * localCheckpoint (executor-local blocks — fast, but lineage is LOST if
+    * an executor dies, aborting the job); pass `checkpointDir` (a reliable
+    * shared location — HDFS/object store) on a real cluster to trade one
+    * write per round for fault tolerance. The result is deterministic:
+    * label = min doc_id reachable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val persist: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = edges.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
     // materialize the edge list ONCE — it is referenced every round, and
     // without this the (potentially expensive) edge-producing plan would
     // re-execute per iteration
-    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true)
+    val sym = persist(edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst"))))
     // seed labels with min(self, neighbors) — one aggregate that also
     // dedups the vertex set, saving the separate distinct AND the first
     // propagation round (dup components are mostly cliques, which converge
     // immediately from this seed)
-    var labels = sym.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), col("src")).as("lbl"))
-      .localCheckpoint(true)
+    var labels = persist(sym.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("lbl")))
     // labels are monotonically non-increasing under min-propagation, so the
     // exact (decimal — no long overflow at 10^10 ids) label sum is a
     // fixpoint signal: unchanged sum ⇔ no label moved. One aggregate per
@@ -296,9 +305,8 @@ object Dedup {
     while (!done && i < maxIter) {
       val viaNeighbor = sym.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("lbl"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      val next = persist(labels.union(viaNeighbor)
+        .groupBy("id").agg(min(col("lbl")).as("lbl")))
       val s = labelSum(next)
       done = s.compareTo(prevSum) == 0
       prevSum = s

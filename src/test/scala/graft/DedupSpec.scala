@@ -64,6 +64,23 @@ class DedupSpec extends AnyFunSuite {
     assert(sameCluster.count() == docs.count())
   }
 
+  test("connected components: reliable checkpointDir gives identical labels") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    // the cluster-mode path: reliable checkpoint(dir) instead of
+    // executor-local localCheckpoint — same labels, real files in the dir
+    val labels = Dedup.connectedComponents(edges, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try assert(written.filter(java.nio.file.Files.isRegularFile(_)).count() > 0,
+      "no checkpoint data written to the reliable dir")
+    finally written.close()
+  }
+
   test("connected components throws rather than returning unconverged labels") {
     import spark.implicits._
     // a 6-chain has diameter 5; maxIter=1 cannot reach fixpoint

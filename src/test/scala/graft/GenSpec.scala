@@ -244,6 +244,27 @@ class GenSpec extends AnyFunSuite {
     }
   }
 
+  test("spark.graft.cacheRoot relocates the materialization cache") {
+    import java.nio.file.{Files, Paths}
+    val tmpRoot = Files.createTempDirectory("graft_cacheroot_test").toString
+    assert(graft.gen.GenCache.rootFor(spark, "graft_x/gen1") == "/tmp/graft_x/gen1",
+      "default cache root must stay /tmp (the oracle paths pin it)")
+    spark.conf.set("spark.graft.cacheRoot", tmpRoot + "/")
+    try {
+      assert(graft.gen.GenCache.rootFor(spark, "graft_x/gen1") ==
+        s"$tmpRoot/graft_x/gen1")
+      // a full ensure() cycle lands (and marks) the data under the override
+      val dir = graft.gen.GenCache.ensure(spark,
+        graft.gen.GenCache.rootFor(spark, "graft_x/gen1"), "/root/testdata/sf0.001") {
+        (s, sf, tmp) =>
+          s.range(math.max(1, (sf * 1000).toLong)).write.parquet(s"$tmp/t.parquet")
+      }
+      assert(dir.startsWith(tmpRoot), s"cache landed outside the override: $dir")
+      assert(Files.exists(Paths.get(dir, "_GRAFT_COMPLETE")), "marker missing")
+      assert(Files.exists(Paths.get(dir, "t.parquet")), "data missing")
+    } finally spark.conf.unset("spark.graft.cacheRoot")
+  }
+
   test("stale-generation sweep skips a sibling whose scale lock is held") {
     import java.nio.file.{Files, Paths, StandardOpenOption}
     val parent = Files.createTempDirectory("graft_gencache_test")
