@@ -34,11 +34,19 @@ object Bench {
     // the round-over-round regression gate needs.
     spark.range(1L << 20).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // the warmup pass is also the COLD (first-run) timing record: pre-r8
+    // rounds reported single-shot numbers, r8+ report warm medians — the
+    // cold column keeps the two methodologies comparable side by side
+    // (warm-cache reps 2..N typically run faster than a first run)
+    val colds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        colds(name) = (System.nanoTime() - t0) / 1e9
       // NonFatal only: after an OOM/LinkageError the JVM is suspect and a
       // timed pass would report garbage — let fatal errors abort the run
-      catch { case scala.util.control.NonFatal(_) => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     // median-of-REPS per query: three rounds running (r4, r6, r7) a
     // single-shot timing flagged 2-10x "regressions" on queries whose code
@@ -87,12 +95,22 @@ object Bench {
     // per-query [min,max] across reps — the contention forensics record
     val spread = spreads.map { case (k, (mn, mx)) => s""""$k":[${f(mn)},${f(mx)}]""" }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$fl,"n_failed":${failed.size},"sf":"$sfDir","queries_md5":"$md5"}"""
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (fullJson + "\n").getBytes("UTF-8"))
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
+    val cold = colds.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","timing":"median of $reps warm back-to-back runs; cold = untimed-pass first run (pre-r8 rounds reported cold single-shots)","reps":$reps,"queries":$qs,"spread":$spread,"cold":$cold,"cold_total":${f(colds.values.sum)},"failed":$fl,"n_failed":${failed.size},"sf":"$sfDir","queries_md5":"$md5"}"""
+    // the full per-query record lands BOTH in the env-pointed tmp file and
+    // as a committed repo artifact (the harness's fixed-size stdout tail
+    // holds only ~86 of 150+ per-query part entries, so round-over-round
+    // per-query comparison needs the file in-repo)
+    val repoOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPO_OUT",
+      "/root/repo/BENCH_PERQUERY.json")
+    for (p <- Seq(outPath, repoOut)) {
+      val parent = java.nio.file.Paths.get(p).getParent
+      if (parent == null || java.nio.file.Files.isDirectory(parent))
+        try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (fullJson + "\n").getBytes("UTF-8"))
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] write $p failed: ${e.getMessage}") }
+    }
     // greedy ≤900-byte packing keeps every part line safely inside a 1 KB
     // window even after the {"part":i,"of":k,...} framing; an entry larger
     // than the budget gets a part of its own (never an infinite split), and
