@@ -822,6 +822,138 @@ object Tpcds {
       .limit(100)
   }
 
+  /** [Q-tpcds-q5] TPC-DS Q5 shape: the OTHER three-channel rollup — sales
+    * and returns rows UNION ALL'd into one stream per channel (store /
+    * catalog page / web site grain), aggregated once at the business-id
+    * key, then rolled up over (channel, id). The web leg exercises the
+    * returns→sales PK linkage directly: web_returns carries no site FK, so
+    * each return finds its site through the (order_number, item_sk) join
+    * the generator guarantees 1:1. Adapted window: one year instead of the
+    * published 14 days (uniform 5-year fact dates leave a 14-day slice
+    * near-empty at verification scale). Plan: each channel is one
+    * union-then-aggregate pass — facts never join each other except the
+    * keyed wr→ws PK lookup; dims and date broadcast. */
+  def q_tpcds_q5(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val D72 = org.apache.spark.sql.types.DecimalType(7, 2)
+    val z = lit(BigDecimal(0)).cast(D72)
+    val DEC = org.apache.spark.sql.types.DecimalType(27, 2)
+    def dec(c: Column) = c.cast(DEC)
+    // one channel: (sk, date_sk, sales_price, profit, return_amt, net_loss)
+    // rows from sales+returns → keyed aggregate at the dim business id
+    def channel(part: DataFrame, dim: DataFrame, dimSk: String, dimId: String,
+                chName: String, idPrefix: String): DataFrame =
+      part.join(broadcast(dd), col("date_sk") === col("d_date_sk"))
+        .join(broadcast(dim), col("sk") === col(dimSk))
+        .groupBy(col(dimId))
+        .agg(dec(sum(col("sales_price"))).as("sales"),
+          dec(sum(col("return_amt"))).as("returns"),
+          dec(sum(col("profit")) - sum(col("net_loss"))).as("profit"))
+        .select(lit(chName).as("channel"),
+          concat(lit(idPrefix), col(dimId)).as("id"),
+          col("sales"), col("returns"), col("profit"))
+    val ssPart = t(spark, dir, "store_sales").select(
+      col("ss_store_sk").as("sk"), col("ss_sold_date_sk").as("date_sk"),
+      col("ss_ext_sales_price").as("sales_price"), col("ss_net_profit").as("profit"),
+      z.as("return_amt"), z.as("net_loss"))
+    val srPart = t(spark, dir, "store_returns").select(
+      col("sr_store_sk").as("sk"), col("sr_returned_date_sk").as("date_sk"),
+      z.as("sales_price"), z.as("profit"),
+      col("sr_return_amt").as("return_amt"), col("sr_net_loss").as("net_loss"))
+    val csPart = t(spark, dir, "catalog_sales").select(
+      col("cs_catalog_page_sk").as("sk"), col("cs_sold_date_sk").as("date_sk"),
+      col("cs_ext_sales_price").as("sales_price"), col("cs_net_profit").as("profit"),
+      z.as("return_amt"), z.as("net_loss"))
+    val crPart = t(spark, dir, "catalog_returns").select(
+      col("cr_catalog_page_sk").as("sk"), col("cr_returned_date_sk").as("date_sk"),
+      z.as("sales_price"), z.as("profit"),
+      col("cr_return_amount").as("return_amt"), col("cr_net_loss").as("net_loss"))
+    val wsPart = t(spark, dir, "web_sales").select(
+      col("ws_web_site_sk").as("sk"), col("ws_sold_date_sk").as("date_sk"),
+      col("ws_ext_sales_price").as("sales_price"), col("ws_net_profit").as("profit"),
+      z.as("return_amt"), z.as("net_loss"))
+    // web_returns has no site FK: ride the (order, item) PK back to the sale
+    val wrPart = t(spark, dir, "web_returns").select(
+        col("wr_item_sk"), col("wr_order_number"),
+        col("wr_returned_date_sk").as("date_sk"),
+        col("wr_return_amt").as("return_amt"), col("wr_net_loss").as("net_loss"))
+      .join(t(spark, dir, "web_sales").select(
+          col("ws_item_sk"), col("ws_order_number"), col("ws_web_site_sk")),
+        col("wr_item_sk") === col("ws_item_sk") &&
+          col("wr_order_number") === col("ws_order_number"))
+      .select(col("ws_web_site_sk").as("sk"), col("date_sk"),
+        z.as("sales_price"), z.as("profit"), col("return_amt"), col("net_loss"))
+    val store = channel(ssPart.union(srPart),
+      t(spark, dir, "store").select("s_store_sk", "s_store_id"),
+      "s_store_sk", "s_store_id", "store channel", "store")
+    val catalog = channel(csPart.union(crPart),
+      t(spark, dir, "catalog_page").select("cp_catalog_page_sk", "cp_catalog_page_id"),
+      "cp_catalog_page_sk", "cp_catalog_page_id", "catalog channel", "catalog_page")
+    val web = channel(wsPart.union(wrPart),
+      t(spark, dir, "web_site").select("web_site_sk", "web_site_id"),
+      "web_site_sk", "web_site_id", "web channel", "web_site")
+    store.union(catalog).union(web)
+      .rollup(col("channel"), col("id"))
+      .agg(sum(col("sales")).cast(DoubleType).as("sales"),
+        sum(col("returns")).cast(DoubleType).as("returns"),
+        sum(col("profit")).cast(DoubleType).as("profit"))
+  }
+
+  /** [Q-tpcds-q49] TPC-DS Q49 shape: worst return ratios per channel — for
+    * each channel, items ranked by quantity return ratio AND by currency
+    * return ratio, keeping any item in either top-10. Leans on the
+    * generator's coherent return arithmetic (return_amt = unit price ×
+    * returned qty, qty ≤ sold qty). Each channel is the returns⋈sales
+    * (order, item) PK join, a per-item aggregate, then two RANK windows
+    * over the aggregate (unpartitioned by design — the window input is
+    * ≤|items| aggregated rows, never fact-sized). Ratios divide exact
+    * sums as DOUBLE once, identically on both engines, so ranks can't
+    * drift. Adapted thresholds: return_amt > 1000 (published 10000 —
+    * bounded D(7,2) amounts make that near-empty) and a year window. */
+  def q_tpcds_q49(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2001)
+      .select("d_date_sk")
+    import org.apache.spark.sql.expressions.Window
+    def channel(name: String, sales: DataFrame, returns: DataFrame,
+                pfx: String, rPfx: String, orderCol: String, rOrderCol: String,
+                amtCol: String): DataFrame = {
+      val joined = sales
+        .join(returns, col(s"${pfx}_item_sk") === col(s"${rPfx}_item_sk") &&
+          col(orderCol) === col(rOrderCol))
+        .join(broadcast(dd), col(s"${pfx}_sold_date_sk") === col("d_date_sk"))
+        .filter(col(amtCol) > 1000 &&
+          col(s"${pfx}_net_profit") > 1 && col(s"${pfx}_net_paid") > 0 &&
+          col(s"${pfx}_quantity") > 0)
+      val z72 = lit(0).cast(org.apache.spark.sql.types.DecimalType(7, 2))
+      val perItem = joined.groupBy(col(s"${pfx}_item_sk").as("item"))
+        .agg((sum(coalesce(col(s"${rPfx}_return_quantity"), lit(0))).cast(DoubleType) /
+          sum(coalesce(col(s"${pfx}_quantity"), lit(0))).cast(DoubleType))
+          .as("return_ratio"),
+          (sum(coalesce(col(amtCol), z72)).cast(DoubleType) /
+            sum(coalesce(col(s"${pfx}_net_paid"), z72)).cast(DoubleType))
+            .as("currency_ratio"))
+      perItem
+        .withColumn("return_rank", rank().over(Window.orderBy(col("return_ratio"))).cast(org.apache.spark.sql.types.IntegerType))
+        .withColumn("currency_rank", rank().over(Window.orderBy(col("currency_ratio"))).cast(org.apache.spark.sql.types.IntegerType))
+        .filter(col("return_rank") <= 10 || col("currency_rank") <= 10)
+        .select(lit(name).as("channel"), col("item"), col("return_ratio"),
+          col("return_rank"), col("currency_rank"))
+    }
+    val web = channel("web",
+      t(spark, dir, "web_sales"), t(spark, dir, "web_returns"),
+      "ws", "wr", "ws_order_number", "wr_order_number", "wr_return_amt")
+    val catalog = channel("catalog",
+      t(spark, dir, "catalog_sales"), t(spark, dir, "catalog_returns"),
+      "cs", "cr", "cs_order_number", "cr_order_number", "cr_return_amount")
+    val store = channel("store",
+      t(spark, dir, "store_sales"), t(spark, dir, "store_returns"),
+      "ss", "sr", "ss_ticket_number", "sr_ticket_number", "sr_return_amt")
+    web.union(catalog).union(store)
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -1205,7 +1337,98 @@ object Tpcds {
          |   ON sr_ticket_number = ss_ticket_number AND ss_item_sk = sr_item_sk
          |  WHERE ss_customer_sk IS NOT NULL) t
          |GROUP BY ss_customer_sk
-         |ORDER BY sumsales NULLS FIRST, ss_customer_sk LIMIT 100""".stripMargin)
+         |ORDER BY sumsales NULLS FIRST, ss_customer_sk LIMIT 100""".stripMargin,
+    "q_tpcds_q5" ->
+      s"""WITH dd AS (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2000),
+         | ssr AS (
+         |  SELECT s_store_id AS id0, sum(sales_price) AS sales,
+         |   sum(return_amt) AS returns, sum(profit) - sum(net_loss) AS profit
+         |  FROM (SELECT ss_store_sk AS sk, ss_sold_date_sk AS date_sk,
+         |     ss_ext_sales_price AS sales_price, ss_net_profit AS profit,
+         |     CAST(0 AS DECIMAL(7,2)) AS return_amt,
+         |     CAST(0 AS DECIMAL(7,2)) AS net_loss
+         |    FROM ${P("store_sales")}
+         |    UNION ALL
+         |    SELECT sr_store_sk, sr_returned_date_sk, CAST(0 AS DECIMAL(7,2)),
+         |     CAST(0 AS DECIMAL(7,2)), sr_return_amt, sr_net_loss
+         |    FROM ${P("store_returns")}) t
+         |  JOIN dd ON date_sk = d_date_sk
+         |  JOIN ${P("store")} ON sk = s_store_sk
+         |  GROUP BY s_store_id),
+         | csr AS (
+         |  SELECT cp_catalog_page_id AS id0, sum(sales_price) AS sales,
+         |   sum(return_amt) AS returns, sum(profit) - sum(net_loss) AS profit
+         |  FROM (SELECT cs_catalog_page_sk AS sk, cs_sold_date_sk AS date_sk,
+         |     cs_ext_sales_price AS sales_price, cs_net_profit AS profit,
+         |     CAST(0 AS DECIMAL(7,2)) AS return_amt,
+         |     CAST(0 AS DECIMAL(7,2)) AS net_loss
+         |    FROM ${P("catalog_sales")}
+         |    UNION ALL
+         |    SELECT cr_catalog_page_sk, cr_returned_date_sk, CAST(0 AS DECIMAL(7,2)),
+         |     CAST(0 AS DECIMAL(7,2)), cr_return_amount, cr_net_loss
+         |    FROM ${P("catalog_returns")}) t
+         |  JOIN dd ON date_sk = d_date_sk
+         |  JOIN ${P("catalog_page")} ON sk = cp_catalog_page_sk
+         |  GROUP BY cp_catalog_page_id),
+         | wsr AS (
+         |  SELECT web_site_id AS id0, sum(sales_price) AS sales,
+         |   sum(return_amt) AS returns, sum(profit) - sum(net_loss) AS profit
+         |  FROM (SELECT ws_web_site_sk AS sk, ws_sold_date_sk AS date_sk,
+         |     ws_ext_sales_price AS sales_price, ws_net_profit AS profit,
+         |     CAST(0 AS DECIMAL(7,2)) AS return_amt,
+         |     CAST(0 AS DECIMAL(7,2)) AS net_loss
+         |    FROM ${P("web_sales")}
+         |    UNION ALL
+         |    SELECT ws.ws_web_site_sk, wr_returned_date_sk, CAST(0 AS DECIMAL(7,2)),
+         |     CAST(0 AS DECIMAL(7,2)), wr_return_amt, wr_net_loss
+         |    FROM ${P("web_returns")} JOIN ${P("web_sales")} ws
+         |     ON wr_item_sk = ws.ws_item_sk AND wr_order_number = ws.ws_order_number) t
+         |  JOIN dd ON date_sk = d_date_sk
+         |  JOIN ${P("web_site")} ON sk = web_site_sk
+         |  GROUP BY web_site_id)
+         |SELECT channel, id, CAST(sum(sales) AS DOUBLE) AS sales,
+         | CAST(sum(returns) AS DOUBLE) AS returns,
+         | CAST(sum(profit) AS DOUBLE) AS profit
+         |FROM (
+         | SELECT 'store channel' AS channel, 'store' || id0 AS id,
+         |  sales, returns, profit FROM ssr
+         | UNION ALL
+         | SELECT 'catalog channel', 'catalog_page' || id0,
+         |  sales, returns, profit FROM csr
+         | UNION ALL
+         | SELECT 'web channel', 'web_site' || id0,
+         |  sales, returns, profit FROM wsr) x
+         |GROUP BY ROLLUP(channel, id)""".stripMargin,
+    "q_tpcds_q49" -> {
+      def ch(name: String, sales: String, returns: String, pfx: String,
+             rPfx: String, ordCol: String, rOrdCol: String, amtCol: String) =
+        s"""(SELECT '$name' AS channel, item, return_ratio,
+           |  CAST(rank() OVER (ORDER BY return_ratio) AS INT) AS return_rank,
+           |  CAST(rank() OVER (ORDER BY currency_ratio) AS INT) AS currency_rank
+           | FROM (
+           |  SELECT ${pfx}_item_sk AS item,
+           |   CAST(sum(coalesce(${rPfx}_return_quantity, 0)) AS DOUBLE) /
+           |    CAST(sum(coalesce(${pfx}_quantity, 0)) AS DOUBLE) AS return_ratio,
+           |   CAST(sum(coalesce($amtCol, 0)) AS DOUBLE) /
+           |    CAST(sum(coalesce(${pfx}_net_paid, 0)) AS DOUBLE) AS currency_ratio
+           |  FROM ${P(sales)} JOIN ${P(returns)}
+           |   ON ${pfx}_item_sk = ${rPfx}_item_sk AND $ordCol = $rOrdCol
+           |  JOIN (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2001) dd
+           |   ON ${pfx}_sold_date_sk = d_date_sk
+           |  WHERE $amtCol > 1000 AND ${pfx}_net_profit > 1
+           |   AND ${pfx}_net_paid > 0 AND ${pfx}_quantity > 0
+           |  GROUP BY ${pfx}_item_sk) t)""".stripMargin
+      "SELECT channel, item, return_ratio, return_rank, currency_rank FROM (\n" +
+        ch("web", "web_sales", "web_returns", "ws", "wr",
+          "ws_order_number", "wr_order_number", "wr_return_amt") +
+        "\n UNION ALL\n" +
+        ch("catalog", "catalog_sales", "catalog_returns", "cs", "cr",
+          "cs_order_number", "cr_order_number", "cr_return_amount") +
+        "\n UNION ALL\n" +
+        ch("store", "store_sales", "store_returns", "ss", "sr",
+          "ss_ticket_number", "sr_ticket_number", "sr_return_amt") +
+        ") u WHERE return_rank <= 10 OR currency_rank <= 10"
+    })
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1233,5 +1456,7 @@ object Tpcds {
     "q_tpcds_q52" -> q_tpcds_q52,
     "q_tpcds_q25" -> q_tpcds_q25,
     "q_tpcds_q77" -> q_tpcds_q77,
-    "q_tpcds_q93" -> q_tpcds_q93)
+    "q_tpcds_q93" -> q_tpcds_q93,
+    "q_tpcds_q5" -> q_tpcds_q5,
+    "q_tpcds_q49" -> q_tpcds_q49)
 }

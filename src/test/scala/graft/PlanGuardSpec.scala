@@ -249,6 +249,19 @@ class PlanGuardSpec extends AnyFunSuite {
     // Q21 published twin: both EXISTS legs collapse to semi joins
     val q21f = fmt("q_tpch_q21_full")
     assert(q21f.contains("LeftSemi"), s"Q21-full lost its semi joins:\n$q21f")
+    // Q5: the web returns leg rides the (order, item) PK back to its sale;
+    // dims broadcast; facts only union, never join each other
+    val q5 = fmt("q_tpcds_q5")
+    assert(q5.contains("wr_order_number"), s"Q5 wr→ws not on the order PK:\n$q5")
+    assert(q5.contains("BroadcastHashJoin"), s"Q5 dims not broadcast:\n$q5")
+    assert(q5.contains("Union"), s"Q5 lost its union-then-aggregate shape:\n$q5")
+    // Q49: each channel joins returns⋈sales on the (order, item) PK, and
+    // the rank windows run over the per-item AGGREGATE (Window above
+    // HashAggregate), never over the raw fact
+    val q49 = fmt("q_tpcds_q49")
+    assert(q49.contains("wr_order_number") && q49.contains("sr_ticket_number"),
+      s"Q49 fact joins lost their PKs:\n$q49")
+    assert(q49.contains("Window"), s"Q49 rank windows missing:\n$q49")
   }
 
   test("q_win_rank2 slices by deterministic data buckets, not by the 5-value key") {
