@@ -954,6 +954,67 @@ object Tpcds {
     web.union(catalog).union(store)
   }
 
+  /** [Q-tpcds-q65] TPC-DS Q65 shape: a store's slow movers — (store, item)
+    * revenue vs the store's average item revenue, keeping items below a
+    * fraction of it. TWO-LEVEL aggregate decorrelation: the per-(store,
+    * item) revenue aggregate feeds a per-store average, attached back by a
+    * broadcast join on the store key with the threshold as a residual;
+    * the average divides exact sums as DOUBLE once on both engines.
+    * Adapted threshold: ≤ 90% of the store average (published 10% —
+    * hash-uniform revenues have no deep tail at verification scale).
+    * Plan: ONE fact shuffle on the (store, item) composite; the per-store
+    * average is |stores| rows, broadcast. */
+  def q_tpcds_q65(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val sc = t(spark, dir, "store_sales")
+      .filter(col("ss_store_sk").isNotNull && col("ss_item_sk").isNotNull)
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ss_store_sk"), col("ss_item_sk"))
+      .agg(sum(col("ss_sales_price")).as("rev_d"))
+    val sb = sc.groupBy(col("ss_store_sk").as("avg_store"))
+      .agg((sum(col("rev_d")).cast(DoubleType) / count(lit(1))).as("ave"))
+    sc.join(broadcast(sb), col("ss_store_sk") === col("avg_store"))
+      .filter(col("rev_d").cast(DoubleType) <= col("ave") * 0.9)
+      .join(broadcast(t(spark, dir, "store").select("s_store_sk", "s_store_name")),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(t(spark, dir, "item")
+          .select("i_item_sk", "i_item_desc", "i_current_price", "i_wholesale_cost", "i_brand")),
+        col("ss_item_sk") === col("i_item_sk"))
+      .select(col("s_store_name"), col("i_item_desc"),
+        col("rev_d").cast(DoubleType).as("revenue"),
+        col("i_current_price"), col("i_wholesale_cost"), col("i_brand"))
+  }
+
+  /** [Q-tpcds-q98] TPC-DS Q98 shape: item revenue with its RATIO-TO-CLASS —
+    * a windowed sum over the aggregate (partition by i_class) dividing
+    * each item's revenue by its class total. The window runs over
+    * ≤|items| aggregated rows, never the fact; the ratio divides two
+    * exact DECIMAL sums as DOUBLE once, identically on both engines. */
+  def q_tpcds_q98(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val it = t(spark, dir, "item")
+      .filter(col("i_category").isin("Sports", "Books", "Home"))
+      .select("i_item_sk", "i_item_id", "i_item_desc", "i_category",
+        "i_class", "i_current_price")
+    val agg = t(spark, dir, "store_sales")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_item_id"), col("i_item_desc"), col("i_category"),
+        col("i_class"), col("i_current_price"))
+      .agg(sum(col("ss_ext_sales_price")).as("rev_d"))
+    agg.withColumn("revenueratio",
+        col("rev_d").cast(DoubleType) * 100.0 /
+          sum(col("rev_d")).over(Window.partitionBy(col("i_class"))).cast(DoubleType))
+      .select(col("i_item_id"), col("i_item_desc"), col("i_category"),
+        col("i_class"), col("i_current_price"),
+        col("rev_d").cast(DoubleType).as("itemrevenue"), col("revenueratio"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -1428,7 +1489,33 @@ object Tpcds {
         ch("store", "store_sales", "store_returns", "ss", "sr",
           "ss_ticket_number", "sr_ticket_number", "sr_return_amt") +
         ") u WHERE return_rank <= 10 OR currency_rank <= 10"
-    })
+    },
+    "q_tpcds_q65" ->
+      s"""WITH dd AS (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2000),
+         | sc AS (SELECT ss_store_sk, ss_item_sk, sum(ss_sales_price) AS revenue
+         |  FROM ${P("store_sales")} JOIN dd ON ss_sold_date_sk = d_date_sk
+         |  WHERE ss_store_sk IS NOT NULL AND ss_item_sk IS NOT NULL
+         |  GROUP BY ss_store_sk, ss_item_sk),
+         | sb AS (SELECT ss_store_sk AS avg_store,
+         |   CAST(sum(revenue) AS DOUBLE) / count(*) AS ave
+         |  FROM sc GROUP BY ss_store_sk)
+         |SELECT s_store_name, i_item_desc, CAST(sc.revenue AS DOUBLE) AS revenue,
+         | i_current_price, i_wholesale_cost, i_brand
+         |FROM sc JOIN sb ON sc.ss_store_sk = sb.avg_store
+         |JOIN ${P("store")} ON sc.ss_store_sk = s_store_sk
+         |JOIN ${P("item")} ON sc.ss_item_sk = i_item_sk
+         |WHERE CAST(sc.revenue AS DOUBLE) <= ave * 0.9""".stripMargin,
+    "q_tpcds_q98" ->
+      s"""SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+         | CAST(rev AS DOUBLE) AS itemrevenue,
+         | CAST(rev AS DOUBLE) * 100.0 /
+         |  CAST(sum(rev) OVER (PARTITION BY i_class) AS DOUBLE) AS revenueratio
+         |FROM (SELECT i_item_id, i_item_desc, i_category, i_class,
+         |  i_current_price, sum(ss_ext_sales_price) AS rev
+         | FROM ${P("store_sales")} JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         | JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         | WHERE d_year = 2000 AND i_category IN ('Sports', 'Books', 'Home')
+         | GROUP BY 1, 2, 3, 4, 5) t""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1458,5 +1545,7 @@ object Tpcds {
     "q_tpcds_q77" -> q_tpcds_q77,
     "q_tpcds_q93" -> q_tpcds_q93,
     "q_tpcds_q5" -> q_tpcds_q5,
-    "q_tpcds_q49" -> q_tpcds_q49)
+    "q_tpcds_q49" -> q_tpcds_q49,
+    "q_tpcds_q65" -> q_tpcds_q65,
+    "q_tpcds_q98" -> q_tpcds_q98)
 }

@@ -262,6 +262,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(q49.contains("wr_order_number") && q49.contains("sr_ticket_number"),
       s"Q49 fact joins lost their PKs:\n$q49")
     assert(q49.contains("Window"), s"Q49 rank windows missing:\n$q49")
+    // Q65: the per-store average attaches back by a keyed join on the
+    // store key (the global guard forbids a nested-loop degradation)
+    val q65 = fmt("q_tpcds_q65")
+    assert(q65.contains("avg_store"), s"Q65 average attach missing:\n$q65")
+    // Q98: the ratio window runs over the AGGREGATE, never the raw fact
+    val q98 = fmt("q_tpcds_q98")
+    assert(q98.contains("Window"), s"Q98 ratio window missing:\n$q98")
+    assert(q98.contains("In(i_category"), s"Q98 category slice not pushed:\n$q98")
   }
 
   test("q_win_rank2 slices by deterministic data buckets, not by the 5-value key") {
