@@ -1015,6 +1015,85 @@ object Tpcds {
         col("rev_d").cast(DoubleType).as("itemrevenue"), col("revenueratio"))
   }
 
+  /** [Q-tpcds-q69] TPC-DS Q69 shape: demographic profile of customers who
+    * bought IN STORE but not by web or catalog in a window — one LEFT SEMI
+    * plus TWO LEFT ANTI joins on the customer key, then the
+    * address/demographics attach and a demographic rollup. First query
+    * over the c_current_addr_sk / c_current_cdemo_sk linkage. At scale
+    * customer_address and customer_demographics are customer-sized, NOT
+    * broadcastable — both attach as keyed shuffle joins; only date_dim
+    * broadcasts. Each channel probe side is pre-aggregated to distinct
+    * customers, so the semi/anti joins carry no fact fan-out. */
+  def q_tpcds_q69(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2001 && col("d_moy").between(4, 6))
+      .select("d_date_sk")
+    def buyers(fact: String, dateCol: String, custCol: String) =
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .select(col(custCol).as("buyer")).distinct()
+    val ca = t(spark, dir, "customer_address")
+      .filter(col("ca_state").isin("CA", "GA", "TX"))
+      .select("ca_address_sk")
+    val cd = t(spark, dir, "customer_demographics").select(
+      "cd_demo_sk", "cd_gender", "cd_marital_status", "cd_education_status",
+      "cd_purchase_estimate", "cd_credit_rating")
+    t(spark, dir, "customer")
+      .select("c_customer_sk", "c_current_addr_sk", "c_current_cdemo_sk")
+      .join(buyers("store_sales", "ss_sold_date_sk", "ss_customer_sk"),
+        col("c_customer_sk") === col("buyer"), "left_semi")
+      .join(buyers("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk"),
+        col("c_customer_sk") === col("buyer"), "left_anti")
+      .join(buyers("catalog_sales", "cs_sold_date_sk", "cs_ship_customer_sk"),
+        col("c_customer_sk") === col("buyer"), "left_anti")
+      .join(ca, col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(cd, col("c_current_cdemo_sk") === col("cd_demo_sk"))
+      .groupBy(col("cd_gender"), col("cd_marital_status"),
+        col("cd_education_status"), col("cd_purchase_estimate"),
+        col("cd_credit_rating"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [Q-tpcds-q6] TPC-DS Q6 shape: states whose customers buy premium
+    * items — the CORRELATED per-category average price decorrelated to one
+    * keyed aggregate over the item dim, attached back on the category key
+    * with the 1.2× premium comparison as a residual; the month window
+    * attaches through the published scalar d_month_seq subquery (1-row
+    * broadcast semi on the month-seq key). The customer→address attach is
+    * a keyed shuffle join (address is customer-sized at scale); the
+    * average divides exact sums as DOUBLE once on both engines. Adapted
+    * window: the full year (a single month leaves state counts under the
+    * published HAVING floor at verification scale). */
+  def q_tpcds_q6(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val monthSeq = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2001).select(col("d_month_seq").as("msq")).distinct()
+    val dd = t(spark, dir, "date_dim")
+      .join(broadcast(monthSeq), col("d_month_seq") === col("msq"), "left_semi")
+      .select("d_date_sk")
+    val catAvg = t(spark, dir, "item")
+      .filter(col("i_category").isNotNull)
+      .groupBy(col("i_category").as("avg_cat"))
+      .agg((sum(col("i_current_price")).cast(DoubleType) /
+        count(col("i_current_price"))).as("ave"))
+    val premium = t(spark, dir, "item")
+      .select("i_item_sk", "i_category", "i_current_price")
+      .join(broadcast(catAvg), col("i_category") === col("avg_cat"))
+      .filter(col("i_current_price").cast(DoubleType) > col("ave") * 1.2)
+      .select("i_item_sk")
+    val ca = t(spark, dir, "customer_address").select("ca_address_sk", "ca_state")
+    val cust = t(spark, dir, "customer").select("c_customer_sk", "c_current_addr_sk")
+    t(spark, dir, "store_sales")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(premium), col("ss_item_sk") === col("i_item_sk"), "left_semi")
+      .join(cust, col("ss_customer_sk") === col("c_customer_sk"))
+      .join(ca, col("c_current_addr_sk") === col("ca_address_sk"))
+      .groupBy(col("ca_state").as("state"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 10)
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -1515,7 +1594,44 @@ object Tpcds {
          | FROM ${P("store_sales")} JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
          | JOIN ${P("item")} ON ss_item_sk = i_item_sk
          | WHERE d_year = 2000 AND i_category IN ('Sports', 'Books', 'Home')
-         | GROUP BY 1, 2, 3, 4, 5) t""".stripMargin)
+         | GROUP BY 1, 2, 3, 4, 5) t""".stripMargin,
+    "q_tpcds_q69" ->
+      s"""SELECT cd_gender, cd_marital_status, cd_education_status,
+         | cd_purchase_estimate, cd_credit_rating, count(*) AS cnt
+         |FROM ${P("customer")} c
+         |JOIN ${P("customer_address")} ca ON c_current_addr_sk = ca_address_sk
+         |JOIN ${P("customer_demographics")} ON c_current_cdemo_sk = cd_demo_sk
+         |WHERE ca_state IN ('CA', 'GA', 'TX')
+         | AND EXISTS (SELECT 1 FROM ${P("store_sales")} JOIN ${P("date_dim")}
+         |  ON ss_sold_date_sk = d_date_sk
+         |  WHERE c_customer_sk = ss_customer_sk AND d_year = 2001
+         |   AND d_moy BETWEEN 4 AND 6)
+         | AND NOT EXISTS (SELECT 1 FROM ${P("web_sales")} JOIN ${P("date_dim")}
+         |  ON ws_sold_date_sk = d_date_sk
+         |  WHERE c_customer_sk = ws_bill_customer_sk AND d_year = 2001
+         |   AND d_moy BETWEEN 4 AND 6)
+         | AND NOT EXISTS (SELECT 1 FROM ${P("catalog_sales")} JOIN ${P("date_dim")}
+         |  ON cs_sold_date_sk = d_date_sk
+         |  WHERE c_customer_sk = cs_ship_customer_sk AND d_year = 2001
+         |   AND d_moy BETWEEN 4 AND 6)
+         |GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         | cd_purchase_estimate, cd_credit_rating""".stripMargin,
+    "q_tpcds_q6" ->
+      s"""WITH ave AS (SELECT i_category AS avg_cat,
+         |  CAST(sum(i_current_price) AS DOUBLE) / count(i_current_price) AS ave
+         | FROM ${P("item")} WHERE i_category IS NOT NULL GROUP BY i_category),
+         | premium AS (SELECT i_item_sk FROM ${P("item")} JOIN ave
+         |  ON i_category = avg_cat
+         |  WHERE CAST(i_current_price AS DOUBLE) > ave * 1.2)
+         |SELECT ca_state AS state, count(*) AS cnt
+         |FROM ${P("store_sales")}
+         |JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
+         |JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
+         |WHERE d_month_seq IN (SELECT DISTINCT d_month_seq FROM ${P("date_dim")}
+         |  WHERE d_year = 2001)
+         | AND ss_item_sk IN (SELECT i_item_sk FROM premium)
+         |GROUP BY ca_state HAVING count(*) >= 10""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1547,5 +1663,7 @@ object Tpcds {
     "q_tpcds_q5" -> q_tpcds_q5,
     "q_tpcds_q49" -> q_tpcds_q49,
     "q_tpcds_q65" -> q_tpcds_q65,
-    "q_tpcds_q98" -> q_tpcds_q98)
+    "q_tpcds_q98" -> q_tpcds_q98,
+    "q_tpcds_q69" -> q_tpcds_q69,
+    "q_tpcds_q6" -> q_tpcds_q6)
 }

@@ -270,6 +270,16 @@ class PlanGuardSpec extends AnyFunSuite {
     val q98 = fmt("q_tpcds_q98")
     assert(q98.contains("Window"), s"Q98 ratio window missing:\n$q98")
     assert(q98.contains("In(i_category"), s"Q98 category slice not pushed:\n$q98")
+    // Q69: channel membership stays semi/anti keyed on the customer key
+    val q69 = fmt("q_tpcds_q69")
+    assert(q69.contains("LeftSemi") && q69.contains("LeftAnti"),
+      s"Q69 lost its semi/anti channel probes:\n$q69")
+    assert(q69.contains("In(ca_state"), s"Q69 state slice not pushed:\n$q69")
+    // Q6: the correlated category average decorrelates to a keyed
+    // aggregate join; the premium item set prunes the fact via a semi join
+    val q6 = fmt("q_tpcds_q6")
+    assert(q6.contains("avg_cat"), s"Q6 category-average attach missing:\n$q6")
+    assert(q6.contains("LeftSemi"), s"Q6 premium-item IN not a semi join:\n$q6")
   }
 
   test("q_win_rank2 slices by deterministic data buckets, not by the 5-value key") {
