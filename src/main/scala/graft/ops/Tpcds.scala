@@ -584,25 +584,35 @@ object Tpcds {
     * against the (small) cross-channel set. */
   def q_tpcds_q14(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
-    def items(fact: String, pfx: String): DataFrame =
-      t(spark, dir, fact).select(col(s"${pfx}_item_sk").as("item_sk")).distinct()
-    val cross = items("store_sales", "ss")
-      .intersect(items("catalog_sales", "cs"))
-      .intersect(items("web_sales", "ws"))
-    def chan(fact: String, pfx: String, name: String): DataFrame =
-      t(spark, dir, fact)
-        .join(cross, col(s"${pfx}_item_sk") === col("item_sk"), "left_semi")
-        .select(lit(name).as("channel"),
-          col(s"${pfx}_item_sk").as("item"),
-          col(s"${pfx}_quantity").as("qty"),
-          col(s"${pfx}_ext_sales_price").as("amt"))
-    chan("store_sales", "ss", "store")
-      .union(chan("catalog_sales", "cs", "catalog"))
-      .union(chan("web_sales", "ws", "web"))
+    // ONE keyed aggregate per channel: the per-item grain serves BOTH the
+    // INTERSECT (its key set) and the channel totals (sum of per-item
+    // sums = sum; count of per-item rows = distinct item count) — each
+    // fact is scanned once, where the naive form scans each twice
+    // (distinct for the intersect + raw rows for the totals) and pays a
+    // countDistinct Expand on the union. r9: 1.55 s → one-scan form.
+    def perItem(fact: String, pfx: String): DataFrame =
+      t(spark, dir, fact).groupBy(col(s"${pfx}_item_sk").as("item"))
+        .agg(sum(col(s"${pfx}_quantity")).as("qty"),
+          sum(col(s"${pfx}_ext_sales_price")).as("amt"))
+    val store = perItem("store_sales", "ss")
+    val catalog = perItem("catalog_sales", "cs")
+    val web = perItem("web_sales", "ws")
+    // cross-channel item set: semi joins against the other channels' key
+    // sets (the per-item aggregates are already distinct on item)
+    val cross = store.select("item")
+      .join(catalog.select(col("item").as("c_item")),
+        col("item") === col("c_item"), "left_semi")
+      .join(web.select(col("item").as("w_item")),
+        col("item") === col("w_item"), "left_semi")
+      .select(col("item").as("x_item"))
+    def chan(ch: DataFrame, name: String): DataFrame =
+      ch.join(cross, col("item") === col("x_item"), "left_semi")
+        .select(lit(name).as("channel"), col("item"), col("qty"), col("amt"))
+    chan(store, "store").union(chan(catalog, "catalog")).union(chan(web, "web"))
       .groupBy(col("channel"))
       .agg(sum(col("qty")).cast(org.apache.spark.sql.types.LongType).as("qty"),
         sum(col("amt")).cast(DoubleType).as("amt"),
-        countDistinct(col("item")).as("n_items"))
+        count(lit(1)).as("n_items"))
   }
 
   /** [Q-tpcds-q11] TPC-DS Q11 shape: customers whose web spend grew faster
