@@ -192,10 +192,15 @@ object Tpch {
     * unchanged. Top-100 on a total order. */
   def q_tpch_q21(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
-    val perOrder = li.groupBy(col("l_orderkey").as("po_key"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_fault"))
+    // two-level aggregate instead of a double countDistinct: the
+    // (order, supplier) pre-aggregate feeds plain count/sum, avoiding the
+    // Expand (2x row multiplication) Spark plans for multi-distinct
+    // aggregates; both levels are partial-agg-friendly keyed shuffles
+    val perOrder = li
+      .groupBy(col("l_orderkey").as("po_key"), col("l_suppkey").as("po_supp"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("fault"))
+      .groupBy(col("po_key"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("fault")).as("n_fault"))
       .filter(col("n_supp") >= 2 && col("n_fault") === 1)
       .select("po_key")
     li.filter(col("l_returnflag") === "R")

@@ -232,9 +232,13 @@ object TpchFull {
     val dir = ensure(s, d)
     val li = t(s, dir, "lineitem")
     val late = col("l_receiptdate") > col("l_commitdate")
-    val perOrder = li.groupBy(col("l_orderkey").as("po_key"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(late, col("l_suppkey"))).as("n_fault"))
+    // two-level aggregate in place of a double countDistinct — avoids the
+    // multi-distinct Expand, same as [[Tpch.q_tpch_q21]]
+    val perOrder = li
+      .groupBy(col("l_orderkey").as("po_key"), col("l_suppkey").as("po_supp"))
+      .agg(max(when(late, 1).otherwise(0)).as("fault"))
+      .groupBy(col("po_key"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("fault")).as("n_fault"))
       .filter(col("n_supp") >= 2 && col("n_fault") === 1)
       .select("po_key")
     val saudi = t(s, dir, "supplier")
