@@ -65,8 +65,13 @@ object TpcdsGen extends Benchmark {
     * hierarchy member draw ONE shared null decision (independent ~5%
     * draws left rows with i_brand_id non-null but i_brand null, so a
     * grouping by (i_brand_id, i_brand) still fanned an id into a
-    * (string, NULL) second group). */
-  val genVersion = 6
+    * (string, NULL) second group).
+    * v7: spec-shaped domains for the remaining filter/group string
+    * columns — city/county (shared store↔address domains), i_color,
+    * c_preferred_cust_flag/c_salutation, ca_street_type/location_type,
+    * cc_class, sm_type — closing the word-salad fidelity tail for the
+    * published predicates that name these values. */
+  val genVersion = 7
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -159,6 +164,17 @@ object TpcdsGen extends Benchmark {
 
   private def tagOf(tbl: String, i: Int): Int = tbl.hashCode * 131 + i * 31 + 17
 
+  /** City/county domains shared by store and customer_address (published
+    * queries compare a store's city against the customer's — Q68's
+    * bought-city vs home-city predicate needs a shared domain). Declared
+    * BEFORE `dictionaries`, which captures them at object init. */
+  private val cities = Seq("Midway", "Fairview", "Oak Grove", "Five Points",
+    "Oakland", "Riverside", "Salem", "Georgetown", "Liberty", "Greenville",
+    "Bridgeport", "Union", "Centerville", "Pleasant Hill")
+  private val counties = Seq("Williamson County", "Ziebach County",
+    "Walker County", "Daviess County", "Barrow County", "Franklin Parish",
+    "Luce County", "Richland County", "Bronx County", "Orange County")
+
   /** Spec-true dictionaries for the columns TPC-DS queries filter and group
     * on (dsdgen draws these from fixed small domains, not free text; the
     * published queries' selectivity depends on the domain sizes). Columns not
@@ -182,7 +198,24 @@ object TpcdsGen extends Benchmark {
       "p_channel_dmail" -> yn, "p_channel_email" -> yn,
       "p_channel_catalog" -> yn, "p_channel_tv" -> yn,
       "p_channel_radio" -> yn, "p_channel_press" -> yn,
-      "p_channel_event" -> yn, "p_channel_demo" -> yn)
+      "p_channel_event" -> yn, "p_channel_demo" -> yn,
+      // v7: the remaining columns published queries filter/group on draw
+      // from spec-shaped small domains instead of word salad — city/county
+      // names and ship-mode types are the documented TPC-DS data domains
+      // (published Q34/Q68/Q99 predicates name these values)
+      "c_preferred_cust_flag" -> yn,
+      "c_salutation" -> Seq("Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir"),
+      "i_color" -> Seq("almond", "antique", "aquamarine", "azure", "beige",
+        "bisque", "black", "blanched", "blue", "blush", "brown", "burlywood",
+        "chartreuse", "chiffon", "chocolate", "coral"),
+      "s_city" -> cities, "ca_city" -> cities,
+      "s_county" -> counties, "ca_county" -> counties,
+      "ca_street_type" -> Seq("Street", "Avenue", "Boulevard", "Court",
+        "Drive", "Lane", "Parkway", "Road", "Way", "Circle"),
+      "ca_location_type" -> Seq("apartment", "condo", "single family"),
+      "cc_class" -> Seq("small", "medium", "large"),
+      "sm_type" -> Seq("EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR",
+        "TWO DAY", "LIBRARY"))
   }
 
   /** Returns-fact linkage: each returns row references an ACTUAL sales row

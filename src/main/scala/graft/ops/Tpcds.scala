@@ -1104,6 +1104,46 @@ object Tpcds {
       .filter(col("cnt") >= 10)
   }
 
+  /** [Q-tpcds-q68] TPC-DS Q68 shape: per-ticket spend of customers whose
+    * CURRENT city differs from the city they bought in — a ticket-grain
+    * rollup over the basket structure, the customer attach, and the
+    * bought-vs-home city inequality over the genVersion-7 shared city
+    * domain. Adapted slice: the city filter sits on the bought ADDRESS
+    * (the published s_city filter hits the 1-row store dim at
+    * verification scale); household-demographics point predicates on
+    * hash-uniform ints are dropped. customer and both address legs are
+    * customer-sized at scale — all keyed shuffle joins, only date_dim
+    * broadcasts; the per-ticket aggregate rides the dense ticket key. */
+  def q_tpcds_q68(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val bought = t(spark, dir, "customer_address")
+      .filter(col("ca_city").isin("Midway", "Fairview", "Oakland", "Salem"))
+      .select(col("ca_address_sk").as("ba_sk"), col("ca_city").as("bought_city"))
+    val dn = t(spark, dir, "store_sales")
+      .filter(col("ss_customer_sk").isNotNull)
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(bought, col("ss_addr_sk") === col("ba_sk"))
+      .groupBy(col("ss_ticket_number"), col("ss_customer_sk"),
+        col("ss_addr_sk"), col("bought_city"))
+      .agg(sum(col("ss_ext_sales_price")).as("ext_d"),
+        sum(col("ss_ext_list_price")).as("list_d"),
+        sum(col("ss_ext_tax")).as("tax_d"))
+    dn.join(t(spark, dir, "customer").select("c_customer_sk", "c_first_name",
+        "c_last_name", "c_current_addr_sk"),
+        col("ss_customer_sk") === col("c_customer_sk"))
+      .join(t(spark, dir, "customer_address")
+          .select(col("ca_address_sk").as("cur_sk"), col("ca_city")),
+        col("c_current_addr_sk") === col("cur_sk"))
+      .filter(col("ca_city") =!= col("bought_city"))
+      .select(col("c_last_name"), col("c_first_name"), col("ca_city"),
+        col("bought_city"), col("ss_ticket_number"),
+        col("ext_d").cast(DoubleType).as("extended_price"),
+        col("tax_d").cast(DoubleType).as("extended_tax"),
+        col("list_d").cast(DoubleType).as("list_price"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -1641,7 +1681,27 @@ object Tpcds {
          |WHERE d_month_seq IN (SELECT DISTINCT d_month_seq FROM ${P("date_dim")}
          |  WHERE d_year = 2001)
          | AND ss_item_sk IN (SELECT i_item_sk FROM premium)
-         |GROUP BY ca_state HAVING count(*) >= 10""".stripMargin)
+         |GROUP BY ca_state HAVING count(*) >= 10""".stripMargin,
+    "q_tpcds_q68" ->
+      s"""SELECT c_last_name, c_first_name, cur.ca_city, bought_city,
+         | ss_ticket_number,
+         | CAST(ext_d AS DOUBLE) AS extended_price,
+         | CAST(tax_d AS DOUBLE) AS extended_tax,
+         | CAST(list_d AS DOUBLE) AS list_price
+         |FROM (SELECT ss_ticket_number, ss_customer_sk, ss_addr_sk,
+         |   ca_city AS bought_city,
+         |   sum(ss_ext_sales_price) AS ext_d,
+         |   sum(ss_ext_list_price) AS list_d,
+         |   sum(ss_ext_tax) AS tax_d
+         |  FROM ${P("store_sales")}
+         |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |  JOIN ${P("customer_address")} ON ss_addr_sk = ca_address_sk
+         |  WHERE d_year = 2000 AND ss_customer_sk IS NOT NULL
+         |   AND ca_city IN ('Midway', 'Fairview', 'Oakland', 'Salem')
+         |  GROUP BY 1, 2, 3, 4) dn
+         |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
+         |JOIN ${P("customer_address")} cur ON c_current_addr_sk = cur.ca_address_sk
+         |WHERE cur.ca_city <> bought_city""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1675,5 +1735,6 @@ object Tpcds {
     "q_tpcds_q65" -> q_tpcds_q65,
     "q_tpcds_q98" -> q_tpcds_q98,
     "q_tpcds_q69" -> q_tpcds_q69,
-    "q_tpcds_q6" -> q_tpcds_q6)
+    "q_tpcds_q6" -> q_tpcds_q6,
+    "q_tpcds_q68" -> q_tpcds_q68)
 }

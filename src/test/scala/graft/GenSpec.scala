@@ -412,5 +412,20 @@ class GenSpec extends AnyFunSuite {
     assert(cats.subsetOf(Set("Books", "Children", "Electronics", "Home",
       "Jewelry", "Men", "Music", "Shoes", "Sports", "Women")), cats)
     assert(cats.size >= 8, s"category domain under-covered: $cats")
+    // v7 domains: store and address CITIES share one domain (published
+    // queries compare them), ship-mode types are the spec buckets, and
+    // customer flags/salutations are domain-valued
+    def domain(tbl: String, sf: Double, c: String): Set[String] =
+      TpcdsGen.table(spark, tbl, sf, 2).select(c).filter(col(c).isNotNull)
+        .distinct().collect().map(_.getString(0)).toSet
+    val sCity = domain("store", 1.0, "s_city")
+    val caCity = domain("customer_address", 0.01, "ca_city")
+    assert(sCity.nonEmpty && caCity.nonEmpty && sCity.subsetOf(caCity ++ sCity))
+    assert((sCity intersect caCity).nonEmpty,
+      s"store and address cities share no values: $sCity vs $caCity")
+    assert(domain("ship_mode", 1.0, "sm_type").subsetOf(Set("EXPRESS",
+      "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY", "LIBRARY")))
+    assert(domain("customer", 0.01, "c_preferred_cust_flag")
+      .subsetOf(Set("Y", "N")))
   }
 }
