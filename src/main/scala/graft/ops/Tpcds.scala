@@ -1144,6 +1144,91 @@ object Tpcds {
         col("list_d").cast(DoubleType).as("list_price"))
   }
 
+  /** [Q-tpcds-q79] TPC-DS Q79 shape: Monday shoppers' per-ticket coupon
+    * and profit with their store's city — ticket-grain rollup through the
+    * household-demographics dim and the calendar-true d_dow filter, then
+    * the customer attach. Adapted predicates: hd_buy_potential buckets
+    * replace the published hd_dep_count/vehicle point filters
+    * (hash-uniform 0..9999 ints make those empty), employee range widened
+    * for the 1-store verification scale. store/hd/date broadcast; the
+    * per-ticket aggregate rides the dense ticket key; customer attaches
+    * as a keyed shuffle join. */
+  def q_tpcds_q79(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_dow") === 1 && col("d_year").isin(1998, 1999, 2000))
+      .select("d_date_sk")
+    val st = t(spark, dir, "store")
+      .filter(col("s_number_employees").between(0, 5000))
+      .select("s_store_sk", "s_city")
+    val hd = t(spark, dir, "household_demographics")
+      .filter(col("hd_buy_potential").isin(">10000", "Unknown"))
+      .select("hd_demo_sk")
+    val ms = t(spark, dir, "store_sales")
+      .filter(col("ss_customer_sk").isNotNull)
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(hd), col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .groupBy(col("ss_ticket_number"), col("ss_customer_sk"), col("s_city"))
+      .agg(sum(col("ss_coupon_amt")).as("amt_d"),
+        sum(col("ss_net_profit")).as("profit_d"))
+    ms.join(t(spark, dir, "customer")
+        .select("c_customer_sk", "c_first_name", "c_last_name"),
+        col("ss_customer_sk") === col("c_customer_sk"))
+      .select(col("c_last_name"), col("c_first_name"),
+        substring(col("s_city"), 1, 30).as("city30"), col("ss_ticket_number"),
+        col("amt_d").cast(DoubleType).as("amt"),
+        col("profit_d").cast(DoubleType).as("profit"))
+  }
+
+  /** [Q-tpcds-q61] TPC-DS Q61 shape: promotional share of revenue — the
+    * ratio of two corpus-level aggregates (channel-promoted sales over all
+    * sales for one category/geography/year), each a star of broadcast
+    * dims + two customer-sized keyed attaches, joined as 1-row aggregates
+    * on nullable-derived constant keys and divided ONCE as DOUBLE.
+    * Exercises the p_channel_* promotion flags. Adapted geography:
+    * ca_state slice instead of the published gmt offsets (uniform
+    * decimals have no -5 band). */
+  def q_tpcds_q61(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val it = t(spark, dir, "item").filter(col("i_category") === "Jewelry")
+      .select("i_item_sk")
+    val ca = t(spark, dir, "customer_address")
+      .filter(col("ca_state").isin("CA", "TX"))
+      .select(col("ca_address_sk"))
+    val cust = t(spark, dir, "customer")
+      .select("c_customer_sk", "c_current_addr_sk")
+    def sales(promoted: Boolean): DataFrame = {
+      val base = t(spark, dir, "store_sales")
+        .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+        .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"), "left_semi")
+        .join(cust, col("ss_customer_sk") === col("c_customer_sk"))
+        .join(ca, col("c_current_addr_sk") === col("ca_address_sk"), "left_semi")
+      val slice = if (promoted)
+        base.join(broadcast(t(spark, dir, "promotion")
+            .filter(col("p_channel_dmail") === "Y" ||
+              col("p_channel_email") === "Y" || col("p_channel_tv") === "Y")
+            .select("p_promo_sk")),
+          col("ss_promo_sk") === col("p_promo_sk"), "left_semi")
+      else base
+      slice.agg(sum(col("ss_ext_sales_price")).as(
+        if (promoted) "promo_d" else "total_d"))
+    }
+    val promo = sales(promoted = true)
+      .withColumn("jk", coalesce(col("promo_d") * 0, lit(0))
+        .cast(org.apache.spark.sql.types.IntegerType))
+    val total = sales(promoted = false)
+      .withColumn("jk", coalesce(col("total_d") * 0, lit(0))
+        .cast(org.apache.spark.sql.types.IntegerType))
+    promo.join(broadcast(total), Seq("jk"))
+      .select(col("promo_d").cast(DoubleType).as("promotions"),
+        col("total_d").cast(DoubleType).as("total"),
+        (col("promo_d").cast(DoubleType) / col("total_d").cast(DoubleType) * 100.0)
+          .as("promo_pct"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -1701,7 +1786,47 @@ object Tpcds {
          |  GROUP BY 1, 2, 3, 4) dn
          |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
          |JOIN ${P("customer_address")} cur ON c_current_addr_sk = cur.ca_address_sk
-         |WHERE cur.ca_city <> bought_city""".stripMargin)
+         |WHERE cur.ca_city <> bought_city""".stripMargin,
+    "q_tpcds_q79" ->
+      s"""SELECT c_last_name, c_first_name, substring(s_city, 1, 30) AS city30,
+         | ss_ticket_number, CAST(amt_d AS DOUBLE) AS amt,
+         | CAST(profit_d AS DOUBLE) AS profit
+         |FROM (SELECT ss_ticket_number, ss_customer_sk, s_city,
+         |   sum(ss_coupon_amt) AS amt_d, sum(ss_net_profit) AS profit_d
+         |  FROM ${P("store_sales")}
+         |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |  JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         |  JOIN ${P("household_demographics")} ON ss_hdemo_sk = hd_demo_sk
+         |  WHERE d_dow = 1 AND d_year IN (1998, 1999, 2000)
+         |   AND hd_buy_potential IN ('>10000', 'Unknown')
+         |   AND s_number_employees BETWEEN 0 AND 5000
+         |   AND ss_customer_sk IS NOT NULL
+         |  GROUP BY 1, 2, 3) ms
+         |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk""".stripMargin,
+    "q_tpcds_q61" ->
+      s"""WITH dd AS (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2000),
+         | jry AS (SELECT i_item_sk FROM ${P("item")} WHERE i_category = 'Jewelry'),
+         | geo AS (SELECT ca_address_sk FROM ${P("customer_address")}
+         |  WHERE ca_state IN ('CA', 'TX')),
+         | promo AS (SELECT sum(ss_ext_sales_price) AS promo_d
+         |  FROM ${P("store_sales")}
+         |  JOIN dd ON ss_sold_date_sk = d_date_sk
+         |  JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
+         |  WHERE ss_item_sk IN (SELECT i_item_sk FROM jry)
+         |   AND c_current_addr_sk IN (SELECT ca_address_sk FROM geo)
+         |   AND ss_promo_sk IN (SELECT p_promo_sk FROM ${P("promotion")}
+         |    WHERE p_channel_dmail = 'Y' OR p_channel_email = 'Y'
+         |     OR p_channel_tv = 'Y')),
+         | total AS (SELECT sum(ss_ext_sales_price) AS total_d
+         |  FROM ${P("store_sales")}
+         |  JOIN dd ON ss_sold_date_sk = d_date_sk
+         |  JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
+         |  WHERE ss_item_sk IN (SELECT i_item_sk FROM jry)
+         |   AND c_current_addr_sk IN (SELECT ca_address_sk FROM geo))
+         |SELECT CAST(promo_d AS DOUBLE) AS promotions,
+         | CAST(total_d AS DOUBLE) AS total,
+         | CAST(promo_d AS DOUBLE) / CAST(total_d AS DOUBLE) * 100.0 AS promo_pct
+         |FROM promo, total""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1736,5 +1861,7 @@ object Tpcds {
     "q_tpcds_q98" -> q_tpcds_q98,
     "q_tpcds_q69" -> q_tpcds_q69,
     "q_tpcds_q6" -> q_tpcds_q6,
-    "q_tpcds_q68" -> q_tpcds_q68)
+    "q_tpcds_q68" -> q_tpcds_q68,
+    "q_tpcds_q79" -> q_tpcds_q79,
+    "q_tpcds_q61" -> q_tpcds_q61)
 }
