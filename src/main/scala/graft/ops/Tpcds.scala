@@ -1229,6 +1229,43 @@ object Tpcds {
           .as("promo_pct"))
   }
 
+  /** [Q-tpcds-q33] TPC-DS Q33 shape: per-MANUFACTURER revenue summed
+    * across all three sales channels for one category's manufacturers in
+    * one geography — each channel a star aggregate at the i_manufact_id
+    * key (semi-pruned to the category's manufacturer set, customers
+    * semi-pruned to the geography), UNION ALL'd and re-aggregated.
+    * The manufacturer set rides the genVersion-5 1:1 id↔string tie.
+    * Adapted geography: ca_state slice for the published gmt offset
+    * (uniform decimals have no -5 band); year window. */
+  def q_tpcds_q33(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val manufs = t(spark, dir, "item")
+      .filter(col("i_category") === "Electronics")
+      .select(col("i_manufact_id").as("m_id")).distinct()
+    val it = t(spark, dir, "item").select("i_item_sk", "i_manufact_id")
+      .join(broadcast(manufs), col("i_manufact_id") === col("m_id"), "left_semi")
+    val geo = t(spark, dir, "customer_address")
+      .filter(col("ca_state").isin("CA", "TX")).select("ca_address_sk")
+    def chan(fact: String, dateCol: String, itemCol: String, addrCol: String,
+             amtCol: String): DataFrame =
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(geo, col(addrCol) === col("ca_address_sk"), "left_semi")
+        .join(broadcast(it), col(itemCol) === col("i_item_sk"))
+        .groupBy(col("i_manufact_id"))
+        .agg(sum(col(amtCol)).as("total_sales_d"))
+    chan("store_sales", "ss_sold_date_sk", "ss_item_sk", "ss_addr_sk",
+        "ss_ext_sales_price")
+      .union(chan("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+        "cs_bill_addr_sk", "cs_ext_sales_price"))
+      .union(chan("web_sales", "ws_sold_date_sk", "ws_item_sk",
+        "ws_bill_addr_sk", "ws_ext_sales_price"))
+      .groupBy(col("i_manufact_id"))
+      .agg(sum(col("total_sales_d")).cast(DoubleType).as("total_sales"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -1826,7 +1863,31 @@ object Tpcds {
          |SELECT CAST(promo_d AS DOUBLE) AS promotions,
          | CAST(total_d AS DOUBLE) AS total,
          | CAST(promo_d AS DOUBLE) / CAST(total_d AS DOUBLE) * 100.0 AS promo_pct
-         |FROM promo, total""".stripMargin)
+         |FROM promo, total""".stripMargin,
+    "q_tpcds_q33" -> {
+      def ch(fact: String, dateCol: String, itemCol: String, addrCol: String,
+             amtCol: String) =
+        s"""SELECT i_manufact_id, sum($amtCol) AS total_sales_d
+           | FROM ${P(fact)}
+           | JOIN (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2000) dd
+           |  ON $dateCol = d_date_sk
+           | JOIN ${P("item")} ON $itemCol = i_item_sk
+           | WHERE $addrCol IN (SELECT ca_address_sk FROM ${P("customer_address")}
+           |   WHERE ca_state IN ('CA', 'TX'))
+           |  AND i_manufact_id IN (SELECT i_manufact_id FROM ${P("item")}
+           |   WHERE i_category = 'Electronics')
+           | GROUP BY i_manufact_id""".stripMargin
+      "SELECT i_manufact_id, CAST(sum(total_sales_d) AS DOUBLE) AS total_sales FROM (\n" +
+        ch("store_sales", "ss_sold_date_sk", "ss_item_sk", "ss_addr_sk",
+          "ss_ext_sales_price") +
+        "\nUNION ALL\n" +
+        ch("catalog_sales", "cs_sold_date_sk", "cs_item_sk", "cs_bill_addr_sk",
+          "cs_ext_sales_price") +
+        "\nUNION ALL\n" +
+        ch("web_sales", "ws_sold_date_sk", "ws_item_sk", "ws_bill_addr_sk",
+          "ws_ext_sales_price") +
+        ") u GROUP BY i_manufact_id"
+    })
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1863,5 +1924,6 @@ object Tpcds {
     "q_tpcds_q6" -> q_tpcds_q6,
     "q_tpcds_q68" -> q_tpcds_q68,
     "q_tpcds_q79" -> q_tpcds_q79,
-    "q_tpcds_q61" -> q_tpcds_q61)
+    "q_tpcds_q61" -> q_tpcds_q61,
+    "q_tpcds_q33" -> q_tpcds_q33)
 }
