@@ -1266,6 +1266,44 @@ object Tpcds {
       .agg(sum(col("total_sales_d")).cast(DoubleType).as("total_sales"))
   }
 
+  /** [Q-tpcds-q60] TPC-DS Q60 shape: per-ITEM-ID revenue summed across all
+    * three sales channels for one category's items in one geography and one
+    * month — Q33's union machinery at the i_item_id grain with a published
+    * month slice (d_year, d_moy). The item membership test goes through the
+    * i_item_id business key (the published query's IN subselect), not the
+    * surrogate, so re-skued item rows sharing an id would aggregate
+    * together. Adapted geography: ca_state slice for the published gmt
+    * offset (uniform decimals have no -5 band). */
+  def q_tpcds_q60(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_moy") === 9)
+      .select("d_date_sk")
+    val ids = t(spark, dir, "item")
+      .filter(col("i_category") === "Music")
+      .select(col("i_item_id").as("id")).distinct()
+    val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
+      .join(broadcast(ids), col("i_item_id") === col("id"), "left_semi")
+    val geo = t(spark, dir, "customer_address")
+      .filter(col("ca_state").isin("NY", "FL")).select("ca_address_sk")
+    def chan(fact: String, dateCol: String, itemCol: String, addrCol: String,
+             amtCol: String): DataFrame =
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(geo, col(addrCol) === col("ca_address_sk"), "left_semi")
+        .join(broadcast(it), col(itemCol) === col("i_item_sk"))
+        .groupBy(col("i_item_id"))
+        .agg(sum(col(amtCol)).as("total_sales_d"))
+    chan("store_sales", "ss_sold_date_sk", "ss_item_sk", "ss_addr_sk",
+        "ss_ext_sales_price")
+      .union(chan("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+        "cs_bill_addr_sk", "cs_ext_sales_price"))
+      .union(chan("web_sales", "ws_sold_date_sk", "ws_item_sk",
+        "ws_bill_addr_sk", "ws_ext_sales_price"))
+      .groupBy(col("i_item_id"))
+      .agg(sum(col("total_sales_d")).cast(DoubleType).as("total_sales"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -1887,6 +1925,31 @@ object Tpcds {
         ch("web_sales", "ws_sold_date_sk", "ws_item_sk", "ws_bill_addr_sk",
           "ws_ext_sales_price") +
         ") u GROUP BY i_manufact_id"
+    },
+    "q_tpcds_q60" -> {
+      def ch(fact: String, dateCol: String, itemCol: String, addrCol: String,
+             amtCol: String) =
+        s"""SELECT i_item_id, sum($amtCol) AS total_sales_d
+           | FROM ${P(fact)}
+           | JOIN (SELECT d_date_sk FROM ${P("date_dim")}
+           |   WHERE d_year = 2000 AND d_moy = 9) dd
+           |  ON $dateCol = d_date_sk
+           | JOIN ${P("item")} ON $itemCol = i_item_sk
+           | WHERE $addrCol IN (SELECT ca_address_sk FROM ${P("customer_address")}
+           |   WHERE ca_state IN ('NY', 'FL'))
+           |  AND i_item_id IN (SELECT i_item_id FROM ${P("item")}
+           |   WHERE i_category = 'Music')
+           | GROUP BY i_item_id""".stripMargin
+      "SELECT i_item_id, CAST(sum(total_sales_d) AS DOUBLE) AS total_sales FROM (\n" +
+        ch("store_sales", "ss_sold_date_sk", "ss_item_sk", "ss_addr_sk",
+          "ss_ext_sales_price") +
+        "\nUNION ALL\n" +
+        ch("catalog_sales", "cs_sold_date_sk", "cs_item_sk", "cs_bill_addr_sk",
+          "cs_ext_sales_price") +
+        "\nUNION ALL\n" +
+        ch("web_sales", "ws_sold_date_sk", "ws_item_sk", "ws_bill_addr_sk",
+          "ws_ext_sales_price") +
+        ") u GROUP BY i_item_id"
     })
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
@@ -1925,5 +1988,6 @@ object Tpcds {
     "q_tpcds_q68" -> q_tpcds_q68,
     "q_tpcds_q79" -> q_tpcds_q79,
     "q_tpcds_q61" -> q_tpcds_q61,
-    "q_tpcds_q33" -> q_tpcds_q33)
+    "q_tpcds_q33" -> q_tpcds_q33,
+    "q_tpcds_q60" -> q_tpcds_q60)
 }
