@@ -70,15 +70,21 @@ object TpcdsGen extends Benchmark {
     * columns — city/county (shared store↔address domains), i_color,
     * c_preferred_cust_flag/c_salutation, ca_street_type/location_type,
     * cc_class, sm_type — closing the word-salad fidelity tail for the
-    * published predicates that name these values. */
-  val genVersion = 7
+    * published predicates that name these values.
+    * v8: structured 5-digit zips from one shared domain on every *_zip
+    * column (Q15/Q45 substr-prefix IN lists, Q19 customer-vs-store zip
+    * mismatch, Q8 2-prefix intersection), i_manager_id drawn 1..100
+    * like dsdgen (Q19/Q55/Q63 manager predicates), and store/call_center/
+    * web_site join warehouse at their sf1 floors (physical-site dims;
+    * a 1-store world makes store-discriminating predicates degenerate). */
+  val genVersion = 8
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
   private val itemStep = 1000003L
 
   private val sf1Counts: Map[String, (Long, Boolean)] = Map(
-    "call_center"            -> (6L, false),
+    "call_center"            -> (6L, true),
     "catalog_page"           -> (11718L, false),
     "catalog_sales"          -> (1441548L, false),
     "catalog_returns"        -> (144067L, false),
@@ -89,7 +95,11 @@ object TpcdsGen extends Benchmark {
     "income_band"            -> (20L, true),
     "household_demographics" -> (7200L, true),
     "inventory"              -> (11745000L, false),
-    "store"                  -> (12L, false),
+    // v8: ALL physical-site dims hold their sf1 floor (the warehouse
+    // precedent below, extended): a 1-store world makes the published
+    // store-discriminating predicates (Q8's qualifying-zip semi-join,
+    // Q19's store-vs-home zip mismatch) unsatisfiable or degenerate
+    "store"                  -> (12L, true),
     "ship_mode"              -> (20L, true),
     "reason"                 -> (35L, false),
     "promotion"              -> (300L, false),
@@ -102,7 +112,7 @@ object TpcdsGen extends Benchmark {
     // predicates, e.g. Q95's, unsatisfiable); grows only ~4x by sf1000
     "warehouse"              -> (5L, true),
     "time_dim"               -> (86400L, true),
-    "web_site"               -> (30L, false),
+    "web_site"               -> (30L, true),
     "web_returns"            -> (71763L, false),
     "web_sales"              -> (719384L, false))
 
@@ -175,6 +185,17 @@ object TpcdsGen extends Benchmark {
     "Walker County", "Daviess County", "Barrow County", "Franklin Parish",
     "Luce County", "Richland County", "Bronx County", "Orange County")
 
+  /** Structured 5-digit zip domain shared by every *_zip column (customer
+    * address, store, warehouse, call center, web site). dsdgen zips are
+    * 5-digit strings, and the published zip queries depend on that shape:
+    * Q15/Q45 filter `substr(ca_zip, 1, 5) IN (...)`, Q19 compares the
+    * customer's zip prefix against the store's, Q8 intersects store zip
+    * 2-prefixes with high-customer-count zip 2-prefixes. 100 values with
+    * ~60 distinct 2-prefixes keep both grains selective without leaving
+    * single-row groups at test scale. */
+  private val zips: Seq[String] =
+    (0 until 100).map(i => f"${10000 + i * 607}%05d")
+
   /** Spec-true dictionaries for the columns TPC-DS queries filter and group
     * on (dsdgen draws these from fixed small domains, not free text; the
     * published queries' selectivity depends on the domain sizes). Columns not
@@ -215,7 +236,11 @@ object TpcdsGen extends Benchmark {
       "ca_location_type" -> Seq("apartment", "condo", "single family"),
       "cc_class" -> Seq("small", "medium", "large"),
       "sm_type" -> Seq("EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR",
-        "TWO DAY", "LIBRARY"))
+        "TWO DAY", "LIBRARY"),
+      // v8: zip columns draw 5-digit values from one shared domain (see
+      // `zips` — the published substr-prefix predicates need the shape)
+      "ca_zip" -> zips, "s_zip" -> zips, "w_zip" -> zips,
+      "cc_zip" -> zips, "web_zip" -> zips)
   }
 
   /** Returns-fact linkage: each returns row references an ACTUAL sales row
@@ -357,6 +382,10 @@ object TpcdsGen extends Benchmark {
       case "i_brand_id" => Some(brandId.cast(IntegerType))
       case "i_manufact" => Some(concat(lit("manu_"), str(manuId)))
       case "i_manufact_id" => Some(manuId.cast(IntegerType))
+      // dsdgen managers number 1..100 (not hash noise over 0..9999) — the
+      // published manager queries (Q19/Q55/Q63) filter on ids in that range
+      case "i_manager_id" =>
+        Some((pmod(h(src, t("i_manager_id")), lit(100L)) + 1).cast(IntegerType))
       case _ => None
     }
   }

@@ -186,7 +186,10 @@ class GenSpec extends AnyFunSuite {
   }
 
   test("fixed-cardinality TPC-DS dims ignore scale factor") {
-    Seq("date_dim", "time_dim", "income_band", "ship_mode").foreach { t =>
+    // calendar/bucket dims plus the v8 physical-site floors (store,
+    // call_center, web_site, warehouse): tiny-world degeneracy guard
+    Seq("date_dim", "time_dim", "income_band", "ship_mode",
+        "store", "call_center", "web_site", "warehouse").foreach { t =>
       assert(TpcdsGen.rowCount(t, 0.001) == TpcdsGen.rowCount(t, 100.0), t)
     }
   }
@@ -427,5 +430,35 @@ class GenSpec extends AnyFunSuite {
       "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY", "LIBRARY")))
     assert(domain("customer", 0.01, "c_preferred_cust_flag")
       .subsetOf(Set("Y", "N")))
+  }
+
+  test("v8: zips are 5-digit from one shared domain; managers number 1..100") {
+    import org.apache.spark.sql.functions._
+    def zipDomain(tbl: String, sf: Double, c: String): Set[String] =
+      TpcdsGen.table(spark, tbl, sf, 2).select(c).filter(col(c).isNotNull)
+        .distinct().collect().map(_.getString(0)).toSet
+    val caZips = zipDomain("customer_address", 0.01, "ca_zip")
+    assert(caZips.nonEmpty && caZips.forall(_.matches("\\d{5}")),
+      s"ca_zip not 5-digit: ${caZips.take(5)}")
+    val sZips = zipDomain("store", 1.0, "s_zip")
+    assert(sZips.nonEmpty && sZips.forall(_.matches("\\d{5}")),
+      s"s_zip not 5-digit: $sZips")
+    // shared CLOSED domain: both columns draw from the same 100 values
+    // (sf0.01's 500 address draws may miss ~1 value, so subset-of-observed
+    // is too strict; union cardinality bounds the domain instead)
+    assert((caZips ++ sZips).size <= 100,
+      s"zip domain larger than the declared 100: ${(caZips ++ sZips).size}")
+    assert((caZips intersect sZips).nonEmpty,
+      "store and address zips share no values")
+    // 2-prefix grain is coarser than the zip grain but not degenerate —
+    // Q8's substr(zip, 1, 2) intersection needs both
+    val prefixes = caZips.map(_.take(2))
+    assert(prefixes.size >= 10 && prefixes.size < caZips.size,
+      s"zip 2-prefix grain degenerate: ${prefixes.size} of ${caZips.size}")
+    val mgr = TpcdsGen.table(spark, "item", 0.01, 2)
+      .select("i_manager_id").filter(col("i_manager_id").isNotNull)
+      .agg(min("i_manager_id"), max("i_manager_id")).head()
+    assert(mgr.getInt(0) >= 1 && mgr.getInt(1) <= 100,
+      s"i_manager_id outside 1..100: $mgr")
   }
 }
