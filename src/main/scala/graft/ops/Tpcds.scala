@@ -1454,6 +1454,214 @@ object Tpcds {
       .agg(sum(col("ss_ext_sales_price")).cast(DoubleType).as("ext_price"))
   }
 
+  /** [Q-tpcds-q13] TPC-DS Q13 shape: one-row average/sum profile of store
+    * lines matching BOTH of two three-way disjunctions — (marital ×
+    * education × price band × buy potential) and (state set × profit
+    * band). The disjuncts mix fact and dimension columns, so neither can
+    * push below its join; every dimension side broadcasts and the single
+    * aggregate emits one row. Averages divide exact DECIMAL sums by
+    * non-null counts once (engine-portable). Adapted: hd_buy_potential
+    * stands in for the published hd_dep_count (dep_count is not
+    * domain-valued in this generator), and price/profit bands sit in the
+    * generated money distribution's range. */
+  def q_tpcds_q13(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val cd = t(spark, dir, "customer_demographics")
+      .select("cd_demo_sk", "cd_marital_status", "cd_education_status")
+    val hd = t(spark, dir, "household_demographics")
+      .select("hd_demo_sk", "hd_buy_potential")
+    val addr = t(spark, dir, "customer_address")
+      .select("ca_address_sk", "ca_state")
+    val st = t(spark, dir, "store").select("s_store_sk")
+    def demo(ms: String, ed: String, lo: Int, hi: Int, pot: String*) =
+      col("cd_marital_status") === ms && col("cd_education_status") === ed &&
+        col("ss_sales_price").between(lo, hi) &&
+        col("hd_buy_potential").isin(pot: _*)
+    def geo(states: Seq[String], lo: Int, hi: Int) =
+      col("ca_state").isin(states: _*) && col("ss_net_profit").between(lo, hi)
+    t(spark, dir, "store_sales")
+      .select("ss_sold_date_sk", "ss_store_sk", "ss_cdemo_sk", "ss_hdemo_sk",
+        "ss_addr_sk", "ss_quantity", "ss_sales_price", "ss_ext_sales_price",
+        "ss_ext_wholesale_cost", "ss_net_profit")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(cd), col("ss_cdemo_sk") === col("cd_demo_sk"))
+      .join(broadcast(hd), col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .join(addr, col("ss_addr_sk") === col("ca_address_sk"))
+      .filter(
+        (demo("M", "Advanced Degree", 20, 120, ">10000", "5001-10000") ||
+          demo("S", "College", 60, 160, "501-1000", "1001-5000") ||
+          demo("W", "2 yr Degree", 120, 220, "Unknown", "0-500")) &&
+        (geo(Seq("TX", "OH", "MI"), 100, 290) ||
+          geo(Seq("CA", "NY", "IL"), 150, 300) ||
+          geo(Seq("GA", "WA", "PA"), 50, 250)))
+      .agg(
+        (sum(col("ss_quantity")).cast(DoubleType) / count(col("ss_quantity")))
+          .as("avg_qty"),
+        (sum(col("ss_ext_sales_price")).cast(DoubleType) /
+          count(col("ss_ext_sales_price"))).as("avg_ext_price"),
+        (sum(col("ss_ext_wholesale_cost")).cast(DoubleType) /
+          count(col("ss_ext_wholesale_cost"))).as("avg_whl"),
+        sum(col("ss_ext_wholesale_cost")).cast(DoubleType).as("sum_whl"))
+  }
+
+  /** [Q-tpcds-q63] TPC-DS Q63 shape: managers whose monthly revenue strays
+    * ≥10% from their own yearly monthly average — a broadcast star
+    * aggregate at the (manager, month) grain, then a per-manager window
+    * average (exact sum ÷ count, divided once as DOUBLE) and a ratio
+    * filter. The window partitions by manager (≤100 keys × 12 rows — the
+    * aggregate output, not the fact). Published item category/class slices
+    * carried via i_category; manager domain is genVersion 8's 1..100. */
+  def q_tpcds_q63(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk", "d_moy")
+    val it = t(spark, dir, "item")
+      .filter(col("i_category").isin("Books", "Children", "Electronics",
+        "Home", "Music") && col("i_manager_id").isNotNull)
+      .select("i_item_sk", "i_manager_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("i_manager_id")
+    t(spark, dir, "store_sales")
+      .select("ss_sold_date_sk", "ss_item_sk", "ss_sales_price")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_manager_id"), col("d_moy"))
+      .agg(sum(col("ss_sales_price")).as("s"))
+      .withColumn("avg_monthly_sales",
+        sum(col("s")).over(w).cast(DoubleType) / count(lit(1)).over(w))
+      .withColumn("sum_sales", col("s").cast(DoubleType))
+      .filter(col("avg_monthly_sales") > 0 &&
+        abs(col("sum_sales") - col("avg_monthly_sales")) /
+          col("avg_monthly_sales") > 0.1)
+      .select(col("i_manager_id"), col("d_moy"), col("sum_sales"),
+        col("avg_monthly_sales"))
+  }
+
+  /** [Q-tpcds-q31] TPC-DS Q31 shape: counties where web revenue grew
+    * FASTER than store revenue across consecutive quarters — per-channel
+    * (county, quarter) aggregates, quarter-pivoted by conditional
+    * aggregation (one pass; the published six-way self-join re-reads the
+    * same tiny aggregate six times), inner-joined across channels on
+    * county, ratio-compared as single double divisions of exact sums.
+    * Both channel aggregates shuffle once on the county key; everything
+    * after operates on ≤ |county domain| rows. */
+  def q_tpcds_q31(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_qoy").isin(1, 2, 3))
+      .select("d_date_sk", "d_qoy")
+    val addr = t(spark, dir, "customer_address")
+      .select("ca_address_sk", "ca_county")
+    def byQ(fact: String, dateCol: String, addrCol: String, amtCol: String,
+            pfx: String): DataFrame =
+      t(spark, dir, fact).select(dateCol, addrCol, amtCol)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(addr, col(addrCol) === col("ca_address_sk"))
+        .filter(col("ca_county").isNotNull)
+        .groupBy(col("ca_county"))
+        .agg(
+          sum(when(col("d_qoy") === 1, col(amtCol))).as(s"${pfx}1"),
+          sum(when(col("d_qoy") === 2, col(amtCol))).as(s"${pfx}2"),
+          sum(when(col("d_qoy") === 3, col(amtCol))).as(s"${pfx}3"))
+        .filter(col(s"${pfx}1").isNotNull && col(s"${pfx}2").isNotNull &&
+          col(s"${pfx}3").isNotNull)
+    val ss = byQ("store_sales", "ss_sold_date_sk", "ss_addr_sk",
+      "ss_ext_sales_price", "s")
+    val ws = byQ("web_sales", "ws_sold_date_sk", "ws_bill_addr_sk",
+      "ws_ext_sales_price", "w").withColumnRenamed("ca_county", "w_county")
+    def ratio(hi: Column, lo: Column): Column =
+      hi.cast(DoubleType) / lo.cast(DoubleType)
+    ss.join(ws, col("ca_county") === col("w_county"))
+      .filter(col("s1") > 0 && col("s2") > 0 && col("w1") > 0 && col("w2") > 0)
+      .filter(ratio(col("w2"), col("w1")) > ratio(col("s2"), col("s1")) &&
+        ratio(col("w3"), col("w2")) > ratio(col("s3"), col("s2")))
+      .select(col("ca_county"),
+        ratio(col("w2"), col("w1")).as("web_q1_q2_increase"),
+        ratio(col("s2"), col("s1")).as("store_q1_q2_increase"),
+        ratio(col("w3"), col("w2")).as("web_q2_q3_increase"),
+        ratio(col("s3"), col("s2")).as("store_q2_q3_increase"))
+  }
+
+  /** [Q-tpcds-q75] TPC-DS Q75 shape: year-over-year unit/revenue DECLINE
+    * per merchandise-hierarchy cell, net of returns, across all three
+    * channels — each channel LEFT-joins its returns fact on the (order,
+    * item) PK (the generator's returns linkage), nets quantity/amount,
+    * the channels UNION (published distinct semantics), aggregate at the
+    * (year, brand, class, category, manufact) grain, and the two years
+    * join to keep cells whose unit ratio fell under 0.9. The (order, item)
+    * keyed joins are the scale work; the year-pair join runs over
+    * hierarchy-cell aggregates only. Ratio adapted to one double division
+    * (the published DECIMAL(17,2) division rounds differently per
+    * engine). */
+  def q_tpcds_q75(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year").isin(1999, 2000)).select("d_date_sk", "d_year")
+    val it = t(spark, dir, "item")
+      .filter(col("i_category") === "Electronics")
+      .select("i_item_sk", "i_brand_id", "i_class_id", "i_category_id",
+        "i_manufact_id")
+    def chan(fact: String, dateCol: String, itemCol: String, ordCol: String,
+             qtyCol: String, amtCol: String, ret: String, rOrdCol: String,
+             rItemCol: String, rQtyCol: String, rAmtCol: String): DataFrame = {
+      val r = t(spark, dir, ret)
+        .select(col(rOrdCol), col(rItemCol), col(rQtyCol), col(rAmtCol))
+      t(spark, dir, fact)
+        .select(col(dateCol), col(itemCol), col(ordCol), col(qtyCol),
+          col(amtCol))
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(broadcast(it), col(itemCol) === col("i_item_sk"))
+        .join(r, col(ordCol) === col(rOrdCol) && col(itemCol) === col(rItemCol),
+          "left_outer")
+        .select(col("d_year"), col("i_brand_id"), col("i_class_id"),
+          col("i_category_id"), col("i_manufact_id"),
+          (col(qtyCol) - coalesce(col(rQtyCol), lit(0))).as("sales_cnt"),
+          (col(amtCol) - coalesce(col(rAmtCol),
+            lit(0).cast(org.apache.spark.sql.types.DecimalType(7, 2))))
+            .as("sales_amt"))
+    }
+    val detail = chan("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+        "cs_order_number", "cs_quantity", "cs_ext_sales_price",
+        "catalog_returns", "cr_order_number", "cr_item_sk",
+        "cr_return_quantity", "cr_return_amount")
+      .union(chan("store_sales", "ss_sold_date_sk", "ss_item_sk",
+        "ss_ticket_number", "ss_quantity", "ss_ext_sales_price",
+        "store_returns", "sr_ticket_number", "sr_item_sk",
+        "sr_return_quantity", "sr_return_amt"))
+      .union(chan("web_sales", "ws_sold_date_sk", "ws_item_sk",
+        "ws_order_number", "ws_quantity", "ws_ext_sales_price",
+        "web_returns", "wr_order_number", "wr_item_sk",
+        "wr_return_quantity", "wr_return_amt"))
+      .distinct()
+    val all = detail
+      .groupBy(col("d_year"), col("i_brand_id"), col("i_class_id"),
+        col("i_category_id"), col("i_manufact_id"))
+      .agg(sum(col("sales_cnt")).as("sales_cnt"),
+        sum(col("sales_amt")).as("sales_amt"))
+    val curr = all.filter(col("d_year") === 2000)
+    val prev = all.filter(col("d_year") === 1999).select(
+      col("i_brand_id").as("p_brand_id"), col("i_class_id").as("p_class_id"),
+      col("i_category_id").as("p_category_id"),
+      col("i_manufact_id").as("p_manufact_id"),
+      col("sales_cnt").as("prev_yr_cnt"), col("sales_amt").as("p_amt"))
+    curr.join(prev,
+        col("i_brand_id") === col("p_brand_id") &&
+        col("i_class_id") === col("p_class_id") &&
+        col("i_category_id") === col("p_category_id") &&
+        col("i_manufact_id") === col("p_manufact_id"))
+      .filter(col("prev_yr_cnt") > 0 &&
+        col("sales_cnt").cast(DoubleType) / col("prev_yr_cnt").cast(DoubleType)
+          < 0.9)
+      .select(lit(1999).as("prev_year"), col("d_year").as("year_"),
+        col("i_brand_id"), col("i_class_id"), col("i_category_id"),
+        col("i_manufact_id"), col("prev_yr_cnt"),
+        col("sales_cnt").as("curr_yr_cnt"),
+        (col("sales_cnt") - col("prev_yr_cnt")).as("sales_cnt_diff"),
+        (col("sales_amt") - col("p_amt")).cast(DoubleType).as("sales_amt_diff"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -2157,7 +2365,127 @@ object Tpcds {
          |JOIN ${P("item")} ON ss_item_sk = i_item_sk
          |WHERE d_year = 2000 AND d_moy = 11
          | AND i_manager_id BETWEEN 21 AND 40
-         |GROUP BY i_brand_id, i_brand""".stripMargin)
+         |GROUP BY i_brand_id, i_brand""".stripMargin,
+    "q_tpcds_q13" ->
+      s"""SELECT
+         | CAST(sum(ss_quantity) AS DOUBLE) / count(ss_quantity) AS avg_qty,
+         | CAST(sum(ss_ext_sales_price) AS DOUBLE) / count(ss_ext_sales_price)
+         |  AS avg_ext_price,
+         | CAST(sum(ss_ext_wholesale_cost) AS DOUBLE)
+         |  / count(ss_ext_wholesale_cost) AS avg_whl,
+         | CAST(sum(ss_ext_wholesale_cost) AS DOUBLE) AS sum_whl
+         |FROM ${P("store_sales")}
+         |JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         |JOIN ${P("customer_demographics")} ON ss_cdemo_sk = cd_demo_sk
+         |JOIN ${P("household_demographics")} ON ss_hdemo_sk = hd_demo_sk
+         |JOIN ${P("customer_address")} ON ss_addr_sk = ca_address_sk
+         |WHERE d_year = 2000
+         | AND ((cd_marital_status = 'M' AND cd_education_status = 'Advanced Degree'
+         |   AND ss_sales_price BETWEEN 20 AND 120
+         |   AND hd_buy_potential IN ('>10000', '5001-10000'))
+         |  OR (cd_marital_status = 'S' AND cd_education_status = 'College'
+         |   AND ss_sales_price BETWEEN 60 AND 160
+         |   AND hd_buy_potential IN ('501-1000', '1001-5000'))
+         |  OR (cd_marital_status = 'W' AND cd_education_status = '2 yr Degree'
+         |   AND ss_sales_price BETWEEN 120 AND 220
+         |   AND hd_buy_potential IN ('Unknown', '0-500')))
+         | AND ((ca_state IN ('TX', 'OH', 'MI') AND ss_net_profit BETWEEN 100 AND 290)
+         |  OR (ca_state IN ('CA', 'NY', 'IL') AND ss_net_profit BETWEEN 150 AND 300)
+         |  OR (ca_state IN ('GA', 'WA', 'PA') AND ss_net_profit BETWEEN 50 AND 250))""".stripMargin,
+    "q_tpcds_q63" ->
+      s"""SELECT i_manager_id, d_moy, CAST(s AS DOUBLE) AS sum_sales,
+         |  avg_monthly_sales
+         |FROM (
+         | SELECT i_manager_id, d_moy, s,
+         |  CAST(sum(s) OVER (PARTITION BY i_manager_id) AS DOUBLE)
+         |   / count(*) OVER (PARTITION BY i_manager_id) AS avg_monthly_sales
+         | FROM (
+         |  SELECT i_manager_id, d_moy, sum(ss_sales_price) AS s
+         |  FROM ${P("store_sales")}
+         |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |  JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         |  WHERE d_year = 2000 AND i_manager_id IS NOT NULL
+         |   AND i_category IN ('Books', 'Children', 'Electronics', 'Home', 'Music')
+         |  GROUP BY i_manager_id, d_moy) m) t
+         |WHERE avg_monthly_sales > 0
+         | AND abs(CAST(s AS DOUBLE) - avg_monthly_sales) / avg_monthly_sales > 0.1""".stripMargin,
+    "q_tpcds_q31" -> {
+      def byQ(fact: String, dateCol: String, addrCol: String, amtCol: String,
+              pfx: String) =
+        s"""SELECT ca_county AS ${pfx}_county,
+           |  sum($amtCol) FILTER (WHERE d_qoy = 1) AS ${pfx}1,
+           |  sum($amtCol) FILTER (WHERE d_qoy = 2) AS ${pfx}2,
+           |  sum($amtCol) FILTER (WHERE d_qoy = 3) AS ${pfx}3
+           | FROM ${P(fact)}
+           | JOIN ${P("date_dim")} ON $dateCol = d_date_sk
+           | JOIN ${P("customer_address")} ON $addrCol = ca_address_sk
+           | WHERE d_year = 2000 AND d_qoy IN (1, 2, 3)
+           |  AND ca_county IS NOT NULL
+           | GROUP BY ca_county
+           | HAVING sum($amtCol) FILTER (WHERE d_qoy = 1) IS NOT NULL
+           |  AND sum($amtCol) FILTER (WHERE d_qoy = 2) IS NOT NULL
+           |  AND sum($amtCol) FILTER (WHERE d_qoy = 3) IS NOT NULL""".stripMargin
+      s"""WITH s AS (${byQ("store_sales", "ss_sold_date_sk", "ss_addr_sk",
+             "ss_ext_sales_price", "s")}),
+         |w AS (${byQ("web_sales", "ws_sold_date_sk", "ws_bill_addr_sk",
+             "ws_ext_sales_price", "w")})
+         |SELECT s_county AS ca_county,
+         | CAST(w2 AS DOUBLE) / CAST(w1 AS DOUBLE) AS web_q1_q2_increase,
+         | CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE) AS store_q1_q2_increase,
+         | CAST(w3 AS DOUBLE) / CAST(w2 AS DOUBLE) AS web_q2_q3_increase,
+         | CAST(s3 AS DOUBLE) / CAST(s2 AS DOUBLE) AS store_q2_q3_increase
+         |FROM s JOIN w ON s_county = w_county
+         |WHERE s1 > 0 AND s2 > 0 AND w1 > 0 AND w2 > 0
+         | AND CAST(w2 AS DOUBLE) / CAST(w1 AS DOUBLE)
+         |   > CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)
+         | AND CAST(w3 AS DOUBLE) / CAST(w2 AS DOUBLE)
+         |   > CAST(s3 AS DOUBLE) / CAST(s2 AS DOUBLE)""".stripMargin
+    },
+    "q_tpcds_q75" -> {
+      def chan(fact: String, dateCol: String, itemCol: String, ordCol: String,
+               qtyCol: String, amtCol: String, ret: String, rOrdCol: String,
+               rItemCol: String, rQtyCol: String, rAmtCol: String) =
+        s"""SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+           | $qtyCol - COALESCE($rQtyCol, 0) AS sales_cnt,
+           | $amtCol - COALESCE($rAmtCol, CAST(0 AS DECIMAL(7,2))) AS sales_amt
+           |FROM ${P(fact)}
+           |JOIN ${P("date_dim")} ON $dateCol = d_date_sk
+           |JOIN ${P("item")} ON $itemCol = i_item_sk
+           |LEFT JOIN ${P(ret)} ON $ordCol = $rOrdCol AND $itemCol = $rItemCol
+           |WHERE d_year IN (1999, 2000) AND i_category = 'Electronics'""".stripMargin
+      s"""WITH detail AS (
+         |${chan("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+             "cs_order_number", "cs_quantity", "cs_ext_sales_price",
+             "catalog_returns", "cr_order_number", "cr_item_sk",
+             "cr_return_quantity", "cr_return_amount")}
+         |UNION
+         |${chan("store_sales", "ss_sold_date_sk", "ss_item_sk",
+             "ss_ticket_number", "ss_quantity", "ss_ext_sales_price",
+             "store_returns", "sr_ticket_number", "sr_item_sk",
+             "sr_return_quantity", "sr_return_amt")}
+         |UNION
+         |${chan("web_sales", "ws_sold_date_sk", "ws_item_sk",
+             "ws_order_number", "ws_quantity", "ws_ext_sales_price",
+             "web_returns", "wr_order_number", "wr_item_sk",
+             "wr_return_quantity", "wr_return_amt")}),
+         |all_sales AS (
+         | SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+         |  CAST(sum(sales_cnt) AS BIGINT) AS sales_cnt, sum(sales_amt) AS sales_amt
+         | FROM detail
+         | GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+         |SELECT 1999 AS prev_year, c.d_year AS year_, c.i_brand_id,
+         | c.i_class_id, c.i_category_id, c.i_manufact_id,
+         | p.sales_cnt AS prev_yr_cnt, c.sales_cnt AS curr_yr_cnt,
+         | c.sales_cnt - p.sales_cnt AS sales_cnt_diff,
+         | CAST(c.sales_amt - p.sales_amt AS DOUBLE) AS sales_amt_diff
+         |FROM all_sales c JOIN all_sales p
+         | ON c.i_brand_id = p.i_brand_id AND c.i_class_id = p.i_class_id
+         | AND c.i_category_id = p.i_category_id
+         | AND c.i_manufact_id = p.i_manufact_id
+         |WHERE c.d_year = 2000 AND p.d_year = 1999 AND p.sales_cnt > 0
+         | AND CAST(c.sales_cnt AS DOUBLE) / CAST(p.sales_cnt AS DOUBLE) < 0.9""".stripMargin
+    })
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2201,5 +2529,9 @@ object Tpcds {
     "q_tpcds_q45" -> q_tpcds_q45,
     "q_tpcds_q19" -> q_tpcds_q19,
     "q_tpcds_q8" -> q_tpcds_q8,
-    "q_tpcds_q55" -> q_tpcds_q55)
+    "q_tpcds_q55" -> q_tpcds_q55,
+    "q_tpcds_q13" -> q_tpcds_q13,
+    "q_tpcds_q63" -> q_tpcds_q63,
+    "q_tpcds_q31" -> q_tpcds_q31,
+    "q_tpcds_q75" -> q_tpcds_q75)
 }
