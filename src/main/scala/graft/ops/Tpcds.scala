@@ -1662,6 +1662,87 @@ object Tpcds {
         (col("sales_amt") - col("p_amt")).cast(DoubleType).as("sales_amt_diff"))
   }
 
+  /** [Q-tpcds-q66] TPC-DS Q66 shape: the wide warehouse report — monthly
+    * revenue and net-paid columns (12 + 12, conditional aggregation; no
+    * pivot shuffle) per warehouse over web + catalog shipments in one
+    * year, restricted to a working-hours time band and two ship-mode
+    * types. Every dimension (date, time, ship mode, warehouse) broadcasts;
+    * the two fact scans union map-side and shuffle once on the warehouse
+    * key. Money arithmetic (price × quantity) stays exact DECIMAL until
+    * the final per-column cast. Adapted: sm_type stands in for the
+    * published sm_carrier list (carrier is not domain-valued here). */
+  def q_tpcds_q66(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk", "d_moy")
+    val td = t(spark, dir, "time_dim")
+      .filter(col("t_time").between(28800, 57600)).select("t_time_sk")
+    val sm = t(spark, dir, "ship_mode")
+      .filter(col("sm_type").isin("EXPRESS", "OVERNIGHT"))
+      .select("sm_ship_mode_sk")
+    val wh = t(spark, dir, "warehouse").select("w_warehouse_sk",
+      "w_warehouse_name", "w_warehouse_sq_ft", "w_city", "w_county", "w_state")
+    def chan(fact: String, dateCol: String, timeCol: String, smCol: String,
+             whCol: String, qtyCol: String, amtCol: String,
+             netCol: String): DataFrame =
+      t(spark, dir, fact)
+        .select(col(dateCol), col(timeCol), col(smCol), col(whCol),
+          col(qtyCol), col(amtCol), col(netCol))
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(broadcast(td), col(timeCol) === col("t_time_sk"), "left_semi")
+        .join(broadcast(sm), col(smCol) === col("sm_ship_mode_sk"), "left_semi")
+        .select(col(whCol).as("w_sk"), col("d_moy"),
+          (col(amtCol) * col(qtyCol)).as("sales"),
+          (col(netCol) * col(qtyCol)).as("net"))
+    val detail = chan("web_sales", "ws_sold_date_sk", "ws_sold_time_sk",
+        "ws_ship_mode_sk", "ws_warehouse_sk", "ws_quantity",
+        "ws_ext_sales_price", "ws_net_paid")
+      .union(chan("catalog_sales", "cs_sold_date_sk", "cs_sold_time_sk",
+        "cs_ship_mode_sk", "cs_warehouse_sk", "cs_quantity",
+        "cs_ext_sales_price", "cs_net_paid"))
+    val months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug",
+      "sep", "oct", "nov", "dec")
+    val aggs =
+      months.zipWithIndex.map { case (m, i) =>
+        sum(when(col("d_moy") === i + 1, col("sales")))
+          .cast(DoubleType).as(s"${m}_sales") } ++
+      months.zipWithIndex.map { case (m, i) =>
+        sum(when(col("d_moy") === i + 1, col("net")))
+          .cast(DoubleType).as(s"${m}_net") }
+    detail.join(broadcast(wh), col("w_sk") === col("w_warehouse_sk"))
+      .groupBy(col("w_warehouse_name"), col("w_warehouse_sq_ft"),
+        col("w_city"), col("w_county"), col("w_state"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [Q-tpcds-q32] TPC-DS Q32 shape: total "excess discount" — catalog
+    * lines of one manufacturer band, in a 90-day window, whose discount
+    * exceeds 1.3× the per-item average discount over the same window. The
+    * per-item threshold is a keyed aggregate joined back on item (the
+    * published correlated subquery, decorrelated); the manufacturer slice
+    * is a broadcast semi-join; output is one row. The threshold divides
+    * exact DECIMAL sums once as DOUBLE, then scales by 1.3 — both engines
+    * compare the same doubles. */
+  def q_tpcds_q32(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_date").between("2000-01-27", "2000-04-26"))
+      .select("d_date_sk")
+    val it = t(spark, dir, "item")
+      .filter(col("i_manufact_id").between(1, 50)).select("i_item_sk")
+    val cs = t(spark, dir, "catalog_sales")
+      .select("cs_sold_date_sk", "cs_item_sk", "cs_ext_discount_amt")
+      .join(broadcast(dd), col("cs_sold_date_sk") === col("d_date_sk"))
+    val thr = cs.groupBy(col("cs_item_sk").as("t_item"))
+      .agg((sum(col("cs_ext_discount_amt")).cast(DoubleType) /
+        count(col("cs_ext_discount_amt")) * 1.3).as("thr"))
+    cs.join(broadcast(it), col("cs_item_sk") === col("i_item_sk"), "left_semi")
+      .join(thr, col("cs_item_sk") === col("t_item"))
+      .filter(col("cs_ext_discount_amt").cast(DoubleType) > col("thr"))
+      .agg(sum(col("cs_ext_discount_amt")).cast(DoubleType)
+        .as("excess_discount"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -2485,7 +2566,57 @@ object Tpcds {
          | AND c.i_manufact_id = p.i_manufact_id
          |WHERE c.d_year = 2000 AND p.d_year = 1999 AND p.sales_cnt > 0
          | AND CAST(c.sales_cnt AS DOUBLE) / CAST(p.sales_cnt AS DOUBLE) < 0.9""".stripMargin
-    })
+    },
+    "q_tpcds_q66" -> {
+      def chan(fact: String, dateCol: String, timeCol: String, smCol: String,
+               whCol: String, qtyCol: String, amtCol: String, netCol: String) =
+        s"""SELECT $whCol AS w_sk, d_moy,
+           | $amtCol * $qtyCol AS sales, $netCol * $qtyCol AS net
+           |FROM ${P(fact)}
+           |JOIN ${P("date_dim")} ON $dateCol = d_date_sk
+           |WHERE d_year = 2000
+           | AND $timeCol IN (SELECT t_time_sk FROM ${P("time_dim")}
+           |  WHERE t_time BETWEEN 28800 AND 57600)
+           | AND $smCol IN (SELECT sm_ship_mode_sk FROM ${P("ship_mode")}
+           |  WHERE sm_type IN ('EXPRESS', 'OVERNIGHT'))""".stripMargin
+      val months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug",
+        "sep", "oct", "nov", "dec")
+      val sales = months.zipWithIndex.map { case (m, i) =>
+        s"CAST(sum(CASE WHEN d_moy = ${i + 1} THEN sales END) AS DOUBLE) AS ${m}_sales"
+      }.mkString(",\n ")
+      val nets = months.zipWithIndex.map { case (m, i) =>
+        s"CAST(sum(CASE WHEN d_moy = ${i + 1} THEN net END) AS DOUBLE) AS ${m}_net"
+      }.mkString(",\n ")
+      s"""SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         | $sales,
+         | $nets
+         |FROM (
+         |${chan("web_sales", "ws_sold_date_sk", "ws_sold_time_sk",
+             "ws_ship_mode_sk", "ws_warehouse_sk", "ws_quantity",
+             "ws_ext_sales_price", "ws_net_paid")}
+         |UNION ALL
+         |${chan("catalog_sales", "cs_sold_date_sk", "cs_sold_time_sk",
+             "cs_ship_mode_sk", "cs_warehouse_sk", "cs_quantity",
+             "cs_ext_sales_price", "cs_net_paid")}) x
+         |JOIN ${P("warehouse")} ON w_sk = w_warehouse_sk
+         |GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state""".stripMargin
+    },
+    "q_tpcds_q32" ->
+      s"""WITH cs AS (
+         | SELECT cs_item_sk, cs_ext_discount_amt
+         | FROM ${P("catalog_sales")}
+         | JOIN ${P("date_dim")} ON cs_sold_date_sk = d_date_sk
+         | WHERE d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'),
+         |thr AS (
+         | SELECT cs_item_sk AS t_item,
+         |  CAST(sum(cs_ext_discount_amt) AS DOUBLE)
+         |   / count(cs_ext_discount_amt) * 1.3 AS thr
+         | FROM cs GROUP BY cs_item_sk)
+         |SELECT CAST(sum(cs_ext_discount_amt) AS DOUBLE) AS excess_discount
+         |FROM cs JOIN thr ON cs_item_sk = t_item
+         |WHERE cs_item_sk IN (SELECT i_item_sk FROM ${P("item")}
+         |  WHERE i_manufact_id BETWEEN 1 AND 50)
+         | AND CAST(cs_ext_discount_amt AS DOUBLE) > thr""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2533,5 +2664,7 @@ object Tpcds {
     "q_tpcds_q13" -> q_tpcds_q13,
     "q_tpcds_q63" -> q_tpcds_q63,
     "q_tpcds_q31" -> q_tpcds_q31,
-    "q_tpcds_q75" -> q_tpcds_q75)
+    "q_tpcds_q75" -> q_tpcds_q75,
+    "q_tpcds_q66" -> q_tpcds_q66,
+    "q_tpcds_q32" -> q_tpcds_q32)
 }
