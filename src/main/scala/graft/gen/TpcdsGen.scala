@@ -76,8 +76,14 @@ object TpcdsGen extends Benchmark {
     * mismatch, Q8 2-prefix intersection), i_manager_id drawn 1..100
     * like dsdgen (Q19/Q55/Q63 manager predicates), and store/call_center/
     * web_site join warehouse at their sf1 floors (physical-site dims;
-    * a 1-store world makes store-discriminating predicates degenerate). */
-  val genVersion = 8
+    * a 1-store world makes store-discriminating predicates degenerate).
+    * v9: variable-length store baskets (1–10 lines per ticket via a
+    * closed-form periodic size pattern, see `storePattern`) — the
+    * published ticket line-count bucket queries (Q34/Q73) are degenerate
+    * over fixed-size baskets; dense tickets, exact row counts, and the
+    * returns⋈sales linkage all survive because both line→basket and
+    * basket→start stay closed-form. */
+  val genVersion = 9
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -156,6 +162,56 @@ object TpcdsGen extends Benchmark {
     * TPC-DS-shaped queries (returns joins, ticket rollups) rely on. */
   private val basketLines: Map[String, Int] =
     Map("store_sales" -> 3, "catalog_sales" -> 4, "web_sales" -> 4)
+
+  /** v9: VARIABLE-length store baskets. dsdgen store tickets hold ~1–12
+    * lines (the published ticket line-COUNT bucket queries — Q34/Q73/Q46 —
+    * are meaningless over fixed-size baskets). Sizes follow a fixed
+    * periodic pattern over the dense line-id sequence: block k of
+    * `sum(pattern)` consecutive lines holds exactly `pattern.length`
+    * consecutive baskets with those sizes. Both mappings stay CLOSED-FORM
+    * (no prefix sums): basket(line) counts pattern boundaries below
+    * `line mod T`, start(basket) looks the offset up by `basket mod P` —
+    * so generation remains partition-count invariant, ticket numbers stay
+    * dense 1-based, declared row counts stay exact, and the returns
+    * linkage re-derives the same basket for any sales line. The
+    * basket-size sequence cycles with period 16 rather than hashing —
+    * basket-LEVEL draws still hash the basket id, so no published
+    * predicate can see the cycle (it would have to relate ticket-number
+    * arithmetic to line counts). Catalog/web keep fixed 4-line orders
+    * (no published count-bucket query reads them). */
+  private[graft] val storePattern: Seq[Int] =
+    Seq(1, 6, 3, 10, 2, 8, 5, 9, 4, 7, 2, 6, 1, 9, 5, 8) // sum 86, avg 5.375
+  private val storeCum: Seq[Int] = storePattern.scanLeft(0)(_ + _) // len 17
+  private def variablePattern(tbl: String): Option[Seq[Int]] =
+    if (tbl == "store_sales") Some(storePattern) else None
+
+  /** Max lines a basket of `tbl` can hold (item-tour distinctness bound). */
+  private def maxBasketLines(tbl: String): Int =
+    variablePattern(tbl).map(_.max).getOrElse(basketLines(tbl))
+
+  /** The basket (ticket/order) index a dense line id belongs to. */
+  private def basketOfLine(tbl: String, line: Column): Column =
+    variablePattern(tbl) match {
+      case Some(pat) =>
+        val t = pat.sum
+        val r = (line % t).cast(IntegerType)
+        val inBlock = storeCum.slice(1, pat.size) // interior boundaries
+          .map(c => when(r >= c, 1L).otherwise(0L)).reduce(_ + _)
+        floor(line / t).cast(LongType) * pat.size + inBlock
+      case None => floor(line / basketLines(tbl)).cast(LongType)
+    }
+
+  /** A line's 0-based index within its basket (drives the item tour). */
+  private def lineIdxInBasket(tbl: String, line: Column, basket: Column): Column =
+    variablePattern(tbl) match {
+      case Some(pat) =>
+        val t = pat.sum
+        val start = element_at(
+          array(storeCum.init.map(c => lit(c)): _*),
+          (pmod(basket, lit(pat.size.toLong)) + 1).cast(IntegerType))
+        (line % t).cast(LongType) - start
+      case None => line - basket * basketLines(tbl)
+    }
 
   /** Ticket/order-number columns: dense basket ids (1-based), NOT hash noise —
     * joining returns on (order, item) must hit the originating sale.
@@ -452,11 +508,11 @@ object TpcdsGen extends Benchmark {
         // the tour only yields distinct items while a basket's lines fit in
         // one lap — at degenerate scales (item rows < lines per basket) the
         // PK would silently break along with the returns⋈sales 1:1 linkage
-        require(n >= basketLines(tbl),
-          s"item row count $n < ${basketLines(tbl)} lines per $tbl basket: " +
+        require(n >= maxBasketLines(tbl),
+          s"item row count $n < ${maxBasketLines(tbl)} lines per $tbl basket: " +
             s"the (order_number, item_sk) PK cannot hold; use sf >= " +
-            f"${basketLines(tbl) / sf1Counts("item")._1.toDouble}%.6f")
-        val lineIdx = line - basket * basketLines(tbl)
+            f"${maxBasketLines(tbl) / sf1Counts("item")._1.toDouble}%.6f")
+        val lineIdx = lineIdxInBasket(tbl, line, basket)
         (pmod(pmod(h(basket, tag), lit(n)) + lineIdx * lit(itemStep % n), lit(n)) + 1)
           .cast(cast)
       case Some(dim) if !(isFirst && dim == tbl) =>
@@ -529,7 +585,7 @@ object TpcdsGen extends Benchmark {
     // (returns ≥ sales at extreme-tiny sf) degrades to pmod — valid FKs,
     // some sales lines returned twice
     val sid = if (returnsRows * stride <= salesRows) sid0 else pmod(sid0, lit(salesRows))
-    val sBkt = floor(sid / basketLines(rl.salesTbl)).cast(LongType)
+    val sBkt = basketOfLine(rl.salesTbl, sid)
     def salesAt(colName: String): Column = {
       val (sfld, si) = sIndex(colName)
       colFor(rl.salesTbl, sf, sfld, tagOf(rl.salesTbl, si),
@@ -689,12 +745,16 @@ object TpcdsGen extends Benchmark {
     // the linked sales table's basket ids).
     val basketSrc = returnsLinks.get(tbl).map(_.salesTbl).getOrElse(tbl)
     if (basketLines.contains(basketSrc)) {
-      val baskets = rowCount(basketSrc, sf) / basketLines(basketSrc) + 1
+      // conservative: every basket holds ≥ 1 line, so baskets ≤ lines;
+      // with variable patterns the exact count is lines/avg, still ≤ lines
+      val minLines = variablePattern(basketSrc).map(_.min)
+        .getOrElse(basketLines(basketSrc)).toLong
+      val baskets = rowCount(basketSrc, sf) / minLines + 1
       require(baskets <= Int.MaxValue.toLong,
-        s"generating '$tbl' at sf=$sf needs $baskets $basketSrc baskets, but " +
-          s"ticket/order numbers are Int32 (reference schema) and would wrap. " +
-          s"Max supported sf for $basketSrc ≈ " +
-          f"${Int.MaxValue.toLong * basketLines(basketSrc) / (sf1Counts(basketSrc)._1.toDouble)}%.0f.")
+        s"generating '$tbl' at sf=$sf could need $baskets $basketSrc baskets, " +
+          s"but ticket/order numbers are Int32 (reference schema) and would " +
+          s"wrap. Max supported sf for $basketSrc ≈ " +
+          f"${Int.MaxValue.toLong * minLines / (sf1Counts(basketSrc)._1.toDouble)}%.0f.")
     }
     val baseDf = spark.range(0, rows, 1, math.max(1, partitions)).toDF()
     tbl match {
@@ -705,7 +765,7 @@ object TpcdsGen extends Benchmark {
       case _ =>
         val line = col("id")
         val basket = if (basketLines.contains(tbl))
-          floor(line / basketLines(tbl)).cast(LongType) else line
+          basketOfLine(tbl, line) else line
         val cols = st.fields.zipWithIndex.map { case (f, i) =>
           colFor(tbl, sf, f, tagOf(tbl, i), isFirst = i == 0, line, basket).as(f.name)
         }

@@ -1743,6 +1743,70 @@ object Tpcds {
         .as("excess_discount"))
   }
 
+  /** [Q-tpcds-q73] TPC-DS Q73 shape: customers with SMALL tickets (1–5
+    * lines) on month-start shopping days in selected counties/buy-potential
+    * bands. Meaningful only over genVersion 9's variable-size baskets —
+    * every predicate is basket-level, so the per-ticket count is the true
+    * basket size, bucketed by the published BETWEEN. The ticket aggregate
+    * shuffles on the (ticket, customer) key once; the final customer
+    * attach is the second keyed shuffle. */
+  def q_tpcds_q73(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_dom").between(1, 3)).select("d_date_sk")
+    val st = t(spark, dir, "store")
+      .filter(col("s_county").isin("Williamson County", "Franklin Parish",
+        "Bronx County", "Orange County", "Ziebach County"))
+      .select("s_store_sk")
+    val hd = t(spark, dir, "household_demographics")
+      .filter(col("hd_buy_potential").isin(">10000", "Unknown", "5001-10000"))
+      .select("hd_demo_sk")
+    val dj = t(spark, dir, "store_sales")
+      .select("ss_ticket_number", "ss_customer_sk", "ss_sold_date_sk",
+        "ss_store_sk", "ss_hdemo_sk")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"), "left_semi")
+      .join(broadcast(hd), col("ss_hdemo_sk") === col("hd_demo_sk"), "left_semi")
+      .groupBy(col("ss_ticket_number"), col("ss_customer_sk"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(1, 5))
+    dj.join(t(spark, dir, "customer"),
+        col("ss_customer_sk") === col("c_customer_sk"))
+      .select(col("c_last_name"), col("c_first_name"), col("c_salutation"),
+        col("c_preferred_cust_flag"), col("ss_ticket_number"), col("cnt"))
+  }
+
+  /** [Q-tpcds-q34] TPC-DS Q34 shape: Q73's big-basket twin — customers
+    * with LARGE tickets (6–10 lines, adapted from the published 15–20 to
+    * the generator's 1–10 size domain) on month-end shopping days. Same
+    * two keyed shuffles; the count bucket rides the v9 basket-size
+    * distribution. */
+  def q_tpcds_q34(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_dom").between(25, 28)).select("d_date_sk")
+    val st = t(spark, dir, "store")
+      .filter(col("s_county").isin("Walker County", "Daviess County",
+        "Barrow County", "Luce County", "Richland County"))
+      .select("s_store_sk")
+    val hd = t(spark, dir, "household_demographics")
+      .filter(col("hd_buy_potential").isin("0-500", "501-1000", "1001-5000"))
+      .select("hd_demo_sk")
+    val dj = t(spark, dir, "store_sales")
+      .select("ss_ticket_number", "ss_customer_sk", "ss_sold_date_sk",
+        "ss_store_sk", "ss_hdemo_sk")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"), "left_semi")
+      .join(broadcast(hd), col("ss_hdemo_sk") === col("hd_demo_sk"), "left_semi")
+      .groupBy(col("ss_ticket_number"), col("ss_customer_sk"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(6, 10))
+    dj.join(t(spark, dir, "customer"),
+        col("ss_customer_sk") === col("c_customer_sk"))
+      .select(col("c_last_name"), col("c_first_name"), col("c_salutation"),
+        col("c_preferred_cust_flag"), col("ss_ticket_number"), col("cnt"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -2616,7 +2680,39 @@ object Tpcds {
          |FROM cs JOIN thr ON cs_item_sk = t_item
          |WHERE cs_item_sk IN (SELECT i_item_sk FROM ${P("item")}
          |  WHERE i_manufact_id BETWEEN 1 AND 50)
-         | AND CAST(cs_ext_discount_amt AS DOUBLE) > thr""".stripMargin)
+         | AND CAST(cs_ext_discount_amt AS DOUBLE) > thr""".stripMargin,
+    "q_tpcds_q73" ->
+      s"""SELECT c_last_name, c_first_name, c_salutation,
+         | c_preferred_cust_flag, ss_ticket_number, cnt
+         |FROM (
+         | SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+         | FROM ${P("store_sales")}
+         | JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         | WHERE d_dom BETWEEN 1 AND 3
+         |  AND ss_store_sk IN (SELECT s_store_sk FROM ${P("store")}
+         |   WHERE s_county IN ('Williamson County', 'Franklin Parish',
+         |    'Bronx County', 'Orange County', 'Ziebach County'))
+         |  AND ss_hdemo_sk IN (SELECT hd_demo_sk FROM ${P("household_demographics")}
+         |   WHERE hd_buy_potential IN ('>10000', 'Unknown', '5001-10000'))
+         | GROUP BY ss_ticket_number, ss_customer_sk) dj
+         |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
+         |WHERE cnt BETWEEN 1 AND 5""".stripMargin,
+    "q_tpcds_q34" ->
+      s"""SELECT c_last_name, c_first_name, c_salutation,
+         | c_preferred_cust_flag, ss_ticket_number, cnt
+         |FROM (
+         | SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+         | FROM ${P("store_sales")}
+         | JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         | WHERE d_dom BETWEEN 25 AND 28
+         |  AND ss_store_sk IN (SELECT s_store_sk FROM ${P("store")}
+         |   WHERE s_county IN ('Walker County', 'Daviess County',
+         |    'Barrow County', 'Luce County', 'Richland County'))
+         |  AND ss_hdemo_sk IN (SELECT hd_demo_sk FROM ${P("household_demographics")}
+         |   WHERE hd_buy_potential IN ('0-500', '501-1000', '1001-5000'))
+         | GROUP BY ss_ticket_number, ss_customer_sk) dj
+         |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
+         |WHERE cnt BETWEEN 6 AND 10""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2666,5 +2762,7 @@ object Tpcds {
     "q_tpcds_q31" -> q_tpcds_q31,
     "q_tpcds_q75" -> q_tpcds_q75,
     "q_tpcds_q66" -> q_tpcds_q66,
-    "q_tpcds_q32" -> q_tpcds_q32)
+    "q_tpcds_q32" -> q_tpcds_q32,
+    "q_tpcds_q73" -> q_tpcds_q73,
+    "q_tpcds_q34" -> q_tpcds_q34)
 }

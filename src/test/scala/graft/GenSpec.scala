@@ -199,13 +199,32 @@ class GenSpec extends AnyFunSuite {
     val sf = 0.01
     val ss = TpcdsGen.table(spark, "store_sales", sf, 4)
     val rows = TpcdsGen.rowCount("store_sales", sf)
-    // ticket numbers are dense 1..ceil(rows/3), 3 lines per full basket
+    // v9: variable-size baskets follow the periodic pattern exactly — the
+    // expected ticket-size multiset is closed-form from (pattern, rows):
+    // `full` whole blocks contribute the pattern verbatim; the partial
+    // block truncates its last basket at the row boundary
+    val pat = TpcdsGen.storePattern
+    val cum = pat.scanLeft(0)(_ + _)
+    val (t, full, rem) = (pat.sum, rows / pat.sum, (rows % pat.sum).toInt)
+    val expected = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    pat.foreach(s => expected(s.toLong) += full)
+    cum.init.zip(pat).foreach { case (start, s) =>
+      if (start < rem) expected(math.min(s, rem - start).toLong) += 1 }
+    val nTickets = full * pat.size + cum.init.count(_ < rem)
     val agg = ss.groupBy("ss_ticket_number").count()
-    assert(agg.count() == (rows + 2) / 3, "ticket count != ceil(rows/3)")
-    assert(agg.filter(col("count") > 3).count() == 0, "basket with >3 lines")
+    val got = agg.groupBy("count").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected.toMap,
+      s"ticket-size distribution mismatch: got $got expected $expected")
     val Array(lo, hi) = ss.agg(min("ss_ticket_number"), max("ss_ticket_number"))
       .head().toSeq.map(_.asInstanceOf[Int]).toArray
-    assert(lo == 1 && hi == (rows + 2) / 3, s"tickets not dense [$lo,$hi]")
+    assert(lo == 1 && hi == nTickets, s"tickets not dense [$lo,$hi] vs $nTickets")
+    // catalog/web orders keep their fixed 4-line baskets
+    val cs = TpcdsGen.table(spark, "catalog_sales", sf, 4)
+      .groupBy("cs_order_number").count()
+    assert(cs.filter(col("count") =!= 4).count() <= 1, // boundary basket
+      "catalog order with unexpected line count")
     // every basket-level FK (incl. its null decision) is constant per ticket
     val bad = ss.groupBy("ss_ticket_number").agg(
       countDistinct(col("ss_customer_sk")).as("nc"),
