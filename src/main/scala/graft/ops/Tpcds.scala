@@ -1807,6 +1807,107 @@ object Tpcds {
         col("c_preferred_cust_flag"), col("ss_ticket_number"), col("cnt"))
   }
 
+  /** [Q-tpcds-q37] TPC-DS Q37 shape: catalog items in a price/manufacturer
+    * band that were WELL-STOCKED in a 60-day window and actually sold —
+    * item filtered row-local, then two left-semi prunes: the inventory
+    * fact (date-window broadcast, on-hand band) and the catalog fact.
+    * The semis stream map-side against the broadcast item slice; distinct
+    * collapses to the item grain. */
+  def q_tpcds_q37(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_date").between("2000-02-01", "2000-04-01"))
+      .select("d_date_sk")
+    val inv = t(spark, dir, "inventory")
+      .join(broadcast(dd), col("inv_date_sk") === col("d_date_sk"))
+      .filter(col("inv_quantity_on_hand").between(100, 500))
+      .select("inv_item_sk")
+    t(spark, dir, "item")
+      .filter(col("i_current_price").between(300, 600) &&
+        col("i_manufact_id").between(1, 80))
+      .select("i_item_sk", "i_item_id", "i_item_desc", "i_current_price")
+      .join(inv, col("i_item_sk") === col("inv_item_sk"), "left_semi")
+      .join(t(spark, dir, "catalog_sales").select("cs_item_sk"),
+        col("i_item_sk") === col("cs_item_sk"), "left_semi")
+      .select("i_item_id", "i_item_desc", "i_current_price")
+      .distinct()
+  }
+
+  /** [Q-tpcds-q82] TPC-DS Q82 shape: Q37's store twin — same price/
+    * manufacturer/stock gates, proven by store sales instead of catalog.
+    * Same two-semi plan. */
+  def q_tpcds_q82(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_date").between("2000-05-01", "2000-06-30"))
+      .select("d_date_sk")
+    val inv = t(spark, dir, "inventory")
+      .join(broadcast(dd), col("inv_date_sk") === col("d_date_sk"))
+      .filter(col("inv_quantity_on_hand").between(100, 500))
+      .select("inv_item_sk")
+    t(spark, dir, "item")
+      .filter(col("i_current_price").between(100, 400) &&
+        col("i_manufact_id").between(400, 480))
+      .select("i_item_sk", "i_item_id", "i_item_desc", "i_current_price")
+      .join(inv, col("i_item_sk") === col("inv_item_sk"), "left_semi")
+      .join(t(spark, dir, "store_sales").select("ss_item_sk"),
+        col("i_item_sk") === col("ss_item_sk"), "left_semi")
+      .select("i_item_id", "i_item_desc", "i_current_price")
+      .distinct()
+  }
+
+  /** [Q-tpcds-q96] TPC-DS Q96 shape: how many store lines sold in the
+    * 20:30–21:00 slot to high-buy-potential households — a pure
+    * three-broadcast-semi COUNT star. Adapted: hd_buy_potential stands in
+    * for the published hd_dep_count (not domain-valued here); the store
+    * join is kept without the published name filter (names are not
+    * domain-valued). */
+  def q_tpcds_q96(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val td = t(spark, dir, "time_dim")
+      .filter(col("t_hour") === 20 && col("t_minute") >= 30)
+      .select("t_time_sk")
+    val hd = t(spark, dir, "household_demographics")
+      .filter(col("hd_buy_potential") === ">10000").select("hd_demo_sk")
+    val st = t(spark, dir, "store").select("s_store_sk")
+    t(spark, dir, "store_sales")
+      .select("ss_sold_time_sk", "ss_hdemo_sk", "ss_store_sk")
+      .join(broadcast(td), col("ss_sold_time_sk") === col("t_time_sk"),
+        "left_semi")
+      .join(broadcast(hd), col("ss_hdemo_sk") === col("hd_demo_sk"),
+        "left_semi")
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"),
+        "left_semi")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [Q-tpcds-q90] TPC-DS Q90 shape: the web morning/evening order ratio —
+    * published as two correlated counting subqueries, computed here in ONE
+    * fact pass with conditional counts over the two broadcast time bands
+    * (a second scan would double the 100 TB cost for no semantic gain).
+    * The ratio divides the two exact counts once as DOUBLE. */
+  def q_tpcds_q90(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val td = t(spark, dir, "time_dim").select("t_time_sk", "t_hour")
+    val hd = t(spark, dir, "household_demographics")
+      .filter(col("hd_buy_potential").isin(">10000", "5001-10000"))
+      .select("hd_demo_sk")
+    val wp = t(spark, dir, "web_page").select("wp_web_page_sk")
+    t(spark, dir, "web_sales")
+      .select("ws_sold_time_sk", "ws_ship_hdemo_sk", "ws_web_page_sk")
+      .join(broadcast(td), col("ws_sold_time_sk") === col("t_time_sk"))
+      .join(broadcast(hd), col("ws_ship_hdemo_sk") === col("hd_demo_sk"),
+        "left_semi")
+      .join(broadcast(wp), col("ws_web_page_sk") === col("wp_web_page_sk"),
+        "left_semi")
+      .agg(
+        count(when(col("t_hour").between(8, 9), 1)).as("amc"),
+        count(when(col("t_hour").between(19, 20), 1)).as("pmc"))
+      .filter(col("pmc") > 0)
+      .select((col("amc").cast(DoubleType) / col("pmc").cast(DoubleType))
+        .as("am_pm_ratio"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -2712,7 +2813,49 @@ object Tpcds {
          |   WHERE hd_buy_potential IN ('0-500', '501-1000', '1001-5000'))
          | GROUP BY ss_ticket_number, ss_customer_sk) dj
          |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
-         |WHERE cnt BETWEEN 6 AND 10""".stripMargin)
+         |WHERE cnt BETWEEN 6 AND 10""".stripMargin,
+    "q_tpcds_q37" ->
+      s"""SELECT DISTINCT i_item_id, i_item_desc, i_current_price
+         |FROM ${P("item")}
+         |WHERE i_current_price BETWEEN 300 AND 600
+         | AND i_manufact_id BETWEEN 1 AND 80
+         | AND i_item_sk IN (
+         |  SELECT inv_item_sk FROM ${P("inventory")}
+         |  JOIN ${P("date_dim")} ON inv_date_sk = d_date_sk
+         |  WHERE d_date BETWEEN DATE '2000-02-01' AND DATE '2000-04-01'
+         |   AND inv_quantity_on_hand BETWEEN 100 AND 500)
+         | AND i_item_sk IN (SELECT cs_item_sk FROM ${P("catalog_sales")})""".stripMargin,
+    "q_tpcds_q82" ->
+      s"""SELECT DISTINCT i_item_id, i_item_desc, i_current_price
+         |FROM ${P("item")}
+         |WHERE i_current_price BETWEEN 100 AND 400
+         | AND i_manufact_id BETWEEN 400 AND 480
+         | AND i_item_sk IN (
+         |  SELECT inv_item_sk FROM ${P("inventory")}
+         |  JOIN ${P("date_dim")} ON inv_date_sk = d_date_sk
+         |  WHERE d_date BETWEEN DATE '2000-05-01' AND DATE '2000-06-30'
+         |   AND inv_quantity_on_hand BETWEEN 100 AND 500)
+         | AND i_item_sk IN (SELECT ss_item_sk FROM ${P("store_sales")})""".stripMargin,
+    "q_tpcds_q96" ->
+      s"""SELECT count(*) AS cnt
+         |FROM ${P("store_sales")}
+         |WHERE ss_sold_time_sk IN (SELECT t_time_sk FROM ${P("time_dim")}
+         |  WHERE t_hour = 20 AND t_minute >= 30)
+         | AND ss_hdemo_sk IN (SELECT hd_demo_sk FROM ${P("household_demographics")}
+         |  WHERE hd_buy_potential = '>10000')
+         | AND ss_store_sk IN (SELECT s_store_sk FROM ${P("store")})""".stripMargin,
+    "q_tpcds_q90" ->
+      s"""SELECT CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE) AS am_pm_ratio
+         |FROM (
+         | SELECT count(CASE WHEN t_hour BETWEEN 8 AND 9 THEN 1 END) AS amc,
+         |  count(CASE WHEN t_hour BETWEEN 19 AND 20 THEN 1 END) AS pmc
+         | FROM ${P("web_sales")}
+         | JOIN ${P("time_dim")} ON ws_sold_time_sk = t_time_sk
+         | WHERE ws_ship_hdemo_sk IN (SELECT hd_demo_sk
+         |   FROM ${P("household_demographics")}
+         |   WHERE hd_buy_potential IN ('>10000', '5001-10000'))
+         |  AND ws_web_page_sk IN (SELECT wp_web_page_sk FROM ${P("web_page")}))
+         |WHERE pmc > 0""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2764,5 +2907,9 @@ object Tpcds {
     "q_tpcds_q66" -> q_tpcds_q66,
     "q_tpcds_q32" -> q_tpcds_q32,
     "q_tpcds_q73" -> q_tpcds_q73,
-    "q_tpcds_q34" -> q_tpcds_q34)
+    "q_tpcds_q34" -> q_tpcds_q34,
+    "q_tpcds_q37" -> q_tpcds_q37,
+    "q_tpcds_q82" -> q_tpcds_q82,
+    "q_tpcds_q96" -> q_tpcds_q96,
+    "q_tpcds_q90" -> q_tpcds_q90)
 }
