@@ -1908,6 +1908,107 @@ object Tpcds {
         .as("am_pm_ratio"))
   }
 
+  /** [Q-tpcds-q2] TPC-DS Q2 shape: Q59's week-over-year dow pivot, lifted
+    * to the web + catalog UNION — weekly day-of-week revenue ratios
+    * between year 2000 weeks and the same week one year (53 weeks) later.
+    * The union streams both facts through one broadcast date join and one
+    * (week_seq) aggregate shuffle; both comparison sides are semi-pruned
+    * to their single year before aggregating. Ratios divide exact DECIMAL
+    * sums once as DOUBLE (the published round(,2) is dropped — halfway
+    * rounding differs per engine). */
+  def q_tpcds_q2(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    def dow(name: String): Column =
+      sum(when(col("d_day_name") === name, col("sales_price")))
+    val dd = t(spark, dir, "date_dim")
+      .select("d_date_sk", "d_week_seq", "d_day_name")
+    val u = t(spark, dir, "web_sales")
+        .select(col("ws_sold_date_sk").as("sold_date_sk"),
+          col("ws_ext_sales_price").as("sales_price"))
+      .union(t(spark, dir, "catalog_sales")
+        .select(col("cs_sold_date_sk").as("sold_date_sk"),
+          col("cs_ext_sales_price").as("sales_price")))
+    val wk = u.join(broadcast(dd), col("sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("d_week_seq"))
+      .agg(dow("Sunday").as("sun"), dow("Monday").as("mon"),
+        dow("Tuesday").as("tue"), dow("Wednesday").as("wed"),
+        dow("Thursday").as("thu"), dow("Friday").as("fri"),
+        dow("Saturday").as("sat"))
+    val wk2000 = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select(col("d_week_seq").as("wk")).distinct()
+    val y = wk.join(broadcast(wk2000), col("d_week_seq") === col("wk"),
+      "left_semi")
+    val z = wk.join(broadcast(wk2000.select((col("wk") + 53).as("wkz"))),
+        col("d_week_seq") === col("wkz"), "left_semi")
+      .select(col("d_week_seq").as("w2"), col("sun").as("sun2"),
+        col("mon").as("mon2"), col("tue").as("tue2"), col("wed").as("wed2"),
+        col("thu").as("thu2"), col("fri").as("fri2"), col("sat").as("sat2"))
+    def r(a: String, b: String): Column =
+      (col(a).cast(DoubleType) / col(b).cast(DoubleType)).as(s"${a}_r")
+    y.join(z, col("d_week_seq") === col("w2") - 53)
+      .select(col("d_week_seq").as("week_seq"), r("sun", "sun2"),
+        r("mon", "mon2"), r("tue", "tue2"), r("wed", "wed2"),
+        r("thu", "thu2"), r("fri", "fri2"), r("sat", "sat2"))
+  }
+
+  /** [Q-tpcds-q54] TPC-DS Q54 shape: revenue segmentation of cross-channel
+    * prospects — customers who bought one category from catalog/web in
+    * Q4 2000 (the published single month is a quarter here — the geo
+    * equi-join narrows hard at test scale), their store revenue over the following quarter
+    * (counted at stores sharing the customer's county AND state — the
+    * shared v7 domains make the geo equi-join meaningful), histogrammed
+    * into $50 segments. The prospect set is a distinct over the channel
+    * union (customer-keyed shuffle); revenue is one store-fact pass
+    * through broadcast date/store and the keyed prospect/address joins;
+    * the histogram is a ≤hundreds-row regroup. Segment = floor(revenue /
+    * 50) via one double division (identical in both engines). Adapted:
+    * category-only item slice, and the published month_seq+1..+3 window
+    * written as Jan–Mar 2001. */
+  def q_tpcds_q54(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dDec = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_moy").between(10, 12))
+      .select("d_date_sk")
+    val it = t(spark, dir, "item").filter(col("i_category") === "Women")
+      .select("i_item_sk")
+    val buyers = t(spark, dir, "catalog_sales")
+        .select(col("cs_sold_date_sk").as("sold_date_sk"),
+          col("cs_bill_customer_sk").as("customer_sk"),
+          col("cs_item_sk").as("item_sk"))
+      .union(t(spark, dir, "web_sales")
+        .select(col("ws_sold_date_sk").as("sold_date_sk"),
+          col("ws_bill_customer_sk").as("customer_sk"),
+          col("ws_item_sk").as("item_sk")))
+      .join(broadcast(dDec), col("sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("item_sk") === col("i_item_sk"), "left_semi")
+      .select("customer_sk").filter(col("customer_sk").isNotNull).distinct()
+    val cust = t(spark, dir, "customer")
+      .join(buyers, col("c_customer_sk") === col("customer_sk"), "left_semi")
+      .select("c_customer_sk", "c_current_addr_sk")
+    val dQ1 = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2001 && col("d_moy").between(1, 3))
+      .select("d_date_sk")
+    val st = t(spark, dir, "store").select("s_county", "s_state")
+    val addr = t(spark, dir, "customer_address")
+      .select("ca_address_sk", "ca_county", "ca_state")
+    val revenue = t(spark, dir, "store_sales")
+      .select("ss_sold_date_sk", "ss_customer_sk", "ss_ext_sales_price")
+      .join(broadcast(dQ1), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(cust, col("ss_customer_sk") === col("c_customer_sk"))
+      .join(addr, col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(broadcast(st), col("ca_county") === col("s_county") &&
+        col("ca_state") === col("s_state"))
+      .groupBy(col("c_customer_sk"))
+      .agg(sum(col("ss_ext_sales_price")).as("revenue"))
+    revenue
+      .select(floor(col("revenue").cast(DoubleType) / 50).cast("int")
+        .as("segment"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("num_customers"))
+      .select(col("segment"), col("num_customers"),
+        (col("segment") * 50).as("segment_base"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -2855,7 +2956,64 @@ object Tpcds {
          |   FROM ${P("household_demographics")}
          |   WHERE hd_buy_potential IN ('>10000', '5001-10000'))
          |  AND ws_web_page_sk IN (SELECT wp_web_page_sk FROM ${P("web_page")}))
-         |WHERE pmc > 0""".stripMargin)
+         |WHERE pmc > 0""".stripMargin,
+    "q_tpcds_q2" ->
+      s"""WITH u AS (
+         | SELECT ws_sold_date_sk AS sold_date_sk,
+         |  ws_ext_sales_price AS sales_price FROM ${P("web_sales")}
+         | UNION ALL
+         | SELECT cs_sold_date_sk, cs_ext_sales_price FROM ${P("catalog_sales")}),
+         |wk AS (
+         | SELECT d_week_seq,
+         |  sum(CASE WHEN d_day_name = 'Sunday' THEN sales_price END) AS sun,
+         |  sum(CASE WHEN d_day_name = 'Monday' THEN sales_price END) AS mon,
+         |  sum(CASE WHEN d_day_name = 'Tuesday' THEN sales_price END) AS tue,
+         |  sum(CASE WHEN d_day_name = 'Wednesday' THEN sales_price END) AS wed,
+         |  sum(CASE WHEN d_day_name = 'Thursday' THEN sales_price END) AS thu,
+         |  sum(CASE WHEN d_day_name = 'Friday' THEN sales_price END) AS fri,
+         |  sum(CASE WHEN d_day_name = 'Saturday' THEN sales_price END) AS sat
+         | FROM u JOIN ${P("date_dim")} ON sold_date_sk = d_date_sk
+         | GROUP BY d_week_seq),
+         |wk2000 AS (SELECT DISTINCT d_week_seq AS wk FROM ${P("date_dim")}
+         |  WHERE d_year = 2000)
+         |SELECT y.d_week_seq AS week_seq,
+         | CAST(y.sun AS DOUBLE) / CAST(z.sun AS DOUBLE) AS sun_r,
+         | CAST(y.mon AS DOUBLE) / CAST(z.mon AS DOUBLE) AS mon_r,
+         | CAST(y.tue AS DOUBLE) / CAST(z.tue AS DOUBLE) AS tue_r,
+         | CAST(y.wed AS DOUBLE) / CAST(z.wed AS DOUBLE) AS wed_r,
+         | CAST(y.thu AS DOUBLE) / CAST(z.thu AS DOUBLE) AS thu_r,
+         | CAST(y.fri AS DOUBLE) / CAST(z.fri AS DOUBLE) AS fri_r,
+         | CAST(y.sat AS DOUBLE) / CAST(z.sat AS DOUBLE) AS sat_r
+         |FROM wk y JOIN wk z ON y.d_week_seq = z.d_week_seq - 53
+         |WHERE y.d_week_seq IN (SELECT wk FROM wk2000)
+         | AND z.d_week_seq IN (SELECT wk + 53 FROM wk2000)""".stripMargin,
+    "q_tpcds_q54" ->
+      s"""WITH buyers AS (
+         | SELECT DISTINCT customer_sk FROM (
+         |  SELECT cs_sold_date_sk AS sold_date_sk,
+         |   cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+         |  FROM ${P("catalog_sales")}
+         |  UNION ALL
+         |  SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+         |  FROM ${P("web_sales")}) u
+         | JOIN ${P("date_dim")} ON sold_date_sk = d_date_sk
+         | WHERE d_year = 2000 AND d_moy BETWEEN 10 AND 12 AND customer_sk IS NOT NULL
+         |  AND item_sk IN (SELECT i_item_sk FROM ${P("item")}
+         |   WHERE i_category = 'Women')),
+         |revenue AS (
+         | SELECT c_customer_sk, sum(ss_ext_sales_price) AS revenue
+         | FROM ${P("store_sales")}
+         | JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         | JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
+         | JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
+         | JOIN ${P("store")} ON ca_county = s_county AND ca_state = s_state
+         | WHERE d_year = 2001 AND d_moy BETWEEN 1 AND 3
+         |  AND c_customer_sk IN (SELECT customer_sk FROM buyers)
+         | GROUP BY c_customer_sk)
+         |SELECT segment, count(*) AS num_customers, segment * 50 AS segment_base
+         |FROM (SELECT CAST(floor(CAST(revenue AS DOUBLE) / 50) AS INT)
+         |  AS segment FROM revenue) s
+         |GROUP BY segment""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2911,5 +3069,7 @@ object Tpcds {
     "q_tpcds_q37" -> q_tpcds_q37,
     "q_tpcds_q82" -> q_tpcds_q82,
     "q_tpcds_q96" -> q_tpcds_q96,
-    "q_tpcds_q90" -> q_tpcds_q90)
+    "q_tpcds_q90" -> q_tpcds_q90,
+    "q_tpcds_q2" -> q_tpcds_q2,
+    "q_tpcds_q54" -> q_tpcds_q54)
 }
