@@ -2009,6 +2009,100 @@ object Tpcds {
         (col("segment") * 50).as("segment_base"))
   }
 
+  /** [Q-tpcds-q39] TPC-DS Q39 shape: volatile inventory — (item, warehouse)
+    * pairs whose on-hand quantity has coefficient of variation > 1 in BOTH
+    * of two consecutive months. The cov FILTER is decided in exact integer
+    * arithmetic: cov > 1 ⟺ var > mean² ⟺ n·(n·Σq² − (Σq)²) >
+    * (n−1)·(Σq)², all over long sums — no float in the predicate, so the
+    * two engines cannot disagree at the boundary (the published
+    * stddev_samp/avg form drifts). Mean and cov are then emitted as
+    * doubles via the identical formula on both sides. One keyed aggregate over the inventory fact;
+    * the month-pair join runs on aggregate rows. */
+  def q_tpcds_q39(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk", "d_moy")
+    val q = col("inv_quantity_on_hand")
+    val agg = t(spark, dir, "inventory")
+      .join(broadcast(dd), col("inv_date_sk") === col("d_date_sk"))
+      .filter(q.isNotNull)
+      .groupBy(col("inv_item_sk"), col("inv_warehouse_sk"), col("d_moy"))
+      .agg(count(lit(1)).as("n"), sum(q.cast("long")).as("s"),
+        sum(q.cast("long") * q.cast("long")).as("ss"))
+      .filter(col("n") >= 2 && col("s") > 0)
+      // cov > 1 ⟺ var > mean² ⟺ (n·ss − s²)/(n·(n−1)) > s²/n²
+      //        ⟺ n·(n·ss − s²) > (n−1)·s²  [all exact longs]
+      .filter(col("n") * (col("n") * col("ss") - col("s") * col("s")) >
+        (col("n") - 1) * col("s") * col("s"))
+      .select(col("inv_item_sk"), col("inv_warehouse_sk"), col("d_moy"),
+        (col("s").cast(DoubleType) / col("n")).as("mean"),
+        (sqrt((col("n") * col("ss") - col("s") * col("s")).cast(DoubleType) /
+          (col("n") * (col("n") - 1)).cast(DoubleType)) /
+          (col("s").cast(DoubleType) / col("n"))).as("cov"))
+    val m1 = agg.filter(col("d_moy") === 1)
+    val m2 = agg.filter(col("d_moy") === 2).select(
+      col("inv_item_sk").as("item2"), col("inv_warehouse_sk").as("wh2"),
+      col("mean").as("mean2"), col("cov").as("cov2"))
+    m1.join(m2, col("inv_item_sk") === col("item2") &&
+        col("inv_warehouse_sk") === col("wh2"))
+      .select(col("inv_item_sk"), col("inv_warehouse_sk"),
+        col("mean").as("mean1"), col("cov").as("cov1"),
+        col("mean2"), col("cov2"))
+  }
+
+  /** [Q-tpcds-q78] TPC-DS Q78 shape: customers' store loyalty ratio over
+    * RETURNS-FREE lines — each channel aggregates only lines never
+    * returned (left-anti on the (order, item) returns PK; the published
+    * LEFT JOIN … WHERE return-key IS NULL), store totals left-join the
+    * other two channels, keep customers active elsewhere, ratio = store
+    * qty ÷ other-channel qty in one double division.
+    * Adapted grain: (year, customer) — the published (year, item,
+    * customer) grain has an empty cross-channel intersection under
+    * hash-uniform item draws at oracle scale. The channel aggregates are
+    * the scale work: one (order, item)-keyed anti join + one
+    * customer-keyed aggregate each. */
+  def q_tpcds_q78(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    def chan(fact: String, dateCol: String, custCol: String, ordCol: String,
+             itemCol: String, qtyCol: String, wcCol: String, spCol: String,
+             ret: String, rOrdCol: String, rItemCol: String,
+             pfx: String): DataFrame =
+      t(spark, dir, fact)
+        .select(col(dateCol), col(custCol), col(ordCol), col(itemCol),
+          col(qtyCol), col(wcCol), col(spCol))
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(t(spark, dir, ret).select(col(rOrdCol), col(rItemCol)),
+          col(ordCol) === col(rOrdCol) && col(itemCol) === col(rItemCol),
+          "left_anti")
+        .filter(col(custCol).isNotNull)
+        .groupBy(col(custCol).as(s"${pfx}_customer_sk"))
+        .agg(sum(col(qtyCol)).as(s"${pfx}_qty"),
+          sum(col(wcCol)).as(s"${pfx}_wc"),
+          sum(col(spCol)).as(s"${pfx}_sp"))
+    val ss = chan("store_sales", "ss_sold_date_sk", "ss_customer_sk",
+      "ss_ticket_number", "ss_item_sk", "ss_quantity", "ss_wholesale_cost",
+      "ss_sales_price", "store_returns", "sr_ticket_number", "sr_item_sk", "ss")
+    val ws = chan("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk",
+      "ws_order_number", "ws_item_sk", "ws_quantity", "ws_wholesale_cost",
+      "ws_sales_price", "web_returns", "wr_order_number", "wr_item_sk", "ws")
+    val cs = chan("catalog_sales", "cs_sold_date_sk", "cs_bill_customer_sk",
+      "cs_order_number", "cs_item_sk", "cs_quantity", "cs_wholesale_cost",
+      "cs_sales_price", "catalog_returns", "cr_order_number", "cr_item_sk",
+      "cs")
+    val other = coalesce(col("ws_qty"), lit(0L)) + coalesce(col("cs_qty"), lit(0L))
+    ss.join(ws, col("ss_customer_sk") === col("ws_customer_sk"), "left_outer")
+      .join(cs, col("ss_customer_sk") === col("cs_customer_sk"), "left_outer")
+      .filter(other > 0)
+      .select(col("ss_customer_sk").as("customer_sk"),
+        (col("ss_qty").cast(DoubleType) / other.cast(DoubleType)).as("ratio"),
+        col("ss_qty").as("store_qty"),
+        col("ss_wc").cast(DoubleType).as("store_wholesale_cost"),
+        col("ss_sp").cast(DoubleType).as("store_sales_price"),
+        other.as("other_chan_qty"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -3013,7 +3107,66 @@ object Tpcds {
          |SELECT segment, count(*) AS num_customers, segment * 50 AS segment_base
          |FROM (SELECT CAST(floor(CAST(revenue AS DOUBLE) / 50) AS INT)
          |  AS segment FROM revenue) s
-         |GROUP BY segment""".stripMargin)
+         |GROUP BY segment""".stripMargin,
+    "q_tpcds_q39" ->
+      s"""WITH agg AS (
+         | SELECT inv_item_sk, inv_warehouse_sk, d_moy, count(*) AS n,
+         |  CAST(sum(CAST(inv_quantity_on_hand AS BIGINT)) AS BIGINT) AS s,
+         |  CAST(sum(CAST(inv_quantity_on_hand AS BIGINT)
+         |    * CAST(inv_quantity_on_hand AS BIGINT)) AS BIGINT) AS ss
+         | FROM ${P("inventory")}
+         | JOIN ${P("date_dim")} ON inv_date_sk = d_date_sk
+         | WHERE d_year = 2000 AND inv_quantity_on_hand IS NOT NULL
+         | GROUP BY inv_item_sk, inv_warehouse_sk, d_moy
+         | HAVING count(*) >= 2 AND sum(inv_quantity_on_hand) > 0),
+         |cov AS (
+         | SELECT inv_item_sk, inv_warehouse_sk, d_moy,
+         |  CAST(s AS DOUBLE) / n AS mean,
+         |  sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+         |   / (CAST(s AS DOUBLE) / n) AS cov
+         | FROM agg WHERE n * (n * ss - s * s) > (n - 1) * s * s)
+         |SELECT m1.inv_item_sk, m1.inv_warehouse_sk,
+         | m1.mean AS mean1, m1.cov AS cov1, m2.mean AS mean2, m2.cov AS cov2
+         |FROM cov m1 JOIN cov m2
+         | ON m1.inv_item_sk = m2.inv_item_sk
+         | AND m1.inv_warehouse_sk = m2.inv_warehouse_sk
+         |WHERE m1.d_moy = 1 AND m2.d_moy = 2""".stripMargin,
+    "q_tpcds_q78" -> {
+      def chan(fact: String, dateCol: String, custCol: String, ordCol: String,
+               itemCol: String, qtyCol: String, wcCol: String, spCol: String,
+               ret: String, rOrdCol: String, rItemCol: String, pfx: String) =
+        s"""SELECT $custCol AS ${pfx}_customer_sk,
+           | CAST(sum($qtyCol) AS BIGINT) AS ${pfx}_qty,
+           | sum($wcCol) AS ${pfx}_wc, sum($spCol) AS ${pfx}_sp
+           |FROM ${P(fact)}
+           |JOIN ${P("date_dim")} ON $dateCol = d_date_sk
+           |LEFT JOIN ${P(ret)} ON $ordCol = $rOrdCol AND $itemCol = $rItemCol
+           |WHERE d_year = 2000 AND $rOrdCol IS NULL AND $custCol IS NOT NULL
+           |GROUP BY $custCol""".stripMargin
+      s"""WITH ss AS (${chan("store_sales", "ss_sold_date_sk", "ss_customer_sk",
+             "ss_ticket_number", "ss_item_sk", "ss_quantity",
+             "ss_wholesale_cost", "ss_sales_price", "store_returns",
+             "sr_ticket_number", "sr_item_sk", "ss")}),
+         |ws AS (${chan("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk",
+             "ws_order_number", "ws_item_sk", "ws_quantity",
+             "ws_wholesale_cost", "ws_sales_price", "web_returns",
+             "wr_order_number", "wr_item_sk", "ws")}),
+         |cs AS (${chan("catalog_sales", "cs_sold_date_sk",
+             "cs_bill_customer_sk", "cs_order_number", "cs_item_sk",
+             "cs_quantity", "cs_wholesale_cost", "cs_sales_price",
+             "catalog_returns", "cr_order_number", "cr_item_sk", "cs")})
+         |SELECT ss_customer_sk AS customer_sk,
+         | CAST(ss_qty AS DOUBLE)
+         |  / CAST(COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS DOUBLE) AS ratio,
+         | ss_qty AS store_qty,
+         | CAST(ss_wc AS DOUBLE) AS store_wholesale_cost,
+         | CAST(ss_sp AS DOUBLE) AS store_sales_price,
+         | COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS other_chan_qty
+         |FROM ss
+         |LEFT JOIN ws ON ss_customer_sk = ws_customer_sk
+         |LEFT JOIN cs ON ss_customer_sk = cs_customer_sk
+         |WHERE COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) > 0""".stripMargin
+    })
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3071,5 +3224,7 @@ object Tpcds {
     "q_tpcds_q96" -> q_tpcds_q96,
     "q_tpcds_q90" -> q_tpcds_q90,
     "q_tpcds_q2" -> q_tpcds_q2,
-    "q_tpcds_q54" -> q_tpcds_q54)
+    "q_tpcds_q54" -> q_tpcds_q54,
+    "q_tpcds_q39" -> q_tpcds_q39,
+    "q_tpcds_q78" -> q_tpcds_q78)
 }
