@@ -282,6 +282,62 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(q6.contains("LeftSemi"), s"Q6 premium-item IN not a semi join:\n$q6")
   }
 
+  test("round-9 continuation shapes: zip/basket/inventory waves keep their scale plans") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def fmt(name: String): String =
+      SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // Q19: date/item/store broadcast; the customer→address chain is keyed;
+    // the manager band is pushed into the item scan
+    val q19 = fmt("q_tpcds_q19")
+    assert(q19.contains("BroadcastHashJoin"), s"Q19 dims not broadcast:\n$q19")
+    assert(q19.contains("GreaterThanOrEqual(i_manager_id,1)"),
+      s"Q19 manager band not pushed:\n$q19")
+    // Q8: the qualifying-prefix set semi-joins the tiny store dim — the
+    // fact side must stream through broadcasts only (no SortMergeJoin)
+    val q8 = fmt("q_tpcds_q8")
+    assert(q8.contains("LeftSemi"), s"Q8 qualifying semi missing:\n$q8")
+    assert(!q8.contains("SortMergeJoin"), s"Q8 fact side shuffles a join:\n$q8")
+    // Q75: each channel LEFT-joins returns on the (order, item) PK; the
+    // channels union (never join); the year-pair join runs post-aggregate
+    val q75 = fmt("q_tpcds_q75")
+    assert(q75.contains("cr_order_number") && q75.contains("sr_ticket_number")
+      && q75.contains("wr_order_number"), s"Q75 returns joins lost PKs:\n$q75")
+    assert(q75.contains("Union"), s"Q75 lost its channel union:\n$q75")
+    // Q66: both facts stream through broadcast time/ship-mode/date semis
+    // and union before ONE warehouse-key aggregate
+    val q66 = fmt("q_tpcds_q66")
+    assert(q66.contains("Union") && q66.contains("BroadcastHashJoin"),
+      s"Q66 lost union-through-broadcasts:\n$q66")
+    assert(!q66.contains("SortMergeJoin"), s"Q66 fact side shuffles a join:\n$q66")
+    // Q34/Q73: the ticket aggregate groups the FILTERED fact (semis on
+    // store/demographics broadcast below the aggregate)
+    for (name <- Seq("q_tpcds_q34", "q_tpcds_q73")) {
+      val p = fmt(name)
+      assert(p.contains("LeftSemi"), s"$name basket gates not semi joins:\n$p")
+      assert(p.contains("ss_ticket_number"), s"$name lost the ticket key:\n$p")
+    }
+    // Q63: the deviation window partitions the AGGREGATE, not the fact
+    val q63 = fmt("q_tpcds_q63")
+    assert(q63.contains("Window"), s"Q63 deviation window missing:\n$q63")
+    // Q39: the cov predicate survives as integer arithmetic on the
+    // aggregate (no float comparison at the boundary)
+    val q39 = fmt("q_tpcds_q39")
+    assert(q39.contains("HashAggregate"), s"Q39 lost its keyed aggregate:\n$q39")
+    // Q78: all three channels anti-join their returns on the (order, item)
+    // PK before aggregating at the customer grain
+    val q78 = fmt("q_tpcds_q78")
+    assert(q78.contains("LeftAnti"), s"Q78 returns filter not an anti join:\n$q78")
+    assert(q78.contains("cr_order_number") && q78.contains("wr_order_number"),
+      s"Q78 anti joins lost their PKs:\n$q78")
+    // Q32: the per-item threshold attaches by a keyed join; the manufact
+    // band prunes item at the scan
+    val q32 = fmt("q_tpcds_q32")
+    assert(q32.contains("thr"), s"Q32 threshold attach missing:\n$q32")
+    assert(q32.contains("GreaterThanOrEqual(i_manufact_id,1)"),
+      s"Q32 manufact band not pushed:\n$q32")
+  }
+
   test("q_win_rank2 slices by deterministic data buckets, not by the 5-value key") {
     import org.apache.spark.sql.execution.ExplainMode
     val plan = SparkEntry.queries("q_win_rank2")(spark, TestSpark.sf0001)
