@@ -2103,6 +2103,104 @@ object Tpcds {
         other.as("other_chan_qty"))
   }
 
+  /** [Q-tpcds-q27] TPC-DS Q27 shape: demographic item/state averages with
+    * subtotals — the Q7 star under ROLLUP(i_item_id, s_state) plus the
+    * grouping() flag that disambiguates rollup NULLs from data NULLs.
+    * All dims broadcast; one Expand-widened aggregate shuffle; averages
+    * divide exact sums by non-null counts once. */
+  def q_tpcds_q27(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val cd = t(spark, dir, "customer_demographics")
+      .filter(col("cd_gender") === "M" && col("cd_marital_status") === "S" &&
+        col("cd_education_status") === "College")
+      .select("cd_demo_sk")
+    val st = t(spark, dir, "store").select("s_store_sk", "s_state")
+    val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
+    def avgOf(c: String) =
+      (sum(col(c)).cast(DoubleType) / count(col(c))).as(s"agg_$c")
+    t(spark, dir, "store_sales")
+      .select("ss_sold_date_sk", "ss_cdemo_sk", "ss_store_sk", "ss_item_sk",
+        "ss_quantity", "ss_list_price", "ss_coupon_amt", "ss_sales_price")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(cd), col("ss_cdemo_sk") === col("cd_demo_sk"), "left_semi")
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .rollup(col("i_item_id"), col("s_state"))
+      .agg(grouping(col("s_state")).as("g_state"),
+        avgOf("ss_quantity"), avgOf("ss_list_price"), avgOf("ss_coupon_amt"),
+        avgOf("ss_sales_price"))
+  }
+
+  /** [Q-tpcds-q86] TPC-DS Q86 shape: web revenue by merchandise hierarchy
+    * with subtotals AND a rank WITHIN each parent — ROLLUP(category,
+    * class), lochierarchy = grouping(cat)+grouping(class), rank()
+    * partitioned by (level, parent) ordered by the EXACT decimal sum
+    * descending (bit-identical order key, so ranks cannot drift between
+    * engines; the cast to DOUBLE happens after ranking). The window runs
+    * over the ≤ |category|×|class| aggregate. */
+  def q_tpcds_q86(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val it = t(spark, dir, "item").select("i_item_sk", "i_category", "i_class")
+    val agg = t(spark, dir, "web_sales")
+      .select("ws_sold_date_sk", "ws_item_sk", "ws_net_paid")
+      .join(broadcast(dd), col("ws_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("ws_item_sk") === col("i_item_sk"))
+      .rollup(col("i_category"), col("i_class"))
+      .agg(sum(col("ws_net_paid")).as("s"),
+        (grouping(col("i_category")) + grouping(col("i_class")))
+          .as("lochierarchy"),
+        grouping(col("i_class")).as("g_class"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lochierarchy"),
+        when(col("g_class") === 0, col("i_category")))
+      .orderBy(col("s").desc)
+    agg.select(col("s").cast(DoubleType).as("total_sum"), col("i_category"),
+      col("i_class"), col("lochierarchy"),
+      rank().over(w).as("rank_within_parent"))
+  }
+
+  /** [Q-tpcds-q70] TPC-DS Q70 shape: store profit by state/county rollup,
+    * RESTRICTED to the top-5 profit states — the state cut is itself a
+    * rank window over a state-grain pre-aggregate, semi-joined back
+    * (both sides of the semi are ≤ |state domain| aggregate rows; the
+    * fact streams once per pass through broadcasts). Ranks order by the
+    * exact decimal sum. */
+  def q_tpcds_q70(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val st = t(spark, dir, "store").select("s_store_sk", "s_state", "s_county")
+    val base = t(spark, dir, "store_sales")
+      .select("ss_sold_date_sk", "ss_store_sk", "ss_net_profit")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+    val topStates = base.groupBy(col("s_state").as("ts_state"))
+      .agg(sum(col("ss_net_profit")).as("sp"))
+      .select(col("ts_state"), rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("sp").desc))
+        .as("r"))
+      .filter(col("r") <= 5).select("ts_state")
+    val agg = base
+      .join(broadcast(topStates), col("s_state") === col("ts_state"),
+        "left_semi")
+      .rollup(col("s_state"), col("s_county"))
+      .agg(sum(col("ss_net_profit")).as("s"),
+        (grouping(col("s_state")) + grouping(col("s_county")))
+          .as("lochierarchy"),
+        grouping(col("s_county")).as("g_county"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lochierarchy"),
+        when(col("g_county") === 0, col("s_state")))
+      .orderBy(col("s").desc)
+    agg.select(col("s").cast(DoubleType).as("total_sum"), col("s_state"),
+      col("s_county"), col("lochierarchy"),
+      rank().over(w).as("rank_within_parent"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -3166,7 +3264,68 @@ object Tpcds {
          |LEFT JOIN ws ON ss_customer_sk = ws_customer_sk
          |LEFT JOIN cs ON ss_customer_sk = cs_customer_sk
          |WHERE COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) > 0""".stripMargin
-    })
+    },
+    "q_tpcds_q27" ->
+      s"""SELECT i_item_id, s_state, grouping(s_state) AS g_state,
+         | CAST(sum(ss_quantity) AS DOUBLE) / count(ss_quantity)
+         |  AS agg_ss_quantity,
+         | CAST(sum(ss_list_price) AS DOUBLE) / count(ss_list_price)
+         |  AS agg_ss_list_price,
+         | CAST(sum(ss_coupon_amt) AS DOUBLE) / count(ss_coupon_amt)
+         |  AS agg_ss_coupon_amt,
+         | CAST(sum(ss_sales_price) AS DOUBLE) / count(ss_sales_price)
+         |  AS agg_ss_sales_price
+         |FROM ${P("store_sales")}
+         |JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         |JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         |WHERE d_year = 2000
+         | AND ss_cdemo_sk IN (SELECT cd_demo_sk FROM ${P("customer_demographics")}
+         |  WHERE cd_gender = 'M' AND cd_marital_status = 'S'
+         |   AND cd_education_status = 'College')
+         |GROUP BY ROLLUP(i_item_id, s_state)""".stripMargin,
+    "q_tpcds_q86" ->
+      s"""WITH agg AS (
+         | SELECT sum(ws_net_paid) AS s, i_category, i_class,
+         |  grouping(i_category) + grouping(i_class) AS lochierarchy,
+         |  grouping(i_class) AS g_class
+         | FROM ${P("web_sales")}
+         | JOIN ${P("date_dim")} ON ws_sold_date_sk = d_date_sk
+         | JOIN ${P("item")} ON ws_item_sk = i_item_sk
+         | WHERE d_year = 2000
+         | GROUP BY ROLLUP(i_category, i_class))
+         |SELECT CAST(s AS DOUBLE) AS total_sum, i_category, i_class,
+         | lochierarchy,
+         | rank() OVER (PARTITION BY lochierarchy,
+         |   CASE WHEN g_class = 0 THEN i_category END
+         |  ORDER BY s DESC NULLS LAST) AS rank_within_parent
+         |FROM agg""".stripMargin,
+    "q_tpcds_q70" ->
+      s"""WITH base AS (
+         | SELECT s_state, s_county, ss_net_profit
+         | FROM ${P("store_sales")}
+         | JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         | JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         | WHERE d_year = 2000),
+         |top5 AS (
+         | SELECT ts_state FROM (
+         |  SELECT s_state AS ts_state,
+         |   rank() OVER (ORDER BY sum(ss_net_profit) DESC NULLS LAST) AS r
+         |  FROM base GROUP BY s_state) t
+         | WHERE r <= 5),
+         |agg AS (
+         | SELECT sum(ss_net_profit) AS s, s_state, s_county,
+         |  grouping(s_state) + grouping(s_county) AS lochierarchy,
+         |  grouping(s_county) AS g_county
+         | FROM base
+         | WHERE s_state IN (SELECT ts_state FROM top5)
+         | GROUP BY ROLLUP(s_state, s_county))
+         |SELECT CAST(s AS DOUBLE) AS total_sum, s_state, s_county,
+         | lochierarchy,
+         | rank() OVER (PARTITION BY lochierarchy,
+         |   CASE WHEN g_county = 0 THEN s_state END
+         |  ORDER BY s DESC NULLS LAST) AS rank_within_parent
+         |FROM agg""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3226,5 +3385,8 @@ object Tpcds {
     "q_tpcds_q2" -> q_tpcds_q2,
     "q_tpcds_q54" -> q_tpcds_q54,
     "q_tpcds_q39" -> q_tpcds_q39,
-    "q_tpcds_q78" -> q_tpcds_q78)
+    "q_tpcds_q78" -> q_tpcds_q78,
+    "q_tpcds_q27" -> q_tpcds_q27,
+    "q_tpcds_q86" -> q_tpcds_q86,
+    "q_tpcds_q70" -> q_tpcds_q70)
 }
