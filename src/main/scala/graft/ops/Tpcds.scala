@@ -2201,6 +2201,111 @@ object Tpcds {
       rank().over(w).as("rank_within_parent"))
   }
 
+  /** [Q-tpcds-q28] TPC-DS Q28 shape: the six quantity-band price profile —
+    * per band: average list price, its count, and its DISTINCT count,
+    * under a (list ∨ coupon ∨ wholesale) range disjunct. The published six
+    * self-scans collapse into ONE fact pass of conditional aggregates
+    * (count DISTINCT over a CASE — six Expand branches — is the intrinsic
+    * cost); averages divide exact sums once. */
+  def q_tpcds_q28(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val bands = Seq((0, 5, 10, 40, 10), (6, 10, 40, 70, 20),
+      (11, 15, 70, 100, 30), (16, 20, 100, 130, 40),
+      (21, 25, 130, 160, 50), (26, 30, 160, 190, 60))
+    val aggs = bands.zipWithIndex.flatMap { case ((qLo, qHi, pLo, pHi, cLo), i) =>
+      val cond = col("ss_quantity").between(qLo, qHi) &&
+        (col("ss_list_price").between(pLo, pHi) ||
+          col("ss_coupon_amt").between(cLo, cLo + 1000) ||
+          col("ss_wholesale_cost").between(pLo / 2, pLo / 2 + 40))
+      val v = when(cond, col("ss_list_price"))
+      Seq((sum(v).cast(DoubleType) / count(v)).as(s"b${i + 1}_lp"),
+        count(v).as(s"b${i + 1}_cnt"),
+        countDistinct(v).as(s"b${i + 1}_cntd"))
+    }
+    t(spark, dir, "store_sales")
+      .select("ss_quantity", "ss_list_price", "ss_coupon_amt",
+        "ss_wholesale_cost")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [Q-tpcds-q9] TPC-DS Q9 shape: five CASE buckets choosing between two
+    * averages by a row-count threshold — the published 15 correlated
+    * scalar subqueries over store_sales collapse into ONE fact pass
+    * (per-band count + both candidate averages as conditional aggregates),
+    * then a projection CASEs each bucket. Thresholds adapted to the
+    * generated scale; both engines decide each CASE from the same exact
+    * counts. The reason-table row-1 anchor is kept (reference parity). */
+  def q_tpcds_q9(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val bands = Seq((1, 20), (21, 40), (41, 60), (61, 80), (81, 100))
+    val aggs = bands.zipWithIndex.flatMap { case ((lo, hi), i) =>
+      val in = col("ss_quantity").between(lo, hi)
+      Seq(count(when(in, 1)).as(s"c$i"),
+        (sum(when(in, col("ss_ext_discount_amt"))).cast(DoubleType) /
+          count(when(in, col("ss_ext_discount_amt")))).as(s"d$i"),
+        (sum(when(in, col("ss_net_paid"))).cast(DoubleType) /
+          count(when(in, col("ss_net_paid")))).as(s"n$i"))
+    }
+    val one = t(spark, dir, "reason").filter(col("r_reason_sk") === 1)
+      .select(col("r_reason_sk"))
+    val profile = t(spark, dir, "store_sales")
+      .select("ss_quantity", "ss_ext_discount_amt", "ss_net_paid")
+      .agg(aggs.head, aggs.tail: _*)
+    val buckets = bands.indices.map { i =>
+      when(col(s"c$i") > 5800, col(s"d$i")).otherwise(col(s"n$i"))
+        .as(s"bucket${i + 1}")
+    }
+    // 1×1 reason anchor attaches by a HASH join on a nullable-derived key
+    // (a bare cross join would plan BroadcastNestedLoopJoin — PlanGuard)
+    profile.join(broadcast(one),
+        col("r_reason_sk") === (col("d0") * 0 + 1).cast("int"))
+      .select(buckets: _*)
+  }
+
+  /** [Q-tpcds-q38] TPC-DS Q38 shape: customers active in ALL THREE
+    * channels in one year — tuple-grain INTERSECT (distinct semantics)
+    * over (last, first) name pairs, counted. Each channel's distinct set
+    * shuffles once on the tuple; the intersects are keyed. Adapted grain:
+    * the published (name, d_date) day grain is empty under uniform draws
+    * at test scale. */
+  def q_tpcds_q38(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val cust = t(spark, dir, "customer")
+      .select("c_customer_sk", "c_last_name", "c_first_name")
+    def chan(fact: String, dateCol: String, custCol: String): DataFrame =
+      t(spark, dir, fact).select(col(dateCol), col(custCol))
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(cust, col(custCol) === col("c_customer_sk"))
+        .select("c_last_name", "c_first_name").distinct()
+    chan("store_sales", "ss_sold_date_sk", "ss_customer_sk")
+      .intersect(chan("catalog_sales", "cs_sold_date_sk",
+        "cs_bill_customer_sk"))
+      .intersect(chan("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [Q-tpcds-q87] TPC-DS Q87 shape: Q38's complement — store customers
+    * who used NEITHER other channel that year, via tuple-grain EXCEPT
+    * (distinct semantics), counted. Same keyed set-op plan. */
+  def q_tpcds_q87(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val cust = t(spark, dir, "customer")
+      .select("c_customer_sk", "c_last_name", "c_first_name")
+    def chan(fact: String, dateCol: String, custCol: String): DataFrame =
+      t(spark, dir, fact).select(col(dateCol), col(custCol))
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(cust, col(custCol) === col("c_customer_sk"))
+        .select("c_last_name", "c_first_name").distinct()
+    chan("store_sales", "ss_sold_date_sk", "ss_customer_sk")
+      .except(chan("catalog_sales", "cs_sold_date_sk", "cs_bill_customer_sk"))
+      .except(chan("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -3325,7 +3430,68 @@ object Tpcds {
          | rank() OVER (PARTITION BY lochierarchy,
          |   CASE WHEN g_county = 0 THEN s_state END
          |  ORDER BY s DESC NULLS LAST) AS rank_within_parent
-         |FROM agg""".stripMargin)
+         |FROM agg""".stripMargin,
+    "q_tpcds_q28" -> {
+      val bands = Seq((0, 5, 10, 40, 10), (6, 10, 40, 70, 20),
+        (11, 15, 70, 100, 30), (16, 20, 100, 130, 40),
+        (21, 25, 130, 160, 50), (26, 30, 160, 190, 60))
+      val cols = bands.zipWithIndex.map { case ((qLo, qHi, pLo, pHi, cLo), i) =>
+        val cond = s"ss_quantity BETWEEN $qLo AND $qHi AND " +
+          s"(ss_list_price BETWEEN $pLo AND $pHi " +
+          s"OR ss_coupon_amt BETWEEN $cLo AND ${cLo + 1000} " +
+          s"OR ss_wholesale_cost BETWEEN ${pLo / 2} AND ${pLo / 2 + 40})"
+        val v = s"CASE WHEN $cond THEN ss_list_price END"
+        s""" CAST(sum($v) AS DOUBLE) / count($v) AS b${i + 1}_lp,
+           | count($v) AS b${i + 1}_cnt,
+           | count(DISTINCT $v) AS b${i + 1}_cntd""".stripMargin
+      }.mkString(",\n")
+      s"SELECT\n$cols\nFROM ${P("store_sales")}"
+    },
+    "q_tpcds_q9" -> {
+      val bands = Seq((1, 20), (21, 40), (41, 60), (61, 80), (81, 100))
+      val inner = bands.zipWithIndex.map { case ((lo, hi), i) =>
+        val in = s"ss_quantity BETWEEN $lo AND $hi"
+        s""" count(CASE WHEN $in THEN 1 END) AS c$i,
+           | CAST(sum(CASE WHEN $in THEN ss_ext_discount_amt END) AS DOUBLE)
+           |  / count(CASE WHEN $in THEN ss_ext_discount_amt END) AS d$i,
+           | CAST(sum(CASE WHEN $in THEN ss_net_paid END) AS DOUBLE)
+           |  / count(CASE WHEN $in THEN ss_net_paid END) AS n$i""".stripMargin
+      }.mkString(",\n")
+      val buckets = bands.indices.map { i =>
+        s"CASE WHEN c$i > 5800 THEN d$i ELSE n$i END AS bucket${i + 1}"
+      }.mkString(",\n ")
+      s"""SELECT $buckets
+         |FROM (SELECT\n$inner\nFROM ${P("store_sales")}) p, ${P("reason")}
+         |WHERE r_reason_sk = 1""".stripMargin
+    },
+    "q_tpcds_q38" -> {
+      def chan(fact: String, dateCol: String, custCol: String) =
+        s"""SELECT DISTINCT c_last_name, c_first_name
+           |FROM ${P(fact)}
+           |JOIN ${P("date_dim")} ON $dateCol = d_date_sk
+           |JOIN ${P("customer")} ON $custCol = c_customer_sk
+           |WHERE d_year = 2000""".stripMargin
+      s"""SELECT count(*) AS cnt FROM (
+         |${chan("store_sales", "ss_sold_date_sk", "ss_customer_sk")}
+         |INTERSECT
+         |${chan("catalog_sales", "cs_sold_date_sk", "cs_bill_customer_sk")}
+         |INTERSECT
+         |${chan("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk")}) h""".stripMargin
+    },
+    "q_tpcds_q87" -> {
+      def chan(fact: String, dateCol: String, custCol: String) =
+        s"""SELECT DISTINCT c_last_name, c_first_name
+           |FROM ${P(fact)}
+           |JOIN ${P("date_dim")} ON $dateCol = d_date_sk
+           |JOIN ${P("customer")} ON $custCol = c_customer_sk
+           |WHERE d_year = 2000""".stripMargin
+      s"""SELECT count(*) AS cnt FROM (
+         |${chan("store_sales", "ss_sold_date_sk", "ss_customer_sk")}
+         |EXCEPT
+         |${chan("catalog_sales", "cs_sold_date_sk", "cs_bill_customer_sk")}
+         |EXCEPT
+         |${chan("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk")}) h""".stripMargin
+    })
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3388,5 +3554,9 @@ object Tpcds {
     "q_tpcds_q78" -> q_tpcds_q78,
     "q_tpcds_q27" -> q_tpcds_q27,
     "q_tpcds_q86" -> q_tpcds_q86,
-    "q_tpcds_q70" -> q_tpcds_q70)
+    "q_tpcds_q70" -> q_tpcds_q70,
+    "q_tpcds_q28" -> q_tpcds_q28,
+    "q_tpcds_q9" -> q_tpcds_q9,
+    "q_tpcds_q38" -> q_tpcds_q38,
+    "q_tpcds_q87" -> q_tpcds_q87)
 }
