@@ -2306,6 +2306,135 @@ object Tpcds {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [Q-tpcds-q50] TPC-DS Q50 shape: the sale-to-return latency ladder —
+    * returns joined back to their sale on the (ticket, item, customer)
+    * key, bucketed by days between sold and returned date (30/60/90/120/
+    * over), counted per store. Exercises the generator's returns-linkage
+    * DATE invariant (returned = sold + 0–90, never before). One keyed
+    * fact⋈fact join; the return-month slice broadcasts; counts pivot
+    * conditionally (no pivot shuffle). */
+  def q_tpcds_q50(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val d2 = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_moy") === 9)
+      .select(col("d_date_sk").as("rd_sk"))
+    val st = t(spark, dir, "store")
+      .select("s_store_sk", "s_store_name", "s_company_id")
+    val lag = col("sr_returned_date_sk") - col("ss_sold_date_sk")
+    t(spark, dir, "store_sales")
+      .select("ss_ticket_number", "ss_item_sk", "ss_customer_sk",
+        "ss_sold_date_sk", "ss_store_sk")
+      .join(t(spark, dir, "store_returns")
+          .select("sr_ticket_number", "sr_item_sk", "sr_customer_sk",
+            "sr_returned_date_sk"),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk") &&
+          col("ss_customer_sk") === col("sr_customer_sk"))
+      .join(broadcast(d2), col("sr_returned_date_sk") === col("rd_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy(col("s_store_name"), col("s_company_id"))
+      .agg(
+        count(when(lag <= 30, 1)).as("d30"),
+        count(when(lag > 30 && lag <= 60, 1)).as("d31_60"),
+        count(when(lag > 60 && lag <= 90, 1)).as("d61_90"),
+        count(when(lag > 90 && lag <= 120, 1)).as("d91_120"),
+        count(when(lag > 120, 1)).as("d_over_120"))
+  }
+
+  /** [Q-tpcds-q97] TPC-DS Q97 shape: store/catalog audience overlap — the
+    * two channels' distinct year-active customer sets FULL OUTER joined,
+    * counting both-channel, store-only and catalog-only customers in one
+    * pass over the joined sets. Adapted grain: customer (the published
+    * (customer, item) pair grain has a ~zero intersection under uniform
+    * draws at oracle scale). */
+  def q_tpcds_q97(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    def chan(fact: String, dateCol: String, custCol: String,
+             as: String): DataFrame =
+      t(spark, dir, fact).select(col(dateCol), col(custCol))
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .filter(col(custCol).isNotNull)
+        .select(col(custCol).as(as)).distinct()
+    chan("store_sales", "ss_sold_date_sk", "ss_customer_sk", "sc")
+      .join(chan("catalog_sales", "cs_sold_date_sk", "cs_bill_customer_sk",
+        "cc"), col("sc") === col("cc"), "full_outer")
+      .agg(
+        count(when(col("sc").isNotNull && col("cc").isNotNull, 1))
+          .as("store_and_catalog"),
+        count(when(col("sc").isNotNull && col("cc").isNull, 1))
+          .as("store_only"),
+        count(when(col("sc").isNull && col("cc").isNotNull, 1))
+          .as("catalog_only"))
+  }
+
+  /** [Q-tpcds-q76] TPC-DS Q76 shape: the null-FK audit — lines of all
+    * three channels whose channel-specific FK is NULL (the generator's
+    * ~5% basket-coherent null draws), rolled up by channel, year, quarter
+    * and category. Three broadcast-star passes union into one small
+    * aggregate shuffle. */
+  def q_tpcds_q76(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").select("d_date_sk", "d_year", "d_qoy")
+    val it = t(spark, dir, "item").select("i_item_sk", "i_category")
+    def chan(fact: String, channel: String, nullCol: String, dateCol: String,
+             itemCol: String, amtCol: String): DataFrame =
+      t(spark, dir, fact).select(col(dateCol), col(itemCol), col(amtCol),
+          col(nullCol))
+        .filter(col(nullCol).isNull)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(broadcast(it), col(itemCol) === col("i_item_sk"))
+        .select(lit(channel).as("channel"), lit(nullCol).as("col_name"),
+          col("d_year"), col("d_qoy"), col("i_category"),
+          col(amtCol).as("ext_sales_price"))
+    chan("store_sales", "store", "ss_store_sk", "ss_sold_date_sk",
+        "ss_item_sk", "ss_ext_sales_price")
+      .union(chan("web_sales", "web", "ws_ship_customer_sk",
+        "ws_sold_date_sk", "ws_item_sk", "ws_ext_sales_price"))
+      .union(chan("catalog_sales", "catalog", "cs_ship_addr_sk",
+        "cs_sold_date_sk", "cs_item_sk", "cs_ext_sales_price"))
+      .groupBy(col("channel"), col("col_name"), col("d_year"), col("d_qoy"),
+        col("i_category"))
+      .agg(count(lit(1)).as("sales_cnt"),
+        sum(col("ext_sales_price")).cast(DoubleType).as("sales_amt"))
+  }
+
+  /** [Q-tpcds-q16] TPC-DS Q16 shape: catalog orders shipped to one state
+    * in a 60-day window that used MORE THAN ONE warehouse and were never
+    * returned — the correlated EXISTS collapses to a per-order distinct-
+    * warehouse aggregate semi-join (Q95's decorrelation, catalog side),
+    * the NOT EXISTS to an anti join on the order key; one distinct-order
+    * count + two money sums. The call-center join is kept without the
+    * published county filter (cc_county is not domain-valued). */
+  def q_tpcds_q16(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_date").between("2000-03-01", "2000-04-30"))
+      .select("d_date_sk")
+    val geo = t(spark, dir, "customer_address")
+      .filter(col("ca_state") === "GA").select("ca_address_sk")
+    val cc = t(spark, dir, "call_center").select("cc_call_center_sk")
+    val multiWh = t(spark, dir, "catalog_sales")
+      .select("cs_order_number", "cs_warehouse_sk")
+      .groupBy(col("cs_order_number").as("mw_order"))
+      .agg(countDistinct(col("cs_warehouse_sk")).as("nwh"))
+      .filter(col("nwh") > 1).select("mw_order")
+    t(spark, dir, "catalog_sales")
+      .select("cs_order_number", "cs_ship_date_sk", "cs_ship_addr_sk",
+        "cs_call_center_sk", "cs_ext_ship_cost", "cs_net_profit")
+      .join(broadcast(dd), col("cs_ship_date_sk") === col("d_date_sk"))
+      .join(geo, col("cs_ship_addr_sk") === col("ca_address_sk"), "left_semi")
+      .join(broadcast(cc), col("cs_call_center_sk") === col("cc_call_center_sk"),
+        "left_semi")
+      .join(multiWh, col("cs_order_number") === col("mw_order"), "left_semi")
+      .join(t(spark, dir, "catalog_returns").select("cr_order_number"),
+        col("cs_order_number") === col("cr_order_number"), "left_anti")
+      .agg(countDistinct(col("cs_order_number")).as("order_count"),
+        sum(col("cs_ext_ship_cost")).cast(DoubleType).as("total_shipping_cost"),
+        sum(col("cs_net_profit")).cast(DoubleType).as("total_net_profit"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -3491,7 +3620,84 @@ object Tpcds {
          |${chan("catalog_sales", "cs_sold_date_sk", "cs_bill_customer_sk")}
          |EXCEPT
          |${chan("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk")}) h""".stripMargin
-    })
+    },
+    "q_tpcds_q50" ->
+      s"""SELECT s_store_name, s_company_id,
+         | count(CASE WHEN sr_returned_date_sk - ss_sold_date_sk <= 30
+         |   THEN 1 END) AS d30,
+         | count(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 30
+         |   AND sr_returned_date_sk - ss_sold_date_sk <= 60 THEN 1 END)
+         |  AS d31_60,
+         | count(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 60
+         |   AND sr_returned_date_sk - ss_sold_date_sk <= 90 THEN 1 END)
+         |  AS d61_90,
+         | count(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 90
+         |   AND sr_returned_date_sk - ss_sold_date_sk <= 120 THEN 1 END)
+         |  AS d91_120,
+         | count(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 120
+         |   THEN 1 END) AS d_over_120
+         |FROM ${P("store_sales")}
+         |JOIN ${P("store_returns")}
+         | ON ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+         | AND ss_customer_sk = sr_customer_sk
+         |JOIN ${P("date_dim")} ON sr_returned_date_sk = d_date_sk
+         |JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         |WHERE d_year = 2000 AND d_moy = 9
+         |GROUP BY s_store_name, s_company_id""".stripMargin,
+    "q_tpcds_q97" ->
+      s"""WITH sc AS (SELECT DISTINCT ss_customer_sk AS c FROM ${P("store_sales")}
+         |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |  WHERE d_year = 2000 AND ss_customer_sk IS NOT NULL),
+         |cc AS (SELECT DISTINCT cs_bill_customer_sk AS c FROM ${P("catalog_sales")}
+         |  JOIN ${P("date_dim")} ON cs_sold_date_sk = d_date_sk
+         |  WHERE d_year = 2000 AND cs_bill_customer_sk IS NOT NULL)
+         |SELECT
+         | count(CASE WHEN sc.c IS NOT NULL AND cc.c IS NOT NULL THEN 1 END)
+         |  AS store_and_catalog,
+         | count(CASE WHEN sc.c IS NOT NULL AND cc.c IS NULL THEN 1 END)
+         |  AS store_only,
+         | count(CASE WHEN sc.c IS NULL AND cc.c IS NOT NULL THEN 1 END)
+         |  AS catalog_only
+         |FROM sc FULL OUTER JOIN cc ON sc.c = cc.c""".stripMargin,
+    "q_tpcds_q76" -> {
+      def chan(fact: String, channel: String, nullCol: String, dateCol: String,
+               itemCol: String, amtCol: String) =
+        s"""SELECT '$channel' AS channel, '$nullCol' AS col_name,
+           | d_year, d_qoy, i_category, $amtCol AS ext_sales_price
+           |FROM ${P(fact)}
+           |JOIN ${P("date_dim")} ON $dateCol = d_date_sk
+           |JOIN ${P("item")} ON $itemCol = i_item_sk
+           |WHERE $nullCol IS NULL""".stripMargin
+      s"""SELECT channel, col_name, d_year, d_qoy, i_category,
+         | count(*) AS sales_cnt,
+         | CAST(sum(ext_sales_price) AS DOUBLE) AS sales_amt
+         |FROM (
+         |${chan("store_sales", "store", "ss_store_sk", "ss_sold_date_sk",
+             "ss_item_sk", "ss_ext_sales_price")}
+         |UNION ALL
+         |${chan("web_sales", "web", "ws_ship_customer_sk", "ws_sold_date_sk",
+             "ws_item_sk", "ws_ext_sales_price")}
+         |UNION ALL
+         |${chan("catalog_sales", "catalog", "cs_ship_addr_sk",
+             "cs_sold_date_sk", "cs_item_sk", "cs_ext_sales_price")}) u
+         |GROUP BY channel, col_name, d_year, d_qoy, i_category""".stripMargin
+    },
+    "q_tpcds_q16" ->
+      s"""SELECT count(DISTINCT cs_order_number) AS order_count,
+         | CAST(sum(cs_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+         | CAST(sum(cs_net_profit) AS DOUBLE) AS total_net_profit
+         |FROM ${P("catalog_sales")} cs1
+         |JOIN ${P("date_dim")} ON cs_ship_date_sk = d_date_sk
+         |WHERE d_date BETWEEN DATE '2000-03-01' AND DATE '2000-04-30'
+         | AND cs_ship_addr_sk IN (SELECT ca_address_sk
+         |  FROM ${P("customer_address")} WHERE ca_state = 'GA')
+         | AND cs_call_center_sk IN (SELECT cc_call_center_sk
+         |  FROM ${P("call_center")})
+         | AND cs_order_number IN (SELECT cs_order_number
+         |  FROM ${P("catalog_sales")} GROUP BY cs_order_number
+         |  HAVING count(DISTINCT cs_warehouse_sk) > 1)
+         | AND cs_order_number NOT IN (SELECT cr_order_number
+         |  FROM ${P("catalog_returns")})""".stripMargin)
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3558,5 +3764,9 @@ object Tpcds {
     "q_tpcds_q28" -> q_tpcds_q28,
     "q_tpcds_q9" -> q_tpcds_q9,
     "q_tpcds_q38" -> q_tpcds_q38,
-    "q_tpcds_q87" -> q_tpcds_q87)
+    "q_tpcds_q87" -> q_tpcds_q87,
+    "q_tpcds_q50" -> q_tpcds_q50,
+    "q_tpcds_q97" -> q_tpcds_q97,
+    "q_tpcds_q76" -> q_tpcds_q76,
+    "q_tpcds_q16" -> q_tpcds_q16)
 }
