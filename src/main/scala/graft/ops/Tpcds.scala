@@ -2435,6 +2435,470 @@ object Tpcds {
         sum(col("cs_net_profit")).cast(DoubleType).as("total_net_profit"))
   }
 
+  /** [Q-tpcds-q44] TPC-DS Q44 shape: one store's ten BEST and ten WORST
+    * items by average net profit, side by side — per-item averages above
+    * 0.9× the store's null-address baseline average (the published scalar,
+    * attached by a hash join on a nullable-derived key), ranked both
+    * directions over the same exact-sum average (bit-identical rank key),
+    * then the two top-10 lists join on rank and pick up item names from
+    * the broadcast dim. All ranking happens over the per-item AGGREGATE. */
+  def q_tpcds_q44(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val base = t(spark, dir, "store_sales")
+      .filter(col("ss_store_sk") === 4)
+      .select("ss_item_sk", "ss_addr_sk", "ss_net_profit")
+    val thr = base.filter(col("ss_addr_sk").isNull)
+      .agg((sum(col("ss_net_profit")).cast(DoubleType) /
+        count(col("ss_net_profit"))).as("base_avg"))
+    val perItem = base.groupBy(col("ss_item_sk").as("item_sk"))
+      .agg((sum(col("ss_net_profit")).cast(DoubleType) /
+        count(col("ss_net_profit"))).as("rank_col"))
+      .join(broadcast(thr),
+        (col("rank_col") * 0 + 1) === (col("base_avg") * 0 + 1))
+      .filter(col("rank_col") > col("base_avg") * 0.9)
+    import org.apache.spark.sql.expressions.Window
+    val asc = perItem.select(col("item_sk"),
+        rank().over(Window.orderBy(col("rank_col").asc)).as("rnk"))
+      .filter(col("rnk") < 11)
+    val desc = perItem.select(col("item_sk").as("item_sk_d"),
+        rank().over(Window.orderBy(col("rank_col").desc)).as("rnk_d"))
+      .filter(col("rnk_d") < 11)
+    val i1 = t(spark, dir, "item")
+      .select(col("i_item_sk").as("sk1"), col("i_product_name").as("best_performing"))
+    val i2 = t(spark, dir, "item")
+      .select(col("i_item_sk").as("sk2"), col("i_product_name").as("worst_performing"))
+    asc.join(desc, col("rnk") === col("rnk_d"))
+      .join(broadcast(i1), col("item_sk") === col("sk1"))
+      .join(broadcast(i2), col("item_sk_d") === col("sk2"))
+      .select(col("rnk"), col("best_performing"), col("worst_performing"))
+  }
+
+  /** [Q-tpcds-q40] TPC-DS Q40 shape: catalog revenue net of refunds by
+    * warehouse state and item, split BEFORE/AFTER a pivot date — the
+    * returns fact LEFT-joins on the (order, item) PK, refunds subtract in
+    * exact DECIMAL, and the date split is conditional aggregation over the
+    * broadcast ±30-day window. Price band adapted to the generated
+    * distribution. */
+  def q_tpcds_q40(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_date").between("2000-02-10", "2000-04-10"))
+      .select("d_date_sk", "d_date")
+    val it = t(spark, dir, "item")
+      .filter(col("i_current_price").between(100, 150))
+      .select("i_item_sk", "i_item_id")
+    val wh = t(spark, dir, "warehouse").select("w_warehouse_sk", "w_state")
+    val net = col("cs_sales_price") -
+      coalesce(col("cr_refunded_cash"),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(7, 2)))
+    t(spark, dir, "catalog_sales")
+      .select("cs_order_number", "cs_item_sk", "cs_warehouse_sk",
+        "cs_sold_date_sk", "cs_sales_price")
+      .join(t(spark, dir, "catalog_returns")
+          .select("cr_order_number", "cr_item_sk", "cr_refunded_cash"),
+        col("cs_order_number") === col("cr_order_number") &&
+          col("cs_item_sk") === col("cr_item_sk"), "left_outer")
+      .join(broadcast(dd), col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("cs_item_sk") === col("i_item_sk"))
+      .join(broadcast(wh), col("cs_warehouse_sk") === col("w_warehouse_sk"))
+      .groupBy(col("w_state"), col("i_item_id"))
+      .agg(
+        sum(when(col("d_date") < "2000-03-11", net).otherwise(lit(0)))
+          .cast(DoubleType).as("sales_before"),
+        sum(when(col("d_date") >= "2000-03-11", net).otherwise(lit(0)))
+          .cast(DoubleType).as("sales_after"))
+  }
+
+  /** [Q-tpcds-q41] TPC-DS Q41 shape: a DIMENSION-ONLY query — product
+    * names of a manufacturer band where the same manufacturer also makes
+    * an item matching a color/size disjunct; the published correlated
+    * per-manufacturer count decorrelates to a distinct qualifying-
+    * manufacturer set semi-joined back to the item dim. No fact table at
+    * all (the plan should never touch one). Color disjuncts adapted to the
+    * generated i_color domain (published: powder/orchid/... outside it). */
+  def q_tpcds_q41(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val qual = t(spark, dir, "item")
+      .filter(
+        (col("i_color").isin("almond", "antique", "aquamarine", "azure") &&
+          col("i_size").isin("petite", "small", "medium")) ||
+        (col("i_color").isin("beige", "bisque", "black", "blue") &&
+          col("i_size").isin("large", "extra large", "economy")))
+      .select(col("i_manufact").as("qm")).distinct()
+    t(spark, dir, "item")
+      .filter(col("i_manufact_id").between(1, 400))
+      .join(broadcast(qual), col("i_manufact") === col("qm"), "left_semi")
+      .select("i_product_name").distinct()
+  }
+
+  /** Shared body of TPC-DS Q98/Q12/Q20 — revenue share of each item within
+    * its class over one sales channel and a 30-day window. The per-item
+    * aggregate shuffles once on the item attributes; the class-share window
+    * partitions by i_class over the AGGREGATE (≤ items rows, never the
+    * fact). DECIMAL sum until the final ratio division. */
+  private def classRevenueShare(
+      spark: SparkSession, dir: String, fact: String,
+      dateCol: String, itemCol: String, priceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_date").between("2000-02-22", "2000-03-23"))
+      .select("d_date_sk")
+    val it = t(spark, dir, "item")
+      .filter(col("i_category").isin("Sports", "Books", "Home"))
+      .select("i_item_sk", "i_item_id", "i_item_desc", "i_category",
+        "i_class", "i_current_price")
+    t(spark, dir, fact)
+      .select(dateCol, itemCol, priceCol)
+      .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+      .join(broadcast(it), col(itemCol) === col("i_item_sk"))
+      .groupBy(col("i_item_id"), col("i_item_desc"), col("i_category"),
+        col("i_class"), col("i_current_price"))
+      .agg(sum(col(priceCol)).as("rev_d"))
+      .withColumn("revenueratio",
+        col("rev_d").cast(DoubleType) * 100.0 /
+          sum(col("rev_d")).over(Window.partitionBy(col("i_class")))
+            .cast(DoubleType))
+      .select(col("i_item_id"), col("i_item_desc"), col("i_category"),
+        col("i_class"), col("i_current_price"),
+        col("rev_d").cast(DoubleType).as("itemrevenue"), col("revenueratio"))
+  }
+
+  /** [Q-tpcds-q12] TPC-DS Q12 shape: Q98's class-share report on the WEB
+    * channel over the published 30-day window. */
+  def q_tpcds_q12(spark: SparkSession, sfDir: String): DataFrame =
+    classRevenueShare(spark, ensure(spark, sfDir), "web_sales",
+      "ws_sold_date_sk", "ws_item_sk", "ws_ext_sales_price")
+
+  /** [Q-tpcds-q20] TPC-DS Q20 shape: Q98's class-share report on the
+    * CATALOG channel over the published 30-day window. */
+  def q_tpcds_q20(spark: SparkSession, sfDir: String): DataFrame =
+    classRevenueShare(spark, ensure(spark, sfDir), "catalog_sales",
+      "cs_sold_date_sk", "cs_item_sk", "cs_ext_sales_price")
+
+  /** [Q-tpcds-q92] TPC-DS Q92 shape: web-channel excess discount — Q32's
+    * decorrelation on web_sales (per-item 1.3× average threshold attached
+    * by a keyed join, never a correlated rescan), manufacturer band
+    * shifted to keep the twin distinct from Q32's. */
+  def q_tpcds_q92(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_date").between("2000-01-27", "2000-04-26"))
+      .select("d_date_sk")
+    val it = t(spark, dir, "item")
+      .filter(col("i_manufact_id").between(300, 400)).select("i_item_sk")
+    val ws = t(spark, dir, "web_sales")
+      .select("ws_sold_date_sk", "ws_item_sk", "ws_ext_discount_amt")
+      .join(broadcast(dd), col("ws_sold_date_sk") === col("d_date_sk"))
+    val thr = ws.groupBy(col("ws_item_sk").as("t_item"))
+      .agg((sum(col("ws_ext_discount_amt")).cast(DoubleType) /
+        count(col("ws_ext_discount_amt")) * 1.3).as("thr"))
+    ws.join(broadcast(it), col("ws_item_sk") === col("i_item_sk"), "left_semi")
+      .join(thr, col("ws_item_sk") === col("t_item"))
+      .filter(col("ws_ext_discount_amt").cast(DoubleType) > col("thr"))
+      .agg(sum(col("ws_ext_discount_amt")).cast(DoubleType)
+        .as("excess_discount"))
+  }
+
+  /** [Q-tpcds-q62] TPC-DS Q62 shape: web shipping-latency buckets — Q99's
+    * day-bucket ladder on web_sales, grouped by warehouse prefix, ship
+    * mode, and web site name. One fact pass, all dims broadcast, the
+    * bucket split is conditional aggregation (no per-bucket rescans). */
+  def q_tpcds_q62(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_month_seq").between(1200, 1211)).select("d_date_sk")
+    val wh = t(spark, dir, "warehouse").select("w_warehouse_sk", "w_warehouse_name")
+    val sm = t(spark, dir, "ship_mode").select("sm_ship_mode_sk", "sm_type")
+    val web = t(spark, dir, "web_site").select("web_site_sk", "web_name")
+    val delay = col("ws_ship_date_sk") - col("ws_sold_date_sk")
+    def bucket(c: Column) = sum(when(c, 1L).otherwise(0L))
+    t(spark, dir, "web_sales")
+      .join(broadcast(dd), col("ws_ship_date_sk") === col("d_date_sk"))
+      .join(broadcast(wh), col("ws_warehouse_sk") === col("w_warehouse_sk"))
+      .join(broadcast(sm), col("ws_ship_mode_sk") === col("sm_ship_mode_sk"))
+      .join(broadcast(web), col("ws_web_site_sk") === col("web_site_sk"))
+      .groupBy(substring(col("w_warehouse_name"), 1, 20).as("wh"),
+        col("sm_type"), col("web_name"))
+      .agg(bucket(delay <= 30).as("d30"),
+        bucket(delay > 30 && delay <= 60).as("d60"),
+        bucket(delay > 60 && delay <= 90).as("d90"),
+        bucket(delay > 90 && delay <= 120).as("d120"),
+        bucket(delay > 120).as("dmore"))
+  }
+
+  /** Shared body of TPC-DS Q30/Q81 — customers whose yearly channel
+    * returns exceed 1.2× their state's average. The published correlated
+    * per-state average decorrelates into a per-state aggregate joined back
+    * on the state key (one extra keyed shuffle over the ≤ states×customers
+    * aggregate instead of a rescan per row); customer + address dims
+    * broadcast. Exact DECIMAL totals; the threshold is the one
+    * double-division boundary. */
+  private def stateReturnOutliers(
+      spark: SparkSession, dir: String, fact: String, custCol: String,
+      addrCol: String, dateCol: String, amtCol: String,
+      homeState: String, extraCols: Seq[String]): DataFrame = {
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val ca = t(spark, dir, "customer_address")
+      .select(col("ca_address_sk").as("r_addr_sk"), col("ca_state").as("ctr_state"))
+    val ctr = t(spark, dir, fact)
+      .select(custCol, addrCol, dateCol, amtCol)
+      .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+      .join(broadcast(ca), col(addrCol) === col("r_addr_sk"))
+      .groupBy(col(custCol).as("ctr_customer_sk"), col("ctr_state"))
+      .agg(sum(col(amtCol)).as("ctr_total_return"))
+    val thr = ctr.groupBy(col("ctr_state").as("t_state"))
+      .agg((sum(col("ctr_total_return")).cast(DoubleType) /
+        count(col("ctr_total_return")) * 1.2).as("thr"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "customer_address")
+          .filter(col("ca_state") === homeState)
+          .selectExpr(Seq("ca_address_sk AS home_addr_sk") ++ extraCols: _*)),
+        col("c_current_addr_sk") === col("home_addr_sk"))
+    ctr.join(broadcast(thr), col("ctr_state") === col("t_state"))
+      .filter(col("ctr_total_return").cast(DoubleType) > col("thr"))
+      .join(cust, col("ctr_customer_sk") === col("c_customer_sk"))
+      .select(Seq(col("c_customer_id"), col("c_salutation"),
+        col("c_first_name"), col("c_last_name")) ++
+        extraCols.map(col) :+
+        col("ctr_total_return").cast(DoubleType).as("ctr_total_return"): _*)
+  }
+
+  /** [Q-tpcds-q30] TPC-DS Q30 shape: WEB-returns state outliers among
+    * customers now living in GA. */
+  def q_tpcds_q30(spark: SparkSession, sfDir: String): DataFrame =
+    stateReturnOutliers(spark, ensure(spark, sfDir), "web_returns",
+      "wr_returning_customer_sk", "wr_returning_addr_sk",
+      "wr_returned_date_sk", "wr_return_amt", "GA", Seq.empty)
+
+  /** [Q-tpcds-q81] TPC-DS Q81 shape: CATALOG-returns state outliers among
+    * customers now living in IL, with their street/city address block. */
+  def q_tpcds_q81(spark: SparkSession, sfDir: String): DataFrame =
+    stateReturnOutliers(spark, ensure(spark, sfDir), "catalog_returns",
+      "cr_returning_customer_sk", "cr_returning_addr_sk",
+      "cr_returned_date_sk", "cr_return_amt_inc_tax", "IL",
+      Seq("ca_street_type", "ca_city", "ca_zip"))
+
+  /** [Q-tpcds-q26] TPC-DS Q26 shape: Q7's demographic per-item averages on
+    * the CATALOG channel (bill-side demographics), a different demographic
+    * cell so the twin stays distinct. Dims broadcast, one item-keyed
+    * aggregate over the fact. */
+  def q_tpcds_q26(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val cd = t(spark, dir, "customer_demographics")
+      .filter(col("cd_gender") === "F" && col("cd_marital_status") === "W" &&
+        col("cd_education_status") === "2 yr Degree")
+      .select("cd_demo_sk")
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val pr = t(spark, dir, "promotion")
+      .filter(col("p_channel_email") === "N" || col("p_channel_event") === "N")
+      .select("p_promo_sk")
+    val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
+    def avgOf(c: String) = sum(col(c)).cast(DoubleType) / count(col(c))
+    t(spark, dir, "catalog_sales")
+      .join(broadcast(cd), col("cs_bill_cdemo_sk") === col("cd_demo_sk"))
+      .join(broadcast(dd), col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(pr), col("cs_promo_sk") === col("p_promo_sk"))
+      .join(broadcast(it), col("cs_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_item_id"))
+      .agg(avgOf("cs_quantity").as("agg1"), avgOf("cs_list_price").as("agg2"),
+        avgOf("cs_coupon_amt").as("agg3"), avgOf("cs_sales_price").as("agg4"))
+  }
+
+  /** [Q-tpcds-q43] TPC-DS Q43 shape: per-store day-of-week sales pivot
+    * over one year — seven conditional sums in ONE fact pass (the
+    * published form repeats the CASE per column; same plan here), date
+    * dim broadcast, one store-keyed aggregate. */
+  def q_tpcds_q43(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk", "d_day_name")
+    val st = t(spark, dir, "store").select("s_store_sk", "s_store_id", "s_store_name")
+    def dow(n: String) =
+      sum(when(col("d_day_name") === n, col("ss_ext_sales_price")))
+        .cast(DoubleType)
+    t(spark, dir, "store_sales")
+      .select("ss_sold_date_sk", "ss_store_sk", "ss_ext_sales_price")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy(col("s_store_name"), col("s_store_id"))
+      .agg(dow("Sunday").as("sun_sales"), dow("Monday").as("mon_sales"),
+        dow("Tuesday").as("tue_sales"), dow("Wednesday").as("wed_sales"),
+        dow("Thursday").as("thu_sales"), dow("Friday").as("fri_sales"),
+        dow("Saturday").as("sat_sales"))
+  }
+
+  /** [Q-tpcds-q46] TPC-DS Q46 shape: Q68's bought-city ≠ home-city ticket
+    * report, weekend tickets only (the published hd_dep_count gate has no
+    * generated domain yet — the d_dow weekend gate carries the
+    * selectivity), aggregating coupon amount and net profit. */
+  def q_tpcds_q46(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_dow").isin(0, 6))
+      .select("d_date_sk")
+    val bought = t(spark, dir, "customer_address")
+      .filter(col("ca_city").isin("Riverside", "Bethel", "Clinton", "Concord"))
+      .select(col("ca_address_sk").as("ba_sk"), col("ca_city").as("bought_city"))
+    val dn = t(spark, dir, "store_sales")
+      .filter(col("ss_customer_sk").isNotNull)
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(bought, col("ss_addr_sk") === col("ba_sk"))
+      .groupBy(col("ss_ticket_number"), col("ss_customer_sk"),
+        col("ss_addr_sk"), col("bought_city"))
+      .agg(sum(col("ss_coupon_amt")).as("amt_d"),
+        sum(col("ss_net_profit")).as("profit_d"))
+    dn.join(t(spark, dir, "customer").select("c_customer_sk", "c_first_name",
+        "c_last_name", "c_current_addr_sk"),
+        col("ss_customer_sk") === col("c_customer_sk"))
+      .join(t(spark, dir, "customer_address")
+          .select(col("ca_address_sk").as("cur_sk"), col("ca_city")),
+        col("c_current_addr_sk") === col("cur_sk"))
+      .filter(col("ca_city") =!= col("bought_city"))
+      .select(col("c_last_name"), col("c_first_name"), col("ca_city"),
+        col("bought_city"), col("ss_ticket_number"),
+        col("amt_d").cast(DoubleType).as("amt"),
+        col("profit_d").cast(DoubleType).as("profit"))
+  }
+
+  /** [Q-tpcds-q21] TPC-DS Q21 shape: warehouse × item on-hand inventory
+    * split BEFORE/AFTER a pivot date inside a ±30-day window, keeping
+    * items whose after/before ratio stays within [2/3, 3/2]. The ratio
+    * gate is EXACT integer cross-multiplication (2·before ≤ 3·after ∧
+    * 2·after ≤ 3·before) — no float at the predicate boundary. */
+  def q_tpcds_q21(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_date").between("2000-02-10", "2000-04-10"))
+      .select("d_date_sk", "d_date")
+    val it = t(spark, dir, "item")
+      .filter(col("i_current_price").between(100, 150))
+      .select("i_item_sk", "i_item_id")
+    val wh = t(spark, dir, "warehouse").select("w_warehouse_sk", "w_warehouse_name")
+    t(spark, dir, "inventory")
+      .join(broadcast(dd), col("inv_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("inv_item_sk") === col("i_item_sk"))
+      .join(broadcast(wh), col("inv_warehouse_sk") === col("w_warehouse_sk"))
+      .groupBy(col("w_warehouse_name"), col("i_item_id"))
+      .agg(
+        sum(when(col("d_date") < "2000-03-11",
+          col("inv_quantity_on_hand").cast("long")).otherwise(0L))
+          .as("inv_before"),
+        sum(when(col("d_date") >= "2000-03-11",
+          col("inv_quantity_on_hand").cast("long")).otherwise(0L))
+          .as("inv_after"))
+      .filter(col("inv_before") > 0 &&
+        col("inv_after") * 3 >= col("inv_before") * 2 &&
+        col("inv_after") * 2 <= col("inv_before") * 3)
+  }
+
+  /** [Q-tpcds-q17] TPC-DS Q17 shape: the buy→return→catalog-rebuy chain
+    * (Q29's PK joins) with per-cell quantity STATISTICS — count, mean,
+    * and sample stdev, the latter computed from exact integer sums
+    * (sqrt((n·Σq² − (Σq)²)/(n·(n−1)))) so both engines hit the same
+    * doubles (stddev_samp's streaming accumulation is engine-specific).
+    * Sale in Q1, return and rebuy within the following three quarters. */
+  def q_tpcds_q17(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val d1 = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_qoy") === 1)
+      .select(col("d_date_sk").as("d1_sk"))
+    val d23 = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_qoy").between(1, 3))
+    val it = t(spark, dir, "item").select("i_item_sk", "i_item_id", "i_item_desc")
+    val st = t(spark, dir, "store").select("s_store_sk", "s_state")
+    val ss = t(spark, dir, "store_sales").select(
+      col("ss_ticket_number"), col("ss_item_sk"), col("ss_customer_sk"),
+      col("ss_store_sk"), col("ss_sold_date_sk"), col("ss_quantity"))
+    val sr = t(spark, dir, "store_returns").select(
+      col("sr_ticket_number"), col("sr_item_sk"), col("sr_customer_sk"),
+      col("sr_return_quantity"), col("sr_returned_date_sk"))
+    val cs = t(spark, dir, "catalog_sales").select(
+      col("cs_bill_customer_sk"), col("cs_item_sk"), col("cs_quantity"),
+      col("cs_sold_date_sk"))
+    def stats(c: Column, pfx: String) = {
+      val q = c.cast("long")
+      Seq(count(q).as(s"${pfx}_count"),
+        sum(q).as(s"${pfx}_sum"), sum(q * q).as(s"${pfx}_sq"))
+    }
+    val aggd = ss
+      .join(broadcast(d1), col("ss_sold_date_sk") === col("d1_sk"))
+      .join(sr, col("ss_ticket_number") === col("sr_ticket_number") &&
+        col("ss_item_sk") === col("sr_item_sk"))
+      .join(broadcast(d23.select(col("d_date_sk").as("d2_sk"))),
+        col("sr_returned_date_sk") === col("d2_sk"))
+      .join(cs, col("cs_bill_customer_sk") === col("sr_customer_sk") &&
+        col("cs_item_sk") === col("sr_item_sk"))
+      .join(broadcast(d23.select(col("d_date_sk").as("d3_sk"))),
+        col("cs_sold_date_sk") === col("d3_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy(col("i_item_id"), col("i_item_desc"), col("s_state"))
+      .agg(stats(col("ss_quantity"), "store").head,
+        (stats(col("ss_quantity"), "store").tail ++
+         stats(col("sr_return_quantity"), "ret") ++
+         stats(col("cs_quantity"), "cat")): _*)
+    def out(pfx: String) = {
+      val big = org.apache.spark.sql.types.DecimalType(38, 0)
+      val n = col(s"${pfx}_count").cast(big)
+      val s = col(s"${pfx}_sum").cast(big)
+      val s2 = col(s"${pfx}_sq").cast(big)
+      Seq(col(s"${pfx}_count").as(s"${pfx}_quantity_count"),
+        (col(s"${pfx}_sum").cast(DoubleType) / col(s"${pfx}_count"))
+          .as(s"${pfx}_quantity_ave"),
+        when(col(s"${pfx}_count") > 1,
+          sqrt((n * s2 - s * s).cast(DoubleType) /
+            (n * (n - lit(1))).cast(DoubleType)))
+          .as(s"${pfx}_quantity_stdev"))
+    }
+    aggd.select(Seq(col("i_item_id"), col("i_item_desc"), col("s_state")) ++
+      out("store") ++ out("ret") ++ out("cat"): _*)
+  }
+
+  /** [Q-tpcds-q35] TPC-DS Q35 shape: demographic census of customers with
+    * a store purchase AND a web-or-catalog purchase in the half-year —
+    * the OR of two EXISTS is two broadcast-marker left joins (a semi
+    * can't express a disjunction), the store EXISTS stays a left-semi,
+    * and the dependent-count stats aggregate exactly (long sums, one
+    * final double division each). */
+  def q_tpcds_q35(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2001 && col("d_qoy").between(1, 2))
+      .select("d_date_sk")
+    def buyers(fact: String, dateCol: String, custCol: String, mark: String) =
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .select(col(custCol).as(mark)).distinct()
+    val ca = t(spark, dir, "customer_address").select("ca_address_sk", "ca_state")
+    val cd = t(spark, dir, "customer_demographics").select(
+      "cd_demo_sk", "cd_gender", "cd_marital_status", "cd_dep_count",
+      "cd_dep_employed_count", "cd_dep_college_count")
+    def depStats(c: String, pfx: String) = {
+      val q = col(c).cast("long")
+      Seq(min(col(c)).as(s"${pfx}_min"), max(col(c)).as(s"${pfx}_max"),
+        (sum(q).cast(DoubleType) / count(q)).as(s"${pfx}_avg"))
+    }
+    t(spark, dir, "customer")
+      .select("c_customer_sk", "c_current_addr_sk", "c_current_cdemo_sk")
+      .join(buyers("store_sales", "ss_sold_date_sk", "ss_customer_sk", "sb"),
+        col("c_customer_sk") === col("sb"), "left_semi")
+      .join(buyers("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk", "wb"),
+        col("c_customer_sk") === col("wb"), "left_outer")
+      .join(buyers("catalog_sales", "cs_sold_date_sk", "cs_ship_customer_sk", "cb"),
+        col("c_customer_sk") === col("cb"), "left_outer")
+      .filter(col("wb").isNotNull || col("cb").isNotNull)
+      .join(ca, col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(cd, col("c_current_cdemo_sk") === col("cd_demo_sk"))
+      .groupBy(col("ca_state"), col("cd_gender"), col("cd_marital_status"),
+        col("cd_dep_count"))
+      .agg(count(lit(1)).as("cnt1"),
+        (depStats("cd_dep_count", "dep") ++
+         depStats("cd_dep_employed_count", "emp") ++
+         depStats("cd_dep_college_count", "col")): _*)
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -3697,7 +4161,276 @@ object Tpcds {
          |  FROM ${P("catalog_sales")} GROUP BY cs_order_number
          |  HAVING count(DISTINCT cs_warehouse_sk) > 1)
          | AND cs_order_number NOT IN (SELECT cr_order_number
-         |  FROM ${P("catalog_returns")})""".stripMargin)
+         |  FROM ${P("catalog_returns")})""".stripMargin,
+    "q_tpcds_q44" ->
+      s"""WITH base AS (
+         |  SELECT ss_item_sk, ss_addr_sk, ss_net_profit
+         |  FROM ${P("store_sales")} WHERE ss_store_sk = 4),
+         |thr AS (
+         |  SELECT CAST(sum(ss_net_profit) AS DOUBLE) / count(ss_net_profit)
+         |    AS base_avg
+         |  FROM base WHERE ss_addr_sk IS NULL),
+         |flt AS (
+         |  SELECT item_sk, rank_col FROM (
+         |    SELECT ss_item_sk AS item_sk,
+         |      CAST(sum(ss_net_profit) AS DOUBLE) / count(ss_net_profit)
+         |        AS rank_col
+         |    FROM base GROUP BY ss_item_sk) q, thr
+         |  WHERE rank_col > base_avg * 0.9),
+         |a AS (SELECT item_sk, rank() OVER (ORDER BY rank_col ASC) AS rnk
+         |      FROM flt),
+         |d AS (SELECT item_sk, rank() OVER (ORDER BY rank_col DESC) AS rnk
+         |      FROM flt)
+         |SELECT a.rnk AS rnk, i1.i_product_name AS best_performing,
+         |       i2.i_product_name AS worst_performing
+         |FROM a JOIN d ON a.rnk = d.rnk
+         |JOIN ${P("item")} i1 ON a.item_sk = i1.i_item_sk
+         |JOIN ${P("item")} i2 ON d.item_sk = i2.i_item_sk
+         |WHERE a.rnk < 11""".stripMargin,
+    "q_tpcds_q40" ->
+      s"""SELECT w_state, i_item_id,
+         | CAST(sum(CASE WHEN d_date < DATE '2000-03-11'
+         |   THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+         |   ELSE 0 END) AS DOUBLE) AS sales_before,
+         | CAST(sum(CASE WHEN d_date >= DATE '2000-03-11'
+         |   THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+         |   ELSE 0 END) AS DOUBLE) AS sales_after
+         |FROM ${P("catalog_sales")}
+         |LEFT JOIN ${P("catalog_returns")}
+         |  ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk
+         |JOIN ${P("date_dim")} ON cs_sold_date_sk = d_date_sk
+         |JOIN ${P("item")} ON cs_item_sk = i_item_sk
+         |JOIN ${P("warehouse")} ON cs_warehouse_sk = w_warehouse_sk
+         |WHERE d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+         |  AND i_current_price BETWEEN 100 AND 150
+         |GROUP BY w_state, i_item_id""".stripMargin,
+    "q_tpcds_q41" ->
+      s"""SELECT DISTINCT i_product_name
+         |FROM ${P("item")}
+         |WHERE i_manufact_id BETWEEN 1 AND 400
+         |  AND i_manufact IN (
+         |   SELECT i_manufact FROM ${P("item")}
+         |   WHERE (i_color IN ('almond','antique','aquamarine','azure')
+         |          AND i_size IN ('petite','small','medium'))
+         |      OR (i_color IN ('beige','bisque','black','blue')
+         |          AND i_size IN ('large','extra large','economy')))""".stripMargin,
+    "q_tpcds_q12" -> classShareOracle("web_sales", "ws_sold_date_sk",
+      "ws_item_sk", "ws_ext_sales_price"),
+    "q_tpcds_q20" -> classShareOracle("catalog_sales", "cs_sold_date_sk",
+      "cs_item_sk", "cs_ext_sales_price"),
+    "q_tpcds_q92" ->
+      s"""WITH ws AS (
+         | SELECT ws_item_sk, ws_ext_discount_amt
+         | FROM ${P("web_sales")}
+         | JOIN ${P("date_dim")} ON ws_sold_date_sk = d_date_sk
+         | WHERE d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'),
+         |thr AS (
+         | SELECT ws_item_sk AS t_item,
+         |  CAST(sum(ws_ext_discount_amt) AS DOUBLE)
+         |   / count(ws_ext_discount_amt) * 1.3 AS thr
+         | FROM ws GROUP BY ws_item_sk)
+         |SELECT CAST(sum(ws_ext_discount_amt) AS DOUBLE) AS excess_discount
+         |FROM ws JOIN thr ON ws_item_sk = t_item
+         |WHERE ws_item_sk IN (SELECT i_item_sk FROM ${P("item")}
+         |  WHERE i_manufact_id BETWEEN 300 AND 400)
+         | AND CAST(ws_ext_discount_amt AS DOUBLE) > thr""".stripMargin,
+    "q_tpcds_q62" ->
+      s"""SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, web_name,
+         | CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+         | CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 30
+         |   AND ws_ship_date_sk - ws_sold_date_sk <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+         | CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 60
+         |   AND ws_ship_date_sk - ws_sold_date_sk <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+         | CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 90
+         |   AND ws_ship_date_sk - ws_sold_date_sk <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+         | CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 120 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+         |FROM ${P("web_sales")}
+         |JOIN ${P("date_dim")} ON ws_ship_date_sk = d_date_sk
+         |JOIN ${P("warehouse")} ON ws_warehouse_sk = w_warehouse_sk
+         |JOIN ${P("ship_mode")} ON ws_ship_mode_sk = sm_ship_mode_sk
+         |JOIN ${P("web_site")} ON ws_web_site_sk = web_site_sk
+         |WHERE d_month_seq BETWEEN 1200 AND 1211
+         |GROUP BY substr(w_warehouse_name, 1, 20), sm_type, web_name""".stripMargin,
+    "q_tpcds_q30" -> stateOutlierOracle("web_returns",
+      "wr_returning_customer_sk", "wr_returning_addr_sk",
+      "wr_returned_date_sk", "wr_return_amt", "GA", Seq.empty),
+    "q_tpcds_q81" -> stateOutlierOracle("catalog_returns",
+      "cr_returning_customer_sk", "cr_returning_addr_sk",
+      "cr_returned_date_sk", "cr_return_amt_inc_tax", "IL",
+      Seq("ca_street_type", "ca_city", "ca_zip")),
+    "q_tpcds_q26" ->
+      s"""SELECT i_item_id,
+         | CAST(sum(cs_quantity) AS DOUBLE) / count(cs_quantity) AS agg1,
+         | CAST(sum(cs_list_price) AS DOUBLE) / count(cs_list_price) AS agg2,
+         | CAST(sum(cs_coupon_amt) AS DOUBLE) / count(cs_coupon_amt) AS agg3,
+         | CAST(sum(cs_sales_price) AS DOUBLE) / count(cs_sales_price) AS agg4
+         |FROM ${P("catalog_sales")}
+         |JOIN ${P("customer_demographics")} ON cs_bill_cdemo_sk = cd_demo_sk
+         |JOIN ${P("date_dim")} ON cs_sold_date_sk = d_date_sk
+         |JOIN ${P("promotion")} ON cs_promo_sk = p_promo_sk
+         |JOIN ${P("item")} ON cs_item_sk = i_item_sk
+         |WHERE cd_gender = 'F' AND cd_marital_status = 'W'
+         |  AND cd_education_status = '2 yr Degree'
+         |  AND (p_channel_email = 'N' OR p_channel_event = 'N') AND d_year = 2000
+         |GROUP BY i_item_id""".stripMargin,
+    "q_tpcds_q43" -> {
+      val dows = Seq("Sunday" -> "sun", "Monday" -> "mon", "Tuesday" -> "tue",
+        "Wednesday" -> "wed", "Thursday" -> "thu", "Friday" -> "fri",
+        "Saturday" -> "sat")
+      val cols = dows.map { case (n, a) =>
+        s"CAST(sum(CASE WHEN d_day_name = '$n' THEN ss_ext_sales_price END) AS DOUBLE) AS ${a}_sales"
+      }.mkString(",\n ")
+      s"""SELECT s_store_name, s_store_id,
+         | $cols
+         |FROM ${P("store_sales")}
+         |JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         |WHERE d_year = 2000
+         |GROUP BY s_store_name, s_store_id""".stripMargin
+    },
+    "q_tpcds_q46" ->
+      s"""SELECT c_last_name, c_first_name, cur.ca_city, bought_city,
+         | ss_ticket_number,
+         | CAST(amt_d AS DOUBLE) AS amt,
+         | CAST(profit_d AS DOUBLE) AS profit
+         |FROM (SELECT ss_ticket_number, ss_customer_sk, ss_addr_sk,
+         |   ca_city AS bought_city,
+         |   sum(ss_coupon_amt) AS amt_d,
+         |   sum(ss_net_profit) AS profit_d
+         |  FROM ${P("store_sales")}
+         |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |  JOIN ${P("customer_address")} ON ss_addr_sk = ca_address_sk
+         |  WHERE d_year = 2000 AND d_dow IN (0, 6)
+         |   AND ss_customer_sk IS NOT NULL
+         |   AND ca_city IN ('Riverside', 'Bethel', 'Clinton', 'Concord')
+         |  GROUP BY 1, 2, 3, 4) dn
+         |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
+         |JOIN ${P("customer_address")} cur ON c_current_addr_sk = cur.ca_address_sk
+         |WHERE cur.ca_city <> bought_city""".stripMargin,
+    "q_tpcds_q21" ->
+      s"""SELECT w_warehouse_name, i_item_id,
+         | CAST(inv_before AS BIGINT) AS inv_before,
+         | CAST(inv_after AS BIGINT) AS inv_after
+         |FROM (
+         | SELECT w_warehouse_name, i_item_id,
+         |  sum(CASE WHEN d_date < DATE '2000-03-11'
+         |    THEN CAST(inv_quantity_on_hand AS BIGINT) ELSE 0 END) AS inv_before,
+         |  sum(CASE WHEN d_date >= DATE '2000-03-11'
+         |    THEN CAST(inv_quantity_on_hand AS BIGINT) ELSE 0 END) AS inv_after
+         | FROM ${P("inventory")}
+         | JOIN ${P("date_dim")} ON inv_date_sk = d_date_sk
+         | JOIN ${P("item")} ON inv_item_sk = i_item_sk
+         | JOIN ${P("warehouse")} ON inv_warehouse_sk = w_warehouse_sk
+         | WHERE d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+         |  AND i_current_price BETWEEN 100 AND 150
+         | GROUP BY w_warehouse_name, i_item_id) x
+         |WHERE inv_before > 0 AND inv_after * 3 >= inv_before * 2
+         | AND inv_after * 2 <= inv_before * 3""".stripMargin,
+    "q_tpcds_q17" -> {
+      def stat(pfx: String) =
+        s"""CAST(${pfx}_count AS BIGINT) AS ${pfx}_quantity_count,
+           | CAST(${pfx}_sum AS DOUBLE) / ${pfx}_count AS ${pfx}_quantity_ave,
+           | CASE WHEN ${pfx}_count > 1 THEN
+           |  sqrt(CAST(${pfx}_count * ${pfx}_sq - ${pfx}_sum * ${pfx}_sum AS DOUBLE)
+           |   / CAST(${pfx}_count * (${pfx}_count - 1) AS DOUBLE)) END
+           |  AS ${pfx}_quantity_stdev""".stripMargin
+      def sums(c: String, pfx: String) =
+        s"""count(CAST($c AS BIGINT)) AS ${pfx}_count,
+           | sum(CAST($c AS BIGINT)) AS ${pfx}_sum,
+           | sum(CAST($c AS BIGINT) * CAST($c AS BIGINT)) AS ${pfx}_sq""".stripMargin
+      s"""SELECT i_item_id, i_item_desc, s_state,
+         | ${stat("store")},
+         | ${stat("ret")},
+         | ${stat("cat")}
+         |FROM (
+         | SELECT i_item_id, i_item_desc, s_state,
+         |  ${sums("ss_quantity", "store")},
+         |  ${sums("sr_return_quantity", "ret")},
+         |  ${sums("cs_quantity", "cat")}
+         | FROM ${P("store_sales")}
+         | JOIN ${P("date_dim")} d1 ON ss_sold_date_sk = d1.d_date_sk
+         |  AND d1.d_year = 2000 AND d1.d_qoy = 1
+         | JOIN ${P("store_returns")} ON ss_ticket_number = sr_ticket_number
+         |  AND ss_item_sk = sr_item_sk
+         | JOIN ${P("date_dim")} d2 ON sr_returned_date_sk = d2.d_date_sk
+         |  AND d2.d_year = 2000 AND d2.d_qoy BETWEEN 1 AND 3
+         | JOIN ${P("catalog_sales")} ON cs_bill_customer_sk = sr_customer_sk
+         |  AND cs_item_sk = sr_item_sk
+         | JOIN ${P("date_dim")} d3 ON cs_sold_date_sk = d3.d_date_sk
+         |  AND d3.d_year = 2000 AND d3.d_qoy BETWEEN 1 AND 3
+         | JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         | JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         | GROUP BY 1, 2, 3) x""".stripMargin
+    },
+    "q_tpcds_q35" -> {
+      def dep(c: String, pfx: String) =
+        s"""min($c) AS ${pfx}_min, max($c) AS ${pfx}_max,
+           | CAST(sum(CAST($c AS BIGINT)) AS DOUBLE) / count($c) AS ${pfx}_avg""".stripMargin
+      s"""SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         | CAST(count(*) AS BIGINT) AS cnt1,
+         | ${dep("cd_dep_count", "dep")},
+         | ${dep("cd_dep_employed_count", "emp")},
+         | ${dep("cd_dep_college_count", "col")}
+         |FROM ${P("customer")} c
+         |JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
+         |JOIN ${P("customer_demographics")} ON c_current_cdemo_sk = cd_demo_sk
+         |WHERE EXISTS (SELECT 1 FROM ${P("store_sales")}
+         |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |  WHERE c_customer_sk = ss_customer_sk AND d_year = 2001
+         |   AND d_qoy BETWEEN 1 AND 2)
+         | AND (EXISTS (SELECT 1 FROM ${P("web_sales")}
+         |  JOIN ${P("date_dim")} ON ws_sold_date_sk = d_date_sk
+         |  WHERE c_customer_sk = ws_bill_customer_sk AND d_year = 2001
+         |   AND d_qoy BETWEEN 1 AND 2)
+         |  OR EXISTS (SELECT 1 FROM ${P("catalog_sales")}
+         |  JOIN ${P("date_dim")} ON cs_sold_date_sk = d_date_sk
+         |  WHERE c_customer_sk = cs_ship_customer_sk AND d_year = 2001
+         |   AND d_qoy BETWEEN 1 AND 2))
+         |GROUP BY 1, 2, 3, 4""".stripMargin
+    })
+
+  /** Oracle body shared by Q98's channel twins Q12/Q20 (Q98 predates the
+    * helper and keeps its d_year form). */
+  private def classShareOracle(fact: String, dateCol: String,
+      itemCol: String, priceCol: String): String =
+    s"""SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       | CAST(rev AS DOUBLE) AS itemrevenue,
+       | CAST(rev AS DOUBLE) * 100.0 /
+       |  CAST(sum(rev) OVER (PARTITION BY i_class) AS DOUBLE) AS revenueratio
+       |FROM (SELECT i_item_id, i_item_desc, i_category, i_class,
+       |  i_current_price, sum($priceCol) AS rev
+       | FROM ${P(fact)} JOIN ${P("date_dim")} ON $dateCol = d_date_sk
+       | JOIN ${P("item")} ON $itemCol = i_item_sk
+       | WHERE d_date BETWEEN DATE '2000-02-22' AND DATE '2000-03-23'
+       |  AND i_category IN ('Sports', 'Books', 'Home')
+       | GROUP BY 1, 2, 3, 4, 5) t""".stripMargin
+
+  /** Oracle body shared by the Q30/Q81 state-outlier twins. */
+  private def stateOutlierOracle(fact: String, custCol: String,
+      addrCol: String, dateCol: String, amtCol: String,
+      homeState: String, extraCols: Seq[String]): String = {
+    val extra = extraCols.map(c => s", $c").mkString
+    s"""WITH ctr AS (
+       | SELECT $custCol AS ctr_customer_sk, ca_state AS ctr_state,
+       |  sum($amtCol) AS ctr_total_return
+       | FROM ${P(fact)}
+       | JOIN ${P("date_dim")} ON $dateCol = d_date_sk
+       | JOIN ${P("customer_address")} ON $addrCol = ca_address_sk
+       | WHERE d_year = 2000
+       | GROUP BY 1, 2),
+       |thr AS (
+       | SELECT ctr_state AS t_state,
+       |  CAST(sum(ctr_total_return) AS DOUBLE)
+       |   / count(ctr_total_return) * 1.2 AS thr
+       | FROM ctr GROUP BY ctr_state)
+       |SELECT c_customer_id, c_salutation, c_first_name, c_last_name$extra,
+       | CAST(ctr_total_return AS DOUBLE) AS ctr_total_return
+       |FROM ctr JOIN thr ON ctr_state = t_state
+       |JOIN ${P("customer")} ON ctr_customer_sk = c_customer_sk
+       |JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
+       |WHERE CAST(ctr_total_return AS DOUBLE) > thr
+       |  AND ca_state = '$homeState'""".stripMargin
+  }
 
   /** SparkEntry glue: name → query fn for every declared q_tpcds_*. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3768,5 +4501,20 @@ object Tpcds {
     "q_tpcds_q50" -> q_tpcds_q50,
     "q_tpcds_q97" -> q_tpcds_q97,
     "q_tpcds_q76" -> q_tpcds_q76,
-    "q_tpcds_q16" -> q_tpcds_q16)
+    "q_tpcds_q16" -> q_tpcds_q16,
+    "q_tpcds_q44" -> q_tpcds_q44,
+    "q_tpcds_q40" -> q_tpcds_q40,
+    "q_tpcds_q41" -> q_tpcds_q41,
+    "q_tpcds_q12" -> q_tpcds_q12,
+    "q_tpcds_q20" -> q_tpcds_q20,
+    "q_tpcds_q92" -> q_tpcds_q92,
+    "q_tpcds_q62" -> q_tpcds_q62,
+    "q_tpcds_q30" -> q_tpcds_q30,
+    "q_tpcds_q81" -> q_tpcds_q81,
+    "q_tpcds_q26" -> q_tpcds_q26,
+    "q_tpcds_q43" -> q_tpcds_q43,
+    "q_tpcds_q46" -> q_tpcds_q46,
+    "q_tpcds_q21" -> q_tpcds_q21,
+    "q_tpcds_q17" -> q_tpcds_q17,
+    "q_tpcds_q35" -> q_tpcds_q35)
 }
