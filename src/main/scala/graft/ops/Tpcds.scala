@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.gen.TpcdsGen
 
 /** TPC-DS query shapes over graft-generated TPC-DS parquet.
@@ -2739,7 +2739,8 @@ object Tpcds {
       .filter(col("d_year") === 2000 && col("d_dow").isin(0, 6))
       .select("d_date_sk")
     val bought = t(spark, dir, "customer_address")
-      .filter(col("ca_city").isin("Riverside", "Bethel", "Clinton", "Concord"))
+      .filter(col("ca_city").isin("Riverside", "Georgetown", "Liberty",
+        "Greenville"))
       .select(col("ca_address_sk").as("ba_sk"), col("ca_city").as("bought_city"))
     val dn = t(spark, dir, "store_sales")
       .filter(col("ss_customer_sk").isNotNull)
@@ -2897,6 +2898,280 @@ object Tpcds {
         (depStats("cd_dep_count", "dep") ++
          depStats("cd_dep_employed_count", "emp") ++
          depStats("cd_dep_college_count", "col")): _*)
+  }
+
+  /** [Q-tpcds-q10] TPC-DS Q10 shape: Q35's active-buyer census gated by
+    * home COUNTY, counting the full demographic profile (purchase
+    * estimate and credit rating included). Same scale posture: store
+    * EXISTS stays a semi, the web/catalog OR is two marker left joins
+    * over DISTINCT buyer sets. */
+  def q_tpcds_q10(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2001 && col("d_moy").between(1, 4))
+      .select("d_date_sk")
+    def buyers(fact: String, dateCol: String, custCol: String, mark: String) =
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .select(col(custCol).as(mark)).distinct()
+    val ca = t(spark, dir, "customer_address")
+      .filter(col("ca_county").isin("Ziebach County", "Walker County",
+        "Richland County", "Barrow County", "Daviess County"))
+      .select("ca_address_sk")
+    val cd = t(spark, dir, "customer_demographics").select(
+      "cd_demo_sk", "cd_gender", "cd_marital_status", "cd_education_status",
+      "cd_purchase_estimate", "cd_credit_rating", "cd_dep_count",
+      "cd_dep_employed_count", "cd_dep_college_count")
+    t(spark, dir, "customer")
+      .select("c_customer_sk", "c_current_addr_sk", "c_current_cdemo_sk")
+      .join(buyers("store_sales", "ss_sold_date_sk", "ss_customer_sk", "sb"),
+        col("c_customer_sk") === col("sb"), "left_semi")
+      .join(buyers("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk", "wb"),
+        col("c_customer_sk") === col("wb"), "left_outer")
+      .join(buyers("catalog_sales", "cs_sold_date_sk", "cs_ship_customer_sk", "cb"),
+        col("c_customer_sk") === col("cb"), "left_outer")
+      .filter(col("wb").isNotNull || col("cb").isNotNull)
+      .join(ca, col("c_current_addr_sk") === col("ca_address_sk"), "left_semi")
+      .join(cd, col("c_current_cdemo_sk") === col("cd_demo_sk"))
+      .groupBy(col("cd_gender"), col("cd_marital_status"),
+        col("cd_education_status"), col("cd_purchase_estimate"),
+        col("cd_credit_rating"), col("cd_dep_count"),
+        col("cd_dep_employed_count"), col("cd_dep_college_count"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [Q-tpcds-q53] TPC-DS Q53 shape: Q63's deviation report at the
+    * MANUFACTURER × quarter grain — quarterly sums whose spread from the
+    * manufacturer's own yearly average exceeds 10%. The window partitions
+    * the ≤1000-key aggregate, never the fact. */
+  def q_tpcds_q53(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk", "d_qoy")
+    val it = t(spark, dir, "item")
+      .filter(col("i_category").isin("Books", "Children", "Electronics",
+        "Home", "Music") && col("i_manufact_id").isNotNull)
+      .select("i_item_sk", "i_manufact_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("i_manufact_id")
+    t(spark, dir, "store_sales")
+      .select("ss_sold_date_sk", "ss_item_sk", "ss_sales_price")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_manufact_id"), col("d_qoy"))
+      .agg(sum(col("ss_sales_price")).as("s"))
+      .withColumn("avg_quarterly_sales",
+        sum(col("s")).over(w).cast(DoubleType) / count(lit(1)).over(w))
+      .withColumn("sum_sales", col("s").cast(DoubleType))
+      .filter(col("avg_quarterly_sales") > 0 &&
+        abs(col("sum_sales") - col("avg_quarterly_sales")) /
+          col("avg_quarterly_sales") > 0.1)
+      .select(col("i_manufact_id"), col("d_qoy"), col("sum_sales"),
+        col("avg_quarterly_sales"))
+  }
+
+  /** [Q-tpcds-q57] TPC-DS Q57 shape: Q47's monthly deviation-with-
+    * neighbors ladder on the CATALOG channel at the (category, brand,
+    * call center) grain — yearly-average window plus lag/lead over the
+    * month sequence, all over the aggregate. */
+  def q_tpcds_q57(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year").isin(1999, 2000, 2001))
+      .select("d_date_sk", "d_year", "d_moy")
+    val it = t(spark, dir, "item").select("i_item_sk", "i_category", "i_brand")
+    val cc = t(spark, dir, "call_center").select("cc_call_center_sk", "cc_name")
+    val m = t(spark, dir, "catalog_sales")
+      .join(broadcast(dd), col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("cs_item_sk") === col("i_item_sk"))
+      .join(broadcast(cc), col("cs_call_center_sk") === col("cc_call_center_sk"))
+      .groupBy(col("i_category"), col("i_brand"), col("cc_name"),
+        col("d_year"), col("d_moy"))
+      .agg(sum(col("cs_sales_price")).as("s"))
+    val wy = org.apache.spark.sql.expressions.Window
+      .partitionBy("i_category", "i_brand", "cc_name", "d_year")
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("i_category", "i_brand", "cc_name").orderBy("d_year", "d_moy")
+    m.withColumn("avg_monthly_sales",
+        sum(col("s")).over(wy).cast(DoubleType) / count(lit(1)).over(wy))
+      .withColumn("psum", lag(col("s"), 1).over(ws).cast(DoubleType))
+      .withColumn("nsum", lead(col("s"), 1).over(ws).cast(DoubleType))
+      .filter(col("d_year") === 2000 && col("avg_monthly_sales") > 0)
+      .select(col("i_category"), col("i_brand"), col("cc_name"), col("d_year"),
+        col("d_moy"), col("s").cast(DoubleType).as("sum_sales"),
+        col("avg_monthly_sales"), col("psum"), col("nsum"))
+  }
+
+  /** [Q-tpcds-q89] TPC-DS Q89 shape: monthly class-in-store sales whose
+    * deviation from the (brand, store) yearly average exceeds 10% — the
+    * Q63 machinery at the (category, class, brand, store, company)
+    * grain, the category/class gate pushed to the item scan. */
+  def q_tpcds_q89(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk", "d_moy")
+    val it = t(spark, dir, "item")
+      .filter(col("i_category").isin("Books", "Electronics", "Sports",
+        "Men", "Jewelry", "Women") && col("i_class").isNotNull)
+      .select("i_item_sk", "i_category", "i_class", "i_brand")
+    val st = t(spark, dir, "store")
+      .select("s_store_sk", "s_store_name", "s_company_name")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("i_category", "i_brand", "s_store_name", "s_company_name")
+    t(spark, dir, "store_sales")
+      .select("ss_sold_date_sk", "ss_item_sk", "ss_store_sk", "ss_sales_price")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy(col("i_category"), col("i_class"), col("i_brand"),
+        col("s_store_name"), col("s_company_name"), col("d_moy"))
+      .agg(sum(col("ss_sales_price")).as("s"))
+      .withColumn("avg_monthly_sales",
+        sum(col("s")).over(w).cast(DoubleType) / count(lit(1)).over(w))
+      .withColumn("sum_sales", col("s").cast(DoubleType))
+      .filter(col("avg_monthly_sales") > 0 &&
+        abs(col("sum_sales") - col("avg_monthly_sales")) /
+          col("avg_monthly_sales") > 0.1)
+      .select(col("i_category"), col("i_class"), col("i_brand"),
+        col("s_store_name"), col("s_company_name"), col("d_moy"),
+        col("sum_sales"), col("avg_monthly_sales"))
+  }
+
+  /** [Q-tpcds-q94] TPC-DS Q94 shape: Q16's unreturned multi-warehouse
+    * audit on the WEB channel — shipped in a 60-day window to one state,
+    * through a named web site, spanning >1 warehouse, with no return.
+    * The >1-warehouse gate is a per-order aggregate semi, the no-return
+    * gate an anti on the order key; one order-keyed shuffle. */
+  def q_tpcds_q94(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_date").between("2000-03-01", "2000-04-30"))
+      .select("d_date_sk")
+    val geo = t(spark, dir, "customer_address")
+      .filter(col("ca_state") === "NY").select("ca_address_sk")
+    val web = t(spark, dir, "web_site").select("web_site_sk")
+    val multiWh = t(spark, dir, "web_sales")
+      .select("ws_order_number", "ws_warehouse_sk")
+      .groupBy(col("ws_order_number").as("mw_order"))
+      .agg(countDistinct(col("ws_warehouse_sk")).as("nwh"))
+      .filter(col("nwh") > 1).select("mw_order")
+    t(spark, dir, "web_sales")
+      .select("ws_order_number", "ws_ship_date_sk", "ws_ship_addr_sk",
+        "ws_web_site_sk", "ws_ext_ship_cost", "ws_net_profit")
+      .join(broadcast(dd), col("ws_ship_date_sk") === col("d_date_sk"))
+      .join(geo, col("ws_ship_addr_sk") === col("ca_address_sk"), "left_semi")
+      .join(broadcast(web), col("ws_web_site_sk") === col("web_site_sk"),
+        "left_semi")
+      .join(multiWh, col("ws_order_number") === col("mw_order"), "left_semi")
+      .join(t(spark, dir, "web_returns").select("wr_order_number"),
+        col("ws_order_number") === col("wr_order_number"), "left_anti")
+      .agg(countDistinct(col("ws_order_number")).as("order_count"),
+        sum(col("ws_ext_ship_cost")).cast(DoubleType).as("total_shipping_cost"),
+        sum(col("ws_net_profit")).cast(DoubleType).as("total_net_profit"))
+  }
+
+  /** [Q-tpcds-q56] TPC-DS Q56 shape: the Q60 three-channel per-item-id
+    * rollup gated by item COLOR (the published predicate, over the
+    * generated color domain) instead of category. The published
+    * ca_gmt_offset = -5 gate maps to a state pair — gmt offsets have no
+    * generated domain (uniform decimal draw). */
+  def q_tpcds_q56(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_moy") === 2)
+      .select("d_date_sk")
+    val ids = t(spark, dir, "item")
+      .filter(col("i_color").isin("chiffon", "chocolate", "coral"))
+      .select(col("i_item_id").as("id")).distinct()
+    val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
+      .join(broadcast(ids), col("i_item_id") === col("id"), "left_semi")
+    val geo = t(spark, dir, "customer_address")
+      .filter(col("ca_state").isin("TX", "OH")).select("ca_address_sk")
+    def chan(fact: String, dateCol: String, itemCol: String, addrCol: String,
+             amtCol: String): DataFrame =
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(geo, col(addrCol) === col("ca_address_sk"), "left_semi")
+        .join(broadcast(it), col(itemCol) === col("i_item_sk"))
+        .groupBy(col("i_item_id"))
+        .agg(sum(col(amtCol)).as("total_sales_d"))
+    chan("store_sales", "ss_sold_date_sk", "ss_item_sk", "ss_addr_sk",
+        "ss_ext_sales_price")
+      .union(chan("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+        "cs_bill_addr_sk", "cs_ext_sales_price"))
+      .union(chan("web_sales", "ws_sold_date_sk", "ws_item_sk",
+        "ws_bill_addr_sk", "ws_ext_sales_price"))
+      .groupBy(col("i_item_id"))
+      .agg(sum(col("total_sales_d")).cast(DoubleType).as("total_sales"))
+  }
+
+  /** [Q-tpcds-q48] TPC-DS Q48 shape: one-row quantity total under the
+    * Q13-style double disjunction (marital × education × price band,
+    * state triple × net-profit band) — every gate evaluated in the ONE
+    * fact pass, demographic and address dims joined once. */
+  def q_tpcds_q48(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val cd = t(spark, dir, "customer_demographics")
+      .select("cd_demo_sk", "cd_marital_status", "cd_education_status")
+    val addr = t(spark, dir, "customer_address")
+      .select("ca_address_sk", "ca_state")
+    val st = t(spark, dir, "store").select("s_store_sk")
+    def demo(ms: String, ed: String, lo: Int, hi: Int) =
+      col("cd_marital_status") === ms && col("cd_education_status") === ed &&
+        col("ss_sales_price").between(lo, hi)
+    def geo(states: Seq[String], lo: Int, hi: Int) =
+      col("ca_state").isin(states: _*) && col("ss_net_profit").between(lo, hi)
+    t(spark, dir, "store_sales")
+      .select("ss_sold_date_sk", "ss_store_sk", "ss_cdemo_sk", "ss_addr_sk",
+        "ss_quantity", "ss_sales_price", "ss_net_profit")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(cd), col("ss_cdemo_sk") === col("cd_demo_sk"))
+      .join(addr, col("ss_addr_sk") === col("ca_address_sk"))
+      .filter(
+        (demo("M", "4 yr Degree", 20, 120) ||
+          demo("D", "2 yr Degree", 60, 160) ||
+          demo("S", "College", 120, 220)) &&
+        (geo(Seq("TX", "OH", "MI"), 0, 2000) ||
+          geo(Seq("CA", "NY", "IL"), 50, 3000) ||
+          geo(Seq("GA", "WA", "PA"), 100, 2500)))
+      .agg(sum(col("ss_quantity")).cast(LongType).as("total_quantity"))
+  }
+
+  /** [Q-tpcds-q67] TPC-DS Q67 shape: the big ROLLUP leaderboard — sales
+    * at every level of (category, class, brand, product, year, qoy, moy,
+    * store) with the top 100 cells per category kept by rank over the
+    * exact DECIMAL total. The rank key is the decimal sum itself (never
+    * a re-summed double), so ties resolve identically everywhere; the
+    * window partitions the rollup OUTPUT. */
+  def q_tpcds_q67(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_month_seq").between(1200, 1211))
+      .select("d_date_sk", "d_year", "d_qoy", "d_moy")
+    val it = t(spark, dir, "item")
+      .select("i_item_sk", "i_category", "i_class", "i_brand", "i_product_name")
+    val st = t(spark, dir, "store").select("s_store_sk", "s_store_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("i_category").orderBy(col("sumsales").desc)
+    t(spark, dir, "store_sales")
+      .select("ss_sold_date_sk", "ss_item_sk", "ss_store_sk", "ss_quantity",
+        "ss_sales_price")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .rollup(col("i_category"), col("i_class"), col("i_brand"),
+        col("i_product_name"), col("d_year"), col("d_qoy"), col("d_moy"),
+        col("s_store_id"))
+      .agg(sum(coalesce(col("ss_sales_price") * col("ss_quantity"),
+        lit(0).cast(DecimalType(7, 2)))).as("sumsales"))
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 100)
+      .select(col("i_category"), col("i_class"), col("i_brand"),
+        col("i_product_name"), col("d_year"), col("d_qoy"), col("d_moy"),
+        col("s_store_id"), col("sumsales").cast(DoubleType).as("sumsales"),
+        col("rk"))
   }
 
   /** The one fixture scale whose generated data the static oracle SQL reads.
@@ -4302,7 +4577,7 @@ object Tpcds {
          |  JOIN ${P("customer_address")} ON ss_addr_sk = ca_address_sk
          |  WHERE d_year = 2000 AND d_dow IN (0, 6)
          |   AND ss_customer_sk IS NOT NULL
-         |   AND ca_city IN ('Riverside', 'Bethel', 'Clinton', 'Concord')
+         |   AND ca_city IN ('Riverside', 'Georgetown', 'Liberty', 'Greenville')
          |  GROUP BY 1, 2, 3, 4) dn
          |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
          |JOIN ${P("customer_address")} cur ON c_current_addr_sk = cur.ca_address_sk
@@ -4387,7 +4662,171 @@ object Tpcds {
          |  WHERE c_customer_sk = cs_ship_customer_sk AND d_year = 2001
          |   AND d_qoy BETWEEN 1 AND 2))
          |GROUP BY 1, 2, 3, 4""".stripMargin
-    })
+    },
+    "q_tpcds_q10" ->
+      s"""SELECT cd_gender, cd_marital_status, cd_education_status,
+         | cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         | cd_dep_employed_count, cd_dep_college_count,
+         | CAST(count(*) AS BIGINT) AS cnt
+         |FROM ${P("customer")} c
+         |JOIN ${P("customer_demographics")} ON c_current_cdemo_sk = cd_demo_sk
+         |WHERE c_current_addr_sk IN (SELECT ca_address_sk
+         |  FROM ${P("customer_address")}
+         |  WHERE ca_county IN ('Ziebach County', 'Walker County',
+         |   'Richland County', 'Barrow County', 'Daviess County'))
+         | AND EXISTS (SELECT 1 FROM ${P("store_sales")}
+         |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |  WHERE c_customer_sk = ss_customer_sk AND d_year = 2001
+         |   AND d_moy BETWEEN 1 AND 4)
+         | AND (EXISTS (SELECT 1 FROM ${P("web_sales")}
+         |  JOIN ${P("date_dim")} ON ws_sold_date_sk = d_date_sk
+         |  WHERE c_customer_sk = ws_bill_customer_sk AND d_year = 2001
+         |   AND d_moy BETWEEN 1 AND 4)
+         |  OR EXISTS (SELECT 1 FROM ${P("catalog_sales")}
+         |  JOIN ${P("date_dim")} ON cs_sold_date_sk = d_date_sk
+         |  WHERE c_customer_sk = cs_ship_customer_sk AND d_year = 2001
+         |   AND d_moy BETWEEN 1 AND 4))
+         |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin,
+    "q_tpcds_q53" ->
+      s"""SELECT i_manufact_id, d_qoy,
+         | CAST(s AS DOUBLE) AS sum_sales, avg_quarterly_sales
+         |FROM (
+         | SELECT i_manufact_id, d_qoy, s,
+         |  CAST(sum(s) OVER (PARTITION BY i_manufact_id) AS DOUBLE) /
+         |   count(*) OVER (PARTITION BY i_manufact_id) AS avg_quarterly_sales
+         | FROM (
+         |  SELECT i_manufact_id, d_qoy, sum(ss_sales_price) AS s
+         |  FROM ${P("store_sales")}
+         |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |  JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         |  WHERE d_year = 2000 AND i_manufact_id IS NOT NULL
+         |   AND i_category IN ('Books', 'Children', 'Electronics',
+         |    'Home', 'Music')
+         |  GROUP BY 1, 2) m) x
+         |WHERE avg_quarterly_sales > 0
+         | AND abs(CAST(s AS DOUBLE) - avg_quarterly_sales)
+         |  / avg_quarterly_sales > 0.1""".stripMargin,
+    "q_tpcds_q57" ->
+      s"""SELECT i_category, i_brand, cc_name, d_year, d_moy,
+         | CAST(s AS DOUBLE) AS sum_sales, avg_monthly_sales, psum, nsum
+         |FROM (
+         | SELECT i_category, i_brand, cc_name, d_year, d_moy, s,
+         |  CAST(sum(s) OVER (PARTITION BY i_category, i_brand, cc_name, d_year)
+         |    AS DOUBLE) /
+         |   count(*) OVER (PARTITION BY i_category, i_brand, cc_name, d_year)
+         |   AS avg_monthly_sales,
+         |  CAST(lag(s, 1) OVER (PARTITION BY i_category, i_brand, cc_name
+         |    ORDER BY d_year, d_moy) AS DOUBLE) AS psum,
+         |  CAST(lead(s, 1) OVER (PARTITION BY i_category, i_brand, cc_name
+         |    ORDER BY d_year, d_moy) AS DOUBLE) AS nsum
+         | FROM (
+         |  SELECT i_category, i_brand, cc_name, d_year, d_moy,
+         |   sum(cs_sales_price) AS s
+         |  FROM ${P("catalog_sales")}
+         |  JOIN ${P("date_dim")} ON cs_sold_date_sk = d_date_sk
+         |  JOIN ${P("item")} ON cs_item_sk = i_item_sk
+         |  JOIN ${P("call_center")} ON cs_call_center_sk = cc_call_center_sk
+         |  WHERE d_year IN (1999, 2000, 2001)
+         |  GROUP BY 1, 2, 3, 4, 5) m) x
+         |WHERE d_year = 2000 AND avg_monthly_sales > 0""".stripMargin,
+    "q_tpcds_q89" ->
+      s"""SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+         | d_moy, CAST(s AS DOUBLE) AS sum_sales, avg_monthly_sales
+         |FROM (
+         | SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+         |  d_moy, s,
+         |  CAST(sum(s) OVER (PARTITION BY i_category, i_brand, s_store_name,
+         |    s_company_name) AS DOUBLE) /
+         |   count(*) OVER (PARTITION BY i_category, i_brand, s_store_name,
+         |    s_company_name) AS avg_monthly_sales
+         | FROM (
+         |  SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+         |   d_moy, sum(ss_sales_price) AS s
+         |  FROM ${P("store_sales")}
+         |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |  JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         |  JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         |  WHERE d_year = 2000 AND i_class IS NOT NULL
+         |   AND i_category IN ('Books', 'Electronics', 'Sports',
+         |    'Men', 'Jewelry', 'Women')
+         |  GROUP BY 1, 2, 3, 4, 5, 6) m) x
+         |WHERE avg_monthly_sales > 0
+         | AND abs(CAST(s AS DOUBLE) - avg_monthly_sales)
+         |  / avg_monthly_sales > 0.1""".stripMargin,
+    "q_tpcds_q94" ->
+      s"""SELECT count(DISTINCT ws_order_number) AS order_count,
+         | CAST(sum(ws_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+         | CAST(sum(ws_net_profit) AS DOUBLE) AS total_net_profit
+         |FROM ${P("web_sales")} ws1
+         |JOIN ${P("date_dim")} ON ws_ship_date_sk = d_date_sk
+         |WHERE d_date BETWEEN DATE '2000-03-01' AND DATE '2000-04-30'
+         | AND ws_ship_addr_sk IN (SELECT ca_address_sk
+         |  FROM ${P("customer_address")} WHERE ca_state = 'NY')
+         | AND ws_web_site_sk IN (SELECT web_site_sk
+         |  FROM ${P("web_site")})
+         | AND ws_order_number IN (SELECT ws_order_number
+         |  FROM ${P("web_sales")} GROUP BY ws_order_number
+         |  HAVING count(DISTINCT ws_warehouse_sk) > 1)
+         | AND ws_order_number NOT IN (SELECT wr_order_number
+         |  FROM ${P("web_returns")})""".stripMargin,
+    "q_tpcds_q56" ->
+      s"""WITH chan AS (
+         | SELECT s.item AS i_item_sk, s.amt
+         | FROM (
+         |  SELECT ss_item_sk AS item, ss_ext_sales_price AS amt,
+         |   ss_sold_date_sk AS dat, ss_addr_sk AS addr FROM ${P("store_sales")}
+         |  UNION ALL SELECT cs_item_sk, cs_ext_sales_price,
+         |   cs_sold_date_sk, cs_bill_addr_sk FROM ${P("catalog_sales")}
+         |  UNION ALL SELECT ws_item_sk, ws_ext_sales_price,
+         |   ws_sold_date_sk, ws_bill_addr_sk FROM ${P("web_sales")}) s
+         | JOIN ${P("date_dim")} ON s.dat = d_date_sk
+         | WHERE d_year = 2000 AND d_moy = 2
+         |  AND s.addr IN (SELECT ca_address_sk FROM ${P("customer_address")}
+         |   WHERE ca_state IN ('TX', 'OH')))
+         |SELECT i_item_id, CAST(sum(amt) AS DOUBLE) AS total_sales
+         |FROM chan JOIN ${P("item")} it ON chan.i_item_sk = it.i_item_sk
+         |WHERE i_item_id IN (SELECT i_item_id FROM ${P("item")}
+         |  WHERE i_color IN ('chiffon', 'chocolate', 'coral'))
+         |GROUP BY i_item_id""".stripMargin,
+    "q_tpcds_q48" ->
+      s"""SELECT CAST(sum(ss_quantity) AS BIGINT) AS total_quantity
+         |FROM ${P("store_sales")}
+         |JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         |JOIN ${P("customer_demographics")} ON ss_cdemo_sk = cd_demo_sk
+         |JOIN ${P("customer_address")} ON ss_addr_sk = ca_address_sk
+         |WHERE d_year = 2000
+         | AND ((cd_marital_status = 'M' AND cd_education_status = '4 yr Degree'
+         |   AND ss_sales_price BETWEEN 20 AND 120)
+         |  OR (cd_marital_status = 'D' AND cd_education_status = '2 yr Degree'
+         |   AND ss_sales_price BETWEEN 60 AND 160)
+         |  OR (cd_marital_status = 'S' AND cd_education_status = 'College'
+         |   AND ss_sales_price BETWEEN 120 AND 220))
+         | AND ((ca_state IN ('TX', 'OH', 'MI')
+         |   AND ss_net_profit BETWEEN 0 AND 2000)
+         |  OR (ca_state IN ('CA', 'NY', 'IL')
+         |   AND ss_net_profit BETWEEN 50 AND 3000)
+         |  OR (ca_state IN ('GA', 'WA', 'PA')
+         |   AND ss_net_profit BETWEEN 100 AND 2500))""".stripMargin,
+    "q_tpcds_q67" ->
+      s"""SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+         | d_moy, s_store_id, CAST(sumsales AS DOUBLE) AS sumsales,
+         | CAST(rk AS BIGINT) AS rk
+         |FROM (
+         | SELECT *, rank() OVER (PARTITION BY i_category
+         |   ORDER BY sumsales DESC) AS rk
+         | FROM (
+         |  SELECT i_category, i_class, i_brand, i_product_name, d_year,
+         |   d_qoy, d_moy, s_store_id,
+         |   sum(COALESCE(ss_sales_price * ss_quantity, 0)) AS sumsales
+         |  FROM ${P("store_sales")}
+         |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |  JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         |  JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         |  WHERE d_month_seq BETWEEN 1200 AND 1211
+         |  GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name,
+         |   d_year, d_qoy, d_moy, s_store_id)) agg) x
+         |WHERE rk <= 100""".stripMargin)
 
   /** Oracle body shared by Q98's channel twins Q12/Q20 (Q98 predates the
     * helper and keeps its d_year form). */
@@ -4516,5 +4955,13 @@ object Tpcds {
     "q_tpcds_q46" -> q_tpcds_q46,
     "q_tpcds_q21" -> q_tpcds_q21,
     "q_tpcds_q17" -> q_tpcds_q17,
-    "q_tpcds_q35" -> q_tpcds_q35)
+    "q_tpcds_q35" -> q_tpcds_q35,
+    "q_tpcds_q10" -> q_tpcds_q10,
+    "q_tpcds_q53" -> q_tpcds_q53,
+    "q_tpcds_q57" -> q_tpcds_q57,
+    "q_tpcds_q89" -> q_tpcds_q89,
+    "q_tpcds_q94" -> q_tpcds_q94,
+    "q_tpcds_q56" -> q_tpcds_q56,
+    "q_tpcds_q48" -> q_tpcds_q48,
+    "q_tpcds_q67" -> q_tpcds_q67)
 }
