@@ -3174,6 +3174,136 @@ object Tpcds {
         col("rk"))
   }
 
+  /** [Q-tpcds-q4] TPC-DS Q4 shape: the three-channel year-over-year growth
+    * triple — Q11's machinery widened to store+catalog+web with the
+    * published "customer margin" formula (ext_list_price −
+    * ext_wholesale_cost − ext_discount_amt + ext_sales_price; the
+    * published ÷2 cancels in the y2/y1 ratios and is dropped). Customers
+    * kept when BOTH catalog and web growth beat store growth. Per channel
+    * ONE customer-keyed aggregate with conditional year sums (exact
+    * DECIMAL; one scan, not one per year); the three aggregates and the
+    * customer dim join on the customer key — all customer-cardinality,
+    * shuffled, never broadcast (customer-sized at 100 TB). Ratios divide
+    * once as DOUBLE at the end. */
+  def q_tpcds_q4(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year").isin(2000, 2001)).select("d_date_sk", "d_year")
+    def margin(pfx: String): Column =
+      col(s"${pfx}_ext_list_price") - col(s"${pfx}_ext_wholesale_cost") -
+        col(s"${pfx}_ext_discount_amt") + col(s"${pfx}_ext_sales_price")
+    def yearTotal(fact: String, dateCol: String, custCol: String, pfx: String) =
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .filter(col(custCol).isNotNull)
+        .groupBy(col(custCol).as(s"${pfx}_cust"))
+        .agg(sum(when(col("d_year") === 2000, margin(pfx))).as(s"${pfx}_y1"),
+          sum(when(col("d_year") === 2001, margin(pfx))).as(s"${pfx}_y2"))
+    val s = yearTotal("store_sales", "ss_sold_date_sk", "ss_customer_sk", "ss")
+    val c = yearTotal("catalog_sales", "cs_sold_date_sk", "cs_bill_customer_sk", "cs")
+    val w = yearTotal("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk", "ws")
+    def ratio(pfx: String) =
+      col(s"${pfx}_y2").cast(DoubleType) / col(s"${pfx}_y1").cast(DoubleType)
+    val cust = t(spark, dir, "customer").select(
+      col("c_customer_sk"), col("c_customer_id"), col("c_first_name"),
+      col("c_last_name"), col("c_preferred_cust_flag"))
+    s.join(c, col("ss_cust") === col("cs_cust"))
+      .join(w, col("ss_cust") === col("ws_cust"))
+      .filter(col("ss_y1") > 0 && col("cs_y1") > 0 && col("ws_y1") > 0)
+      .filter(ratio("cs") > ratio("ss") && ratio("ws") > ratio("ss"))
+      .join(cust, col("ss_cust") === col("c_customer_sk"))
+      .select(col("c_customer_id"), col("c_first_name"), col("c_last_name"),
+        col("c_preferred_cust_flag"), ratio("ss").as("store_growth"),
+        ratio("cs").as("catalog_growth"), ratio("ws").as("web_growth"))
+  }
+
+  /** [Q-tpcds-q74] TPC-DS Q74 shape: the NET-PAID year-over-year ladder —
+    * Q11's condition (web growth beats store growth) over sum(net_paid)
+    * year totals instead of ext_sales_price, returning the customer's
+    * name columns. Same scale posture as Q4: one conditional-sum
+    * customer-keyed aggregate per channel, customer-keyed shuffle joins
+    * throughout, one final DOUBLE division per ratio. */
+  def q_tpcds_q74(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year").isin(2000, 2001)).select("d_date_sk", "d_year")
+    def yearTotal(fact: String, dateCol: String, custCol: String, paid: String,
+                  pfx: String) =
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .filter(col(custCol).isNotNull)
+        .groupBy(col(custCol).as(s"${pfx}_cust"))
+        .agg(sum(when(col("d_year") === 2000, col(paid))).as(s"${pfx}_y1"),
+          sum(when(col("d_year") === 2001, col(paid))).as(s"${pfx}_y2"))
+    val s = yearTotal("store_sales", "ss_sold_date_sk", "ss_customer_sk",
+      "ss_net_paid", "ss")
+    val w = yearTotal("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk",
+      "ws_net_paid", "ws")
+    def ratio(pfx: String) =
+      col(s"${pfx}_y2").cast(DoubleType) / col(s"${pfx}_y1").cast(DoubleType)
+    val cust = t(spark, dir, "customer").select(
+      col("c_customer_sk"), col("c_customer_id"), col("c_first_name"),
+      col("c_last_name"))
+    s.join(w, col("ss_cust") === col("ws_cust"))
+      .filter(col("ss_y1") > 0 && col("ws_y1") > 0)
+      .filter(ratio("ws") > ratio("ss"))
+      .join(cust, col("ss_cust") === col("c_customer_sk"))
+      .select(col("c_customer_id"), col("c_first_name"), col("c_last_name"),
+        ratio("ws").as("web_growth"), ratio("ss").as("store_growth"))
+  }
+
+  /** [Q-tpcds-q18] TPC-DS Q18 shape: catalog buyer demographics at every
+    * geography level — avg quantity/prices/profit, buyer birth year and
+    * dependent count, ROLLUP'd over (i_item_id, ca_country, ca_state,
+    * ca_county) with grouping flags disambiguating subtotal rows from
+    * genuinely-null dimension values. The bill customer's demographics
+    * (gender F, college) gate the fact; the CURRENT demographics join is
+    * the published FK-existence semi. Adapted predicate: c_birth_month is
+    * hash-uniform (not 1–12) at generation, so the published 6-month IN
+    * list becomes a half-domain range. Demographics and item broadcast;
+    * customer and address attach by customer-cardinality keyed shuffle
+    * joins; averages are exact-sum ÷ count divided once as DOUBLE. */
+  def q_tpcds_q18(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val cd1 = t(spark, dir, "customer_demographics")
+      .filter(col("cd_gender") === "F" &&
+        col("cd_education_status") === "College")
+      .select("cd_demo_sk", "cd_dep_count")
+    val cd2 = t(spark, dir, "customer_demographics")
+      .select(col("cd_demo_sk").as("cd2_sk"))
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_birth_month").between(1, 5000))
+      .select("c_customer_sk", "c_current_cdemo_sk", "c_current_addr_sk",
+        "c_birth_year")
+    val ca = t(spark, dir, "customer_address").select(
+      "ca_address_sk", "ca_country", "ca_state", "ca_county")
+    val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
+    def avgOf(c: String, alias: String) =
+      (sum(col(c)).cast(DoubleType) / count(col(c))).as(alias)
+    t(spark, dir, "catalog_sales")
+      .select("cs_sold_date_sk", "cs_bill_cdemo_sk", "cs_bill_customer_sk",
+        "cs_item_sk", "cs_quantity", "cs_list_price", "cs_coupon_amt",
+        "cs_sales_price", "cs_net_profit")
+      .join(broadcast(dd), col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(cd1), col("cs_bill_cdemo_sk") === col("cd_demo_sk"))
+      .join(cust, col("cs_bill_customer_sk") === col("c_customer_sk"))
+      .join(broadcast(cd2), col("c_current_cdemo_sk") === col("cd2_sk"),
+        "left_semi")
+      .join(ca, col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(broadcast(it), col("cs_item_sk") === col("i_item_sk"))
+      .rollup(col("i_item_id"), col("ca_country"), col("ca_state"),
+        col("ca_county"))
+      .agg(grouping(col("ca_country")).as("g_country"),
+        grouping(col("ca_state")).as("g_state"),
+        grouping(col("ca_county")).as("g_county"),
+        avgOf("cs_quantity", "agg1"), avgOf("cs_list_price", "agg2"),
+        avgOf("cs_coupon_amt", "agg3"), avgOf("cs_sales_price", "agg4"),
+        avgOf("cs_net_profit", "agg5"), avgOf("c_birth_year", "agg6"),
+        avgOf("cd_dep_count", "agg7"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -4826,7 +4956,85 @@ object Tpcds {
          |  WHERE d_month_seq BETWEEN 1200 AND 1211
          |  GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name,
          |   d_year, d_qoy, d_moy, s_store_id)) agg) x
-         |WHERE rk <= 100""".stripMargin)
+         |WHERE rk <= 100""".stripMargin,
+    "q_tpcds_q4" ->
+      s"""WITH yt AS (
+         | SELECT cust, chan,
+         |  sum(CASE WHEN d_year = 2000 THEN m END) AS y1,
+         |  sum(CASE WHEN d_year = 2001 THEN m END) AS y2
+         | FROM (
+         |  SELECT ss_customer_sk AS cust, 's' AS chan, ss_sold_date_sk AS dt,
+         |   ss_ext_list_price - ss_ext_wholesale_cost - ss_ext_discount_amt
+         |    + ss_ext_sales_price AS m FROM ${P("store_sales")}
+         |  UNION ALL
+         |  SELECT cs_bill_customer_sk, 'c', cs_sold_date_sk,
+         |   cs_ext_list_price - cs_ext_wholesale_cost - cs_ext_discount_amt
+         |    + cs_ext_sales_price FROM ${P("catalog_sales")}
+         |  UNION ALL
+         |  SELECT ws_bill_customer_sk, 'w', ws_sold_date_sk,
+         |   ws_ext_list_price - ws_ext_wholesale_cost - ws_ext_discount_amt
+         |    + ws_ext_sales_price FROM ${P("web_sales")}) u
+         | JOIN ${P("date_dim")} ON dt = d_date_sk
+         | WHERE d_year IN (2000, 2001) AND cust IS NOT NULL
+         | GROUP BY cust, chan)
+         |SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+         | CAST(s.y2 AS DOUBLE) / CAST(s.y1 AS DOUBLE) AS store_growth,
+         | CAST(c.y2 AS DOUBLE) / CAST(c.y1 AS DOUBLE) AS catalog_growth,
+         | CAST(w.y2 AS DOUBLE) / CAST(w.y1 AS DOUBLE) AS web_growth
+         |FROM (SELECT * FROM yt WHERE chan = 's') s
+         |JOIN (SELECT * FROM yt WHERE chan = 'c') c ON s.cust = c.cust
+         |JOIN (SELECT * FROM yt WHERE chan = 'w') w ON s.cust = w.cust
+         |JOIN ${P("customer")} ON s.cust = c_customer_sk
+         |WHERE s.y1 > 0 AND c.y1 > 0 AND w.y1 > 0
+         | AND CAST(c.y2 AS DOUBLE) / CAST(c.y1 AS DOUBLE) >
+         |     CAST(s.y2 AS DOUBLE) / CAST(s.y1 AS DOUBLE)
+         | AND CAST(w.y2 AS DOUBLE) / CAST(w.y1 AS DOUBLE) >
+         |     CAST(s.y2 AS DOUBLE) / CAST(s.y1 AS DOUBLE)""".stripMargin,
+    "q_tpcds_q74" ->
+      s"""WITH s AS (
+         | SELECT ss_customer_sk AS cust,
+         |  sum(CASE WHEN d_year = 2000 THEN ss_net_paid END) AS y1,
+         |  sum(CASE WHEN d_year = 2001 THEN ss_net_paid END) AS y2
+         | FROM ${P("store_sales")} JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         | WHERE d_year IN (2000, 2001) AND ss_customer_sk IS NOT NULL
+         | GROUP BY ss_customer_sk),
+         |w AS (
+         | SELECT ws_bill_customer_sk AS cust,
+         |  sum(CASE WHEN d_year = 2000 THEN ws_net_paid END) AS y1,
+         |  sum(CASE WHEN d_year = 2001 THEN ws_net_paid END) AS y2
+         | FROM ${P("web_sales")} JOIN ${P("date_dim")} ON ws_sold_date_sk = d_date_sk
+         | WHERE d_year IN (2000, 2001) AND ws_bill_customer_sk IS NOT NULL
+         | GROUP BY ws_bill_customer_sk)
+         |SELECT c_customer_id, c_first_name, c_last_name,
+         | CAST(w.y2 AS DOUBLE) / CAST(w.y1 AS DOUBLE) AS web_growth,
+         | CAST(s.y2 AS DOUBLE) / CAST(s.y1 AS DOUBLE) AS store_growth
+         |FROM s JOIN w ON s.cust = w.cust
+         |JOIN ${P("customer")} ON s.cust = c_customer_sk
+         |WHERE s.y1 > 0 AND w.y1 > 0
+         | AND CAST(w.y2 AS DOUBLE) / CAST(w.y1 AS DOUBLE) >
+         |     CAST(s.y2 AS DOUBLE) / CAST(s.y1 AS DOUBLE)""".stripMargin,
+    "q_tpcds_q18" ->
+      s"""SELECT i_item_id, ca_country, ca_state, ca_county,
+         | grouping(ca_country) AS g_country, grouping(ca_state) AS g_state,
+         | grouping(ca_county) AS g_county,
+         | CAST(sum(cs_quantity) AS DOUBLE) / count(cs_quantity) AS agg1,
+         | CAST(sum(cs_list_price) AS DOUBLE) / count(cs_list_price) AS agg2,
+         | CAST(sum(cs_coupon_amt) AS DOUBLE) / count(cs_coupon_amt) AS agg3,
+         | CAST(sum(cs_sales_price) AS DOUBLE) / count(cs_sales_price) AS agg4,
+         | CAST(sum(cs_net_profit) AS DOUBLE) / count(cs_net_profit) AS agg5,
+         | CAST(sum(c_birth_year) AS DOUBLE) / count(c_birth_year) AS agg6,
+         | CAST(sum(cd_dep_count) AS DOUBLE) / count(cd_dep_count) AS agg7
+         |FROM ${P("catalog_sales")}
+         |JOIN ${P("date_dim")} ON cs_sold_date_sk = d_date_sk
+         |JOIN ${P("customer_demographics")} cd1 ON cs_bill_cdemo_sk = cd1.cd_demo_sk
+         |JOIN ${P("customer")} ON cs_bill_customer_sk = c_customer_sk
+         |JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
+         |JOIN ${P("item")} ON cs_item_sk = i_item_sk
+         |WHERE cd1.cd_gender = 'F' AND cd1.cd_education_status = 'College'
+         | AND c_birth_month BETWEEN 1 AND 5000 AND d_year = 2000
+         | AND c_current_cdemo_sk IN
+         |  (SELECT cd_demo_sk FROM ${P("customer_demographics")})
+         |GROUP BY ROLLUP(i_item_id, ca_country, ca_state, ca_county)""".stripMargin)
 
   /** Oracle body shared by Q98's channel twins Q12/Q20 (Q98 predates the
     * helper and keeps its d_year form). */
@@ -4963,5 +5171,8 @@ object Tpcds {
     "q_tpcds_q94" -> q_tpcds_q94,
     "q_tpcds_q56" -> q_tpcds_q56,
     "q_tpcds_q48" -> q_tpcds_q48,
-    "q_tpcds_q67" -> q_tpcds_q67)
+    "q_tpcds_q67" -> q_tpcds_q67,
+    "q_tpcds_q4" -> q_tpcds_q4,
+    "q_tpcds_q74" -> q_tpcds_q74,
+    "q_tpcds_q18" -> q_tpcds_q18)
 }
