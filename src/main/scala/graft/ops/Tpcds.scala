@@ -3304,6 +3304,173 @@ object Tpcds {
         avgOf("cd_dep_count", "agg7"))
   }
 
+  /** [Q-tpcds-q58] TPC-DS Q58 shape: items selling EVENLY across all three
+    * channels — per-item revenue in a calendar window derived from an
+    * anchor date by nested lookup, kept when each channel's revenue is
+    * within ±10% of the three-channel average. Adapted window: the
+    * published single d_week_seq leaves the three-way item intersection
+    * empty at verification scale, so the anchor resolves to its
+    * d_month_seq (same nested scalar-derivation shape, month grain), and
+    * the published ±10% parity band widens to ±30% — the generator's
+    * channel volumes are systematically ~3:1 store:web, so exact parity
+    * is near-empty at ANY scale (a mix property, not a size one). The
+    * 1-row anchor broadcasts into date_dim, the date slice broadcasts
+    * into each fact; three item-keyed aggregates join on the item id;
+    * every ratio divides once as DOUBLE. */
+  def q_tpcds_q58(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val anchor = t(spark, dir, "date_dim")
+      .filter(col("d_date") === to_date(lit("2000-03-03")))
+      .select(col("d_month_seq").as("anchor_seq"))
+    val dd = t(spark, dir, "date_dim")
+      .join(broadcast(anchor), col("d_month_seq") === col("anchor_seq"))
+      .select("d_date_sk")
+    val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
+    def rev(fact: String, dateCol: String, itemCol: String, priceCol: String,
+            pfx: String) =
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(broadcast(it), col(itemCol) === col("i_item_sk"))
+        .groupBy(col("i_item_id").as(s"${pfx}_id"))
+        .agg(sum(col(priceCol)).as(s"${pfx}_rev"))
+    val s = rev("store_sales", "ss_sold_date_sk", "ss_item_sk",
+      "ss_ext_sales_price", "ss")
+    val c = rev("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+      "cs_ext_sales_price", "cs")
+    val w = rev("web_sales", "ws_sold_date_sk", "ws_item_sk",
+      "ws_ext_sales_price", "ws")
+    def d(c: Column) = c.cast(DoubleType)
+    val avg3 = d(col("ss_rev") + col("cs_rev") + col("ws_rev")) / 3.0
+    def within(pfx: String) =
+      d(col(s"${pfx}_rev")) >= avg3 * 0.7 && d(col(s"${pfx}_rev")) <= avg3 * 1.3
+    s.join(c, col("ss_id") === col("cs_id"))
+      .join(w, col("ss_id") === col("ws_id"))
+      .filter(within("ss") && within("cs") && within("ws"))
+      .select(col("ss_id").as("item_id"),
+        d(col("ss_rev")).as("ss_item_rev"),
+        (d(col("ss_rev")) / avg3 * 100.0).as("ss_dev"),
+        d(col("cs_rev")).as("cs_item_rev"),
+        (d(col("cs_rev")) / avg3 * 100.0).as("cs_dev"),
+        d(col("ws_rev")).as("ws_item_rev"),
+        (d(col("ws_rev")) / avg3 * 100.0).as("ws_dev"),
+        avg3.as("average"))
+  }
+
+  /** [Q-tpcds-q83] TPC-DS Q83 shape: items RETURNED evenly across all
+    * three channels — Q58's parity ladder over return quantities, with
+    * the calendar windows derived from three anchor dates by the
+    * published nested lookup. Adapted derivation: anchor weeks are too
+    * thin for a three-channel intersection at verification scale, so the
+    * anchors resolve to their months-of-year (three disjoint calendar
+    * windows across the fact years — same nested-subquery shape). Deltas
+    * are each channel's share of the three-channel total, divided once
+    * as DOUBLE. */
+  def q_tpcds_q83(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val anchor = t(spark, dir, "date_dim")
+      .filter(col("d_date").isin(
+        java.sql.Date.valueOf("2000-01-17"), java.sql.Date.valueOf("2000-06-16"),
+        java.sql.Date.valueOf("2000-11-14")))
+      .select(col("d_moy").as("anchor_moy")).distinct()
+    val dd = t(spark, dir, "date_dim")
+      .join(broadcast(anchor), col("d_moy") === col("anchor_moy"))
+      .select("d_date_sk")
+    val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
+    def qty(fact: String, dateCol: String, itemCol: String, qtyCol: String,
+            pfx: String) =
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(broadcast(it), col(itemCol) === col("i_item_sk"))
+        .groupBy(col("i_item_id").as(s"${pfx}_id"))
+        .agg(sum(col(qtyCol)).cast(LongType).as(s"${pfx}_qty"))
+    val s = qty("store_returns", "sr_returned_date_sk", "sr_item_sk",
+      "sr_return_quantity", "sr")
+    val c = qty("catalog_returns", "cr_returned_date_sk", "cr_item_sk",
+      "cr_return_quantity", "cr")
+    val w = qty("web_returns", "wr_returned_date_sk", "wr_item_sk",
+      "wr_return_quantity", "wr")
+    def d(c: Column) = c.cast(DoubleType)
+    val third = d(col("sr_qty") + col("cr_qty") + col("wr_qty")) / 3.0
+    s.join(c, col("sr_id") === col("cr_id"))
+      .join(w, col("sr_id") === col("wr_id"))
+      .select(col("sr_id").as("item_id"),
+        col("sr_qty"), (d(col("sr_qty")) / third * 100.0).as("sr_dev"),
+        col("cr_qty"), (d(col("cr_qty")) / third * 100.0).as("cr_dev"),
+        col("wr_qty"), (d(col("wr_qty")) / third * 100.0).as("wr_dev"),
+        third.as("average"))
+  }
+
+  /** [Q-tpcds-q80] TPC-DS Q80 shape: the three-channel net-of-returns
+    * promotion report — per channel location, sales minus line-level
+    * returns and profit minus return loss, for TV-silent promotions on
+    * premium items over a published-form 30-day d_date window, ROLLUP'd
+    * over (channel, id). Unlike Q77's location-grain returns totals, each
+    * channel LEFT-joins its returns at the line grain on the (order,
+    * item) PK — the generator's 1:1 linkage — so this is three keyed
+    * fact⋈fact shuffles plus broadcast dims, then a ≤|locations|-row
+    * rollup. */
+  def q_tpcds_q80(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_date").between(java.sql.Date.valueOf("2000-08-23"),
+        java.sql.Date.valueOf("2000-09-22")))
+      .select("d_date_sk")
+    val it = t(spark, dir, "item").filter(col("i_current_price") > 50)
+      .select("i_item_sk")
+    val pr = t(spark, dir, "promotion").filter(col("p_channel_tv") === "N")
+      .select("p_promo_sk")
+    val DEC = DecimalType(27, 2)
+    def dec(c: Column) = c.cast(DEC)
+    def leg(fact: String, returns: String, orderCol: String, itemCol: String,
+            rOrderCol: String, rItemCol: String, dateCol: String,
+            idFk: String, promoCol: String, price: String, profit: String,
+            rAmt: String, rLoss: String,
+            idDim: DataFrame, idKey: String, idName: String, chan: String) = {
+      val r = t(spark, dir, returns)
+        .select(col(rOrderCol), col(rItemCol), col(rAmt), col(rLoss))
+      t(spark, dir, fact)
+        .select(col(orderCol), col(itemCol), col(dateCol), col(idFk),
+          col(promoCol), col(price), col(profit))
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(broadcast(it), col(itemCol) === col("i_item_sk"), "left_semi")
+        .join(broadcast(pr), col(promoCol) === col("p_promo_sk"), "left_semi")
+        .join(r, col(orderCol) === col(rOrderCol) &&
+          col(itemCol) === col(rItemCol), "left_outer")
+        .join(broadcast(idDim), col(idFk) === col(idKey))
+        .groupBy(col(idName).as("id"))
+        .agg(dec(sum(col(price))).as("sales"),
+          dec(sum(coalesce(col(rAmt), lit(0).cast(DEC)))).as("returns"),
+          dec(sum(col(profit) - coalesce(col(rLoss), lit(0).cast(DEC))))
+            .as("profit"))
+        .select(lit(chan).as("channel"), col("id"), col("sales"),
+          col("returns"), col("profit"))
+    }
+    val store = leg("store_sales", "store_returns", "ss_ticket_number",
+      "ss_item_sk", "sr_ticket_number", "sr_item_sk", "ss_sold_date_sk",
+      "ss_store_sk", "ss_promo_sk", "ss_ext_sales_price", "ss_net_profit",
+      "sr_return_amt", "sr_net_loss",
+      t(spark, dir, "store").select("s_store_sk", "s_store_id"),
+      "s_store_sk", "s_store_id", "store channel")
+    val catalog = leg("catalog_sales", "catalog_returns", "cs_order_number",
+      "cs_item_sk", "cr_order_number", "cr_item_sk", "cs_sold_date_sk",
+      "cs_catalog_page_sk", "cs_promo_sk", "cs_ext_sales_price",
+      "cs_net_profit", "cr_return_amount", "cr_net_loss",
+      t(spark, dir, "catalog_page").select("cp_catalog_page_sk",
+        "cp_catalog_page_id"),
+      "cp_catalog_page_sk", "cp_catalog_page_id", "catalog channel")
+    val web = leg("web_sales", "web_returns", "ws_order_number", "ws_item_sk",
+      "wr_order_number", "wr_item_sk", "ws_sold_date_sk", "ws_web_site_sk",
+      "ws_promo_sk", "ws_ext_sales_price", "ws_net_profit", "wr_return_amt",
+      "wr_net_loss",
+      t(spark, dir, "web_site").select("web_site_sk", "web_site_id"),
+      "web_site_sk", "web_site_id", "web channel")
+    store.union(catalog).union(web)
+      .rollup(col("channel"), col("id"))
+      .agg(sum(col("sales")).cast(DoubleType).as("sales"),
+        sum(col("returns")).cast(DoubleType).as("returns"),
+        sum(col("profit")).cast(DoubleType).as("profit"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -5034,7 +5201,127 @@ object Tpcds {
          | AND c_birth_month BETWEEN 1 AND 5000 AND d_year = 2000
          | AND c_current_cdemo_sk IN
          |  (SELECT cd_demo_sk FROM ${P("customer_demographics")})
-         |GROUP BY ROLLUP(i_item_id, ca_country, ca_state, ca_county)""".stripMargin)
+         |GROUP BY ROLLUP(i_item_id, ca_country, ca_state, ca_county)""".stripMargin,
+    "q_tpcds_q58" ->
+      s"""WITH dd AS (
+         | SELECT d_date_sk FROM ${P("date_dim")}
+         | WHERE d_month_seq = (SELECT d_month_seq FROM ${P("date_dim")}
+         |                      WHERE d_date = DATE '2000-03-03')),
+         |s AS (SELECT i_item_id AS ss_id, sum(ss_ext_sales_price) AS ss_rev
+         | FROM ${P("store_sales")} JOIN dd ON ss_sold_date_sk = d_date_sk
+         | JOIN ${P("item")} ON ss_item_sk = i_item_sk GROUP BY 1),
+         |c AS (SELECT i_item_id AS cs_id, sum(cs_ext_sales_price) AS cs_rev
+         | FROM ${P("catalog_sales")} JOIN dd ON cs_sold_date_sk = d_date_sk
+         | JOIN ${P("item")} ON cs_item_sk = i_item_sk GROUP BY 1),
+         |w AS (SELECT i_item_id AS ws_id, sum(ws_ext_sales_price) AS ws_rev
+         | FROM ${P("web_sales")} JOIN dd ON ws_sold_date_sk = d_date_sk
+         | JOIN ${P("item")} ON ws_item_sk = i_item_sk GROUP BY 1)
+         |SELECT ss_id AS item_id,
+         | CAST(ss_rev AS DOUBLE) AS ss_item_rev,
+         | CAST(ss_rev AS DOUBLE) / (CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0)
+         |  * 100.0 AS ss_dev,
+         | CAST(cs_rev AS DOUBLE) AS cs_item_rev,
+         | CAST(cs_rev AS DOUBLE) / (CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0)
+         |  * 100.0 AS cs_dev,
+         | CAST(ws_rev AS DOUBLE) AS ws_item_rev,
+         | CAST(ws_rev AS DOUBLE) / (CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0)
+         |  * 100.0 AS ws_dev,
+         | CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 AS average
+         |FROM s JOIN c ON ss_id = cs_id JOIN w ON ss_id = ws_id
+         |WHERE CAST(ss_rev AS DOUBLE) >=
+         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 0.7
+         | AND CAST(ss_rev AS DOUBLE) <=
+         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 1.3
+         | AND CAST(cs_rev AS DOUBLE) >=
+         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 0.7
+         | AND CAST(cs_rev AS DOUBLE) <=
+         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 1.3
+         | AND CAST(ws_rev AS DOUBLE) >=
+         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 0.7
+         | AND CAST(ws_rev AS DOUBLE) <=
+         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 1.3""".stripMargin,
+    "q_tpcds_q83" ->
+      s"""WITH dd AS (
+         | SELECT d_date_sk FROM ${P("date_dim")}
+         | WHERE d_moy IN (SELECT DISTINCT d_moy FROM ${P("date_dim")}
+         |   WHERE d_date IN (DATE '2000-01-17', DATE '2000-06-16',
+         |                    DATE '2000-11-14'))),
+         |s AS (SELECT i_item_id AS sr_id,
+         |  CAST(sum(sr_return_quantity) AS BIGINT) AS sr_qty
+         | FROM ${P("store_returns")} JOIN dd ON sr_returned_date_sk = d_date_sk
+         | JOIN ${P("item")} ON sr_item_sk = i_item_sk GROUP BY 1),
+         |c AS (SELECT i_item_id AS cr_id,
+         |  CAST(sum(cr_return_quantity) AS BIGINT) AS cr_qty
+         | FROM ${P("catalog_returns")} JOIN dd ON cr_returned_date_sk = d_date_sk
+         | JOIN ${P("item")} ON cr_item_sk = i_item_sk GROUP BY 1),
+         |w AS (SELECT i_item_id AS wr_id,
+         |  CAST(sum(wr_return_quantity) AS BIGINT) AS wr_qty
+         | FROM ${P("web_returns")} JOIN dd ON wr_returned_date_sk = d_date_sk
+         | JOIN ${P("item")} ON wr_item_sk = i_item_sk GROUP BY 1)
+         |SELECT sr_id AS item_id,
+         | sr_qty, CAST(sr_qty AS DOUBLE) /
+         |  (CAST(sr_qty + cr_qty + wr_qty AS DOUBLE) / 3.0) * 100.0 AS sr_dev,
+         | cr_qty, CAST(cr_qty AS DOUBLE) /
+         |  (CAST(sr_qty + cr_qty + wr_qty AS DOUBLE) / 3.0) * 100.0 AS cr_dev,
+         | wr_qty, CAST(wr_qty AS DOUBLE) /
+         |  (CAST(sr_qty + cr_qty + wr_qty AS DOUBLE) / 3.0) * 100.0 AS wr_dev,
+         | CAST(sr_qty + cr_qty + wr_qty AS DOUBLE) / 3.0 AS average
+         |FROM s JOIN c ON sr_id = cr_id JOIN w ON sr_id = wr_id""".stripMargin,
+    "q_tpcds_q80" ->
+      s"""WITH ssr AS (
+         | SELECT 'store channel' AS channel, s_store_id AS id,
+         |  sum(ss_ext_sales_price) AS sales,
+         |  sum(COALESCE(sr_return_amt, 0)) AS returns,
+         |  sum(ss_net_profit - COALESCE(sr_net_loss, 0)) AS profit
+         | FROM ${P("store_sales")}
+         | JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         | LEFT JOIN ${P("store_returns")} ON ss_ticket_number = sr_ticket_number
+         |  AND ss_item_sk = sr_item_sk
+         | JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         | WHERE d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+         |  AND ss_item_sk IN (SELECT i_item_sk FROM ${P("item")}
+         |                     WHERE i_current_price > 50)
+         |  AND ss_promo_sk IN (SELECT p_promo_sk FROM ${P("promotion")}
+         |                      WHERE p_channel_tv = 'N')
+         | GROUP BY 2),
+         |csr AS (
+         | SELECT 'catalog channel' AS channel, cp_catalog_page_id AS id,
+         |  sum(cs_ext_sales_price) AS sales,
+         |  sum(COALESCE(cr_return_amount, 0)) AS returns,
+         |  sum(cs_net_profit - COALESCE(cr_net_loss, 0)) AS profit
+         | FROM ${P("catalog_sales")}
+         | JOIN ${P("date_dim")} ON cs_sold_date_sk = d_date_sk
+         | LEFT JOIN ${P("catalog_returns")} ON cs_order_number = cr_order_number
+         |  AND cs_item_sk = cr_item_sk
+         | JOIN ${P("catalog_page")} ON cs_catalog_page_sk = cp_catalog_page_sk
+         | WHERE d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+         |  AND cs_item_sk IN (SELECT i_item_sk FROM ${P("item")}
+         |                     WHERE i_current_price > 50)
+         |  AND cs_promo_sk IN (SELECT p_promo_sk FROM ${P("promotion")}
+         |                      WHERE p_channel_tv = 'N')
+         | GROUP BY 2),
+         |wsr AS (
+         | SELECT 'web channel' AS channel, web_site_id AS id,
+         |  sum(ws_ext_sales_price) AS sales,
+         |  sum(COALESCE(wr_return_amt, 0)) AS returns,
+         |  sum(ws_net_profit - COALESCE(wr_net_loss, 0)) AS profit
+         | FROM ${P("web_sales")}
+         | JOIN ${P("date_dim")} ON ws_sold_date_sk = d_date_sk
+         | LEFT JOIN ${P("web_returns")} ON ws_order_number = wr_order_number
+         |  AND ws_item_sk = wr_item_sk
+         | JOIN ${P("web_site")} ON ws_web_site_sk = web_site_sk
+         | WHERE d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+         |  AND ws_item_sk IN (SELECT i_item_sk FROM ${P("item")}
+         |                     WHERE i_current_price > 50)
+         |  AND ws_promo_sk IN (SELECT p_promo_sk FROM ${P("promotion")}
+         |                      WHERE p_channel_tv = 'N')
+         | GROUP BY 2)
+         |SELECT channel, id, CAST(sum(sales) AS DOUBLE) AS sales,
+         | CAST(sum(returns) AS DOUBLE) AS returns,
+         | CAST(sum(profit) AS DOUBLE) AS profit
+         |FROM (SELECT * FROM ssr UNION ALL SELECT * FROM csr
+         |      UNION ALL SELECT * FROM wsr) u
+         |GROUP BY ROLLUP(channel, id)""".stripMargin)
 
   /** Oracle body shared by Q98's channel twins Q12/Q20 (Q98 predates the
     * helper and keeps its d_year form). */
@@ -5174,5 +5461,8 @@ object Tpcds {
     "q_tpcds_q67" -> q_tpcds_q67,
     "q_tpcds_q4" -> q_tpcds_q4,
     "q_tpcds_q74" -> q_tpcds_q74,
-    "q_tpcds_q18" -> q_tpcds_q18)
+    "q_tpcds_q18" -> q_tpcds_q18,
+    "q_tpcds_q58" -> q_tpcds_q58,
+    "q_tpcds_q83" -> q_tpcds_q83,
+    "q_tpcds_q80" -> q_tpcds_q80)
 }
