@@ -3471,6 +3471,208 @@ object Tpcds {
         sum(col("profit")).cast(DoubleType).as("profit"))
   }
 
+  /** [Q-tpcds-q23] TPC-DS Q23 shape: cross-channel spend on FREQUENT items
+    * by the BEST store customers in one month — the two-CTE gauntlet.
+    * Frequent items and best customers are store-history aggregates over a
+    * 4-year window; the month's catalog+web lines are gated by both sets
+    * and summed to one row. Adapted thresholds: the published "sold >4
+    * times per day" item gate is empty under verification-scale density,
+    * so frequency is counted per item over the window (>125); the best-
+    * customer gate drops from 95% to 50% of the max spender (61 of 1000
+    * qualify vs 0). Plan: two customer/item-keyed aggregates; the 1-row
+    * max attaches to the spend aggregate by a broadcast HASH join on a
+    * nullable-derived key (never a nested loop); the month facts stream
+    * through two broadcast semis and collapse map-side to one row. */
+  def q_tpcds_q23(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd4 = t(spark, dir, "date_dim")
+      .filter(col("d_year").between(1999, 2002)).select("d_date_sk")
+    val freq = t(spark, dir, "store_sales")
+      .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ss_item_sk").as("freq_item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 125).select("freq_item")
+    val spend = t(spark, dir, "store_sales")
+      .filter(col("ss_customer_sk").isNotNull)
+      .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ss_customer_sk").as("cust"))
+      .agg(sum(col("ss_quantity") * col("ss_sales_price")).as("ssales"))
+    val mx = spend.agg(max(col("ssales")).as("mx"))
+      .withColumn("jk", coalesce(col("mx") * 0, lit(0)).cast(
+        org.apache.spark.sql.types.IntegerType))
+    val best = spend
+      .withColumn("jk", coalesce(col("ssales") * 0, lit(0)).cast(
+        org.apache.spark.sql.types.IntegerType))
+      .join(broadcast(mx), Seq("jk"))
+      .filter(col("ssales").cast(DoubleType) >
+        col("mx").cast(DoubleType) * 0.5)
+      .select(col("cust").as("best_cust"))
+    val ddm = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_moy") === 3)
+      .select(col("d_date_sk").as("m_date_sk"))
+    def monthLines(fact: String, dateCol: String, itemCol: String,
+                   custCol: String, qty: String, price: String) =
+      t(spark, dir, fact)
+        .join(broadcast(ddm), col(dateCol) === col("m_date_sk"))
+        .join(freq, col(itemCol) === col("freq_item"), "left_semi")
+        .join(best, col(custCol) === col("best_cust"), "left_semi")
+        .select((col(qty) * col(price)).as("amt"))
+    monthLines("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+      "cs_bill_customer_sk", "cs_quantity", "cs_list_price")
+      .union(monthLines("web_sales", "ws_sold_date_sk", "ws_item_sk",
+        "ws_bill_customer_sk", "ws_quantity", "ws_list_price"))
+      .agg(sum(col("amt")).cast(DoubleType).as("sum_sales"))
+  }
+
+  /** [Q-tpcds-q24] TPC-DS Q24 shape: who returns expensive colored goods
+    * bought NEAR HOME — net paid per (customer, store) over store lines
+    * with a matching return, where the customer's address zip matches the
+    * store's and the birth country differs from the (word-salad) address
+    * country, kept when a color slice's total beats 5% of the all-colors
+    * average. Adapted: the published exact s_zip = ca_zip leaves ~13 rows
+    * at verification scale, so locality is the 2-digit zip PREFIX over
+    * the generator's shared 100-zip domain (Q8/Q19's zip-prefix
+    * precedent); the single published color becomes a 4-color slice.
+    * Plan: one (ticket, item) fact⋈fact shuffle; store/item broadcast;
+    * customer and address customer-keyed; the all-colors average attaches
+    * by the nullable-derived-key broadcast hash join. */
+  def q_tpcds_q24(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val st = t(spark, dir, "store")
+      .filter(col("s_market_id").between(1, 5000))
+      .select("s_store_sk", "s_store_name", "s_state", "s_zip")
+    val cust = t(spark, dir, "customer").select(
+      "c_customer_sk", "c_last_name", "c_first_name", "c_birth_country",
+      "c_current_addr_sk")
+    val ca = t(spark, dir, "customer_address").select(
+      "ca_address_sk", "ca_state", "ca_country", "ca_zip")
+    val it = t(spark, dir, "item").select(
+      "i_item_sk", "i_color", "i_current_price", "i_manager_id", "i_units",
+      "i_size")
+    val ssales = t(spark, dir, "store_sales")
+      .select("ss_ticket_number", "ss_item_sk", "ss_customer_sk",
+        "ss_store_sk", "ss_net_paid")
+      .join(t(spark, dir, "store_returns")
+          .select("sr_ticket_number", "sr_item_sk"),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .join(cust, col("ss_customer_sk") === col("c_customer_sk"))
+      .join(ca, col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .filter(col("c_birth_country") =!= upper(col("ca_country")) &&
+        substring(col("s_zip"), 1, 2) === substring(col("ca_zip"), 1, 2))
+      .groupBy(col("c_last_name"), col("c_first_name"), col("s_store_name"),
+        col("ca_state"), col("s_state"), col("i_color"),
+        col("i_current_price"), col("i_manager_id"), col("i_units"),
+        col("i_size"))
+      .agg(sum(col("ss_net_paid")).as("netpaid"))
+    val thr = ssales
+      .agg(sum(col("netpaid")).as("tot"), count(lit(1)).as("n"))
+      .withColumn("jk", coalesce(col("tot") * 0, lit(0)).cast(
+        org.apache.spark.sql.types.IntegerType))
+    ssales
+      .filter(col("i_color").isin("chiffon", "blush", "coral", "azure"))
+      .groupBy(col("c_last_name"), col("c_first_name"), col("s_store_name"))
+      .agg(sum(col("netpaid")).as("paid"))
+      .withColumn("jk", coalesce(col("paid") * 0, lit(0)).cast(
+        org.apache.spark.sql.types.IntegerType))
+      .join(broadcast(thr), Seq("jk"))
+      .filter(col("paid").cast(DoubleType) >
+        lit(0.05) * (col("tot").cast(DoubleType) / col("n")))
+      .select(col("c_last_name"), col("c_first_name"), col("s_store_name"),
+        col("paid").cast(DoubleType).as("paid"))
+  }
+
+  /** [Q-tpcds-q64] TPC-DS Q64 shape: the cross-channel repeat-sale monster
+    * — returned store lines of catalog-healthy items (catalog list-price
+    * revenue > 2× catalog refunds on the (order, item) linkage), enriched
+    * through customer / both demographics (marital status changed since
+    * purchase) / first-sale+first-ship date FKs / current address, rolled
+    * up per (product, item, store, zip, year) and self-paired across two
+    * years on (item, store, zip) where the later year sold no more than
+    * the earlier. Adapted: color and price slices widened to generator
+    * domains; the published hd/ib/promotion legs are trimmed (no income-
+    * band arithmetic in the generator). Plan: cs_ui and ss⋈sr are the two
+    * (order/ticket, item)-keyed fact shuffles; the year pivot is ONE
+    * conditional aggregate (not two scans); demographics/store/item/date
+    * broadcast, customer+address customer-keyed. */
+  def q_tpcds_q64(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val refund = col("cr_refunded_cash") + col("cr_reversed_charge") +
+      col("cr_store_credit")
+    val csui = t(spark, dir, "catalog_sales")
+      .select("cs_order_number", "cs_item_sk", "cs_ext_list_price")
+      .join(t(spark, dir, "catalog_returns")
+          .select(col("cr_order_number"), col("cr_item_sk"),
+            refund.as("refund")),
+        col("cs_order_number") === col("cr_order_number") &&
+          col("cs_item_sk") === col("cr_item_sk"))
+      .groupBy(col("cs_item_sk").as("ui_item"))
+      .agg(sum(col("cs_ext_list_price")).as("s"), sum(col("refund")).as("r"))
+      .filter(col("s") > col("r") * 2).select("ui_item")
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year").isin(2000, 2001)).select("d_date_sk", "d_year")
+    val dref = t(spark, dir, "date_dim").select(col("d_date_sk").as("dr_sk"))
+    val it = t(spark, dir, "item")
+      .filter(col("i_color").isin("chiffon", "blush", "coral", "azure",
+        "almond", "antique", "aquamarine", "beige") &&
+        col("i_current_price").between(50, 600))
+      .select("i_item_sk", "i_product_name")
+    val st = t(spark, dir, "store")
+      .select("s_store_sk", "s_store_name", "s_zip")
+    val cd1 = t(spark, dir, "customer_demographics")
+      .select(col("cd_demo_sk").as("cd1_sk"), col("cd_marital_status").as("ms1"))
+    val cd2 = t(spark, dir, "customer_demographics")
+      .select(col("cd_demo_sk").as("cd2_sk"), col("cd_marital_status").as("ms2"))
+    val cust = t(spark, dir, "customer").select(
+      "c_customer_sk", "c_current_cdemo_sk", "c_current_addr_sk",
+      "c_first_sales_date_sk", "c_first_shipto_date_sk")
+    val ca = t(spark, dir, "customer_address")
+      .select(col("ca_address_sk"))
+    val base = t(spark, dir, "store_sales")
+      .select("ss_ticket_number", "ss_item_sk", "ss_customer_sk",
+        "ss_cdemo_sk", "ss_store_sk", "ss_sold_date_sk", "ss_wholesale_cost",
+        "ss_list_price", "ss_coupon_amt")
+      .join(t(spark, dir, "store_returns")
+          .select("sr_ticket_number", "sr_item_sk"),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk"))
+      .join(csui, col("ss_item_sk") === col("ui_item"), "left_semi")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(cust, col("ss_customer_sk") === col("c_customer_sk"))
+      .join(broadcast(cd1), col("ss_cdemo_sk") === col("cd1_sk"))
+      .join(broadcast(cd2), col("c_current_cdemo_sk") === col("cd2_sk"))
+      .filter(col("ms1") =!= col("ms2"))
+      .join(broadcast(dref), col("c_first_sales_date_sk") === col("dr_sk"),
+        "left_semi")
+      .join(broadcast(dref), col("c_first_shipto_date_sk") === col("dr_sk"),
+        "left_semi")
+      .join(ca, col("c_current_addr_sk") === col("ca_address_sk"), "left_semi")
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+    def ySum(y: Int, c: String) = sum(when(col("d_year") === y, col(c)))
+    def yCnt(y: Int) = count(when(col("d_year") === y, lit(1)))
+    base.groupBy(col("i_product_name"), col("ss_item_sk").as("item_sk"),
+        col("s_store_name"), col("s_zip"))
+      .agg(yCnt(2000).as("cnt1"), yCnt(2001).as("cnt2"),
+        ySum(2000, "ss_wholesale_cost").as("s1_y1"),
+        ySum(2000, "ss_list_price").as("s2_y1"),
+        ySum(2000, "ss_coupon_amt").as("s3_y1"),
+        ySum(2001, "ss_wholesale_cost").as("s1_y2"),
+        ySum(2001, "ss_list_price").as("s2_y2"),
+        ySum(2001, "ss_coupon_amt").as("s3_y2"))
+      .filter(col("cnt1") > 0 && col("cnt2") > 0 && col("cnt2") <= col("cnt1"))
+      .select(col("i_product_name"), col("item_sk"), col("s_store_name"),
+        col("s_zip"), col("cnt1"), col("cnt2"),
+        col("s1_y1").cast(DoubleType).as("s1_y1"),
+        col("s2_y1").cast(DoubleType).as("s2_y1"),
+        col("s3_y1").cast(DoubleType).as("s3_y1"),
+        col("s1_y2").cast(DoubleType).as("s1_y2"),
+        col("s2_y2").cast(DoubleType).as("s2_y2"),
+        col("s3_y2").cast(DoubleType).as("s3_y2"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -5321,7 +5523,108 @@ object Tpcds {
          | CAST(sum(profit) AS DOUBLE) AS profit
          |FROM (SELECT * FROM ssr UNION ALL SELECT * FROM csr
          |      UNION ALL SELECT * FROM wsr) u
-         |GROUP BY ROLLUP(channel, id)""".stripMargin)
+         |GROUP BY ROLLUP(channel, id)""".stripMargin,
+    "q_tpcds_q23" ->
+      s"""WITH dd4 AS (SELECT d_date_sk FROM ${P("date_dim")}
+         |  WHERE d_year BETWEEN 1999 AND 2002),
+         |freq AS (SELECT ss_item_sk FROM ${P("store_sales")}
+         | JOIN dd4 ON ss_sold_date_sk = d_date_sk
+         | GROUP BY 1 HAVING count(*) > 125),
+         |spend AS (SELECT ss_customer_sk AS cust,
+         |  sum(ss_quantity * ss_sales_price) AS ssales
+         | FROM ${P("store_sales")} JOIN dd4 ON ss_sold_date_sk = d_date_sk
+         | WHERE ss_customer_sk IS NOT NULL GROUP BY 1),
+         |best AS (SELECT cust FROM spend
+         | WHERE CAST(ssales AS DOUBLE) >
+         |  CAST((SELECT max(ssales) FROM spend) AS DOUBLE) * 0.5),
+         |ddm AS (SELECT d_date_sk FROM ${P("date_dim")}
+         | WHERE d_year = 2000 AND d_moy = 3)
+         |SELECT CAST(sum(amt) AS DOUBLE) AS sum_sales FROM (
+         | SELECT cs_quantity * cs_list_price AS amt FROM ${P("catalog_sales")}
+         | JOIN ddm ON cs_sold_date_sk = d_date_sk
+         | WHERE cs_item_sk IN (SELECT ss_item_sk FROM freq)
+         |  AND cs_bill_customer_sk IN (SELECT cust FROM best)
+         | UNION ALL
+         | SELECT ws_quantity * ws_list_price FROM ${P("web_sales")}
+         | JOIN ddm ON ws_sold_date_sk = d_date_sk
+         | WHERE ws_item_sk IN (SELECT ss_item_sk FROM freq)
+         |  AND ws_bill_customer_sk IN (SELECT cust FROM best)) u""".stripMargin,
+    "q_tpcds_q24" ->
+      s"""WITH ssales AS (
+         | SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+         |  i_color, i_current_price, i_manager_id, i_units, i_size,
+         |  sum(ss_net_paid) AS netpaid
+         | FROM ${P("store_sales")}
+         | JOIN ${P("store_returns")} ON ss_ticket_number = sr_ticket_number
+         |  AND ss_item_sk = sr_item_sk
+         | JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         | JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
+         | JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
+         | JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         | WHERE s_market_id BETWEEN 1 AND 5000
+         |  AND c_birth_country <> upper(ca_country)
+         |  AND substr(s_zip, 1, 2) = substr(ca_zip, 1, 2)
+         | GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+         |SELECT c_last_name, c_first_name, s_store_name,
+         | CAST(sum(netpaid) AS DOUBLE) AS paid
+         |FROM ssales
+         |WHERE i_color IN ('chiffon', 'blush', 'coral', 'azure')
+         |GROUP BY 1, 2, 3
+         |HAVING CAST(sum(netpaid) AS DOUBLE) >
+         | (SELECT 0.05 * (CAST(sum(netpaid) AS DOUBLE) / count(*))
+         |  FROM ssales)""".stripMargin,
+    "q_tpcds_q64" ->
+      s"""WITH csui AS (
+         | SELECT cs_item_sk FROM ${P("catalog_sales")}
+         | JOIN ${P("catalog_returns")} ON cs_order_number = cr_order_number
+         |  AND cs_item_sk = cr_item_sk
+         | GROUP BY cs_item_sk
+         | HAVING sum(cs_ext_list_price) >
+         |  2 * sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit)),
+         |base AS (
+         | SELECT i_product_name, ss_item_sk AS item_sk, s_store_name, s_zip,
+         |  d_year, ss_wholesale_cost, ss_list_price, ss_coupon_amt
+         | FROM ${P("store_sales")}
+         | JOIN ${P("store_returns")} ON ss_ticket_number = sr_ticket_number
+         |  AND ss_item_sk = sr_item_sk
+         | JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         | JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
+         | JOIN ${P("customer_demographics")} cd1 ON ss_cdemo_sk = cd1.cd_demo_sk
+         | JOIN ${P("customer_demographics")} cd2
+         |  ON c_current_cdemo_sk = cd2.cd_demo_sk
+         | JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         | JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         | WHERE d_year IN (2000, 2001)
+         |  AND cd1.cd_marital_status <> cd2.cd_marital_status
+         |  AND ss_item_sk IN (SELECT cs_item_sk FROM csui)
+         |  AND c_first_sales_date_sk IN (SELECT d_date_sk FROM ${P("date_dim")})
+         |  AND c_first_shipto_date_sk IN (SELECT d_date_sk FROM ${P("date_dim")})
+         |  AND c_current_addr_sk IN
+         |   (SELECT ca_address_sk FROM ${P("customer_address")})
+         |  AND i_color IN ('chiffon', 'blush', 'coral', 'azure', 'almond',
+         |   'antique', 'aquamarine', 'beige')
+         |  AND i_current_price BETWEEN 50 AND 600)
+         |SELECT i_product_name, item_sk, s_store_name, s_zip,
+         | count(CASE WHEN d_year = 2000 THEN 1 END) AS cnt1,
+         | count(CASE WHEN d_year = 2001 THEN 1 END) AS cnt2,
+         | CAST(sum(CASE WHEN d_year = 2000 THEN ss_wholesale_cost END)
+         |  AS DOUBLE) AS s1_y1,
+         | CAST(sum(CASE WHEN d_year = 2000 THEN ss_list_price END)
+         |  AS DOUBLE) AS s2_y1,
+         | CAST(sum(CASE WHEN d_year = 2000 THEN ss_coupon_amt END)
+         |  AS DOUBLE) AS s3_y1,
+         | CAST(sum(CASE WHEN d_year = 2001 THEN ss_wholesale_cost END)
+         |  AS DOUBLE) AS s1_y2,
+         | CAST(sum(CASE WHEN d_year = 2001 THEN ss_list_price END)
+         |  AS DOUBLE) AS s2_y2,
+         | CAST(sum(CASE WHEN d_year = 2001 THEN ss_coupon_amt END)
+         |  AS DOUBLE) AS s3_y2
+         |FROM base
+         |GROUP BY 1, 2, 3, 4
+         |HAVING count(CASE WHEN d_year = 2000 THEN 1 END) > 0
+         | AND count(CASE WHEN d_year = 2001 THEN 1 END) > 0
+         | AND count(CASE WHEN d_year = 2001 THEN 1 END) <=
+         |     count(CASE WHEN d_year = 2000 THEN 1 END)""".stripMargin)
 
   /** Oracle body shared by Q98's channel twins Q12/Q20 (Q98 predates the
     * helper and keeps its d_year form). */
@@ -5464,5 +5767,8 @@ object Tpcds {
     "q_tpcds_q18" -> q_tpcds_q18,
     "q_tpcds_q58" -> q_tpcds_q58,
     "q_tpcds_q83" -> q_tpcds_q83,
-    "q_tpcds_q80" -> q_tpcds_q80)
+    "q_tpcds_q80" -> q_tpcds_q80,
+    "q_tpcds_q23" -> q_tpcds_q23,
+    "q_tpcds_q24" -> q_tpcds_q24,
+    "q_tpcds_q64" -> q_tpcds_q64)
 }
