@@ -38,8 +38,10 @@ object TpchGen extends Benchmark {
   /** Generated-content version for marker-gated caches
     * ([[graft.ops.TpchFull]] via [[GenCache]]): bump when generation
     * semantics change so caches regenerate instead of serving stale
-    * content. v1: initial full-schema generation. */
-  val genVersion = 1
+    * content. v1: initial full-schema generation. v2: o_custkey skips
+    * custkeys divisible by 3 (dbgen 4.2.3 — a third of customers never
+    * order; published Q22's NOT EXISTS cohort is empty without it). */
+  val genVersion = 2
   def tableNames: Seq[String] = TpchSchemas.tableNames
   def tableExt: String = TpchSchemas.tableExt
   def schema(table: String): StructType = TpchSchemas(table)
@@ -175,7 +177,14 @@ object TpchGen extends Benchmark {
         val drv = TpchOrderDerived.column(col("id"), P)
         base(n("orders")).select(col("id"), drv.as("drv"))
           .select(key(col("id")).as("o_orderkey"),
-          (pmod(h(113), lit(C)) + 1).as("o_custkey"),
+          // dbgen never assigns orders to custkeys divisible by 3 (spec
+          // 4.2.3): draw uniformly over the 2C/3 valid keys and map
+          // u → (u div 2)*3 + (u mod 2) + 1, hitting exactly 1,2,4,5,7,…
+          {
+            val u = pmod(h(113), lit(C - C / 3))
+            (floor(u / lit(2)).cast(LongType) * 3 + pmod(u, lit(2)) + 1)
+              .as("o_custkey")
+          },
           when(col("drv.n_open") === col("drv.n_lines"), "O")
             .when(col("drv.n_open") === 0, "F")
             .otherwise("P").as("o_orderstatus"),

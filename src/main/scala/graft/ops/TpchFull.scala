@@ -258,6 +258,86 @@ object TpchFull {
       .limit(100)
   }
 
+  /** [Q-tpch-q17-full] TPC-H Q17 with the PUBLISHED part slice (Brand#23,
+    * MED BOX) — the published-predicate twin of the fixture-adapted
+    * [[Tpch.q_tpch_q17]] (the fixture has no p_container). Same
+    * decorrelation: the per-part 20%-of-average quantity threshold is a
+    * keyed aggregate joined back on partkey; the filtered part dim
+    * broadcasts into both the aggregate and the probe so lineitem is
+    * sliced before either shuffle. One final DOUBLE division by 7.0. */
+  def q_tpch_q17_full(s: SparkSession, d: String): DataFrame = {
+    val dir = ensure(s, d)
+    val pf = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23" && col("p_container") === "MED BOX")
+      .select("p_partkey")
+    val li = t(s, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"), "left_semi")
+    val thr = li.groupBy(col("l_partkey").as("t_key"))
+      .agg((sum(col("l_quantity")).cast(D) / count(col("l_quantity")) * 0.2)
+        .as("t_avg"))
+    li.join(thr, col("l_partkey") === col("t_key"))
+      .filter(col("l_quantity").cast(D) < col("t_avg"))
+      .agg((sum(col("l_extendedprice")).cast(D) / 7.0).as("avg_yearly"))
+  }
+
+  /** [Q-tpch-q19-full] TPC-H Q19 with the PUBLISHED three-branch
+    * disjunction (brand × container-class × quantity band × size band ×
+    * air shipping, in person) — the twin of the fixture-adapted
+    * [[Tpch.q_tpch_q19]]. One adapted literal: the published 'AIR REG'
+    * mode is 'REG AIR' in the generated domain (dbgen's actual mode
+    * list). Catalyst keeps the partkey equi-join, pushes the
+    * mode/instruct conjuncts shared by every branch into the lineitem
+    * scan, and evaluates the disjunctive residue post-join. */
+  def q_tpch_q19_full(s: SparkSession, d: String): DataFrame = {
+    val dir = ensure(s, d)
+    def branch(brand: String, containers: Seq[String], qlo: Int, qhi: Int,
+               szHi: Int) =
+      col("p_brand") === brand && col("p_container").isin(containers: _*) &&
+        col("l_quantity") >= qlo && col("l_quantity") <= qhi &&
+        col("p_size").between(1, szHi)
+    t(s, dir, "lineitem")
+      .filter(col("l_shipmode").isin("AIR", "REG AIR") &&
+        col("l_shipinstruct") === "DELIVER IN PERSON")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(t(s, dir, "part")
+          .select("p_partkey", "p_brand", "p_container", "p_size")),
+        col("p_partkey") === col("l_partkey"))
+      .filter(
+        branch("Brand#12", Seq("SM CASE", "SM BOX", "SM PACK", "SM PKG"), 1, 11, 5) ||
+        branch("Brand#23", Seq("MED BAG", "MED BOX", "MED PKG", "MED PACK"), 10, 20, 10) ||
+        branch("Brand#34", Seq("LG CASE", "LG BOX", "LG PACK", "LG PKG"), 20, 30, 15))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(D).as("revenue"))
+  }
+
+  /** [Q-tpch-q22-full] TPC-H Q22 with the PUBLISHED phone-prefix country
+    * codes — the twin of the fixture-adapted [[Tpch.q_tpch_q22]] (the
+    * fixture has no c_phone; the generated one carries the spec's
+    * 'CC-nnn-nnn-nnnn' shape). Positive-balance average over the 7-code
+    * cohort attaches as a 1-row broadcast HASH join on a nullable-derived
+    * key; NOT EXISTS folds to LEFT ANTI on the customer key. */
+  def q_tpch_q22_full(s: SparkSession, d: String): DataFrame = {
+    val dir = ensure(s, d)
+    val codes = Seq("13", "31", "23", "29", "30", "18", "17")
+    val cohort = t(s, dir, "customer")
+      .withColumn("cntrycode", substring(col("c_phone"), 1, 2))
+      .filter(col("cntrycode").isin(codes: _*))
+      .select("c_custkey", "c_acctbal", "cntrycode")
+    val avgBal = cohort.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal")).cast(D) / count(col("c_acctbal"))).as("ab"))
+      .withColumn("jk", coalesce(col("ab") * 0, lit(0)).cast(IntegerType))
+    cohort
+      .withColumn("jk", coalesce(col("c_acctbal") * 0, lit(0)).cast(IntegerType))
+      .join(broadcast(avgBal), Seq("jk"))
+      .filter(col("c_acctbal").cast(D) > col("ab"))
+      .join(t(s, dir, "orders").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal")).cast(D).as("totacctbal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q2" -> q_tpch_q2,
     "q_tpch_q9" -> q_tpch_q9,
@@ -266,7 +346,10 @@ object TpchFull {
     "q_tpch_q20" -> q_tpch_q20,
     "q_tpch_q12" -> q_tpch_q12,
     "q_tpch_q4_full" -> q_tpch_q4_full,
-    "q_tpch_q21_full" -> q_tpch_q21_full)
+    "q_tpch_q21_full" -> q_tpch_q21_full,
+    "q_tpch_q17_full" -> q_tpch_q17_full,
+    "q_tpch_q19_full" -> q_tpch_q19_full,
+    "q_tpch_q22_full" -> q_tpch_q22_full)
 
   val oracle: Map[String, String] = Map(
     "q_tpch_q2" ->
@@ -361,5 +444,47 @@ object TpchFull {
          |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
          |   AND l3.l_receiptdate > l3.l_commitdate)
          | AND s_nationkey = n_nationkey AND n_name = 'SAUDI ARABIA'
-         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    // the oracle keeps the published CORRELATED per-part average
+    "q_tpch_q17_full" ->
+      s"""SELECT CAST(sum(l_extendedprice) AS DOUBLE) / 7.0 AS avg_yearly
+         |FROM ${P("lineitem")} l1, ${P("part")}
+         |WHERE p_partkey = l1.l_partkey AND p_brand = 'Brand#23'
+         | AND p_container = 'MED BOX'
+         | AND CAST(l1.l_quantity AS DOUBLE) < (
+         |  SELECT CAST(sum(l2.l_quantity) AS DOUBLE) / count(l2.l_quantity) * 0.2
+         |  FROM ${P("lineitem")} l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q_tpch_q19_full" ->
+      s"""SELECT CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+         |FROM ${P("lineitem")}, ${P("part")}
+         |WHERE p_partkey = l_partkey
+         | AND l_shipmode IN ('AIR', 'REG AIR')
+         | AND l_shipinstruct = 'DELIVER IN PERSON'
+         | AND ((p_brand = 'Brand#12'
+         |   AND p_container IN ('SM CASE', 'SM BOX', 'SM PACK', 'SM PKG')
+         |   AND l_quantity >= 1 AND l_quantity <= 11
+         |   AND p_size BETWEEN 1 AND 5)
+         |  OR (p_brand = 'Brand#23'
+         |   AND p_container IN ('MED BAG', 'MED BOX', 'MED PKG', 'MED PACK')
+         |   AND l_quantity >= 10 AND l_quantity <= 20
+         |   AND p_size BETWEEN 1 AND 10)
+         |  OR (p_brand = 'Brand#34'
+         |   AND p_container IN ('LG CASE', 'LG BOX', 'LG PACK', 'LG PKG')
+         |   AND l_quantity >= 20 AND l_quantity <= 30
+         |   AND p_size BETWEEN 1 AND 15))""".stripMargin,
+    "q_tpch_q22_full" ->
+      s"""SELECT cntrycode, count(*) AS numcust,
+         | CAST(sum(c_acctbal) AS DOUBLE) AS totacctbal
+         |FROM (
+         | SELECT substr(c_phone, 1, 2) AS cntrycode, c_acctbal, c_custkey
+         | FROM ${P("customer")}
+         | WHERE substr(c_phone, 1, 2) IN ('13','31','23','29','30','18','17')
+         |  AND CAST(c_acctbal AS DOUBLE) > (
+         |   SELECT CAST(sum(c_acctbal) AS DOUBLE) / count(c_acctbal)
+         |   FROM ${P("customer")}
+         |   WHERE c_acctbal > 0
+         |    AND substr(c_phone, 1, 2) IN ('13','31','23','29','30','18','17'))
+         |  AND NOT EXISTS (SELECT 1 FROM ${P("orders")}
+         |   WHERE o_custkey = c_custkey)) c
+         |GROUP BY cntrycode""".stripMargin)
 }

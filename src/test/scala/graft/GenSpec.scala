@@ -45,6 +45,20 @@ class GenSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0, "duplicate line numbers")
   }
 
+  test("o_custkey skips custkeys divisible by 3 (dbgen 4.2.3) but covers the rest") {
+    import org.apache.spark.sql.functions._
+    val sf = 0.001
+    val o = TpchGen.table(spark, "orders", sf, 2)
+    assert(o.filter(pmod(col("o_custkey"), lit(3)) === 0).count() == 0,
+      "an order landed on a custkey divisible by 3")
+    val c = TpchGen.table(spark, "customer", sf, 2).count()
+    // in-range, and the valid 2/3 of the key space is actually drawn from
+    assert(o.filter(col("o_custkey") < 1 || col("o_custkey") > c).count() == 0)
+    val distinct = o.select("o_custkey").distinct().count()
+    assert(distinct > (c - c / 3) / 2,
+      s"only $distinct of ${c - c / 3} valid custkeys ever order")
+  }
+
   test("o_totalprice equals the order's lineitem charge sum exactly") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType

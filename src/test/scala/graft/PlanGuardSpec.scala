@@ -338,6 +338,50 @@ class PlanGuardSpec extends AnyFunSuite {
       s"Q32 manufact band not pushed:\n$q32")
   }
 
+  test("99-completion wave: one-pass year pivots, hashed scalar attaches, PK returns joins") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def fmt(name: String): String =
+      SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // formatted explain lists each scan's path on its "Location:" detail line
+    def factScans(plan: String, table: String): Int =
+      plan.linesIterator.count(l => l.contains("Location") && l.contains(s"/$table.parquet"))
+    // Q4/Q74: the year-over-year totals are ONE conditional aggregate per
+    // channel — each fact scanned once, never once per year
+    val q4 = fmt("q_tpcds_q4")
+    for (fact <- Seq("store_sales", "catalog_sales", "web_sales"))
+      assert(factScans(q4, fact) == 1, s"Q4 scans $fact more than once:\n$q4")
+    val q74 = fmt("q_tpcds_q74")
+    assert(factScans(q74, "store_sales") == 1 && factScans(q74, "web_sales") == 1,
+      s"Q74 year pivot re-scans a fact:\n$q74")
+    // Q64: the year pair comes from one conditional aggregate over one
+    // store_sales pass (not a per-year self-join of two scans)
+    val q64 = fmt("q_tpcds_q64")
+    assert(factScans(q64, "store_sales") == 1, s"Q64 re-scans store_sales:\n$q64")
+    assert(q64.contains("sr_ticket_number") && q64.contains("cr_order_number"),
+      s"Q64 lost a (order/ticket, item) PK join:\n$q64")
+    // Q23/Q24: the 1-row scalar (max spend / all-colors average) attaches
+    // by a broadcast HASH join on the derived key — the global no-nested-
+    // loop sweep keeps it honest; here assert the key survives
+    assert(fmt("q_tpcds_q23").contains("jk"), "Q23 scalar attach key folded away")
+    assert(fmt("q_tpcds_q24").contains("jk"), "Q24 threshold attach key folded away")
+    // Q80: all three channels join returns at the line grain on their
+    // (order/ticket, item) PKs, then union into one rollup
+    val q80 = fmt("q_tpcds_q80")
+    assert(q80.contains("sr_ticket_number") && q80.contains("cr_order_number")
+      && q80.contains("wr_order_number"), s"Q80 lost a returns PK join:\n$q80")
+    assert(q80.contains("Union") && q80.contains("Expand"),
+      s"Q80 lost its channel union/rollup:\n$q80")
+    // Q58: the anchor month resolves via the broadcast month-seq lookup
+    val q58 = fmt("q_tpcds_q58")
+    assert(q58.contains("d_month_seq") && q58.contains("BroadcastHashJoin"),
+      s"Q58 anchor derivation not broadcast:\n$q58")
+    // Q18: geography rollup over broadcast demographics
+    val q18 = fmt("q_tpcds_q18")
+    assert(q18.contains("Expand") && q18.contains("BroadcastHashJoin"),
+      s"Q18 rollup/broadcast shape lost:\n$q18")
+  }
+
   test("q_win_rank2 slices by deterministic data buckets, not by the 5-value key") {
     import org.apache.spark.sql.execution.ExplainMode
     val plan = SparkEntry.queries("q_win_rank2")(spark, TestSpark.sf0001)
