@@ -3673,6 +3673,108 @@ object Tpcds {
         col("s3_y2").cast(DoubleType).as("s3_y2"))
   }
 
+  /** [Q-tpcds-q14b] TPC-DS Q14's SECOND iteration: store sales of
+    * cross-channel items at the (brand, class, category) grain, this year's
+    * month against the same month last year, keeping cells that grew.
+    * Reuses Q14's one-aggregate-per-channel cross-channel item set; the
+    * two calendar windows resolve from anchor dates by Q58's nested
+    * month-seq derivation (published week grain → month, the documented
+    * density adaptation), and the year pair is ONE conditional aggregate
+    * over ONE store_sales pass — not a CTE self-join of two scans. */
+  def q_tpcds_q14b(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    def itemSet(fact: String, pfx: String) =
+      t(spark, dir, fact).select(col(s"${pfx}_item_sk").as(s"${pfx}_i")).distinct()
+    val cross = itemSet("store_sales", "ss")
+      .join(itemSet("catalog_sales", "cs"), col("ss_i") === col("cs_i"), "left_semi")
+      .join(itemSet("web_sales", "ws"), col("ss_i") === col("ws_i"), "left_semi")
+      .select(col("ss_i").as("x_item"))
+    def monthOf(date: String, mark: String) =
+      t(spark, dir, "date_dim")
+        .filter(col("d_date") === to_date(lit(date)))
+        .select(col("d_month_seq").as(mark))
+    val dd = t(spark, dir, "date_dim")
+      .join(broadcast(monthOf("2001-12-11", "ty_seq")),
+        col("d_month_seq") === col("ty_seq"), "left_semi")
+      .select(col("d_date_sk"), lit(1).as("is_ty"))
+      .union(t(spark, dir, "date_dim")
+        .join(broadcast(monthOf("2000-12-11", "ly_seq")),
+          col("d_month_seq") === col("ly_seq"), "left_semi")
+        .select(col("d_date_sk"), lit(0).as("is_ty")))
+    val it = t(spark, dir, "item")
+      .select("i_item_sk", "i_brand_id", "i_class_id", "i_category_id")
+    val ty = col("is_ty") === 1
+    t(spark, dir, "store_sales")
+      .select("ss_sold_date_sk", "ss_item_sk", "ss_quantity", "ss_list_price")
+      .join(cross, col("ss_item_sk") === col("x_item"), "left_semi")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_brand_id"), col("i_class_id"), col("i_category_id"))
+      .agg(sum(when(ty, col("ss_quantity") * col("ss_list_price"))).as("ty_sales"),
+        count(when(ty, lit(1))).as("ty_number_sales"),
+        sum(when(!ty, col("ss_quantity") * col("ss_list_price"))).as("ly_sales"),
+        count(when(!ty, lit(1))).as("ly_number_sales"))
+      .filter(col("ty_number_sales") > 0 && col("ly_number_sales") > 0 &&
+        col("ty_sales").cast(DoubleType) > col("ly_sales").cast(DoubleType))
+      .select(lit("store").as("channel"), col("i_brand_id"), col("i_class_id"),
+        col("i_category_id"), col("ty_sales").cast(DoubleType).as("ty_sales"),
+        col("ty_number_sales"), col("ly_sales").cast(DoubleType).as("ly_sales"),
+        col("ly_number_sales"))
+  }
+
+  /** [Q-tpcds-q23b] TPC-DS Q23's SECOND iteration: the same frequent-item
+    * × best-customer month of cross-channel purchases, reported PER
+    * CUSTOMER NAME instead of as one corpus total. Reuses Q23's gates
+    * (>125-occurrence items, ≥50%-of-max spenders — the documented
+    * density adaptations) and attaches the buyer's name by a
+    * customer-keyed join; no LIMIT (the published top-100 is a prefix of
+    * a name-ordered list — at the gate scale the full ≤|best| result is
+    * the stabler comparison). */
+  def q_tpcds_q23b(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(spark, sfDir)
+    val dd4 = t(spark, dir, "date_dim")
+      .filter(col("d_year").between(1999, 2002)).select("d_date_sk")
+    val freq = t(spark, dir, "store_sales")
+      .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ss_item_sk").as("freq_item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 125).select("freq_item")
+    val spend = t(spark, dir, "store_sales")
+      .filter(col("ss_customer_sk").isNotNull)
+      .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ss_customer_sk").as("cust"))
+      .agg(sum(col("ss_quantity") * col("ss_sales_price")).as("ssales"))
+    val mx = spend.agg(max(col("ssales")).as("mx"))
+      .withColumn("jk", coalesce(col("mx") * 0, lit(0)).cast(
+        org.apache.spark.sql.types.IntegerType))
+    val best = spend
+      .withColumn("jk", coalesce(col("ssales") * 0, lit(0)).cast(
+        org.apache.spark.sql.types.IntegerType))
+      .join(broadcast(mx), Seq("jk"))
+      .filter(col("ssales").cast(DoubleType) >
+        col("mx").cast(DoubleType) * 0.5)
+      .select(col("cust").as("best_cust"))
+    val ddm = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_moy") === 3)
+      .select(col("d_date_sk").as("m_date_sk"))
+    def monthLines(fact: String, dateCol: String, itemCol: String,
+                   custCol: String, qty: String, price: String) =
+      t(spark, dir, fact)
+        .join(broadcast(ddm), col(dateCol) === col("m_date_sk"))
+        .join(freq, col(itemCol) === col("freq_item"), "left_semi")
+        .join(best, col(custCol) === col("best_cust"), "left_semi")
+        .select(col(custCol).as("buyer"), (col(qty) * col(price)).as("amt"))
+    val cust = t(spark, dir, "customer")
+      .select("c_customer_sk", "c_last_name", "c_first_name")
+    monthLines("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+      "cs_bill_customer_sk", "cs_quantity", "cs_list_price")
+      .union(monthLines("web_sales", "ws_sold_date_sk", "ws_item_sk",
+        "ws_bill_customer_sk", "ws_quantity", "ws_list_price"))
+      .join(cust, col("buyer") === col("c_customer_sk"))
+      .groupBy(col("c_last_name"), col("c_first_name"))
+      .agg(sum(col("amt")).cast(DoubleType).as("sales"))
+  }
+
   /** The one fixture scale whose generated data the static oracle SQL reads.
     * [[graft.Verify]] enforces this structurally: verifying a q_tpcds_* at
     * any other fixture scale fails with an explanatory error instead of an
@@ -5624,7 +5726,69 @@ object Tpcds {
          |HAVING count(CASE WHEN d_year = 2000 THEN 1 END) > 0
          | AND count(CASE WHEN d_year = 2001 THEN 1 END) > 0
          | AND count(CASE WHEN d_year = 2001 THEN 1 END) <=
-         |     count(CASE WHEN d_year = 2000 THEN 1 END)""".stripMargin)
+         |     count(CASE WHEN d_year = 2000 THEN 1 END)""".stripMargin,
+    "q_tpcds_q14b" ->
+      s"""WITH cross_items AS (
+         | SELECT ss_item_sk AS x_item FROM ${P("store_sales")}
+         | WHERE ss_item_sk IN (SELECT cs_item_sk FROM ${P("catalog_sales")})
+         |  AND ss_item_sk IN (SELECT ws_item_sk FROM ${P("web_sales")})
+         | GROUP BY ss_item_sk),
+         |dd AS (
+         | SELECT d_date_sk, 1 AS is_ty FROM ${P("date_dim")}
+         | WHERE d_month_seq = (SELECT d_month_seq FROM ${P("date_dim")}
+         |                      WHERE d_date = DATE '2001-12-11')
+         | UNION ALL
+         | SELECT d_date_sk, 0 FROM ${P("date_dim")}
+         | WHERE d_month_seq = (SELECT d_month_seq FROM ${P("date_dim")}
+         |                      WHERE d_date = DATE '2000-12-11'))
+         |SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+         | CAST(sum(CASE WHEN is_ty = 1 THEN ss_quantity * ss_list_price END)
+         |  AS DOUBLE) AS ty_sales,
+         | count(CASE WHEN is_ty = 1 THEN 1 END) AS ty_number_sales,
+         | CAST(sum(CASE WHEN is_ty = 0 THEN ss_quantity * ss_list_price END)
+         |  AS DOUBLE) AS ly_sales,
+         | count(CASE WHEN is_ty = 0 THEN 1 END) AS ly_number_sales
+         |FROM ${P("store_sales")}
+         |JOIN dd ON ss_sold_date_sk = d_date_sk
+         |JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         |WHERE ss_item_sk IN (SELECT x_item FROM cross_items)
+         |GROUP BY 2, 3, 4
+         |HAVING count(CASE WHEN is_ty = 1 THEN 1 END) > 0
+         | AND count(CASE WHEN is_ty = 0 THEN 1 END) > 0
+         | AND CAST(sum(CASE WHEN is_ty = 1 THEN ss_quantity * ss_list_price END)
+         |   AS DOUBLE) >
+         |  CAST(sum(CASE WHEN is_ty = 0 THEN ss_quantity * ss_list_price END)
+         |   AS DOUBLE)""".stripMargin,
+    "q_tpcds_q23b" ->
+      s"""WITH dd4 AS (SELECT d_date_sk FROM ${P("date_dim")}
+         |  WHERE d_year BETWEEN 1999 AND 2002),
+         |freq AS (SELECT ss_item_sk FROM ${P("store_sales")}
+         | JOIN dd4 ON ss_sold_date_sk = d_date_sk
+         | GROUP BY 1 HAVING count(*) > 125),
+         |spend AS (SELECT ss_customer_sk AS cust,
+         |  sum(ss_quantity * ss_sales_price) AS ssales
+         | FROM ${P("store_sales")} JOIN dd4 ON ss_sold_date_sk = d_date_sk
+         | WHERE ss_customer_sk IS NOT NULL GROUP BY 1),
+         |best AS (SELECT cust FROM spend
+         | WHERE CAST(ssales AS DOUBLE) >
+         |  CAST((SELECT max(ssales) FROM spend) AS DOUBLE) * 0.5),
+         |ddm AS (SELECT d_date_sk FROM ${P("date_dim")}
+         | WHERE d_year = 2000 AND d_moy = 3)
+         |SELECT c_last_name, c_first_name, CAST(sum(amt) AS DOUBLE) AS sales
+         |FROM (
+         | SELECT cs_bill_customer_sk AS buyer,
+         |  cs_quantity * cs_list_price AS amt FROM ${P("catalog_sales")}
+         | JOIN ddm ON cs_sold_date_sk = d_date_sk
+         | WHERE cs_item_sk IN (SELECT ss_item_sk FROM freq)
+         |  AND cs_bill_customer_sk IN (SELECT cust FROM best)
+         | UNION ALL
+         | SELECT ws_bill_customer_sk, ws_quantity * ws_list_price
+         | FROM ${P("web_sales")}
+         | JOIN ddm ON ws_sold_date_sk = d_date_sk
+         | WHERE ws_item_sk IN (SELECT ss_item_sk FROM freq)
+         |  AND ws_bill_customer_sk IN (SELECT cust FROM best)) u
+         |JOIN ${P("customer")} ON buyer = c_customer_sk
+         |GROUP BY 1, 2""".stripMargin)
 
   /** Oracle body shared by Q98's channel twins Q12/Q20 (Q98 predates the
     * helper and keeps its d_year form). */
@@ -5770,5 +5934,7 @@ object Tpcds {
     "q_tpcds_q80" -> q_tpcds_q80,
     "q_tpcds_q23" -> q_tpcds_q23,
     "q_tpcds_q24" -> q_tpcds_q24,
-    "q_tpcds_q64" -> q_tpcds_q64)
+    "q_tpcds_q64" -> q_tpcds_q64,
+    "q_tpcds_q14b" -> q_tpcds_q14b,
+    "q_tpcds_q23b" -> q_tpcds_q23b)
 }
