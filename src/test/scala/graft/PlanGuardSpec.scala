@@ -382,6 +382,32 @@ class PlanGuardSpec extends AnyFunSuite {
       s"Q18 rollup/broadcast shape lost:\n$q18")
   }
 
+  test("published TPC-H twins: pushed slices, keyed threshold attach, hashed scalar + anti") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def fmt(name: String): String =
+      SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // Q17-full: the per-part 20%-average threshold joins back KEYED on
+    // partkey (never recomputed per row), and the brand/container slice
+    // is pushed into the part scan
+    val q17 = fmt("q_tpch_q17_full")
+    assert(q17.contains("t_key"), s"Q17-full threshold join lost its key:\n$q17")
+    assert(q17.contains("EqualTo(p_brand,Brand#23)"),
+      s"Q17-full brand slice not pushed:\n$q17")
+    // Q19-full: the mode/instruct conjuncts shared by all three branches
+    // reach the lineitem scan as pushed filters
+    val q19 = fmt("q_tpch_q19_full")
+    assert(q19.contains("EqualTo(l_shipinstruct,DELIVER IN PERSON)"),
+      s"Q19-full shared conjunct not pushed:\n$q19")
+    assert(q19.contains("In(l_shipmode"), s"Q19-full mode IN not pushed:\n$q19")
+    // Q22-full: the positive-balance average attaches by a broadcast HASH
+    // join (global sweep forbids the nested-loop degradation) and the
+    // no-orders test is a LEFT ANTI on the customer key
+    val q22 = fmt("q_tpch_q22_full")
+    assert(q22.contains("jk"), s"Q22-full scalar attach key folded away:\n$q22")
+    assert(q22.contains("LeftAnti"), s"Q22-full NOT EXISTS not an anti join:\n$q22")
+  }
+
   test("q_win_rank2 slices by deterministic data buckets, not by the 5-value key") {
     import org.apache.spark.sql.execution.ExplainMode
     val plan = SparkEntry.queries("q_win_rank2")(spark, TestSpark.sf0001)
