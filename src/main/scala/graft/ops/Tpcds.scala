@@ -3426,8 +3426,13 @@ object Tpcds {
             idFk: String, promoCol: String, price: String, profit: String,
             rAmt: String, rLoss: String,
             idDim: DataFrame, idKey: String, idName: String, chan: String) = {
+      // returns-side prune: only returns of premium items can match the
+      // (order, item) LEFT join — the sales side is item-gated — so the
+      // same broadcast semi shrinks the returns shuffle before it happens
+      // (the date window does NOT apply to returns and must not be pushed)
       val r = t(spark, dir, returns)
         .select(col(rOrderCol), col(rItemCol), col(rAmt), col(rLoss))
+        .join(broadcast(it), col(rItemCol) === col("i_item_sk"), "left_semi")
       t(spark, dir, fact)
         .select(col(orderCol), col(itemCol), col(dateCol), col(idFk),
           col(promoCol), col(price), col(profit))
@@ -3635,7 +3640,12 @@ object Tpcds {
         "ss_cdemo_sk", "ss_store_sk", "ss_sold_date_sk", "ss_wholesale_cost",
         "ss_list_price", "ss_coupon_amt")
       .join(t(spark, dir, "store_returns")
-          .select("sr_ticket_number", "sr_item_sk"),
+          .select("sr_ticket_number", "sr_item_sk")
+          // only returns of the color/price item slice can match the
+          // (ticket, item) join — prune the returns shuffle with the same
+          // broadcast item set the sales side is gated by
+          .join(broadcast(it.select("i_item_sk")),
+            col("sr_item_sk") === col("i_item_sk"), "left_semi"),
         col("ss_ticket_number") === col("sr_ticket_number") &&
           col("ss_item_sk") === col("sr_item_sk"))
       .join(csui, col("ss_item_sk") === col("ui_item"), "left_semi")
