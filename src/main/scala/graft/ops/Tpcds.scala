@@ -3482,7 +3482,8 @@ object Tpcds {
     * 4-year window; the month's catalog+web lines are gated by both sets
     * and summed to one row. Adapted thresholds: the published "sold >4
     * times per day" item gate is empty under verification-scale density,
-    * so frequency is counted per item over the window (>125); the best-
+    * so frequency is counted per item over the window, gated RELATIVE to
+    * the corpus mean per-item count (scale-invariant by construction); the best-
     * customer gate drops from 95% to 50% of the max spender (61 of 1000
     * qualify vs 0). Plan: two customer/item-keyed aggregates; the 1-row
     * max attaches to the spend aggregate by a broadcast HASH join on a
@@ -3496,7 +3497,25 @@ object Tpcds {
       .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
       .groupBy(col("ss_item_sk").as("freq_item"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 125).select("freq_item")
+      .transform { counts =>
+        // scale-invariant frequency gate: "frequent" = above the corpus
+        // MEAN per-item count, so the selectivity shape survives any sf
+        // (an absolute count is only right at one scale). The 1-row mean
+        // attaches by the nullable-derived-key broadcast hash join.
+        val mean = counts
+          .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n"))
+          .withColumn("fjk", coalesce(col("tot") * 0, lit(0)).cast(
+            org.apache.spark.sql.types.IntegerType))
+        counts
+          // key derives from the NULLABLE grouping column — cnt is a
+          // non-nullable count(*), whose *0 constant-folds to a literal
+          // and degrades the join to a nested loop
+          .withColumn("fjk", coalesce(col("freq_item") * 0, lit(0)).cast(
+            org.apache.spark.sql.types.IntegerType))
+          .join(broadcast(mean), Seq("fjk"))
+          .filter(col("cnt").cast(DoubleType) >
+            col("tot").cast(DoubleType) / col("n"))
+      }.select("freq_item")
     val spend = t(spark, dir, "store_sales")
       .filter(col("ss_customer_sk").isNotNull)
       .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
@@ -3735,8 +3754,8 @@ object Tpcds {
   /** [Q-tpcds-q23b] TPC-DS Q23's SECOND iteration: the same frequent-item
     * × best-customer month of cross-channel purchases, reported PER
     * CUSTOMER NAME instead of as one corpus total. Reuses Q23's gates
-    * (>125-occurrence items, ≥50%-of-max spenders — the documented
-    * density adaptations) and attaches the buyer's name by a
+    * (above-mean-frequency items, ≥50%-of-max spenders — both gates
+    * relative, so they carry the selectivity shape to any sf) and attaches the buyer's name by a
     * customer-keyed join; no LIMIT (the published top-100 is a prefix of
     * a name-ordered list — at the gate scale the full ≤|best| result is
     * the stabler comparison). */
@@ -3748,7 +3767,25 @@ object Tpcds {
       .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
       .groupBy(col("ss_item_sk").as("freq_item"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 125).select("freq_item")
+      .transform { counts =>
+        // scale-invariant frequency gate: "frequent" = above the corpus
+        // MEAN per-item count, so the selectivity shape survives any sf
+        // (an absolute count is only right at one scale). The 1-row mean
+        // attaches by the nullable-derived-key broadcast hash join.
+        val mean = counts
+          .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n"))
+          .withColumn("fjk", coalesce(col("tot") * 0, lit(0)).cast(
+            org.apache.spark.sql.types.IntegerType))
+        counts
+          // key derives from the NULLABLE grouping column — cnt is a
+          // non-nullable count(*), whose *0 constant-folds to a literal
+          // and degrades the join to a nested loop
+          .withColumn("fjk", coalesce(col("freq_item") * 0, lit(0)).cast(
+            org.apache.spark.sql.types.IntegerType))
+          .join(broadcast(mean), Seq("fjk"))
+          .filter(col("cnt").cast(DoubleType) >
+            col("tot").cast(DoubleType) / col("n"))
+      }.select("freq_item")
     val spend = t(spark, dir, "store_sales")
       .filter(col("ss_customer_sk").isNotNull)
       .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
@@ -5639,9 +5676,11 @@ object Tpcds {
     "q_tpcds_q23" ->
       s"""WITH dd4 AS (SELECT d_date_sk FROM ${P("date_dim")}
          |  WHERE d_year BETWEEN 1999 AND 2002),
-         |freq AS (SELECT ss_item_sk FROM ${P("store_sales")}
-         | JOIN dd4 ON ss_sold_date_sk = d_date_sk
-         | GROUP BY 1 HAVING count(*) > 125),
+         |counts AS (SELECT ss_item_sk, count(*) AS cnt FROM ${P("store_sales")}
+         | JOIN dd4 ON ss_sold_date_sk = d_date_sk GROUP BY 1),
+         |freq AS (SELECT ss_item_sk FROM counts
+         | WHERE CAST(cnt AS DOUBLE) >
+         |  (SELECT CAST(sum(cnt) AS DOUBLE) / count(*) FROM counts)),
          |spend AS (SELECT ss_customer_sk AS cust,
          |  sum(ss_quantity * ss_sales_price) AS ssales
          | FROM ${P("store_sales")} JOIN dd4 ON ss_sold_date_sk = d_date_sk
@@ -5772,9 +5811,11 @@ object Tpcds {
     "q_tpcds_q23b" ->
       s"""WITH dd4 AS (SELECT d_date_sk FROM ${P("date_dim")}
          |  WHERE d_year BETWEEN 1999 AND 2002),
-         |freq AS (SELECT ss_item_sk FROM ${P("store_sales")}
-         | JOIN dd4 ON ss_sold_date_sk = d_date_sk
-         | GROUP BY 1 HAVING count(*) > 125),
+         |counts AS (SELECT ss_item_sk, count(*) AS cnt FROM ${P("store_sales")}
+         | JOIN dd4 ON ss_sold_date_sk = d_date_sk GROUP BY 1),
+         |freq AS (SELECT ss_item_sk FROM counts
+         | WHERE CAST(cnt AS DOUBLE) >
+         |  (SELECT CAST(sum(cnt) AS DOUBLE) / count(*) FROM counts)),
          |spend AS (SELECT ss_customer_sk AS cust,
          |  sum(ss_quantity * ss_sales_price) AS ssales
          | FROM ${P("store_sales")} JOIN dd4 ON ss_sold_date_sk = d_date_sk
