@@ -2018,11 +2018,35 @@ object Tpcds {
     * stddev_samp/avg form drifts). Mean and cov are then emitted as
     * doubles via the identical formula on both sides. One keyed aggregate over the inventory fact;
     * the month-pair join runs on aggregate rows. */
-  def q_tpcds_q39(spark: SparkSession, sfDir: String): DataFrame = {
+  def q_tpcds_q39(spark: SparkSession, sfDir: String): DataFrame =
+    q39Pair(spark, sfDir, minCovNum = 1, minCovDen = 1)
+
+  /** [Q-tpcds-q39b] TPC-DS Q39's SECOND iteration: the same month-pair of
+    * volatile (item, warehouse) inventory cells, but month 1 restricted to
+    * the WILDLY volatile. Adapted threshold: the published cov > 1.5 is
+    * unreachable under the generator's UNIFORM quantity draws (cov is
+    * distribution-bounded — at any sf — around ~1.3 for small samples),
+    * so the gate is cov > 5/4, which keeps the stricter-subset semantics
+    * with ~40% of the cov>1 cells. The threshold stays in exact long
+    * arithmetic like the cov > 1 gate: cov² > 25/16 ⟺
+    * 16·n·(n·ss − s²) > 25·(n−1)·s². */
+  def q_tpcds_q39b(spark: SparkSession, sfDir: String): DataFrame =
+    q39Pair(spark, sfDir, minCovNum = 5, minCovDen = 4)
+
+  /** Shared Q39 a/b machinery: month-1 cells above `minCovNum/minCovDen`
+    * cov joined to their month-2 twins. Thresholds compare in exact
+    * integer arithmetic — cov > p/q ⟺ q²·n·(n·ss − s²) > p²·(n−1)·s² —
+    * so the boundary can never ulp-flap between engines. */
+  private def q39Pair(spark: SparkSession, sfDir: String,
+                      minCovNum: Int, minCovDen: Int): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
       .select("d_date_sk", "d_moy")
     val q = col("inv_quantity_on_hand")
+    def covAbove(num: Int, den: Int) =
+      lit(den.toLong * den) * col("n") *
+        (col("n") * col("ss") - col("s") * col("s")) >
+        lit(num.toLong * num) * (col("n") - 1) * col("s") * col("s")
     val agg = t(spark, dir, "inventory")
       .join(broadcast(dd), col("inv_date_sk") === col("d_date_sk"))
       .filter(q.isNotNull)
@@ -2032,15 +2056,16 @@ object Tpcds {
       .filter(col("n") >= 2 && col("s") > 0)
       // cov > 1 ⟺ var > mean² ⟺ (n·ss − s²)/(n·(n−1)) > s²/n²
       //        ⟺ n·(n·ss − s²) > (n−1)·s²  [all exact longs]
-      .filter(col("n") * (col("n") * col("ss") - col("s") * col("s")) >
-        (col("n") - 1) * col("s") * col("s"))
-      .select(col("inv_item_sk"), col("inv_warehouse_sk"), col("d_moy"),
-        (col("s").cast(DoubleType) / col("n")).as("mean"),
-        (sqrt((col("n") * col("ss") - col("s") * col("s")).cast(DoubleType) /
-          (col("n") * (col("n") - 1)).cast(DoubleType)) /
-          (col("s").cast(DoubleType) / col("n"))).as("cov"))
-    val m1 = agg.filter(col("d_moy") === 1)
-    val m2 = agg.filter(col("d_moy") === 2).select(
+      .filter(covAbove(1, 1))
+    def stats(df: DataFrame) = df.select(
+      col("inv_item_sk"), col("inv_warehouse_sk"), col("d_moy"),
+      (col("s").cast(DoubleType) / col("n")).as("mean"),
+      (sqrt((col("n") * col("ss") - col("s") * col("s")).cast(DoubleType) /
+        (col("n") * (col("n") - 1)).cast(DoubleType)) /
+        (col("s").cast(DoubleType) / col("n"))).as("cov"))
+    val m1 = stats(agg.filter(col("d_moy") === 1)
+      .filter(covAbove(minCovNum, minCovDen)))
+    val m2 = stats(agg.filter(col("d_moy") === 2)).select(
       col("inv_item_sk").as("item2"), col("inv_warehouse_sk").as("wh2"),
       col("mean").as("mean2"), col("cov").as("cov2"))
     m1.join(m2, col("inv_item_sk") === col("item2") &&
@@ -3560,7 +3585,17 @@ object Tpcds {
     * Plan: one (ticket, item) fact⋈fact shuffle; store/item broadcast;
     * customer and address customer-keyed; the all-colors average attaches
     * by the nullable-derived-key broadcast hash join. */
-  def q_tpcds_q24(spark: SparkSession, sfDir: String): DataFrame = {
+  def q_tpcds_q24(spark: SparkSession, sfDir: String): DataFrame =
+    q24Paid(spark, sfDir, Seq("chiffon", "blush", "coral", "azure"))
+
+  /** [Q-tpcds-q24b] TPC-DS Q24's SECOND iteration: the published query
+    * runs twice with a second color slice — same ssales CTE, same
+    * all-colors average threshold, disjoint colors. */
+  def q_tpcds_q24b(spark: SparkSession, sfDir: String): DataFrame =
+    q24Paid(spark, sfDir, Seq("almond", "antique", "beige", "brown"))
+
+  private def q24Paid(spark: SparkSession, sfDir: String,
+                      colors: Seq[String]): DataFrame = {
     val dir = ensure(spark, sfDir)
     val st = t(spark, dir, "store")
       .filter(col("s_market_id").between(1, 5000))
@@ -3596,7 +3631,7 @@ object Tpcds {
       .withColumn("jk", coalesce(col("tot") * 0, lit(0)).cast(
         org.apache.spark.sql.types.IntegerType))
     ssales
-      .filter(col("i_color").isin("chiffon", "blush", "coral", "azure"))
+      .filter(col("i_color").isin(colors: _*))
       .groupBy(col("c_last_name"), col("c_first_name"), col("s_store_name"))
       .agg(sum(col("netpaid")).as("paid"))
       .withColumn("jk", coalesce(col("paid") * 0, lit(0)).cast(
@@ -5776,6 +5811,55 @@ object Tpcds {
          | AND count(CASE WHEN d_year = 2001 THEN 1 END) > 0
          | AND count(CASE WHEN d_year = 2001 THEN 1 END) <=
          |     count(CASE WHEN d_year = 2000 THEN 1 END)""".stripMargin,
+    "q_tpcds_q24b" ->
+      s"""WITH ssales AS (
+         | SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+         |  i_color, i_current_price, i_manager_id, i_units, i_size,
+         |  sum(ss_net_paid) AS netpaid
+         | FROM ${P("store_sales")}
+         | JOIN ${P("store_returns")} ON ss_ticket_number = sr_ticket_number
+         |  AND ss_item_sk = sr_item_sk
+         | JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         | JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
+         | JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
+         | JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         | WHERE s_market_id BETWEEN 1 AND 5000
+         |  AND c_birth_country <> upper(ca_country)
+         |  AND substr(s_zip, 1, 2) = substr(ca_zip, 1, 2)
+         | GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+         |SELECT c_last_name, c_first_name, s_store_name,
+         | CAST(sum(netpaid) AS DOUBLE) AS paid
+         |FROM ssales
+         |WHERE i_color IN ('almond', 'antique', 'beige', 'brown')
+         |GROUP BY 1, 2, 3
+         |HAVING CAST(sum(netpaid) AS DOUBLE) >
+         | (SELECT 0.05 * (CAST(sum(netpaid) AS DOUBLE) / count(*))
+         |  FROM ssales)""".stripMargin,
+    "q_tpcds_q39b" ->
+      s"""WITH agg AS (
+         | SELECT inv_item_sk, inv_warehouse_sk, d_moy, count(*) AS n,
+         |  CAST(sum(CAST(inv_quantity_on_hand AS BIGINT)) AS BIGINT) AS s,
+         |  CAST(sum(CAST(inv_quantity_on_hand AS BIGINT)
+         |    * CAST(inv_quantity_on_hand AS BIGINT)) AS BIGINT) AS ss
+         | FROM ${P("inventory")}
+         | JOIN ${P("date_dim")} ON inv_date_sk = d_date_sk
+         | WHERE d_year = 2000 AND inv_quantity_on_hand IS NOT NULL
+         | GROUP BY inv_item_sk, inv_warehouse_sk, d_moy
+         | HAVING count(*) >= 2 AND sum(inv_quantity_on_hand) > 0),
+         |cov AS (
+         | SELECT inv_item_sk, inv_warehouse_sk, d_moy, n, s, ss,
+         |  CAST(s AS DOUBLE) / n AS mean,
+         |  sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+         |   / (CAST(s AS DOUBLE) / n) AS cov
+         | FROM agg WHERE n * (n * ss - s * s) > (n - 1) * s * s)
+         |SELECT m1.inv_item_sk, m1.inv_warehouse_sk,
+         | m1.mean AS mean1, m1.cov AS cov1, m2.mean AS mean2, m2.cov AS cov2
+         |FROM cov m1 JOIN cov m2
+         | ON m1.inv_item_sk = m2.inv_item_sk
+         | AND m1.inv_warehouse_sk = m2.inv_warehouse_sk
+         |WHERE m1.d_moy = 1 AND m2.d_moy = 2
+         | AND 16 * m1.n * (m1.n * m1.ss - m1.s * m1.s)
+         |   > 25 * (m1.n - 1) * m1.s * m1.s""".stripMargin,
     "q_tpcds_q14b" ->
       s"""WITH cross_items AS (
          | SELECT ss_item_sk AS x_item FROM ${P("store_sales")}
@@ -5987,5 +6071,7 @@ object Tpcds {
     "q_tpcds_q24" -> q_tpcds_q24,
     "q_tpcds_q64" -> q_tpcds_q64,
     "q_tpcds_q14b" -> q_tpcds_q14b,
-    "q_tpcds_q23b" -> q_tpcds_q23b)
+    "q_tpcds_q23b" -> q_tpcds_q23b,
+    "q_tpcds_q39b" -> q_tpcds_q39b,
+    "q_tpcds_q24b" -> q_tpcds_q24b)
 }
