@@ -14,6 +14,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The generated-data oracle SQL pins absolute paths under the DEFAULT
+    // cache root (/tmp): with a cacheRoot override, Spark would read the
+    // override cache while DuckDB reads /tmp — a confusing mismatch against
+    // possibly-stale data. Fail loud up front instead (GenCache.rootFor).
+    val cacheRoot = spark.conf.get("spark.graft.cacheRoot", "/tmp")
+    require(cacheRoot == "/tmp",
+      s"correctness gate must run without a spark.graft.cacheRoot override " +
+        s"(found '$cacheRoot'): the DuckDB oracle SQL pins paths under /tmp.")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
@@ -33,7 +41,9 @@ object Verify {
               s"scale. Run Verify at ${ops.TpchFull.oracleScale}.")
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: after an OOM/LinkageError the JVM is suspect and
+        // later dumps could be silently wrong — let fatal errors abort.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

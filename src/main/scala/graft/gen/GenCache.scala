@@ -106,15 +106,32 @@ object GenCache {
     * it (non-blocking). Locks are held through the sweep — deleting a locked
     * file is safe on POSIX, and the owner crashing mid-delete just leaves a
     * markerless partial for the next sweep. A plain file sibling (stray
-    * lock of an already-swept generation) is deleted directly. */
+    * lock of an already-swept generation) is deleted directly.
+    *
+    * Two TOCTOU guards close the list-then-lock window: (1) after all
+    * listed locks are held, the `*.lock` set is re-listed and the sweep
+    * aborts if it changed — a generator that created its lock file between
+    * the first listing and the acquisitions is detected, not raced; (2) a
+    * dir whose listing shows NO lock files is treated as in-use (skipped)
+    * while its mtime is fresh, since an older-version process may have
+    * created the dir but not yet its first `<sf>.lock`. An idle stale dir
+    * is swept by any later run once the mtime ages past the grace window. */
+  private val freshDirGraceMs = 15 * 60 * 1000L
   private def sweepIfUnlocked(p: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardOpenOption}
     if (!Files.isDirectory(p)) { Files.deleteIfExists(p); return }
-    val locks = Files.list(p)
-    val lockFiles = try {
-      import scala.jdk.CollectionConverters._
-      locks.iterator().asScala.filter(_.getFileName.toString.endsWith(".lock")).toList
-    } finally locks.close()
+    def listLocks(): List[java.nio.file.Path] = {
+      val s = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.endsWith(".lock"))
+          .toList.sortBy(_.toString)
+      } finally s.close()
+    }
+    val lockFiles = listLocks()
+    if (lockFiles.isEmpty &&
+        System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
+          < freshDirGraceMs) return // just-created by a peer; not yet locked
     val channels = scala.collection.mutable.ListBuffer
       .empty[java.nio.channels.FileChannel]
     try {
@@ -125,7 +142,7 @@ object GenCache {
         try ch.tryLock() != null
         catch { case _: java.nio.channels.OverlappingFileLockException => false }
       }
-      if (allAcquired) sweep(p)
+      if (allAcquired && listLocks() == lockFiles) sweep(p)
     } finally channels.foreach(ch =>
       try ch.close() catch { case scala.util.control.NonFatal(_) => () })
   }

@@ -745,16 +745,28 @@ object TpcdsGen extends Benchmark {
     // the linked sales table's basket ids).
     val basketSrc = returnsLinks.get(tbl).map(_.salesTbl).getOrElse(tbl)
     if (basketLines.contains(basketSrc)) {
-      // conservative: every basket holds ≥ 1 line, so baskets ≤ lines;
-      // with variable patterns the exact count is lines/avg, still ≤ lines
-      val minLines = variablePattern(basketSrc).map(_.min)
-        .getOrElse(basketLines(basketSrc)).toLong
-      val baskets = rowCount(basketSrc, sf) / minLines + 1
+      // exact closed form: the basket count is basketOfLine(lastLine)+1 —
+      // full pattern blocks contribute pattern.size baskets each, and the
+      // partial block contributes one basket per interior boundary at or
+      // below the last line's offset, plus the basket the line sits in.
+      val srcRows = rowCount(basketSrc, sf)
+      val baskets = if (srcRows == 0L) 0L else variablePattern(basketSrc) match {
+        case Some(pat) =>
+          val t = pat.sum
+          val last = srcRows - 1
+          val inBlock = storeCum.slice(1, pat.size).count((last % t).toInt >= _)
+          (last / t) * pat.size + inBlock + 1
+        case None =>
+          (srcRows - 1) / basketLines(basketSrc) + 1
+      }
+      val avgLines = variablePattern(basketSrc)
+        .map(p => p.sum.toDouble / p.size)
+        .getOrElse(basketLines(basketSrc).toDouble)
       require(baskets <= Int.MaxValue.toLong,
-        s"generating '$tbl' at sf=$sf could need $baskets $basketSrc baskets, " +
+        s"generating '$tbl' at sf=$sf needs $baskets $basketSrc baskets, " +
           s"but ticket/order numbers are Int32 (reference schema) and would " +
           s"wrap. Max supported sf for $basketSrc ≈ " +
-          f"${Int.MaxValue.toLong * minLines / (sf1Counts(basketSrc)._1.toDouble)}%.0f.")
+          f"${Int.MaxValue.toLong * avgLines / (sf1Counts(basketSrc)._1.toDouble)}%.0f.")
     }
     val baseDf = spark.range(0, rows, 1, math.max(1, partitions)).toDF()
     tbl match {

@@ -20,13 +20,21 @@ object VerifySome {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same gate as graft.Verify: oracle SQL pins paths under the default
+    // /tmp cache root, so an override would compare against different data.
+    val cacheRoot = spark.conf.get("spark.graft.cacheRoot", "/tmp")
+    require(cacheRoot == "/tmp",
+      s"correctness gate must run without a spark.graft.cacheRoot override " +
+        s"(found '$cacheRoot'): the DuckDB oracle SQL pins paths under /tmp.")
     new java.io.File(outDir).mkdirs()
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     names.foreach { name =>
       try graft.SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only (matches Bench): a fatal error leaves the JVM
+        // suspect — later dumps may be garbage, so abort instead.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

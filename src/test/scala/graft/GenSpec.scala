@@ -118,16 +118,18 @@ class GenSpec extends AnyFunSuite {
     // ticket/order numbers are Int32 per the reference schema; a basket
     // count past Int.MaxValue would wrap them negative in non-ANSI mode and
     // corrupt the returns⋈sales PK linkage — the generator must refuse
-    // (plan construction time, no job). store_sales hits 2^31 baskets at
-    // sf ≈ 2237; the returns fact re-evaluates the same basket ids and must
-    // refuse too.
+    // (plan construction time, no job). With the exact closed-form count
+    // (avg 5.375 lines/ticket) store_sales hits 2^31 baskets at sf ≈ 4007;
+    // the returns fact re-evaluates the same basket ids and must refuse too.
     for (tbl <- Seq("store_sales", "store_returns")) {
       val e = intercept[IllegalArgumentException] {
-        TpcdsGen.table(spark, tbl, 3000, 1)
+        TpcdsGen.table(spark, tbl, 4500, 1)
       }
       assert(e.getMessage.contains("would wrap"), e.getMessage)
     }
-    // well under the ceiling: constructs fine
+    // under the exact ceiling (the old minLines=1 bound wrongly rejected
+    // everything past sf ≈ 745): constructs fine
+    TpcdsGen.table(spark, "store_sales", 3000, 1)
     TpcdsGen.table(spark, "store_sales", 100, 1)
   }
 

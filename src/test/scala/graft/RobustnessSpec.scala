@@ -86,6 +86,19 @@ class RobustnessSpec extends AnyFunSuite {
     Files.write(parent.resolve("gen8/sf0.01/x"), "stale".getBytes)
     Files.createDirectories(parent.resolve("sf0.001"))
     Files.write(parent.resolve("sf0.001.lock"), Array.emptyByteArray)
+    // a lock-less sibling with a FRESH mtime is treated as in-use (a peer
+    // may have created the dir but not yet its first <sf>.lock) — age the
+    // stale dirs past the grace window so the sweep may take them
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 24L * 3600 * 1000)
+    Files.setLastModifiedTime(parent.resolve("gen8"), old)
+    Files.setLastModifiedTime(parent.resolve("sf0.001"), old)
+    // a freshly-created lock-less sibling must SURVIVE the sweep
+    Files.createDirectories(parent.resolve("gen7"))
+    GenCache.sweepStaleSiblings(current)
+    assert(Files.exists(parent.resolve("gen7")),
+      "fresh lock-less sibling swept inside the grace window")
+    Files.setLastModifiedTime(parent.resolve("gen7"), old)
     GenCache.sweepStaleSiblings(current)
     val left = { val s = Files.list(parent); try { val l = s.iterator(); val b =
       scala.collection.mutable.ListBuffer.empty[String]

@@ -26,6 +26,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def cells_equal(a, b):
+    """True (exact), "float-near" (within 1e-12 relative), or False."""
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
@@ -33,7 +34,9 @@ def cells_equal(a, b):
             return True
         if a == b:
             return True
-        return abs(a - b) <= 1e-12 * max(1.0, abs(a), abs(b)), "float-near"
+        if abs(a - b) <= 1e-12 * max(1.0, abs(a), abs(b)):
+            return "float-near"
+        return False
     try:
         if pd.isna(a) and pd.isna(b):
             return True
@@ -41,7 +44,20 @@ def cells_equal(a, b):
         pass
     return a == b
 
+def selftest():
+    # Regression for the truthy-tuple bug: a 1e-6 relative drift MUST be
+    # False (gate fails), not a truthy (False, "float-near") tuple.
+    assert cells_equal(1.0, 1.0 + 1e-6) is False
+    assert cells_equal(1.0, 1.0) is True
+    assert cells_equal(1.0, 1.0 + 1e-13) == "float-near"
+    assert cells_equal(float("nan"), float("nan")) is True
+    assert cells_equal(None, None) is True
+    assert cells_equal("a", "b") is False
+    print("selftest OK")
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest(); return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -72,9 +88,9 @@ def main():
             ev, gv = exp[c].tolist(), got[c].tolist()
             for i in range(len(ev)):
                 r = cells_equal(ev[i], gv[i])
-                if r is True:
+                if r is True or r == 1:  # True, or numpy bool_ from a == b
                     continue
-                if r and r[1] == "float-near":
+                if r == "float-near":
                     near += 1
                     continue
                 bad += 1
