@@ -10,9 +10,9 @@ import graft.ops._
   * exact (not approximate):
   *   - money/metric aggregates run in DECIMAL on both sides (order-independent,
   *     so results are identical at any parallelism);
-  *   - `events.ts` is TIMESTAMP(NANOS) parquet: Spark reads ns-as-long and
-  *     truncates to µs (Tables.scala), the oracle uses CAST(ts AS TIMESTAMP)
-  *     which truncates identically;
+  *   - `events.ts` normalizes to µs TimestampType whatever the fixture
+  *     generation stored (ns-as-long legacy or native µs — Tables.scala);
+  *     the oracle's CAST(ts AS TIMESTAMP) lands on the same µs values;
   *   - oracle casts re-align DuckDB's wider result types (len/year → BIGINT)
   *     with Spark's (INT);
   *   - every LIMIT sits on a total order.

@@ -5,21 +5,35 @@ import org.apache.spark.sql.functions._
 
 /** Fixture-table loader (TESTDATA.md / FIXTURES.md).
   *
-  * `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark's parquet
-  * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it via the
-  * `nanosAsLong` escape hatch (ns since epoch as LongType) and floor-divide
-  * to microseconds. This is exactly DuckDB's `CAST(ts_ns AS TIMESTAMP)`
-  * truncation, so oracle comparisons on event timestamps line up bit-for-bit.
+  * `events.ts` storage has shipped in two fixture generations: parquet
+  * TIMESTAMP(NANOS) — which Spark's parquet reader rejects outright
+  * ([PARQUET_TYPE_ILLEGAL]), so we read it via the `nanosAsLong` escape
+  * hatch and floor-divide to microseconds — and native TIMESTAMP(MICROS)
+  * without timezone, which Spark reads as TIMESTAMP_NTZ. Both normalize to
+  * TimestampType at µs precision in the UTC session, which is exactly
+  * DuckDB's `CAST(ts AS TIMESTAMP)` on the same file, so oracle comparisons
+  * on event timestamps line up bit-for-bit either way.
   */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize an events frame's `ts` to TimestampType (µs, UTC session):
+    * ns-as-long legacy storage truncates ns→µs; TIMESTAMP_NTZ casts (a
+    * wall-clock no-op in the UTC session); TimestampType passes through. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Data files of a parquet table dir (skips _SUCCESS / hidden files).

@@ -23,26 +23,35 @@ import graft.ops.Streams
   */
 object EventStreams {
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-    * stream-read it as ns-since-epoch longs and truncate to micros — the
-    * identical convention as the batch loader (graft.Tables). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** The file streaming source needs a DECLARED schema, and `events.ts`
+    * storage has shipped in two fixture generations (TIMESTAMP(NANOS) read
+    * as ns-longs via the legacy escape hatch, and native TIMESTAMP(MICROS)
+    * read as TIMESTAMP_NTZ — see graft.Tables). Sniff the stored type from
+    * a one-off batch footer read, declare it, then normalize with the SAME
+    * helper the batch loader uses, so streaming == batch by construction. */
+  private def rawSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Stored type of `ts` in the parquet under `path` (footer-only read). */
+  private def tsStorage(spark: SparkSession, path: String,
+                        glob: Option[String]): DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = glob.foldLeft(spark.read)((r, g) => r.option("pathGlobFilter", g))
+    reader.parquet(path).schema("ts").dataType
+  }
 
   /** Streaming source over the fixture dir, watermarked on event time. */
   def readEvents(spark: SparkSession, dir: String,
                  watermark: String = "1 hour"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // events.parquet is a single file; the file streaming source monitors a
     // DIRECTORY, so stream the fixture dir filtered down to that one file
-    spark.readStream
-      .schema(rawSchema)
+    val raw = spark.readStream
+      .schema(rawSchema(tsStorage(spark, dir, Some("events.parquet"))))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", watermark)
+    graft.Tables.normalizeEventTs(raw).withWatermark("ts", watermark)
   }
 
   /** Streaming source over a REPLAY directory of many small parquet files,
@@ -53,13 +62,11 @@ object EventStreams {
     * assertion (batch-equivalence tests use an effectively-infinite one). */
   def readReplay(spark: SparkSession, replayDir: String,
                  watermark: String, maxFilesPerTrigger: Int = 1): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val raw = spark.readStream
+      .schema(rawSchema(tsStorage(spark, replayDir, None)))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(replayDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", watermark)
+    graft.Tables.normalizeEventTs(raw).withWatermark("ts", watermark)
   }
 
   /** Streaming JSONL ingest — the corpus-drop path: new `.jsonl` files
