@@ -82,8 +82,18 @@ object TpcdsGen extends Benchmark {
     * published ticket line-count bucket queries (Q34/Q73) are degenerate
     * over fixed-size baskets; dense tickets, exact row counts, and the
     * returns⋈sales linkage all survive because both line→basket and
-    * basket→start stay closed-form. */
-  val genVersion = 9
+    * basket→start stay closed-form.
+    * v10: channel-calibrated wholesale draws — ss/cs/ws wholesale_cost is
+    * the min / 2nd-smallest / max of four uniforms on the same
+    * [1.00, 99.99] range, equalizing expected per-item revenue across the
+    * 4:2:1 channel volumes so published cross-channel parity bands (Q58's
+    * ±10%) are satisfiable; all money ranges unchanged. Also: dsdgen's
+    * small integer domains on the demographics count columns
+    * (hd_dep_count 0..9, hd_vehicle_count −1..4, cd_dep_* 0..6 —
+    * un-adapts Q13/Q34/Q73/Q96), seasonal sold dates (ten super days +
+    * holiday window — gives Q23's published count>4 frequent-item gate
+    * support), and structured c_birth_country (see customerCol). */
+  val genVersion = 10
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -240,6 +250,14 @@ object TpcdsGen extends Benchmark {
   private val counties = Seq("Williamson County", "Ziebach County",
     "Walker County", "Daviess County", "Barrow County", "Franklin Parish",
     "Luce County", "Richland County", "Bronx County", "Orange County")
+  /** v10: dsdgen-style composed street names (first + second part). */
+  private val streetNames: Seq[String] = {
+    val first = Seq("Oak", "Maple", "Cedar", "Elm", "Pine", "Walnut",
+      "Cherry", "Willow", "Hickory", "Birch", "Sunset", "Ridge", "Lake",
+      "Hill", "Park", "River", "Spring", "Valley", "Forest", "Meadow")
+    val second = Seq("", " Ridge", " Hill", " View", " Creek", " Grove")
+    for (f <- first; s <- second) yield s"$f$s"
+  }
 
   /** Structured 5-digit zip domain shared by every *_zip column (customer
     * address, store, warehouse, call center, web site). dsdgen zips are
@@ -289,6 +307,9 @@ object TpcdsGen extends Benchmark {
       "s_county" -> counties, "ca_county" -> counties,
       "ca_street_type" -> Seq("Street", "Avenue", "Boulevard", "Court",
         "Drive", "Lane", "Parkway", "Road", "Way", "Circle"),
+      // v10: structured street names (dsdgen composes them from a fixed
+      // name list; Q81's published address block projects them)
+      "ca_street_name" -> streetNames,
       "ca_location_type" -> Seq("apartment", "condo", "single family"),
       "cc_class" -> Seq("small", "medium", "large"),
       "sm_type" -> Seq("EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR",
@@ -296,7 +317,20 @@ object TpcdsGen extends Benchmark {
       // v8: zip columns draw 5-digit values from one shared domain (see
       // `zips` — the published substr-prefix predicates need the shape)
       "ca_zip" -> zips, "s_zip" -> zips, "w_zip" -> zips,
-      "cc_zip" -> zips, "web_zip" -> zips)
+      "cc_zip" -> zips, "web_zip" -> zips,
+      // v10: structured countries — dsdgen pins every address country to
+      // 'United States' and draws birth countries from the uppercase FIPS
+      // list, so Q24's `c_birth_country <> upper(ca_country)` actually
+      // discriminates (word salad made it vacuously true) and Q30/Q81's
+      // published customer/address SELECT blocks carry real values
+      "ca_country" -> Seq("United States"),
+      "c_birth_country" -> Seq("UNITED STATES", "CANADA", "MEXICO",
+        "BRAZIL", "ARGENTINA", "UNITED KINGDOM", "FRANCE", "GERMANY",
+        "ITALY", "SPAIN", "PORTUGAL", "NETHERLANDS", "BELGIUM", "IRELAND",
+        "POLAND", "ROMANIA", "GREECE", "TURKEY", "RUSSIA", "UKRAINE",
+        "CHINA", "JAPAN", "INDIA", "VIETNAM", "THAILAND", "PHILIPPINES",
+        "INDONESIA", "AUSTRALIA", "NEW ZEALAND", "SOUTH AFRICA", "EGYPT",
+        "NIGERIA", "KENYA", "CHILE", "PERU", "COLOMBIA"))
   }
 
   /** Returns-fact linkage: each returns row references an ACTUAL sales row
@@ -348,6 +382,32 @@ object TpcdsGen extends Benchmark {
   private val dateSkLo = skOf(java.time.LocalDate.of(1998, 1, 1))
   private val dateSkHi = skOf(java.time.LocalDate.of(2002, 12, 31))
 
+  /** v10: seasonal sold-date mix — 20% of sales land on ten fixed "super
+    * days" per year (Black-Friday-like, each ≈ 15× an average day), 10%
+    * on the Nov 15 – Dec 31 holiday window, 70% uniform. Gives Q23's
+    * published HAVING count(*) > 4 per (item, d_date) real support
+    * (λ(item, super day) ≈ 0.64, scale-invariant) while every d_year
+    * stays equally likely. Applied ONLY to `*_sold_date_sk`. */
+  private val superDaySks: Seq[Long] = for {
+    year <- 1998 to 2002
+    (m, d) <- Seq((11, 24), (11, 27), (12, 14), (12, 15), (12, 16),
+      (12, 17), (12, 18), (12, 19), (12, 20), (12, 21))
+  } yield skOf(java.time.LocalDate.of(year, m, d))
+  private val holidayStartSks: Seq[Long] =
+    (1998 to 2002).map(y => skOf(java.time.LocalDate.of(y, 11, 15)))
+  private def seasonalSoldDateSk(src: Column, tag: Int): Column = {
+    val sel = pmod(h(src, tag), lit(10L))
+    // +10x offsets stay clear of neighbour tags (tags ≡ 17 mod 31)
+    val superPick = element_at(array(superDaySks.map(lit): _*),
+      (pmod(h(src, tag + 101), lit(superDaySks.size.toLong)) + 1)
+        .cast(IntegerType))
+    val holPick = element_at(array(holidayStartSks.map(lit): _*),
+      (pmod(h(src, tag + 102), lit(5L)) + 1).cast(IntegerType)) +
+      pmod(h(src, tag + 103), lit(47L))
+    when(sel < 2, superPick).when(sel < 3, holPick)
+      .otherwise(uniLong(src, tag + 104, dateSkLo, dateSkHi))
+  }
+
   /** Per-column tag keyed by column NAME (stable across call sites): the
     * derived-money expressions must re-draw the SAME primitive (quantity,
     * markup, discount …) from several consuming columns. */
@@ -356,6 +416,23 @@ object TpcdsGen extends Benchmark {
 
   private val D2 = DecimalType(7, 2)
   private def d2(c: Column): Column = c.cast(D2)
+
+  /** v10: dsdgen's small integer domains for the demographics count
+    * columns (household: dep 0..9, vehicle −1..4; customer: deps 0..6) —
+    * the published equality/inequality predicates over them (Q13's
+    * hd_dep_count = 3, Q34/Q73's dep/vehicle ratio buckets, Q96's
+    * hd_dep_count = 3) select real fractions instead of ~0 of rows. */
+  private val smallIntDomains: Map[String, (Long, Long)] = Map(
+    "hd_dep_count"           -> (0L, 9L),
+    "hd_vehicle_count"       -> (-1L, 4L),
+    "cd_dep_count"           -> (0L, 6L),
+    "cd_dep_employed_count"  -> (0L, 6L),
+    "cd_dep_college_count"   -> (0L, 6L),
+    // calendar-true birth dates (dsdgen draws 1924-1992; Q18's published
+    // c_birth_month IN (...) and birth-column SELECT blocks need them)
+    "c_birth_day"            -> (1L, 31L),
+    "c_birth_month"          -> (1L, 12L),
+    "c_birth_year"           -> (1924L, 1992L))
 
   /** Sales-fact money columns, ARITHMETICALLY COHERENT (dsdgen emits these
     * as a derivation chain, not independent draws — queries with
@@ -377,8 +454,28 @@ object TpcdsGen extends Benchmark {
     def frac(tag: Int, n: Int) = // uniform k/100 for k in [0, n-1], exact decimal
       pmod(h(line, tag), lit(n.toLong)).cast(DecimalType(12, 2)) / 100
     lazy val qty = (pmod(h(line, t("quantity")), lit(100L)) + 1).cast(IntegerType)
-    lazy val whl = d2((pmod(h(line, t("wholesale_cost")), lit(9900L)) + 100)
-      .cast(DecimalType(12, 2)) / 100)
+    // v10: CHANNEL-CALIBRATED wholesale — an order statistic of four draws
+    // over the SAME [1.00, 99.99] range (store = min, catalog = 2nd
+    // smallest, web = max of 4 → means ≈ 20.8 / 40.4 / 80.8), inverse to
+    // the 4:2:1 channel row volumes, so total and per-item expected
+    // revenue is EQUAL across channels (within ~3%) and Q58/Q83-style
+    // published cross-channel parity bands are satisfiable. Every stored
+    // value keeps its published range — no literal money predicate loses
+    // its support; only the distribution shape shifts per channel. Tag
+    // offsets 1001..1004 never collide with a neighbour column's tag
+    // (tags are ≡17 mod 31; 100x+k isn't).
+    lazy val whl = {
+      val u = (1 to 4).map(k =>
+        (pmod(h(line, t("wholesale_cost") + 1000 + k), lit(9900L)) + 100)
+          .cast(DecimalType(12, 2)) / 100)
+      val lo1 = least(u(0), u(1)); val hi1 = greatest(u(0), u(1))
+      val lo2 = least(u(2), u(3)); val hi2 = greatest(u(2), u(3))
+      d2(pfx match {
+        case "ss" => least(lo1, lo2)
+        case "cs" => least(greatest(lo1, lo2), least(hi1, hi2))
+        case _    => greatest(hi1, hi2) // "ws"
+      })
+    }
     lazy val markup = lit(BigDecimal("1.20")) + frac(t("list_price"), 131)
     lazy val disc = frac(t("sales_price"), 91)
     lazy val taxRate = frac(t("ext_tax"), 10)
@@ -442,9 +539,27 @@ object TpcdsGen extends Benchmark {
       // published manager queries (Q19/Q55/Q63) filter on ids in that range
       case "i_manager_id" =>
         Some((pmod(h(src, t("i_manager_id")), lit(100L)) + 1).cast(IntegerType))
+      // v10: multi-word item description (4-10 words from a merchandise
+      // vocabulary) — Q23's substr(i_item_desc, 1, 30) grouping key gets
+      // dsdgen-like prefix diversity instead of one word per row
+      case "i_item_desc" =>
+        val tg = t("i_item_desc")
+        val picks = (0 until 10).map(k => pick(src, tg * 31 + k, descVocab))
+        Some(array_join(slice(array(picks: _*), lit(1),
+          (pmod(h(src, tg), lit(7L)) + 4).cast(IntegerType)), " "))
       case _ => None
     }
   }
+
+  /** v10: merchandise-description vocabulary for i_item_desc (dsdgen emits
+    * sentence-shaped descriptions; published queries key on the first 30
+    * chars, so prefix diversity — not meaning — is what matters). */
+  private val descVocab: Seq[String] = Seq("durable", "compact", "premium",
+    "classic", "modern", "lightweight", "ergonomic", "portable", "elegant",
+    "versatile", "sturdy", "refined", "practical", "stylish", "reliable",
+    "quality", "design", "finish", "material", "edition", "series", "model",
+    "collection", "standard", "comfort", "performance", "value", "features",
+    "construction", "warranty")
 
   /** Item hierarchy members whose id column must share its STRING column's
     * null decision: one ~5% draw per member, so i_brand_id is null exactly
@@ -491,7 +606,15 @@ object TpcdsGen extends Benchmark {
     // sequence.
     def skCol(cast: DataType): Column = fkTarget(f.name) match {
       case Some("date_dim") if tbl != "date_dim" =>
-        uniLong(src, tag, dateSkLo, dateSkHi).cast(cast)
+        // v10: sales-fact SOLD dates draw seasonally (dsdgen's sales
+        // calendar is holiday-skewed; uniform dates leave Q23's published
+        // per-(item, day) count>4 frequent-item gate empty at EVERY scale
+        // — both facts and items scale with sf, so rows per (item, day)
+        // is a constant ~0.09). Other date FKs (ship, inventory) stay
+        // uniform.
+        if (basketLines.contains(tbl) && f.name.endsWith("_sold_date_sk"))
+          seasonalSoldDateSk(src, tag).cast(cast)
+        else uniLong(src, tag, dateSkLo, dateSkHi).cast(cast)
       case Some("item") if basketLines.contains(tbl) =>
         // DISTINCT items within a basket — the TPC-DS (order_number,
         // item_sk) PK dsdgen guarantees: line k of a basket takes stop k of
@@ -538,6 +661,13 @@ object TpcdsGen extends Benchmark {
         ((line + 1) * 10000 - 1).cast(IntegerType)
       case IntegerType if isFirst =>
         (line + 1).cast(IntegerType) // surrogate key: dense, 1-based
+      // v10: published small integer domains (dsdgen's): the household /
+      // customer demographics count columns the published predicates read
+      // (Q13/Q34/Q73/Q96: hd_dep_count = k, hd_vehicle_count <= j) —
+      // a 0..9999 word-salad domain makes every such predicate empty
+      case IntegerType if smallIntDomains.contains(f.name) =>
+        val (lo, hi) = smallIntDomains(f.name)
+        uniLong(src, tag, lo, hi).cast(IntegerType)
       case IntegerType => uniLong(src, tag, 0, 9999).cast(IntegerType)
       case LongType => uniLong(src, tag, 0, 999999)
       case StringType if f.name.endsWith("_id") =>

@@ -1126,11 +1126,15 @@ object Relational {
     * tuples, not rows; at 100 TB this is THE way to get percentiles (the
     * exact `percentile` in q_agg_quantile collects each group's values).
     * Sketch internals are engine-specific → rows-only driver check; the
-    * rank-error bound vs the exact quantile is asserted in ScalaTest. */
+    * rank-error bound vs the exact quantile is asserted in ScalaTest.
+    * Accuracy 1000 (rank error n/1000): the sketch state — and with it
+    * the per-row update and merge cost — scales with the accuracy knob,
+    * and 10000 made this the noisiest entry in the bench record (2.3x
+    * run-to-run spread) for precision the rank-error test never needed. */
   def q_agg_approx_quantile(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders").groupBy("o_orderpriority")
-      .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50_a"),
-        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_a"),
-        expr("approx_percentile(o_totalprice, 0.99, 10000)").as("p99_a"),
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_a"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_a"),
+        expr("approx_percentile(o_totalprice, 0.99, 1000)").as("p99_a"),
         count(lit(1)).as("n"))
 }

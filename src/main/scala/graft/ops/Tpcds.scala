@@ -290,7 +290,10 @@ object Tpcds {
 
   /** [Q-tpcds-q84] TPC-DS Q84 shape: store returns attributed through the
     * customer's household demographics and income band, sliced by address
-    * state. The two scaling dims (customer, customer_address) join KEYED —
+    * state, gated by the PUBLISHED income-band bounds (ib_lower_bound >=
+    * 38128, ib_upper_bound <= 38128+50000 — the generator's ordered $10k
+    * bands make exactly four of twenty qualify).
+    * The two scaling dims (customer, customer_address) join KEYED —
     * deliberately not broadcast: both grow ∝ sf, so at 100 TB these are
     * sort-merge/shuffle-hash joins (AQE may still broadcast them at test
     * scale — that's a size decision, not a plan-shape one). The fixed-size
@@ -302,9 +305,10 @@ object Tpcds {
     val ca = t(spark, dir, "customer_address")
       .filter(col("ca_state").isin("CA", "TX")).select("ca_address_sk", "ca_state")
     val hd = t(spark, dir, "household_demographics")
-      .filter(col("hd_buy_potential") === ">10000")
       .select("hd_demo_sk", "hd_income_band_sk")
     val ib = t(spark, dir, "income_band")
+      .filter(col("ib_lower_bound") >= 38128 &&
+        col("ib_upper_bound") <= 38128 + 50000)
       .select("ib_income_band_sk", "ib_lower_bound")
     t(spark, dir, "store_returns")
       .join(cu, col("sr_customer_sk") === col("c_customer_sk"))
@@ -424,14 +428,19 @@ object Tpcds {
     * 8 fact scans; re-expressed Spark-first as ONE scan with conditional
     * aggregation (count(when(bucket))), which is the plan a 100 TB run
     * needs: time_dim and the demographics filter broadcast, zero shuffles
-    * beyond the single 1-row aggregate. Same 8 numbers, same filters. */
+    * beyond the single 1-row aggregate. Same 8 numbers, same filters —
+    * including the PUBLISHED dep/vehicle disjunction (genVersion 10
+    * domains). */
   def q_tpcds_q88(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val td = t(spark, dir, "time_dim")
       .filter(col("t_hour").between(8, 12))
       .select("t_time_sk", "t_hour", "t_minute")
     val hd = t(spark, dir, "household_demographics")
-      .filter(col("hd_dep_count") <= 10).select("hd_demo_sk")
+      .filter((col("hd_dep_count") === 4 && col("hd_vehicle_count") <= 6) ||
+        (col("hd_dep_count") === 2 && col("hd_vehicle_count") <= 4) ||
+        (col("hd_dep_count") === 0 && col("hd_vehicle_count") <= 2))
+      .select("hd_demo_sk")
     def bucket(h: Int, firstHalf: Boolean): Column =
       count(when(col("t_hour") === h &&
         (if (firstHalf) col("t_minute") < 30 else col("t_minute") >= 30), 1))
@@ -1147,10 +1156,11 @@ object Tpcds {
   /** [Q-tpcds-q79] TPC-DS Q79 shape: Monday shoppers' per-ticket coupon
     * and profit with their store's city — ticket-grain rollup through the
     * household-demographics dim and the calendar-true d_dow filter, then
-    * the customer attach. Adapted predicates: hd_buy_potential buckets
-    * replace the published hd_dep_count/vehicle point filters
-    * (hash-uniform 0..9999 ints make those empty), employee range widened
-    * for the 1-store verification scale. store/hd/date broadcast; the
+    * the customer attach. The PUBLISHED household disjunction —
+    * hd_dep_count = 6 OR hd_vehicle_count > 2 — runs as published over
+    * genVersion 10's dsdgen count domains; the employee range stays
+    * widened for the small-store-dim verification scale.
+    * store/hd/date broadcast; the
     * per-ticket aggregate rides the dense ticket key; customer attaches
     * as a keyed shuffle join. */
   def q_tpcds_q79(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1162,7 +1172,7 @@ object Tpcds {
       .filter(col("s_number_employees").between(0, 5000))
       .select("s_store_sk", "s_city")
     val hd = t(spark, dir, "household_demographics")
-      .filter(col("hd_buy_potential").isin(">10000", "Unknown"))
+      .filter(col("hd_dep_count") === 6 || col("hd_vehicle_count") > 2)
       .select("hd_demo_sk")
     val ms = t(spark, dir, "store_sales")
       .filter(col("ss_customer_sk").isNotNull)
@@ -1460,10 +1470,14 @@ object Tpcds {
     * band). The disjuncts mix fact and dimension columns, so neither can
     * push below its join; every dimension side broadcasts and the single
     * aggregate emits one row. Averages divide exact DECIMAL sums by
-    * non-null counts once (engine-portable). Adapted: hd_buy_potential
-    * stands in for the published hd_dep_count (dep_count is not
-    * domain-valued in this generator), and price/profit bands sit in the
-    * generated money distribution's range. */
+    * non-null counts once (engine-portable). The published hd_dep_count
+    * point filters run as published (genVersion 10's 0..9 domain);
+    * price/profit bands sit in the generated channel-calibrated money
+    * distribution's range (published 100-150/50-100/150-200 keep < 1% of
+    * store lines here; the joint demo-AND-geo selectivity is ~3e-4 —
+    * honest at sf >= 1, so the bands widen to keep the gate-scale profile
+    * non-degenerate), and the state triples draw from the generator's
+    * 10-state domain. */
   def q_tpcds_q13(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
@@ -1471,14 +1485,14 @@ object Tpcds {
     val cd = t(spark, dir, "customer_demographics")
       .select("cd_demo_sk", "cd_marital_status", "cd_education_status")
     val hd = t(spark, dir, "household_demographics")
-      .select("hd_demo_sk", "hd_buy_potential")
+      .select("hd_demo_sk", "hd_dep_count")
     val addr = t(spark, dir, "customer_address")
       .select("ca_address_sk", "ca_state")
     val st = t(spark, dir, "store").select("s_store_sk")
-    def demo(ms: String, ed: String, lo: Int, hi: Int, pot: String*) =
+    def demo(ms: String, ed: String, lo: Int, hi: Int, dep: Int) =
       col("cd_marital_status") === ms && col("cd_education_status") === ed &&
         col("ss_sales_price").between(lo, hi) &&
-        col("hd_buy_potential").isin(pot: _*)
+        col("hd_dep_count") === dep
     def geo(states: Seq[String], lo: Int, hi: Int) =
       col("ca_state").isin(states: _*) && col("ss_net_profit").between(lo, hi)
     t(spark, dir, "store_sales")
@@ -1491,12 +1505,12 @@ object Tpcds {
       .join(broadcast(hd), col("ss_hdemo_sk") === col("hd_demo_sk"))
       .join(addr, col("ss_addr_sk") === col("ca_address_sk"))
       .filter(
-        (demo("M", "Advanced Degree", 20, 120, ">10000", "5001-10000") ||
-          demo("S", "College", 60, 160, "501-1000", "1001-5000") ||
-          demo("W", "2 yr Degree", 120, 220, "Unknown", "0-500")) &&
-        (geo(Seq("TX", "OH", "MI"), 100, 290) ||
-          geo(Seq("CA", "NY", "IL"), 150, 300) ||
-          geo(Seq("GA", "WA", "PA"), 50, 250)))
+        (demo("M", "Advanced Degree", 5, 150, 3) ||
+          demo("S", "College", 1, 120, 1) ||
+          demo("W", "2 yr Degree", 5, 150, 1)) &&
+        (geo(Seq("TX", "OH", "MI"), 0, 300) ||
+          geo(Seq("CA", "NY", "IL"), 50, 400) ||
+          geo(Seq("GA", "WA", "PA"), 0, 250)))
       .agg(
         (sum(col("ss_quantity")).cast(DoubleType) / count(col("ss_quantity")))
           .as("avg_qty"),
@@ -1744,8 +1758,11 @@ object Tpcds {
   }
 
   /** [Q-tpcds-q73] TPC-DS Q73 shape: customers with SMALL tickets (1–5
-    * lines) on month-start shopping days in selected counties/buy-potential
-    * bands. Meaningful only over genVersion 9's variable-size baskets —
+    * lines) on month-start shopping days in selected counties, with the
+    * PUBLISHED household gate — buy_potential ∈ {>10000, Unknown},
+    * hd_vehicle_count > 0, dep/vehicle ratio > 1 (genVersion 10's dsdgen
+    * count domains). Meaningful only over genVersion 9's variable-size
+    * baskets —
     * every predicate is basket-level, so the per-ticket count is the true
     * basket size, bucketed by the published BETWEEN. The ticket aggregate
     * shuffles on the (ticket, customer) key once; the final customer
@@ -1759,7 +1776,10 @@ object Tpcds {
         "Bronx County", "Orange County", "Ziebach County"))
       .select("s_store_sk")
     val hd = t(spark, dir, "household_demographics")
-      .filter(col("hd_buy_potential").isin(">10000", "Unknown", "5001-10000"))
+      .filter(col("hd_buy_potential").isin(">10000", "Unknown") &&
+        col("hd_vehicle_count") > 0 &&
+        when(col("hd_vehicle_count") > 0, col("hd_dep_count")
+          .cast(DoubleType) / col("hd_vehicle_count")) > 1.0)
       .select("hd_demo_sk")
     val dj = t(spark, dir, "store_sales")
       .select("ss_ticket_number", "ss_customer_sk", "ss_sold_date_sk",
@@ -1778,8 +1798,9 @@ object Tpcds {
 
   /** [Q-tpcds-q34] TPC-DS Q34 shape: Q73's big-basket twin — customers
     * with LARGE tickets (6–10 lines, adapted from the published 15–20 to
-    * the generator's 1–10 size domain) on month-end shopping days. Same
-    * two keyed shuffles; the count bucket rides the v9 basket-size
+    * the generator's 1–10 size domain) on month-end shopping days, with
+    * the PUBLISHED household gate (dep/vehicle ratio > 1.2). Same two
+    * keyed shuffles; the count bucket rides the v9 basket-size
     * distribution. */
   def q_tpcds_q34(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
@@ -1790,7 +1811,10 @@ object Tpcds {
         "Barrow County", "Luce County", "Richland County"))
       .select("s_store_sk")
     val hd = t(spark, dir, "household_demographics")
-      .filter(col("hd_buy_potential").isin("0-500", "501-1000", "1001-5000"))
+      .filter(col("hd_buy_potential").isin(">10000", "Unknown") &&
+        col("hd_vehicle_count") > 0 &&
+        when(col("hd_vehicle_count") > 0, col("hd_dep_count")
+          .cast(DoubleType) / col("hd_vehicle_count")) > 1.2)
       .select("hd_demo_sk")
     val dj = t(spark, dir, "store_sales")
       .select("ss_ticket_number", "ss_customer_sk", "ss_sold_date_sk",
@@ -1857,18 +1881,17 @@ object Tpcds {
   }
 
   /** [Q-tpcds-q96] TPC-DS Q96 shape: how many store lines sold in the
-    * 20:30–21:00 slot to high-buy-potential households — a pure
-    * three-broadcast-semi COUNT star. Adapted: hd_buy_potential stands in
-    * for the published hd_dep_count (not domain-valued here); the store
-    * join is kept without the published name filter (names are not
-    * domain-valued). */
+    * 20:30–21:00 slot to seven-dependent households — a pure
+    * three-broadcast-semi COUNT star on the PUBLISHED hd_dep_count = 7
+    * (genVersion 10's 0..9 domain); the store join is kept without the
+    * published name filter (names are not domain-valued). */
   def q_tpcds_q96(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val td = t(spark, dir, "time_dim")
       .filter(col("t_hour") === 20 && col("t_minute") >= 30)
       .select("t_time_sk")
     val hd = t(spark, dir, "household_demographics")
-      .filter(col("hd_buy_potential") === ">10000").select("hd_demo_sk")
+      .filter(col("hd_dep_count") === 7).select("hd_demo_sk")
     val st = t(spark, dir, "store").select("s_store_sk")
     t(spark, dir, "store_sales")
       .select("ss_sold_time_sk", "ss_hdemo_sk", "ss_store_sk")
@@ -1890,7 +1913,7 @@ object Tpcds {
     val dir = ensure(spark, sfDir)
     val td = t(spark, dir, "time_dim").select("t_time_sk", "t_hour")
     val hd = t(spark, dir, "household_demographics")
-      .filter(col("hd_buy_potential").isin(">10000", "5001-10000"))
+      .filter(col("hd_dep_count") === 6)
       .select("hd_demo_sk")
     val wp = t(spark, dir, "web_page").select("wp_web_page_sk")
     t(spark, dir, "web_sales")
@@ -2661,7 +2684,8 @@ object Tpcds {
   private def stateReturnOutliers(
       spark: SparkSession, dir: String, fact: String, custCol: String,
       addrCol: String, dateCol: String, amtCol: String,
-      homeState: String, extraCols: Seq[String]): DataFrame = {
+      homeState: String, custExtra: Seq[String],
+      extraCols: Seq[String]): DataFrame = {
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
       .select("d_date_sk")
     val ca = t(spark, dir, "customer_address")
@@ -2685,24 +2709,34 @@ object Tpcds {
       .join(cust, col("ctr_customer_sk") === col("c_customer_sk"))
       .select(Seq(col("c_customer_id"), col("c_salutation"),
         col("c_first_name"), col("c_last_name")) ++
-        extraCols.map(col) :+
+        custExtra.map(col) ++ extraCols.map(col) :+
         col("ctr_total_return").cast(DoubleType).as("ctr_total_return"): _*)
   }
 
   /** [Q-tpcds-q30] TPC-DS Q30 shape: WEB-returns state outliers among
-    * customers now living in GA. */
+    * customers now living in GA, with the PUBLISHED customer block
+    * (preferred flag, birth day/month/year, birth country — genVersion 10
+    * draws them from calendar/FIPS domains — and the last-review id). */
   def q_tpcds_q30(spark: SparkSession, sfDir: String): DataFrame =
     stateReturnOutliers(spark, ensure(spark, sfDir), "web_returns",
       "wr_returning_customer_sk", "wr_returning_addr_sk",
-      "wr_returned_date_sk", "wr_return_amt", "GA", Seq.empty)
+      "wr_returned_date_sk", "wr_return_amt", "GA",
+      Seq("c_preferred_cust_flag", "c_birth_day", "c_birth_month",
+        "c_birth_year", "c_birth_country", "c_last_review_date_sk"),
+      Seq.empty)
 
   /** [Q-tpcds-q81] TPC-DS Q81 shape: CATALOG-returns state outliers among
-    * customers now living in IL, with their street/city address block. */
+    * customers now living in IL, with the PUBLISHED full address block
+    * (street number/name/type, suite, city, county, state, zip, country,
+    * gmt offset, location type — v10 structures street names and pins
+    * ca_country). */
   def q_tpcds_q81(spark: SparkSession, sfDir: String): DataFrame =
     stateReturnOutliers(spark, ensure(spark, sfDir), "catalog_returns",
       "cr_returning_customer_sk", "cr_returning_addr_sk",
-      "cr_returned_date_sk", "cr_return_amt_inc_tax", "IL",
-      Seq("ca_street_type", "ca_city", "ca_zip"))
+      "cr_returned_date_sk", "cr_return_amt_inc_tax", "IL", Seq.empty,
+      Seq("ca_street_number", "ca_street_name", "ca_street_type",
+        "ca_suite_number", "ca_city", "ca_county", "ca_state", "ca_zip",
+        "ca_country", "ca_gmt_offset", "ca_location_type"))
 
   /** [Q-tpcds-q26] TPC-DS Q26 shape: Q7's demographic per-item averages on
     * the CATALOG channel (bill-side demographics), a different demographic
@@ -3283,9 +3317,9 @@ object Tpcds {
     * ca_county) with grouping flags disambiguating subtotal rows from
     * genuinely-null dimension values. The bill customer's demographics
     * (gender F, college) gate the fact; the CURRENT demographics join is
-    * the published FK-existence semi. Adapted predicate: c_birth_month is
-    * hash-uniform (not 1–12) at generation, so the published 6-month IN
-    * list becomes a half-domain range. Demographics and item broadcast;
+    * the published FK-existence semi. The PUBLISHED 6-month birth-month
+    * IN list runs as published over genVersion 10's calendar-true 1..12
+    * domain. Demographics and item broadcast;
     * customer and address attach by customer-cardinality keyed shuffle
     * joins; averages are exact-sum ÷ count divided once as DOUBLE. */
   def q_tpcds_q18(spark: SparkSession, sfDir: String): DataFrame = {
@@ -3299,7 +3333,7 @@ object Tpcds {
     val cd2 = t(spark, dir, "customer_demographics")
       .select(col("cd_demo_sk").as("cd2_sk"))
     val cust = t(spark, dir, "customer")
-      .filter(col("c_birth_month").between(1, 5000))
+      .filter(col("c_birth_month").isin(1, 6, 8, 9, 12, 2))
       .select("c_customer_sk", "c_current_cdemo_sk", "c_current_addr_sk",
         "c_birth_year")
     val ca = t(spark, dir, "customer_address").select(
@@ -3332,23 +3366,25 @@ object Tpcds {
   /** [Q-tpcds-q58] TPC-DS Q58 shape: items selling EVENLY across all three
     * channels — per-item revenue in a calendar window derived from an
     * anchor date by nested lookup, kept when each channel's revenue is
-    * within ±10% of the three-channel average. Adapted window: the
-    * published single d_week_seq leaves the three-way item intersection
-    * empty at verification scale, so the anchor resolves to its
-    * d_month_seq (same nested scalar-derivation shape, month grain), and
-    * the published ±10% parity band widens to ±30% — the generator's
-    * channel volumes are systematically ~3:1 store:web, so exact parity
-    * is near-empty at ANY scale (a mix property, not a size one). The
-    * 1-row anchor broadcasts into date_dim, the date slice broadcasts
-    * into each fact; three item-keyed aggregates join on the item id;
-    * every ratio divides once as DOUBLE. */
+    * within the PUBLISHED ±10% of the three-channel average (genVersion
+    * 10's channel-calibrated wholesale draws equalize expected per-item
+    * channel revenue, so the band is satisfiable — before that the ~4:1
+    * store:web revenue mix made it empty at ANY scale). Adapted window:
+    * the published single d_week_seq leaves the per-item channel counts
+    * Poisson-thin (λ_ws ≈ 0.15/item-week at every sf, since facts and
+    * items both scale linearly), so the anchor resolves to its d_year
+    * (same nested scalar-derivation shape, year grain → λ_ws ≈ 8,
+    * E[band survivors] ≈ 5% of items). The 1-row anchor broadcasts into
+    * date_dim, the date slice broadcasts into each fact; three item-keyed
+    * aggregates join on the item id; every ratio divides once as
+    * DOUBLE. */
   def q_tpcds_q58(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val anchor = t(spark, dir, "date_dim")
       .filter(col("d_date") === to_date(lit("2000-03-03")))
-      .select(col("d_month_seq").as("anchor_seq"))
+      .select(col("d_year").as("anchor_seq"))
     val dd = t(spark, dir, "date_dim")
-      .join(broadcast(anchor), col("d_month_seq") === col("anchor_seq"))
+      .join(broadcast(anchor), col("d_year") === col("anchor_seq"))
       .select("d_date_sk")
     val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
     def rev(fact: String, dateCol: String, itemCol: String, priceCol: String,
@@ -3367,7 +3403,7 @@ object Tpcds {
     def d(c: Column) = c.cast(DoubleType)
     val avg3 = d(col("ss_rev") + col("cs_rev") + col("ws_rev")) / 3.0
     def within(pfx: String) =
-      d(col(s"${pfx}_rev")) >= avg3 * 0.7 && d(col(s"${pfx}_rev")) <= avg3 * 1.3
+      d(col(s"${pfx}_rev")) >= avg3 * 0.9 && d(col(s"${pfx}_rev")) <= avg3 * 1.1
     s.join(c, col("ss_id") === col("cs_id"))
       .join(w, col("ss_id") === col("ws_id"))
       .filter(within("ss") && within("cs") && within("ws"))
@@ -3505,42 +3541,35 @@ object Tpcds {
     * by the BEST store customers in one month — the two-CTE gauntlet.
     * Frequent items and best customers are store-history aggregates over a
     * 4-year window; the month's catalog+web lines are gated by both sets
-    * and summed to one row. Adapted thresholds: the published "sold >4
-    * times per day" item gate is empty under verification-scale density,
-    * so frequency is counted per item over the window, gated RELATIVE to
-    * the corpus mean per-item count (scale-invariant by construction); the best-
-    * customer gate drops from 95% to 50% of the max spender (61 of 1000
-    * qualify vs 0). Plan: two customer/item-keyed aggregates; the 1-row
-    * max attaches to the spend aggregate by a broadcast HASH join on a
-    * nullable-derived key (never a nested loop); the month facts stream
-    * through two broadcast semis and collapse map-side to one row. */
+    * and summed to one row. The frequent-item gate runs as PUBLISHED —
+    * HAVING count(*) > 4 per (substr(i_item_desc,1,30), i_item_sk,
+    * d_date) — genVersion 10's seasonal sold dates give it support
+    * (λ(item, super day) ≈ 0.64 at every sf; uniform dates left it empty
+    * at ANY scale). The month is December (where the published gate's
+    * qualifying items concentrate); the best-customer gate stays 50% of
+    * the max spender (95% selects ~1 customer at verification scale —
+    * q23b keeps the fully-relative variant). Plan: two customer/item-
+    * keyed aggregates; the 1-row max attaches to the spend aggregate by
+    * a broadcast HASH join on a nullable-derived key (never a nested
+    * loop); the month facts stream through two broadcast semis and
+    * collapse map-side to one row. */
   def q_tpcds_q23(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd4 = t(spark, dir, "date_dim")
       .filter(col("d_year").between(1999, 2002)).select("d_date_sk")
+    val dd4d = t(spark, dir, "date_dim")
+      .filter(col("d_year").between(1999, 2002)).select("d_date_sk", "d_date")
+    val itDesc = t(spark, dir, "item")
+      .select(col("i_item_sk"), substring(col("i_item_desc"), 1, 30)
+        .as("itemdesc"))
     val freq = t(spark, dir, "store_sales")
-      .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
-      .groupBy(col("ss_item_sk").as("freq_item"))
+      .join(broadcast(dd4d), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(itDesc), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("itemdesc"), col("ss_item_sk").as("freq_item"),
+        col("d_date"))
       .agg(count(lit(1)).as("cnt"))
-      .transform { counts =>
-        // scale-invariant frequency gate: "frequent" = above the corpus
-        // MEAN per-item count, so the selectivity shape survives any sf
-        // (an absolute count is only right at one scale). The 1-row mean
-        // attaches by the nullable-derived-key broadcast hash join.
-        val mean = counts
-          .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n"))
-          .withColumn("fjk", coalesce(col("tot") * 0, lit(0)).cast(
-            org.apache.spark.sql.types.IntegerType))
-        counts
-          // key derives from the NULLABLE grouping column — cnt is a
-          // non-nullable count(*), whose *0 constant-folds to a literal
-          // and degrades the join to a nested loop
-          .withColumn("fjk", coalesce(col("freq_item") * 0, lit(0)).cast(
-            org.apache.spark.sql.types.IntegerType))
-          .join(broadcast(mean), Seq("fjk"))
-          .filter(col("cnt").cast(DoubleType) >
-            col("tot").cast(DoubleType) / col("n"))
-      }.select("freq_item")
+      .filter(col("cnt") > 4)
+      .select("freq_item").distinct()
     val spend = t(spark, dir, "store_sales")
       .filter(col("ss_customer_sk").isNotNull)
       .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
@@ -3557,7 +3586,7 @@ object Tpcds {
         col("mx").cast(DoubleType) * 0.5)
       .select(col("cust").as("best_cust"))
     val ddm = t(spark, dir, "date_dim")
-      .filter(col("d_year") === 2000 && col("d_moy") === 3)
+      .filter(col("d_year") === 2000 && col("d_moy") === 12)
       .select(col("d_date_sk").as("m_date_sk"))
     def monthLines(fact: String, dateCol: String, itemCol: String,
                    custCol: String, qty: String, price: String) =
@@ -3994,7 +4023,8 @@ object Tpcds {
          |JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
          |JOIN ${P("household_demographics")} ON c_current_hdemo_sk = hd_demo_sk
          |JOIN ${P("income_band")} ON hd_income_band_sk = ib_income_band_sk
-         |WHERE ca_state IN ('CA', 'TX') AND hd_buy_potential = '>10000'
+         |WHERE ca_state IN ('CA', 'TX') AND ib_lower_bound >= 38128
+         | AND ib_upper_bound <= 38128 + 50000
          |GROUP BY ca_state, ib_lower_bound""".stripMargin,
     "q_tpcds_q36" ->
       s"""SELECT CAST(sum(ss_net_profit) AS DOUBLE) / CAST(sum(ss_ext_sales_price) AS DOUBLE) AS gross_margin,
@@ -4063,7 +4093,10 @@ object Tpcds {
          |FROM ${P("store_sales")}
          |JOIN ${P("household_demographics")} ON ss_hdemo_sk = hd_demo_sk
          |JOIN ${P("time_dim")} ON ss_sold_time_sk = t_time_sk
-         |WHERE hd_dep_count <= 10 AND t_hour BETWEEN 8 AND 12""".stripMargin,
+         |WHERE ((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+         |  OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+         |  OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))
+         | AND t_hour BETWEEN 8 AND 12""".stripMargin,
     "q_tpcds_q51" ->
       s"""WITH web AS (
          | SELECT ws_item_sk AS item_sk, d_date,
@@ -4426,7 +4459,7 @@ object Tpcds {
          |  JOIN ${P("store")} ON ss_store_sk = s_store_sk
          |  JOIN ${P("household_demographics")} ON ss_hdemo_sk = hd_demo_sk
          |  WHERE d_dow = 1 AND d_year IN (1998, 1999, 2000)
-         |   AND hd_buy_potential IN ('>10000', 'Unknown')
+         |   AND (hd_dep_count = 6 OR hd_vehicle_count > 2)
          |   AND s_number_employees BETWEEN 0 AND 5000
          |   AND ss_customer_sk IS NOT NULL
          |  GROUP BY 1, 2, 3) ms
@@ -4577,17 +4610,14 @@ object Tpcds {
          |JOIN ${P("customer_address")} ON ss_addr_sk = ca_address_sk
          |WHERE d_year = 2000
          | AND ((cd_marital_status = 'M' AND cd_education_status = 'Advanced Degree'
-         |   AND ss_sales_price BETWEEN 20 AND 120
-         |   AND hd_buy_potential IN ('>10000', '5001-10000'))
+         |   AND ss_sales_price BETWEEN 5 AND 150 AND hd_dep_count = 3)
          |  OR (cd_marital_status = 'S' AND cd_education_status = 'College'
-         |   AND ss_sales_price BETWEEN 60 AND 160
-         |   AND hd_buy_potential IN ('501-1000', '1001-5000'))
+         |   AND ss_sales_price BETWEEN 1 AND 120 AND hd_dep_count = 1)
          |  OR (cd_marital_status = 'W' AND cd_education_status = '2 yr Degree'
-         |   AND ss_sales_price BETWEEN 120 AND 220
-         |   AND hd_buy_potential IN ('Unknown', '0-500')))
-         | AND ((ca_state IN ('TX', 'OH', 'MI') AND ss_net_profit BETWEEN 100 AND 290)
-         |  OR (ca_state IN ('CA', 'NY', 'IL') AND ss_net_profit BETWEEN 150 AND 300)
-         |  OR (ca_state IN ('GA', 'WA', 'PA') AND ss_net_profit BETWEEN 50 AND 250))""".stripMargin,
+         |   AND ss_sales_price BETWEEN 5 AND 150 AND hd_dep_count = 1))
+         | AND ((ca_state IN ('TX', 'OH', 'MI') AND ss_net_profit BETWEEN 0 AND 300)
+         |  OR (ca_state IN ('CA', 'NY', 'IL') AND ss_net_profit BETWEEN 50 AND 400)
+         |  OR (ca_state IN ('GA', 'WA', 'PA') AND ss_net_profit BETWEEN 0 AND 250))""".stripMargin,
     "q_tpcds_q63" ->
       s"""SELECT i_manager_id, d_moy, CAST(s AS DOUBLE) AS sum_sales,
          |  avg_monthly_sales
@@ -4743,7 +4773,10 @@ object Tpcds {
          |   WHERE s_county IN ('Williamson County', 'Franklin Parish',
          |    'Bronx County', 'Orange County', 'Ziebach County'))
          |  AND ss_hdemo_sk IN (SELECT hd_demo_sk FROM ${P("household_demographics")}
-         |   WHERE hd_buy_potential IN ('>10000', 'Unknown', '5001-10000'))
+         |   WHERE hd_buy_potential IN ('>10000', 'Unknown')
+         |    AND hd_vehicle_count > 0
+         |    AND (CASE WHEN hd_vehicle_count > 0 THEN
+         |      CAST(hd_dep_count AS DOUBLE) / hd_vehicle_count END) > 1.0)
          | GROUP BY ss_ticket_number, ss_customer_sk) dj
          |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
          |WHERE cnt BETWEEN 1 AND 5""".stripMargin,
@@ -4759,7 +4792,10 @@ object Tpcds {
          |   WHERE s_county IN ('Walker County', 'Daviess County',
          |    'Barrow County', 'Luce County', 'Richland County'))
          |  AND ss_hdemo_sk IN (SELECT hd_demo_sk FROM ${P("household_demographics")}
-         |   WHERE hd_buy_potential IN ('0-500', '501-1000', '1001-5000'))
+         |   WHERE hd_buy_potential IN ('>10000', 'Unknown')
+         |    AND hd_vehicle_count > 0
+         |    AND (CASE WHEN hd_vehicle_count > 0 THEN
+         |      CAST(hd_dep_count AS DOUBLE) / hd_vehicle_count END) > 1.2)
          | GROUP BY ss_ticket_number, ss_customer_sk) dj
          |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
          |WHERE cnt BETWEEN 6 AND 10""".stripMargin,
@@ -4791,7 +4827,7 @@ object Tpcds {
          |WHERE ss_sold_time_sk IN (SELECT t_time_sk FROM ${P("time_dim")}
          |  WHERE t_hour = 20 AND t_minute >= 30)
          | AND ss_hdemo_sk IN (SELECT hd_demo_sk FROM ${P("household_demographics")}
-         |  WHERE hd_buy_potential = '>10000')
+         |  WHERE hd_dep_count = 7)
          | AND ss_store_sk IN (SELECT s_store_sk FROM ${P("store")})""".stripMargin,
     "q_tpcds_q90" ->
       s"""SELECT CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE) AS am_pm_ratio
@@ -4802,7 +4838,7 @@ object Tpcds {
          | JOIN ${P("time_dim")} ON ws_sold_time_sk = t_time_sk
          | WHERE ws_ship_hdemo_sk IN (SELECT hd_demo_sk
          |   FROM ${P("household_demographics")}
-         |   WHERE hd_buy_potential IN ('>10000', '5001-10000'))
+         |   WHERE hd_dep_count = 6)
          |  AND ws_web_page_sk IN (SELECT wp_web_page_sk FROM ${P("web_page")}))
          |WHERE pmc > 0""".stripMargin,
     "q_tpcds_q2" ->
@@ -5211,11 +5247,15 @@ object Tpcds {
          |GROUP BY substr(w_warehouse_name, 1, 20), sm_type, web_name""".stripMargin,
     "q_tpcds_q30" -> stateOutlierOracle("web_returns",
       "wr_returning_customer_sk", "wr_returning_addr_sk",
-      "wr_returned_date_sk", "wr_return_amt", "GA", Seq.empty),
+      "wr_returned_date_sk", "wr_return_amt", "GA",
+      Seq("c_preferred_cust_flag", "c_birth_day", "c_birth_month",
+        "c_birth_year", "c_birth_country", "c_last_review_date_sk")),
     "q_tpcds_q81" -> stateOutlierOracle("catalog_returns",
       "cr_returning_customer_sk", "cr_returning_addr_sk",
       "cr_returned_date_sk", "cr_return_amt_inc_tax", "IL",
-      Seq("ca_street_type", "ca_city", "ca_zip")),
+      Seq("ca_street_number", "ca_street_name", "ca_street_type",
+        "ca_suite_number", "ca_city", "ca_county", "ca_state", "ca_zip",
+        "ca_country", "ca_gmt_offset", "ca_location_type")),
     "q_tpcds_q26" ->
       s"""SELECT i_item_id,
          | CAST(sum(cs_quantity) AS DOUBLE) / count(cs_quantity) AS agg1,
@@ -5584,15 +5624,15 @@ object Tpcds {
          |JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
          |JOIN ${P("item")} ON cs_item_sk = i_item_sk
          |WHERE cd1.cd_gender = 'F' AND cd1.cd_education_status = 'College'
-         | AND c_birth_month BETWEEN 1 AND 5000 AND d_year = 2000
+         | AND c_birth_month IN (1, 6, 8, 9, 12, 2) AND d_year = 2000
          | AND c_current_cdemo_sk IN
          |  (SELECT cd_demo_sk FROM ${P("customer_demographics")})
          |GROUP BY ROLLUP(i_item_id, ca_country, ca_state, ca_county)""".stripMargin,
     "q_tpcds_q58" ->
       s"""WITH dd AS (
          | SELECT d_date_sk FROM ${P("date_dim")}
-         | WHERE d_month_seq = (SELECT d_month_seq FROM ${P("date_dim")}
-         |                      WHERE d_date = DATE '2000-03-03')),
+         | WHERE d_year = (SELECT d_year FROM ${P("date_dim")}
+         |                 WHERE d_date = DATE '2000-03-03')),
          |s AS (SELECT i_item_id AS ss_id, sum(ss_ext_sales_price) AS ss_rev
          | FROM ${P("store_sales")} JOIN dd ON ss_sold_date_sk = d_date_sk
          | JOIN ${P("item")} ON ss_item_sk = i_item_sk GROUP BY 1),
@@ -5615,17 +5655,17 @@ object Tpcds {
          | CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 AS average
          |FROM s JOIN c ON ss_id = cs_id JOIN w ON ss_id = ws_id
          |WHERE CAST(ss_rev AS DOUBLE) >=
-         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 0.7
+         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 0.9
          | AND CAST(ss_rev AS DOUBLE) <=
-         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 1.3
+         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 1.1
          | AND CAST(cs_rev AS DOUBLE) >=
-         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 0.7
+         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 0.9
          | AND CAST(cs_rev AS DOUBLE) <=
-         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 1.3
+         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 1.1
          | AND CAST(ws_rev AS DOUBLE) >=
-         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 0.7
+         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 0.9
          | AND CAST(ws_rev AS DOUBLE) <=
-         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 1.3""".stripMargin,
+         |   CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3.0 * 1.1""".stripMargin,
     "q_tpcds_q83" ->
       s"""WITH dd AS (
          | SELECT d_date_sk FROM ${P("date_dim")}
@@ -5711,11 +5751,14 @@ object Tpcds {
     "q_tpcds_q23" ->
       s"""WITH dd4 AS (SELECT d_date_sk FROM ${P("date_dim")}
          |  WHERE d_year BETWEEN 1999 AND 2002),
-         |counts AS (SELECT ss_item_sk, count(*) AS cnt FROM ${P("store_sales")}
-         | JOIN dd4 ON ss_sold_date_sk = d_date_sk GROUP BY 1),
-         |freq AS (SELECT ss_item_sk FROM counts
-         | WHERE CAST(cnt AS DOUBLE) >
-         |  (SELECT CAST(sum(cnt) AS DOUBLE) / count(*) FROM counts)),
+         |freq AS (SELECT DISTINCT ss_item_sk FROM (
+         | SELECT substr(i_item_desc, 1, 30) AS itemdesc, ss_item_sk, d_date
+         | FROM ${P("store_sales")}
+         | JOIN (SELECT d_date_sk, d_date FROM ${P("date_dim")}
+         |       WHERE d_year BETWEEN 1999 AND 2002) dd
+         |  ON ss_sold_date_sk = dd.d_date_sk
+         | JOIN ${P("item")} ON ss_item_sk = i_item_sk
+         | GROUP BY 1, 2, 3 HAVING count(*) > 4) f),
          |spend AS (SELECT ss_customer_sk AS cust,
          |  sum(ss_quantity * ss_sales_price) AS ssales
          | FROM ${P("store_sales")} JOIN dd4 ON ss_sold_date_sk = d_date_sk
@@ -5724,7 +5767,7 @@ object Tpcds {
          | WHERE CAST(ssales AS DOUBLE) >
          |  CAST((SELECT max(ssales) FROM spend) AS DOUBLE) * 0.5),
          |ddm AS (SELECT d_date_sk FROM ${P("date_dim")}
-         | WHERE d_year = 2000 AND d_moy = 3)
+         | WHERE d_year = 2000 AND d_moy = 12)
          |SELECT CAST(sum(amt) AS DOUBLE) AS sum_sales FROM (
          | SELECT cs_quantity * cs_list_price AS amt FROM ${P("catalog_sales")}
          | JOIN ddm ON cs_sold_date_sk = d_date_sk

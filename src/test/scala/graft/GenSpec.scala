@@ -496,4 +496,142 @@ class GenSpec extends AnyFunSuite {
     assert(mgr.getInt(0) >= 1 && mgr.getInt(1) <= 100,
       s"i_manager_id outside 1..100: $mgr")
   }
+
+  test("v10: two concurrent driver JVMs share one cache root; exactly-once generation") {
+    // The fleet scenario the cacheRoot knob exists for: N INDEPENDENT
+    // drivers (separate JVMs — the in-JVM `synchronized` can't help) race
+    // GenCache.ensure on one shared POSIX root. The java.nio file-lock +
+    // tmp + atomic-rename + marker protocol must let exactly one generate
+    // while the other blocks then reuses, and neither may observe a
+    // partial cache. Each probe (graft.tools.GenOnce) appends to
+    // <root>/gen.log inside its generate closure and validates marker +
+    // exact row counts before exiting 0.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_fleet_test").toString
+    // probe stdout lives OUTSIDE the cache parent: the versioned-root sweep
+    // treats unknown sibling files of the cache root as stale strays (by
+    // design — the parent is graft-owned) and would delete the logs
+    val outDir = Files.createTempDirectory("graft_fleet_out").toString
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList.sliding(2).collect {
+        case List(flag, v) if flag == "--add-opens" || flag == "--add-exports" =>
+          List(flag, v)
+      }.flatten.toList
+    def probe(id: String): Process = new ProcessBuilder(
+      (List(javaBin) ++ jvmArgs ++ List("-Xmx2g",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.GenOnce", root, "/root/testdata/sf0.001", id)).asJava)
+      .redirectErrorStream(true)
+      .redirectOutput(new java.io.File(s"$outDir/probe-$id.out"))
+      .start()
+    val (p1, p2) = (probe("p1"), probe("p2"))
+    assert(p1.waitFor(600, java.util.concurrent.TimeUnit.SECONDS), "p1 timed out")
+    assert(p2.waitFor(600, java.util.concurrent.TimeUnit.SECONDS), "p2 timed out")
+    def out(id: String) = new String(Files.readAllBytes(Paths.get(s"$outDir/probe-$id.out")))
+    assert(p1.exitValue() == 0, s"p1 failed:\n${out("p1").takeRight(2000)}")
+    assert(p2.exitValue() == 0, s"p2 failed:\n${out("p2").takeRight(2000)}")
+    val log = Paths.get(root, "gencache_probe", "gen.log")
+    assert(Files.exists(log), "no generation ran at all")
+    val gens = Files.readAllLines(log).asScala
+    assert(gens.size == 1, s"generation ran ${gens.size} times: $gens")
+    assert(Files.exists(Paths.get(root, "gencache_probe", "sf0.001", "_GRAFT_COMPLETE")))
+    // no leftover tmp staging dir
+    val leftovers = Files.list(Paths.get(root, "gencache_probe")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".")).toList
+    assert(leftovers.isEmpty, s"staging leftovers: $leftovers")
+  }
+
+  test("v10: channel-calibrated money — per-channel revenue within 5% of the mean") {
+    import org.apache.spark.sql.functions._
+    // order-stat wholesale draws (ss=min4, cs=2nd of 4, ws=max4) equalize
+    // expected per-item revenue across the 4:2:1 channel row volumes — the
+    // published cross-channel parity bands (Q58 ±10%) depend on it
+    def total(tbl: String, c: String): Double =
+      TpcdsGen.table(spark, tbl, 0.01, 4)
+        .agg(sum(col(c)).cast("double")).head().getDouble(0)
+    val ss = total("store_sales", "ss_ext_sales_price")
+    val cs = total("catalog_sales", "cs_ext_sales_price")
+    val ws = total("web_sales", "ws_ext_sales_price")
+    val mean = (ss + cs + ws) / 3.0
+    for ((n, v) <- Seq("ss" -> ss, "cs" -> cs, "ws" -> ws))
+      assert(math.abs(v - mean) / mean < 0.05,
+        f"$n channel revenue $v%.0f deviates >5%% from mean $mean%.0f")
+    // wholesale means order as min4 < 2nd-of-4 < max4 over one range
+    def whlStats(tbl: String, c: String) =
+      TpcdsGen.table(spark, tbl, 0.01, 4)
+        .agg(avg(col(c)).cast("double"), min(col(c)).cast("double"),
+          max(col(c)).cast("double")).head()
+    val (w1, w2, w3) = (whlStats("store_sales", "ss_wholesale_cost"),
+      whlStats("catalog_sales", "cs_wholesale_cost"),
+      whlStats("web_sales", "ws_wholesale_cost"))
+    assert(w1.getDouble(0) < w2.getDouble(0) && w2.getDouble(0) < w3.getDouble(0),
+      s"wholesale means not ordered: $w1 $w2 $w3")
+    for (w <- Seq(w1, w2, w3))
+      assert(w.getDouble(1) >= 1.0 && w.getDouble(2) <= 99.99,
+        s"wholesale outside published [1, 99.99]: $w")
+  }
+
+  test("v10: demographics count domains, birth calendar, countries") {
+    import org.apache.spark.sql.functions._
+    val hd = TpcdsGen.table(spark, "household_demographics", 1.0, 2)
+    val h = hd.agg(min("hd_dep_count"), max("hd_dep_count"),
+      min("hd_vehicle_count"), max("hd_vehicle_count")).head()
+    assert(h.getInt(0) >= 0 && h.getInt(1) <= 9, s"hd_dep_count: $h")
+    assert(h.getInt(2) >= -1 && h.getInt(3) <= 4, s"hd_vehicle_count: $h")
+    val cd = TpcdsGen.table(spark, "customer_demographics", 0.001, 2)
+      .agg(min("cd_dep_count"), max("cd_dep_count"),
+        min("cd_dep_employed_count"), max("cd_dep_employed_count")).head()
+    assert(cd.getInt(0) >= 0 && cd.getInt(1) <= 6, s"cd_dep_count: $cd")
+    val cu = TpcdsGen.table(spark, "customer", 0.01, 2)
+    val b = cu.agg(min("c_birth_day"), max("c_birth_day"),
+      min("c_birth_month"), max("c_birth_month"),
+      min("c_birth_year"), max("c_birth_year")).head()
+    assert(b.getInt(0) >= 1 && b.getInt(1) <= 31, s"birth_day: $b")
+    assert(b.getInt(2) >= 1 && b.getInt(3) <= 12, s"birth_month: $b")
+    assert(b.getInt(4) >= 1924 && b.getInt(5) <= 1992, s"birth_year: $b")
+    val countries = cu.select("c_birth_country")
+      .filter(col("c_birth_country").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(countries.contains("UNITED STATES") && countries.size >= 10,
+      s"birth countries under-covered: ${countries.take(5)}")
+    assert(countries.forall(c => c == c.toUpperCase), "countries not uppercase")
+    val caCountry = TpcdsGen.table(spark, "customer_address", 0.01, 2)
+      .select("ca_country").filter(col("ca_country").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(caCountry == Set("United States"), s"ca_country: $caCountry")
+  }
+
+  test("v10: sold dates are seasonal (super days), other date FKs uniform") {
+    import org.apache.spark.sql.functions._
+    val dd = TpcdsGen.table(spark, "date_dim", 1.0, 2)
+      .select(col("d_date_sk"), col("d_moy"), col("d_year"))
+    val ss = TpcdsGen.table(spark, "store_sales", 0.01, 4)
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+    val n = ss.count().toDouble
+    // ten super days + holiday window both sit in Nov/Dec: expect ~33%
+    // of sales there vs ~16% under a uniform calendar
+    val novDec = ss.filter(col("d_moy") >= 11).count().toDouble
+    assert(novDec / n > 0.25 && novDec / n < 0.45,
+      f"Nov+Dec share ${novDec / n}%.3f outside the seasonal band")
+    // every year still represented roughly equally (super days are per-year)
+    val years = ss.groupBy("d_year").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(years.keySet == Set(1998, 1999, 2000, 2001, 2002), years.keySet)
+    val (ymin, ymax) = (years.values.min.toDouble, years.values.max.toDouble)
+    assert(ymax / ymin < 1.3, s"sold-date years skewed: $years")
+    // the published Q23 gate has support: some (item, day) exceeds 4 sales
+    val gate = ss.groupBy("ss_item_sk", "d_date_sk").count()
+      .filter(col("count") > 4).count()
+    assert(gate > 0, "no (item, day) cell exceeds 4 sales — Q23 gate empty")
+    // inventory (non-sold) date FKs stay uniform: Nov+Dec ~ 16%
+    val inv = TpcdsGen.table(spark, "inventory", 0.001, 4)
+      .join(dd, col("inv_date_sk") === col("d_date_sk"))
+    val invN = inv.count().toDouble
+    val invNovDec = inv.filter(col("d_moy") >= 11).count().toDouble
+    assert(invNovDec / invN < 0.25,
+      f"inventory dates unexpectedly seasonal: ${invNovDec / invN}%.3f")
+  }
 }

@@ -372,9 +372,9 @@ class PlanGuardSpec extends AnyFunSuite {
       && q80.contains("wr_order_number"), s"Q80 lost a returns PK join:\n$q80")
     assert(q80.contains("Union") && q80.contains("Expand"),
       s"Q80 lost its channel union/rollup:\n$q80")
-    // Q58: the anchor month resolves via the broadcast month-seq lookup
+    // Q58: the anchor year resolves via the broadcast nested lookup
     val q58 = fmt("q_tpcds_q58")
-    assert(q58.contains("d_month_seq") && q58.contains("BroadcastHashJoin"),
+    assert(q58.contains("d_year") && q58.contains("BroadcastHashJoin"),
       s"Q58 anchor derivation not broadcast:\n$q58")
     // Q18: geography rollup over broadcast demographics
     val q18 = fmt("q_tpcds_q18")

@@ -33,7 +33,7 @@ class RowsOnlySpec extends AnyFunSuite {
       val n = r.getLong(r.fieldIndex("n"))
       val vals = orders.filter(col("o_orderpriority") === pri)
         .select("o_totalprice").collect().map(_.getDouble(0)).sorted
-      val eps = math.max(n / 10000.0, 1.0) + 1 // rank slack: n/accuracy, >= 1
+      val eps = math.max(n / 1000.0, 1.0) + 1 // rank slack: n/accuracy, >= 1
       for ((fld, q) <- Seq(("p50_a", 0.5), ("p90_a", 0.9), ("p99_a", 0.99))) {
         val v = r.getDouble(r.fieldIndex(fld))
         assert(vals.contains(v), s"$pri/$fld: $v is not an actual data value")
