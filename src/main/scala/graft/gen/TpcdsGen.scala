@@ -92,8 +92,12 @@ object TpcdsGen extends Benchmark {
     * (hd_dep_count 0..9, hd_vehicle_count −1..4, cd_dep_* 0..6 —
     * un-adapts Q13/Q34/Q73/Q96), seasonal sold dates (ten super days +
     * holiday window — gives Q23's published count>4 frequent-item gate
-    * support), and structured c_birth_country (see customerCol). */
-  val genVersion = 10
+    * support), and structured c_birth_country (see customerCol).
+    * v11: dsdgen-syllable store names drawn CYCLICALLY over the tiny
+    * store dim (line mod 10 — every name, 'ese' included, exists at any
+    * store count >= 10), so Q96's published s_store_name = 'ese' filter
+    * runs as published instead of being dropped. */
+  val genVersion = 11
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -250,6 +254,12 @@ object TpcdsGen extends Benchmark {
   private val counties = Seq("Williamson County", "Ziebach County",
     "Walker County", "Daviess County", "Barrow County", "Franklin Parish",
     "Luce County", "Richland County", "Bronx County", "Orange County")
+  /** v11: dsdgen's base-10 number syllables — its store names ARE these
+    * (spec digit words: ought=0 able=1 pri=2 ese=3 anti=4 cally=5
+    * ation=6 eing=7 hov=8 bar=9); Q96 filters s_store_name = 'ese'. */
+  private[graft] val storeNameSyllables: Seq[String] = Seq("ought", "able",
+    "pri", "ese", "anti", "cally", "ation", "eing", "hov", "bar")
+
   /** v10: dsdgen-style composed street names (first + second part). */
   private val streetNames: Seq[String] = {
     val first = Seq("Oak", "Maple", "Cedar", "Elm", "Pine", "Walnut",
@@ -576,7 +586,11 @@ object TpcdsGen extends Benchmark {
     * the generic and returns paths; keys, income-band bounds and order
     * numbers stay dense). */
   private def nullify(f: StructField, src: Column, tag: Int, base: Column): Column =
-    if (f.nullable && !f.name.startsWith("ib_") && !orderNumberCols(f.name))
+    // s_store_name: the cyclic syllable domain is a structural guarantee
+    // (Q96's published name filter must find 'ese' at the 12-row floor) —
+    // a 5% null draw would erase a whole name with P ≈ 0.05 per scale
+    if (f.nullable && !f.name.startsWith("ib_") && !orderNumberCols(f.name) &&
+        f.name != "s_store_name")
       when(pmod(h(src, tag + 7919), lit(20)) === 0, lit(null).cast(f.dataType))
         .otherwise(base)
     else base
@@ -670,6 +684,14 @@ object TpcdsGen extends Benchmark {
         uniLong(src, tag, lo, hi).cast(IntegerType)
       case IntegerType => uniLong(src, tag, 0, 9999).cast(IntegerType)
       case LongType => uniLong(src, tag, 0, 999999)
+      // v11: dsdgen number-syllable store names, cyclic so each of the
+      // ten names exists at every scale (a hash draw misses 'ese' with
+      // P ≈ 0.28 at the 12-row floor — Q96's published filter would
+      // then be empty-by-luck)
+      case StringType if f.name == "s_store_name" =>
+        element_at(array(storeNameSyllables.map(lit): _*),
+          (pmod(line, lit(storeNameSyllables.size.toLong)) + 1)
+            .cast(IntegerType))
       case StringType if f.name.endsWith("_id") =>
         // dsdgen-style 16-char business key, unique per row
         concat(lit("AAAAAAAA"), lpad(conv(pmod(line, lit(99999999L)).cast(StringType), 10, 16), 8, "0"))

@@ -536,7 +536,7 @@ object Tpcds {
     val d2 = t(spark, dir, "date_dim")
       .select(col("d_date_sk").as("d2_sk"), col("d_week_seq").as("wk2"))
     val hd = t(spark, dir, "household_demographics")
-      .filter(col("hd_buy_potential") === ">10000").select("hd_demo_sk")
+      .filter(col("hd_buy_potential") === "1001-5000").select("hd_demo_sk")
     val inv = t(spark, dir, "inventory")
       .join(broadcast(d2), col("inv_date_sk") === col("d2_sk"))
       .select(col("inv_item_sk"), col("wk2"), col("inv_quantity_on_hand"))
@@ -1881,10 +1881,11 @@ object Tpcds {
   }
 
   /** [Q-tpcds-q96] TPC-DS Q96 shape: how many store lines sold in the
-    * 20:30–21:00 slot to seven-dependent households — a pure
-    * three-broadcast-semi COUNT star on the PUBLISHED hd_dep_count = 7
-    * (genVersion 10's 0..9 domain); the store join is kept without the
-    * published name filter (names are not domain-valued). */
+    * 20:30–21:00 slot to seven-dependent households at stores named
+    * 'ese' — a pure three-broadcast-semi COUNT star, fully on the
+    * PUBLISHED predicates: hd_dep_count = 7 (genVersion 10's 0..9
+    * domain) and s_store_name = 'ese' (genVersion 11's cyclic dsdgen
+    * syllable names guarantee the name exists at every store count). */
   def q_tpcds_q96(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val td = t(spark, dir, "time_dim")
@@ -1892,7 +1893,8 @@ object Tpcds {
       .select("t_time_sk")
     val hd = t(spark, dir, "household_demographics")
       .filter(col("hd_dep_count") === 7).select("hd_demo_sk")
-    val st = t(spark, dir, "store").select("s_store_sk")
+    val st = t(spark, dir, "store")
+      .filter(col("s_store_name") === "ese").select("s_store_sk")
     t(spark, dir, "store_sales")
       .select("ss_sold_time_sk", "ss_hdemo_sk", "ss_store_sk")
       .join(broadcast(td), col("ss_sold_time_sk") === col("t_time_sk"),
@@ -4131,7 +4133,7 @@ object Tpcds {
          |JOIN ${P("date_dim")} d1 ON cs_sold_date_sk = d1.d_date_sk
          |JOIN ${P("inventory")} ON inv_item_sk = cs_item_sk
          |JOIN ${P("date_dim")} d2 ON inv_date_sk = d2.d_date_sk
-         |WHERE hd_buy_potential = '>10000'
+         |WHERE hd_buy_potential = '1001-5000'
          |  AND d2.d_week_seq = d1.d_week_seq
          |  AND inv_quantity_on_hand < cs_quantity
          |GROUP BY cs_item_sk, d1.d_week_seq""".stripMargin,
@@ -4828,7 +4830,8 @@ object Tpcds {
          |  WHERE t_hour = 20 AND t_minute >= 30)
          | AND ss_hdemo_sk IN (SELECT hd_demo_sk FROM ${P("household_demographics")}
          |  WHERE hd_dep_count = 7)
-         | AND ss_store_sk IN (SELECT s_store_sk FROM ${P("store")})""".stripMargin,
+         | AND ss_store_sk IN (SELECT s_store_sk FROM ${P("store")}
+         |  WHERE s_store_name = 'ese')""".stripMargin,
     "q_tpcds_q90" ->
       s"""SELECT CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE) AS am_pm_ratio
          |FROM (

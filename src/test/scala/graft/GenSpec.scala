@@ -602,6 +602,14 @@ class GenSpec extends AnyFunSuite {
       .select("ca_country").filter(col("ca_country").isNotNull)
       .distinct().collect().map(_.getString(0)).toSet
     assert(caCountry == Set("United States"), s"ca_country: $caCountry")
+    // v11: store names cycle through the dsdgen syllables — every name
+    // (Q96 filters 'ese') exists at any store count >= 10, by construction
+    // rather than by hash luck
+    val storeNames = TpcdsGen.table(spark, "store", 1.0, 2)
+      .select("s_store_name").filter(col("s_store_name").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(storeNames == TpcdsGen.storeNameSyllables.toSet,
+      s"store names are not exactly the ten dsdgen syllables: $storeNames")
   }
 
   test("v10: sold dates are seasonal (super days), other date FKs uniform") {
