@@ -661,18 +661,18 @@ object Tpcds {
     * one year — the category-level rollup the genVersion-5 functionally-
     * dependent hierarchy makes meaningful ((i_category_id, i_category) is
     * 1:1, so the pair grouping has one group per category, not per item).
-    * Adapted predicate: the published i_manager_id = 1 point filter is
-    * empty under hash-uniform manager ids at test scale; a manager RANGE
-    * (1..500 of the 0..9999 domain) keeps the published ~5% selectivity
-    * shape. Same plan as Q3: facts stream through two broadcast dims, one
-    * shuffle of ≤ |categories| aggregation rows. */
+    * PUBLISHED predicate: i_manager_id = 1 — the genVersion-8 1..100
+    * manager domain gives the point filter dsdgen selectivity (~1% of
+    * items; 3 items with November-2000 sales at the sf0.01 gate). Same
+    * plan as Q3: facts stream through two broadcast dims, one shuffle of
+    * ≤ |categories| aggregation rows. */
   def q_tpcds_q42(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
       .filter(col("d_moy") === 11 && col("d_year") === 2000)
       .select("d_date_sk", "d_year")
     val it = t(spark, dir, "item")
-      .filter(col("i_manager_id").between(1, 500))
+      .filter(col("i_manager_id") === 1)
       .select("i_item_sk", "i_category_id", "i_category")
     t(spark, dir, "store_sales")
       .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
@@ -685,14 +685,15 @@ object Tpcds {
     * revenue by (i_brand_id, i_brand) for one year, the grouping that
     * required the 1:1 id↔string tie (and, since genVersion 6, the shared
     * null decision — an id with a lone-null string would fan into a second
-    * group). Same adapted manager-range slice and broadcast-star plan. */
+    * group). Same PUBLISHED i_manager_id = 1 point filter and
+    * broadcast-star plan as Q42. */
   def q_tpcds_q52(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
       .filter(col("d_moy") === 11 && col("d_year") === 2000)
       .select("d_date_sk", "d_year")
     val it = t(spark, dir, "item")
-      .filter(col("i_manager_id").between(1, 500))
+      .filter(col("i_manager_id") === 1)
       .select("i_item_sk", "i_brand_id", "i_brand")
     t(spark, dir, "store_sales")
       .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
@@ -1382,16 +1383,16 @@ object Tpcds {
     * customers who bought in a store OUTSIDE their home zip — the published
     * `substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)` cross-dimension
     * predicate (genVersion 8's shared zip domain makes it meaningful), over
-    * one month and one manager band. date/item/store broadcast; the
-    * customer→address chain is the keyed-shuffle work. Adapted: manager
-    * BAND 1..20 instead of the published single id — hash-uniform managers
-    * over the test-scale item pool make one id near-empty. */
+    * one month and one manager. date/item/store broadcast; the
+    * customer→address chain is the keyed-shuffle work. PUBLISHED
+    * i_manager_id = 8 point filter (the 1..100 manager domain keeps it
+    * non-empty through the zip-mismatch gate at the sf0.01 gate scale). */
   def q_tpcds_q19(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
       .filter(col("d_year") === 2000 && col("d_moy") === 11).select("d_date_sk")
     val it = t(spark, dir, "item")
-      .filter(col("i_manager_id").between(1, 20))
+      .filter(col("i_manager_id") === 8)
       .select("i_item_sk", "i_brand_id", "i_brand", "i_manufact_id",
         "i_manufact")
     val st = t(spark, dir, "store").select("s_store_sk", "s_zip")
@@ -1445,16 +1446,17 @@ object Tpcds {
       .agg(sum(col("ss_net_profit")).cast(DoubleType).as("net_profit"))
   }
 
-  /** [Q-tpcds-q55] TPC-DS Q55 shape: one manager band's November brand
-    * revenue — the classic two-broadcast star rollup at the brand grain
-    * (genVersion 8's 1..100 manager domain carries the published
-    * predicate's shape; band 21..40 for test-scale selectivity). */
+  /** [Q-tpcds-q55] TPC-DS Q55 shape: one manager's November brand
+    * revenue — the classic two-broadcast star rollup at the brand grain,
+    * with the PUBLISHED i_manager_id = 28 point filter (genVersion 8's
+    * 1..100 manager domain makes it dsdgen-selective: 2 qualifying items
+    * at the sf0.01 gate). */
   def q_tpcds_q55(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
       .filter(col("d_year") === 2000 && col("d_moy") === 11).select("d_date_sk")
     val it = t(spark, dir, "item")
-      .filter(col("i_manager_id").between(21, 40))
+      .filter(col("i_manager_id") === 28)
       .select("i_item_sk", "i_brand_id", "i_brand")
     t(spark, dir, "store_sales")
       .select("ss_sold_date_sk", "ss_item_sk", "ss_ext_sales_price")
@@ -4197,14 +4199,14 @@ object Tpcds {
          | CAST(sum(ss_ext_sales_price) AS DOUBLE) AS sum_sales
          |FROM ${P("store_sales")} JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
          |JOIN ${P("item")} ON ss_item_sk = i_item_sk
-         |WHERE d_moy = 11 AND d_year = 2000 AND i_manager_id BETWEEN 1 AND 500
+         |WHERE d_moy = 11 AND d_year = 2000 AND i_manager_id = 1
          |GROUP BY d_year, i_category_id, i_category""".stripMargin,
     "q_tpcds_q52" ->
       s"""SELECT d_year, i_brand_id, i_brand,
          | CAST(sum(ss_ext_sales_price) AS DOUBLE) AS ext_price
          |FROM ${P("store_sales")} JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
          |JOIN ${P("item")} ON ss_item_sk = i_item_sk
-         |WHERE d_moy = 11 AND d_year = 2000 AND i_manager_id BETWEEN 1 AND 500
+         |WHERE d_moy = 11 AND d_year = 2000 AND i_manager_id = 1
          |GROUP BY d_year, i_brand_id, i_brand""".stripMargin,
     "q_tpcds_q25" ->
       s"""SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
@@ -4571,7 +4573,7 @@ object Tpcds {
          |JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
          |JOIN ${P("store")} ON ss_store_sk = s_store_sk
          |WHERE d_year = 2000 AND d_moy = 11
-         | AND i_manager_id BETWEEN 1 AND 20
+         | AND i_manager_id = 8
          | AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
          |GROUP BY i_brand_id, i_brand, i_manufact_id, i_manufact""".stripMargin,
     "q_tpcds_q8" ->
@@ -4594,7 +4596,7 @@ object Tpcds {
          |JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
          |JOIN ${P("item")} ON ss_item_sk = i_item_sk
          |WHERE d_year = 2000 AND d_moy = 11
-         | AND i_manager_id BETWEEN 21 AND 40
+         | AND i_manager_id = 28
          |GROUP BY i_brand_id, i_brand""".stripMargin,
     "q_tpcds_q13" ->
       s"""SELECT

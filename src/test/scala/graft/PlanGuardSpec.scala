@@ -222,8 +222,8 @@ class PlanGuardSpec extends AnyFunSuite {
       val p = fmt(name)
       assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
         s"$name dims not broadcast:\n$p")
-      assert(p.contains("GreaterThanOrEqual(i_manager_id,1)"),
-        s"$name manager slice not pushed:\n$p")
+      assert(p.contains("EqualTo(i_manager_id,1)"),
+        s"$name published manager filter not pushed:\n$p")
     }
     // Q25: the two fact⋈fact joins ride composite keys (ticket+item,
     // customer+item); the three date dims, store and item broadcast
@@ -288,11 +288,11 @@ class PlanGuardSpec extends AnyFunSuite {
       SparkEntry.queries(name)(spark, TestSpark.sf0001)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // Q19: date/item/store broadcast; the customer→address chain is keyed;
-    // the manager band is pushed into the item scan
+    // the published manager filter is pushed into the item scan
     val q19 = fmt("q_tpcds_q19")
     assert(q19.contains("BroadcastHashJoin"), s"Q19 dims not broadcast:\n$q19")
-    assert(q19.contains("GreaterThanOrEqual(i_manager_id,1)"),
-      s"Q19 manager band not pushed:\n$q19")
+    assert(q19.contains("EqualTo(i_manager_id,8)"),
+      s"Q19 manager filter not pushed:\n$q19")
     // Q8: the qualifying-prefix set semi-joins the tiny store dim — the
     // fact side must stream through broadcasts only (no SortMergeJoin)
     val q8 = fmt("q_tpcds_q8")
