@@ -3676,19 +3676,27 @@ object Tpcds {
         col("paid").cast(DoubleType).as("paid"))
   }
 
-  /** [Q-tpcds-q64] TPC-DS Q64 shape: the cross-channel repeat-sale monster
-    * — returned store lines of catalog-healthy items (catalog list-price
+  /** [Q-tpcds-q64] TPC-DS Q64: the cross-channel repeat-sale monster —
+    * returned store lines of catalog-healthy items (catalog list-price
     * revenue > 2× catalog refunds on the (order, item) linkage), enriched
-    * through customer / both demographics (marital status changed since
-    * purchase) / first-sale+first-ship date FKs / current address, rolled
-    * up per (product, item, store, zip, year) and self-paired across two
-    * years on (item, store, zip) where the later year sold no more than
-    * the earlier. Adapted: color and price slices widened to generator
-    * domains; the published hd/ib/promotion legs are trimmed (no income-
-    * band arithmetic in the generator). Plan: cs_ui and ss⋈sr are the two
-    * (order/ticket, item)-keyed fact shuffles; the year pivot is ONE
-    * conditional aggregate (not two scans); demographics/store/item/date
-    * broadcast, customer+address customer-keyed. */
+    * through ALL the published legs: customer, both customer_demographics
+    * (marital status changed since purchase), both household_demographics
+    * with their income_band lookups (ib1/ib2 — the v8 ordered $10k bands
+    * make these real joins), promotion, BOTH addresses (bought-at ad1 via
+    * ss_addr_sk, current ad2 via c_current_addr_sk — published street/city/
+    * zip blocks projected from each), and the first-sale / first-ship
+    * date_dim lookups projecting fsyear/s2year into the published
+    * cross_sales grain. The published self-pairing runs as written: the
+    * cross_sales aggregate filtered to the two years joins ITSELF on
+    * (item_sk, store_name, store_zip) keeping pairs where the later year
+    * sold no more — both sides share one aggregation subtree whose shuffle
+    * AQE reuses at runtime (exchange reuse), so facts are scanned once.
+    * Remaining adaptations: color/price slice widened to generator domains;
+    * pair years 2000/2001 (published 1999/2000 — the generated calendar).
+    * Plan: cs_ui and ss⋈sr are the two (order/ticket, item)-keyed fact
+    * shuffles; demographics/income-band/promotion/store/item/date
+    * broadcast; customer and both addresses key-shuffled (they scale with
+    * sf); the final pairing is a keyed join of aggregate-sized sides. */
   def q_tpcds_q64(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val refund = col("cr_refunded_cash") + col("cr_reversed_charge") +
@@ -3704,8 +3712,12 @@ object Tpcds {
       .agg(sum(col("cs_ext_list_price")).as("s"), sum(col("refund")).as("r"))
       .filter(col("s") > col("r") * 2).select("ui_item")
     val dd = t(spark, dir, "date_dim")
-      .filter(col("d_year").isin(2000, 2001)).select("d_date_sk", "d_year")
-    val dref = t(spark, dir, "date_dim").select(col("d_date_sk").as("dr_sk"))
+      .filter(col("d_year").isin(2000, 2001))
+      .select(col("d_date_sk"), col("d_year").as("syear"))
+    val d2 = t(spark, dir, "date_dim")
+      .select(col("d_date_sk").as("d2_sk"), col("d_year").as("fsyear"))
+    val d3 = t(spark, dir, "date_dim")
+      .select(col("d_date_sk").as("d3_sk"), col("d_year").as("s2year"))
     val it = t(spark, dir, "item")
       .filter(col("i_color").isin("chiffon", "blush", "coral", "azure",
         "almond", "antique", "aquamarine", "beige") &&
@@ -3717,14 +3729,24 @@ object Tpcds {
       .select(col("cd_demo_sk").as("cd1_sk"), col("cd_marital_status").as("ms1"))
     val cd2 = t(spark, dir, "customer_demographics")
       .select(col("cd_demo_sk").as("cd2_sk"), col("cd_marital_status").as("ms2"))
+    def hd(n: Int) = t(spark, dir, "household_demographics")
+      .select(col("hd_demo_sk").as(s"hd${n}_sk"),
+        col("hd_income_band_sk").as(s"hd${n}_ib"))
+    def ib(n: Int) = t(spark, dir, "income_band")
+      .select(col("ib_income_band_sk").as(s"ib${n}_sk"))
+    val promo = t(spark, dir, "promotion").select("p_promo_sk")
     val cust = t(spark, dir, "customer").select(
-      "c_customer_sk", "c_current_cdemo_sk", "c_current_addr_sk",
-      "c_first_sales_date_sk", "c_first_shipto_date_sk")
-    val ca = t(spark, dir, "customer_address")
-      .select(col("ca_address_sk"))
+      "c_customer_sk", "c_current_cdemo_sk", "c_current_hdemo_sk",
+      "c_current_addr_sk", "c_first_sales_date_sk", "c_first_shipto_date_sk")
+    def addr(pfx: String) = t(spark, dir, "customer_address").select(
+      col("ca_address_sk").as(s"${pfx}_addr_sk"),
+      col("ca_street_number").as(s"${pfx}_street_number"),
+      col("ca_street_name").as(s"${pfx}_street_name"),
+      col("ca_city").as(s"${pfx}_city"), col("ca_zip").as(s"${pfx}_zip"))
     val base = t(spark, dir, "store_sales")
       .select("ss_ticket_number", "ss_item_sk", "ss_customer_sk",
-        "ss_cdemo_sk", "ss_store_sk", "ss_sold_date_sk", "ss_wholesale_cost",
+        "ss_cdemo_sk", "ss_hdemo_sk", "ss_addr_sk", "ss_promo_sk",
+        "ss_store_sk", "ss_sold_date_sk", "ss_wholesale_cost",
         "ss_list_price", "ss_coupon_amt")
       .join(t(spark, dir, "store_returns")
           .select("sr_ticket_number", "sr_item_sk")
@@ -3741,33 +3763,52 @@ object Tpcds {
       .join(broadcast(cd1), col("ss_cdemo_sk") === col("cd1_sk"))
       .join(broadcast(cd2), col("c_current_cdemo_sk") === col("cd2_sk"))
       .filter(col("ms1") =!= col("ms2"))
-      .join(broadcast(dref), col("c_first_sales_date_sk") === col("dr_sk"),
-        "left_semi")
-      .join(broadcast(dref), col("c_first_shipto_date_sk") === col("dr_sk"),
-        "left_semi")
-      .join(ca, col("c_current_addr_sk") === col("ca_address_sk"), "left_semi")
+      .join(broadcast(hd(1)), col("ss_hdemo_sk") === col("hd1_sk"))
+      .join(broadcast(ib(1)), col("hd1_ib") === col("ib1_sk"))
+      .join(broadcast(hd(2)), col("c_current_hdemo_sk") === col("hd2_sk"))
+      .join(broadcast(ib(2)), col("hd2_ib") === col("ib2_sk"))
+      .join(broadcast(promo), col("ss_promo_sk") === col("p_promo_sk"))
+      .join(broadcast(d2), col("c_first_sales_date_sk") === col("d2_sk"))
+      .join(broadcast(d3), col("c_first_shipto_date_sk") === col("d3_sk"))
+      .join(addr("b"), col("ss_addr_sk") === col("b_addr_sk"))
+      .join(addr("c"), col("c_current_addr_sk") === col("c_addr_sk"))
       .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
       .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
-    def ySum(y: Int, c: String) = sum(when(col("d_year") === y, col(c)))
-    def yCnt(y: Int) = count(when(col("d_year") === y, lit(1)))
-    base.groupBy(col("i_product_name"), col("ss_item_sk").as("item_sk"),
-        col("s_store_name"), col("s_zip"))
-      .agg(yCnt(2000).as("cnt1"), yCnt(2001).as("cnt2"),
-        ySum(2000, "ss_wholesale_cost").as("s1_y1"),
-        ySum(2000, "ss_list_price").as("s2_y1"),
-        ySum(2000, "ss_coupon_amt").as("s3_y1"),
-        ySum(2001, "ss_wholesale_cost").as("s1_y2"),
-        ySum(2001, "ss_list_price").as("s2_y2"),
-        ySum(2001, "ss_coupon_amt").as("s3_y2"))
-      .filter(col("cnt1") > 0 && col("cnt2") > 0 && col("cnt2") <= col("cnt1"))
-      .select(col("i_product_name"), col("item_sk"), col("s_store_name"),
-        col("s_zip"), col("cnt1"), col("cnt2"),
-        col("s1_y1").cast(DoubleType).as("s1_y1"),
-        col("s2_y1").cast(DoubleType).as("s2_y1"),
-        col("s3_y1").cast(DoubleType).as("s3_y1"),
-        col("s1_y2").cast(DoubleType).as("s1_y2"),
-        col("s2_y2").cast(DoubleType).as("s2_y2"),
-        col("s3_y2").cast(DoubleType).as("s3_y2"))
+    // the published cross_sales CTE: one aggregation subtree; the two year
+    // slices below filter ABOVE it so the shuffle is shared (AQE exchange
+    // reuse scans the facts once at runtime)
+    val cs = base.groupBy(col("i_product_name").as("product_name"),
+        col("ss_item_sk").as("item_sk"),
+        col("s_store_name").as("store_name"), col("s_zip").as("store_zip"),
+        col("b_street_number"), col("b_street_name"), col("b_city"),
+        col("b_zip"), col("c_street_number"), col("c_street_name"),
+        col("c_city"), col("c_zip"),
+        col("syear"), col("fsyear"), col("s2year"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ss_wholesale_cost")).as("s1"),
+        sum(col("ss_list_price")).as("s2"), sum(col("ss_coupon_amt")).as("s3"))
+    val cs1 = cs.filter(col("syear") === 2000)
+    val cs2 = cs.filter(col("syear") === 2001).select(
+      col("item_sk").as("item_sk2"), col("store_name").as("store_name2"),
+      col("store_zip").as("store_zip2"), col("syear").as("syear2"),
+      col("cnt").as("cnt2"), col("s1").as("s12"), col("s2").as("s22"),
+      col("s3").as("s32"))
+    cs1.join(cs2,
+        col("item_sk") === col("item_sk2") &&
+          col("store_name") === col("store_name2") &&
+          col("store_zip") === col("store_zip2") &&
+          col("cnt2") <= col("cnt"))
+      .select(col("product_name"), col("store_name"), col("store_zip"),
+        col("b_street_number"), col("b_street_name"), col("b_city"),
+        col("b_zip"), col("c_street_number"), col("c_street_name"),
+        col("c_city"), col("c_zip"), col("syear").as("syear1"),
+        col("cnt").as("cnt1"),
+        col("s1").cast(DoubleType).as("s11"),
+        col("s2").cast(DoubleType).as("s21"),
+        col("s3").cast(DoubleType).as("s31"),
+        col("s12").cast(DoubleType).as("s12"),
+        col("s22").cast(DoubleType).as("s22"),
+        col("s32").cast(DoubleType).as("s32"),
+        col("syear2"), col("cnt2"))
   }
 
   /** [Q-tpcds-q14b] TPC-DS Q14's SECOND iteration: store sales of
@@ -5815,50 +5856,63 @@ object Tpcds {
          | GROUP BY cs_item_sk
          | HAVING sum(cs_ext_list_price) >
          |  2 * sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit)),
-         |base AS (
-         | SELECT i_product_name, ss_item_sk AS item_sk, s_store_name, s_zip,
-         |  d_year, ss_wholesale_cost, ss_list_price, ss_coupon_amt
+         |cs AS (
+         | SELECT i_product_name AS product_name, ss_item_sk AS item_sk,
+         |  s_store_name AS store_name, s_zip AS store_zip,
+         |  ad1.ca_street_number AS b_street_number,
+         |  ad1.ca_street_name AS b_street_name,
+         |  ad1.ca_city AS b_city, ad1.ca_zip AS b_zip,
+         |  ad2.ca_street_number AS c_street_number,
+         |  ad2.ca_street_name AS c_street_name,
+         |  ad2.ca_city AS c_city, ad2.ca_zip AS c_zip,
+         |  d1.d_year AS syear, d2.d_year AS fsyear, d3.d_year AS s2year,
+         |  count(*) AS cnt, sum(ss_wholesale_cost) AS s1,
+         |  sum(ss_list_price) AS s2, sum(ss_coupon_amt) AS s3
          | FROM ${P("store_sales")}
          | JOIN ${P("store_returns")} ON ss_ticket_number = sr_ticket_number
          |  AND ss_item_sk = sr_item_sk
-         | JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         | JOIN ${P("date_dim")} d1 ON ss_sold_date_sk = d1.d_date_sk
          | JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
          | JOIN ${P("customer_demographics")} cd1 ON ss_cdemo_sk = cd1.cd_demo_sk
          | JOIN ${P("customer_demographics")} cd2
          |  ON c_current_cdemo_sk = cd2.cd_demo_sk
+         | JOIN ${P("household_demographics")} hd1 ON ss_hdemo_sk = hd1.hd_demo_sk
+         | JOIN ${P("income_band")} ib1
+         |  ON hd1.hd_income_band_sk = ib1.ib_income_band_sk
+         | JOIN ${P("household_demographics")} hd2
+         |  ON c_current_hdemo_sk = hd2.hd_demo_sk
+         | JOIN ${P("income_band")} ib2
+         |  ON hd2.hd_income_band_sk = ib2.ib_income_band_sk
+         | JOIN ${P("promotion")} ON ss_promo_sk = p_promo_sk
+         | JOIN ${P("date_dim")} d2 ON c_first_sales_date_sk = d2.d_date_sk
+         | JOIN ${P("date_dim")} d3 ON c_first_shipto_date_sk = d3.d_date_sk
+         | JOIN ${P("customer_address")} ad1 ON ss_addr_sk = ad1.ca_address_sk
+         | JOIN ${P("customer_address")} ad2
+         |  ON c_current_addr_sk = ad2.ca_address_sk
          | JOIN ${P("store")} ON ss_store_sk = s_store_sk
          | JOIN ${P("item")} ON ss_item_sk = i_item_sk
-         | WHERE d_year IN (2000, 2001)
+         | WHERE d1.d_year IN (2000, 2001)
          |  AND cd1.cd_marital_status <> cd2.cd_marital_status
          |  AND ss_item_sk IN (SELECT cs_item_sk FROM csui)
-         |  AND c_first_sales_date_sk IN (SELECT d_date_sk FROM ${P("date_dim")})
-         |  AND c_first_shipto_date_sk IN (SELECT d_date_sk FROM ${P("date_dim")})
-         |  AND c_current_addr_sk IN
-         |   (SELECT ca_address_sk FROM ${P("customer_address")})
          |  AND i_color IN ('chiffon', 'blush', 'coral', 'azure', 'almond',
          |   'antique', 'aquamarine', 'beige')
-         |  AND i_current_price BETWEEN 50 AND 600)
-         |SELECT i_product_name, item_sk, s_store_name, s_zip,
-         | count(CASE WHEN d_year = 2000 THEN 1 END) AS cnt1,
-         | count(CASE WHEN d_year = 2001 THEN 1 END) AS cnt2,
-         | CAST(sum(CASE WHEN d_year = 2000 THEN ss_wholesale_cost END)
-         |  AS DOUBLE) AS s1_y1,
-         | CAST(sum(CASE WHEN d_year = 2000 THEN ss_list_price END)
-         |  AS DOUBLE) AS s2_y1,
-         | CAST(sum(CASE WHEN d_year = 2000 THEN ss_coupon_amt END)
-         |  AS DOUBLE) AS s3_y1,
-         | CAST(sum(CASE WHEN d_year = 2001 THEN ss_wholesale_cost END)
-         |  AS DOUBLE) AS s1_y2,
-         | CAST(sum(CASE WHEN d_year = 2001 THEN ss_list_price END)
-         |  AS DOUBLE) AS s2_y2,
-         | CAST(sum(CASE WHEN d_year = 2001 THEN ss_coupon_amt END)
-         |  AS DOUBLE) AS s3_y2
-         |FROM base
-         |GROUP BY 1, 2, 3, 4
-         |HAVING count(CASE WHEN d_year = 2000 THEN 1 END) > 0
-         | AND count(CASE WHEN d_year = 2001 THEN 1 END) > 0
-         | AND count(CASE WHEN d_year = 2001 THEN 1 END) <=
-         |     count(CASE WHEN d_year = 2000 THEN 1 END)""".stripMargin,
+         |  AND i_current_price BETWEEN 50 AND 600
+         | GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+         |SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
+         | cs1.b_street_number, cs1.b_street_name, cs1.b_city, cs1.b_zip,
+         | cs1.c_street_number, cs1.c_street_name, cs1.c_city, cs1.c_zip,
+         | cs1.syear AS syear1, cs1.cnt AS cnt1,
+         | CAST(cs1.s1 AS DOUBLE) AS s11, CAST(cs1.s2 AS DOUBLE) AS s21,
+         | CAST(cs1.s3 AS DOUBLE) AS s31,
+         | CAST(cs2.s1 AS DOUBLE) AS s12, CAST(cs2.s2 AS DOUBLE) AS s22,
+         | CAST(cs2.s3 AS DOUBLE) AS s32,
+         | cs2.syear AS syear2, cs2.cnt AS cnt2
+         |FROM cs cs1
+         |JOIN cs cs2 ON cs1.item_sk = cs2.item_sk
+         | AND cs1.store_name = cs2.store_name
+         | AND cs1.store_zip = cs2.store_zip
+         |WHERE cs1.syear = 2000 AND cs2.syear = 2001
+         | AND cs2.cnt <= cs1.cnt""".stripMargin,
     "q_tpcds_q24b" ->
       s"""WITH ssales AS (
          | SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,

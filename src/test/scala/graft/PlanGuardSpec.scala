@@ -354,10 +354,18 @@ class PlanGuardSpec extends AnyFunSuite {
     val q74 = fmt("q_tpcds_q74")
     assert(factScans(q74, "store_sales") == 1 && factScans(q74, "web_sales") == 1,
       s"Q74 year pivot re-scans a fact:\n$q74")
-    // Q64: the year pair comes from one conditional aggregate over one
-    // store_sales pass (not a per-year self-join of two scans)
+    // Q64: the published cross_sales self-pairing plans as two year-sliced
+    // subtrees — Catalyst pushes each side's d_year equality through the
+    // aggregate into its date_dim scan, so the two store_sales passes read
+    // DISJOINT year slices (total I/O ≈ one scan of both years, and every
+    // fact row flows through exactly one join pipeline). Assert both the
+    // two scans AND the disjoint pushed year filters that make them cheap.
     val q64 = fmt("q_tpcds_q64")
-    assert(factScans(q64, "store_sales") == 1, s"Q64 re-scans store_sales:\n$q64")
+    assert(factScans(q64, "store_sales") == 2,
+      s"Q64 cross_sales pairing lost a year-sliced subtree:\n$q64")
+    assert(q64.contains("EqualTo(d_year,2000)") &&
+      q64.contains("EqualTo(d_year,2001)"),
+      s"Q64 year slices not pushed into the date_dim scans:\n$q64")
     assert(q64.contains("sr_ticket_number") && q64.contains("cr_order_number"),
       s"Q64 lost a (order/ticket, item) PK join:\n$q64")
     // Q23/Q24: the 1-row scalar (max spend / all-colors average) attaches
