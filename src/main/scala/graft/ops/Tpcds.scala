@@ -3735,14 +3735,27 @@ object Tpcds {
     def ib(n: Int) = t(spark, dir, "income_band")
       .select(col("ib_income_band_sk").as(s"ib${n}_sk"))
     val promo = t(spark, dir, "promotion").select("p_promo_sk")
-    val cust = t(spark, dir, "customer").select(
-      "c_customer_sk", "c_current_cdemo_sk", "c_current_hdemo_sk",
-      "c_current_addr_sk", "c_first_sales_date_sk", "c_first_shipto_date_sk")
     def addr(pfx: String) = t(spark, dir, "customer_address").select(
       col("ca_address_sk").as(s"${pfx}_addr_sk"),
       col("ca_street_number").as(s"${pfx}_street_number"),
       col("ca_street_name").as(s"${pfx}_street_name"),
       col("ca_city").as(s"${pfx}_city"), col("ca_zip").as(s"${pfx}_zip"))
+    // every c_* leg (cd2, hd2→ib2, current address, first-sale / first-ship
+    // years) attaches to the CUSTOMER DIMENSION before facts enter: the
+    // enrichment joins are dim-sized (address is the one sf-scaling side —
+    // a customer-keyed dim⋈dim shuffle), so the fact pipeline pays ONE
+    // customer join instead of six, and never shuffles on c_current_*
+    val cust = t(spark, dir, "customer").select(
+        "c_customer_sk", "c_current_cdemo_sk", "c_current_hdemo_sk",
+        "c_current_addr_sk", "c_first_sales_date_sk", "c_first_shipto_date_sk")
+      .join(broadcast(cd2), col("c_current_cdemo_sk") === col("cd2_sk"))
+      .join(broadcast(hd(2)), col("c_current_hdemo_sk") === col("hd2_sk"))
+      .join(broadcast(ib(2)), col("hd2_ib") === col("ib2_sk"))
+      .join(broadcast(d2), col("c_first_sales_date_sk") === col("d2_sk"))
+      .join(broadcast(d3), col("c_first_shipto_date_sk") === col("d3_sk"))
+      .join(addr("c"), col("c_current_addr_sk") === col("c_addr_sk"))
+      .select("c_customer_sk", "ms2", "fsyear", "s2year", "c_street_number",
+        "c_street_name", "c_city", "c_zip")
     val base = t(spark, dir, "store_sales")
       .select("ss_ticket_number", "ss_item_sk", "ss_customer_sk",
         "ss_cdemo_sk", "ss_hdemo_sk", "ss_addr_sk", "ss_promo_sk",
@@ -3759,19 +3772,13 @@ object Tpcds {
           col("ss_item_sk") === col("sr_item_sk"))
       .join(csui, col("ss_item_sk") === col("ui_item"), "left_semi")
       .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
-      .join(cust, col("ss_customer_sk") === col("c_customer_sk"))
       .join(broadcast(cd1), col("ss_cdemo_sk") === col("cd1_sk"))
-      .join(broadcast(cd2), col("c_current_cdemo_sk") === col("cd2_sk"))
-      .filter(col("ms1") =!= col("ms2"))
       .join(broadcast(hd(1)), col("ss_hdemo_sk") === col("hd1_sk"))
       .join(broadcast(ib(1)), col("hd1_ib") === col("ib1_sk"))
-      .join(broadcast(hd(2)), col("c_current_hdemo_sk") === col("hd2_sk"))
-      .join(broadcast(ib(2)), col("hd2_ib") === col("ib2_sk"))
       .join(broadcast(promo), col("ss_promo_sk") === col("p_promo_sk"))
-      .join(broadcast(d2), col("c_first_sales_date_sk") === col("d2_sk"))
-      .join(broadcast(d3), col("c_first_shipto_date_sk") === col("d3_sk"))
+      .join(cust, col("ss_customer_sk") === col("c_customer_sk"))
+      .filter(col("ms1") =!= col("ms2"))
       .join(addr("b"), col("ss_addr_sk") === col("b_addr_sk"))
-      .join(addr("c"), col("c_current_addr_sk") === col("c_addr_sk"))
       .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
       .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
     // the published cross_sales CTE: one aggregation subtree; the two year
