@@ -3699,13 +3699,26 @@ object Tpcds {
     * sf); the final pairing is a keyed join of aggregate-sized sides. */
   def q_tpcds_q64(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
+    val it = t(spark, dir, "item")
+      .filter(col("i_color").isin("chiffon", "blush", "coral", "azure",
+        "almond", "antique", "aquamarine", "beige") &&
+        col("i_current_price").between(50, 600))
+      .select("i_item_sk", "i_product_name")
     val refund = col("cr_refunded_cash") + col("cr_reversed_charge") +
       col("cr_store_credit")
+    // csui only gates ss_item_sk values that already passed the color/price
+    // item slice — prune BOTH catalog legs with the same broadcast item set
+    // before the (order, item) join, so the healthy-item aggregate touches
+    // a sliver of the catalog facts
     val csui = t(spark, dir, "catalog_sales")
       .select("cs_order_number", "cs_item_sk", "cs_ext_list_price")
+      .join(broadcast(it.select("i_item_sk")),
+        col("cs_item_sk") === col("i_item_sk"), "left_semi")
       .join(t(spark, dir, "catalog_returns")
           .select(col("cr_order_number"), col("cr_item_sk"),
-            refund.as("refund")),
+            refund.as("refund"))
+          .join(broadcast(it.select("i_item_sk")),
+            col("cr_item_sk") === col("i_item_sk"), "left_semi"),
         col("cs_order_number") === col("cr_order_number") &&
           col("cs_item_sk") === col("cr_item_sk"))
       .groupBy(col("cs_item_sk").as("ui_item"))
@@ -3718,11 +3731,6 @@ object Tpcds {
       .select(col("d_date_sk").as("d2_sk"), col("d_year").as("fsyear"))
     val d3 = t(spark, dir, "date_dim")
       .select(col("d_date_sk").as("d3_sk"), col("d_year").as("s2year"))
-    val it = t(spark, dir, "item")
-      .filter(col("i_color").isin("chiffon", "blush", "coral", "azure",
-        "almond", "antique", "aquamarine", "beige") &&
-        col("i_current_price").between(50, 600))
-      .select("i_item_sk", "i_product_name")
     val st = t(spark, dir, "store")
       .select("s_store_sk", "s_store_name", "s_zip")
     val cd1 = t(spark, dir, "customer_demographics")
