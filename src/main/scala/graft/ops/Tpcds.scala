@@ -1114,26 +1114,36 @@ object Tpcds {
       .filter(col("cnt") >= 10)
   }
 
-  /** [Q-tpcds-q68] TPC-DS Q68 shape: per-ticket spend of customers whose
-    * CURRENT city differs from the city they bought in — a ticket-grain
-    * rollup over the basket structure, the customer attach, and the
-    * bought-vs-home city inequality over the genVersion-7 shared city
-    * domain. Adapted slice: the city filter sits on the bought ADDRESS
-    * (the published s_city filter hits the 1-row store dim at
-    * verification scale); household-demographics point predicates on
-    * hash-uniform ints are dropped. customer and both address legs are
-    * customer-sized at scale — all keyed shuffle joins, only date_dim
-    * broadcasts; the per-ticket aggregate rides the dense ticket key. */
+  /** [Q-tpcds-q68] TPC-DS Q68: per-ticket spend of customers whose
+    * CURRENT city differs from the city they bought in, with EVERY
+    * published gate as written — month-start tickets (d_dom BETWEEN 1
+    * AND 2) of the published three years, the published household
+    * disjunction (hd_dep_count = 4 OR hd_vehicle_count = 3, genVersion
+    * 10 domains), and the published s_city pair on the STORE dim (v8's
+    * 12-store floor — 3 stores sit in Midway/Fairview); the bought
+    * address joins UNFILTERED, exactly as published. customer and both
+    * address legs are customer-sized at scale — keyed shuffle joins;
+    * store/hd/date broadcast; the per-ticket aggregate rides the dense
+    * ticket key. */
   def q_tpcds_q68(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
-    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year").isin(1999, 2000, 2001) &&
+        col("d_dom").between(1, 2))
       .select("d_date_sk")
+    val st = t(spark, dir, "store")
+      .filter(col("s_city").isin("Midway", "Fairview"))
+      .select("s_store_sk")
+    val hd = t(spark, dir, "household_demographics")
+      .filter(col("hd_dep_count") === 4 || col("hd_vehicle_count") === 3)
+      .select("hd_demo_sk")
     val bought = t(spark, dir, "customer_address")
-      .filter(col("ca_city").isin("Midway", "Fairview", "Oakland", "Salem"))
       .select(col("ca_address_sk").as("ba_sk"), col("ca_city").as("bought_city"))
     val dn = t(spark, dir, "store_sales")
       .filter(col("ss_customer_sk").isNotNull)
       .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(hd), col("ss_hdemo_sk") === col("hd_demo_sk"))
       .join(bought, col("ss_addr_sk") === col("ba_sk"))
       .groupBy(col("ss_ticket_number"), col("ss_customer_sk"),
         col("ss_addr_sk"), col("bought_city"))
@@ -2792,22 +2802,32 @@ object Tpcds {
         dow("Saturday").as("sat_sales"))
   }
 
-  /** [Q-tpcds-q46] TPC-DS Q46 shape: Q68's bought-city ≠ home-city ticket
-    * report, weekend tickets only (the published hd_dep_count gate has no
-    * generated domain yet — the d_dow weekend gate carries the
-    * selectivity), aggregating coupon amount and net profit. */
+  /** [Q-tpcds-q46] TPC-DS Q46: Q68's bought-city ≠ home-city ticket
+    * report with EVERY published gate as written — weekend tickets
+    * (d_dow IN (6,0)) of the published three years, the published
+    * household disjunction (hd_dep_count = 5 OR hd_vehicle_count = 3,
+    * over genVersion 10's dsdgen count domains), and the published
+    * s_city pair on the STORE dim (the v8 12-store floor carries it —
+    * 3 stores sit in Fairview/Midway); the bought address joins
+    * UNFILTERED, exactly as published. */
   def q_tpcds_q46(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
-      .filter(col("d_year") === 2000 && col("d_dow").isin(0, 6))
+      .filter(col("d_year").isin(1999, 2000, 2001) && col("d_dow").isin(0, 6))
       .select("d_date_sk")
+    val st = t(spark, dir, "store")
+      .filter(col("s_city").isin("Fairview", "Midway"))
+      .select("s_store_sk")
+    val hd = t(spark, dir, "household_demographics")
+      .filter(col("hd_dep_count") === 5 || col("hd_vehicle_count") === 3)
+      .select("hd_demo_sk")
     val bought = t(spark, dir, "customer_address")
-      .filter(col("ca_city").isin("Riverside", "Georgetown", "Liberty",
-        "Greenville"))
       .select(col("ca_address_sk").as("ba_sk"), col("ca_city").as("bought_city"))
     val dn = t(spark, dir, "store_sales")
       .filter(col("ss_customer_sk").isNotNull)
       .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(hd), col("ss_hdemo_sk") === col("hd_demo_sk"))
       .join(bought, col("ss_addr_sk") === col("ba_sk"))
       .groupBy(col("ss_ticket_number"), col("ss_customer_sk"),
         col("ss_addr_sk"), col("bought_city"))
@@ -4501,9 +4521,13 @@ object Tpcds {
          |   sum(ss_ext_tax) AS tax_d
          |  FROM ${P("store_sales")}
          |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |  JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         |  JOIN ${P("household_demographics")} ON ss_hdemo_sk = hd_demo_sk
          |  JOIN ${P("customer_address")} ON ss_addr_sk = ca_address_sk
-         |  WHERE d_year = 2000 AND ss_customer_sk IS NOT NULL
-         |   AND ca_city IN ('Midway', 'Fairview', 'Oakland', 'Salem')
+         |  WHERE d_year IN (1999, 2000, 2001) AND d_dom BETWEEN 1 AND 2
+         |   AND ss_customer_sk IS NOT NULL
+         |   AND (hd_dep_count = 4 OR hd_vehicle_count = 3)
+         |   AND s_city IN ('Midway', 'Fairview')
          |  GROUP BY 1, 2, 3, 4) dn
          |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
          |JOIN ${P("customer_address")} cur ON c_current_addr_sk = cur.ca_address_sk
@@ -5358,10 +5382,13 @@ object Tpcds {
          |   sum(ss_net_profit) AS profit_d
          |  FROM ${P("store_sales")}
          |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |  JOIN ${P("store")} ON ss_store_sk = s_store_sk
+         |  JOIN ${P("household_demographics")} ON ss_hdemo_sk = hd_demo_sk
          |  JOIN ${P("customer_address")} ON ss_addr_sk = ca_address_sk
-         |  WHERE d_year = 2000 AND d_dow IN (0, 6)
+         |  WHERE d_year IN (1999, 2000, 2001) AND d_dow IN (0, 6)
          |   AND ss_customer_sk IS NOT NULL
-         |   AND ca_city IN ('Riverside', 'Georgetown', 'Liberty', 'Greenville')
+         |   AND (hd_dep_count = 5 OR hd_vehicle_count = 3)
+         |   AND s_city IN ('Fairview', 'Midway')
          |  GROUP BY 1, 2, 3, 4) dn
          |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
          |JOIN ${P("customer_address")} cur ON c_current_addr_sk = cur.ca_address_sk
