@@ -96,8 +96,11 @@ object TpcdsGen extends Benchmark {
     * v11: dsdgen-syllable store names drawn CYCLICALLY over the tiny
     * store dim (line mod 10 — every name, 'ese' included, exists at any
     * store count >= 10), so Q96's published s_store_name = 'ese' filter
-    * runs as published instead of being dropped. */
-  val genVersion = 11
+    * runs as published instead of being dropped.
+    * v12: the full dsdgen color vocabulary (~90 colors.dst names — every
+    * color literal a published query names is in-domain) and the cyclic
+    * 20-carrier sm_carrier roster (Q66's published DHL/BARIAN filter). */
+  val genVersion = 12
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -260,6 +263,15 @@ object TpcdsGen extends Benchmark {
   private[graft] val storeNameSyllables: Seq[String] = Seq("ought", "able",
     "pri", "ese", "anti", "cally", "ation", "eing", "hov", "bar")
 
+  /** v12: the dsdgen carrier roster (ship_mode.dat's 20 carriers, one per
+    * row of the 20-row fixed dim). CYCLIC like the store names so every
+    * carrier — including Q66's published 'DHL' and 'BARIAN' — exists at
+    * every scale; a hash draw could miss one. */
+  private[graft] val carriers: Seq[String] = Seq("UPS", "FEDEX", "AIRBORNE",
+    "USPS", "DHL", "TBS", "ZHOU", "ZOUROS", "MSC", "LATVIAN", "HARMSTORF",
+    "PRIVATECARRIER", "DIAMOND", "ORIENTAL", "BOXBUNDLES", "ALLIANCE",
+    "GREAT EASTERN", "GERMA", "RUPEKSA", "BARIAN")
+
   /** v10: dsdgen-style composed street names (first + second part). */
   private val streetNames: Seq[String] = {
     val first = Seq("Oak", "Maple", "Cedar", "Elm", "Pine", "Walnut",
@@ -310,9 +322,26 @@ object TpcdsGen extends Benchmark {
       // (published Q34/Q68/Q99 predicates name these values)
       "c_preferred_cust_flag" -> yn,
       "c_salutation" -> Seq("Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir"),
+      // v12: the FULL dsdgen color vocabulary (colors.dst, ~90 names) —
+      // published color predicates (Q24's 'pale', Q56's slate/blanched/
+      // burnished, Q41/Q64's lists) name values OUTSIDE the old 16-color
+      // slice; every color literal a published query mentions now exists
+      // in the domain
       "i_color" -> Seq("almond", "antique", "aquamarine", "azure", "beige",
         "bisque", "black", "blanched", "blue", "blush", "brown", "burlywood",
-        "chartreuse", "chiffon", "chocolate", "coral"),
+        "burnished", "chartreuse", "chiffon", "chocolate", "coral",
+        "cornflower", "cornsilk", "cream", "cyan", "dark", "deep", "dim",
+        "dodger", "drab", "firebrick", "floral", "forest", "frosted",
+        "gainsboro", "ghost", "goldenrod", "green", "grey", "honeydew",
+        "hot", "icy", "indian", "ivory", "khaki", "lace", "lavender",
+        "lawn", "lemon", "light", "lime", "linen", "magenta", "maroon",
+        "medium", "metallic", "midnight", "mint", "misty", "moccasin",
+        "navajo", "navy", "olive", "orange", "orchid", "pale", "papaya",
+        "peach", "persian", "peru", "pink", "plum", "powder", "puff",
+        "purple", "red", "rose", "rosy", "royal", "saddle", "salmon",
+        "sandy", "seashell", "sienna", "sky", "slate", "smoke", "snow",
+        "spring", "steel", "tan", "thistle", "tomato", "turquoise",
+        "violet", "wheat", "white", "yellow"),
       "s_city" -> cities, "ca_city" -> cities,
       "s_county" -> counties, "ca_county" -> counties,
       "ca_street_type" -> Seq("Street", "Avenue", "Boulevard", "Court",
@@ -586,11 +615,12 @@ object TpcdsGen extends Benchmark {
     * the generic and returns paths; keys, income-band bounds and order
     * numbers stay dense). */
   private def nullify(f: StructField, src: Column, tag: Int, base: Column): Column =
-    // s_store_name: the cyclic syllable domain is a structural guarantee
-    // (Q96's published name filter must find 'ese' at the 12-row floor) —
-    // a 5% null draw would erase a whole name with P ≈ 0.05 per scale
+    // s_store_name / sm_carrier: the cyclic domains are structural
+    // guarantees (Q96's published name filter must find 'ese', Q66's
+    // carrier filter must find DHL/BARIAN, at the tiny-dim floors) — a 5%
+    // null draw would erase a whole value with P ≈ 0.05 per scale
     if (f.nullable && !f.name.startsWith("ib_") && !orderNumberCols(f.name) &&
-        f.name != "s_store_name")
+        f.name != "s_store_name" && f.name != "sm_carrier")
       when(pmod(h(src, tag + 7919), lit(20)) === 0, lit(null).cast(f.dataType))
         .otherwise(base)
     else base
@@ -692,6 +722,11 @@ object TpcdsGen extends Benchmark {
         element_at(array(storeNameSyllables.map(lit): _*),
           (pmod(line, lit(storeNameSyllables.size.toLong)) + 1)
             .cast(IntegerType))
+      // v12: dsdgen's 20-carrier roster, cyclic over the 20-row dim so
+      // every carrier (Q66's published DHL/BARIAN) exists at every scale
+      case StringType if f.name == "sm_carrier" =>
+        element_at(array(carriers.map(lit): _*),
+          (pmod(line, lit(carriers.size.toLong)) + 1).cast(IntegerType))
       case StringType if f.name.endsWith("_id") =>
         // dsdgen-style 16-char business key, unique per row
         concat(lit("AAAAAAAA"), lpad(conv(pmod(line, lit(99999999L)).cast(StringType), 10, 16), 8, "0"))

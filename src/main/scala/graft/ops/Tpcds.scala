@@ -1695,8 +1695,9 @@ object Tpcds {
     * types. Every dimension (date, time, ship mode, warehouse) broadcasts;
     * the two fact scans union map-side and shuffle once on the warehouse
     * key. Money arithmetic (price × quantity) stays exact DECIMAL until
-    * the final per-column cast. Adapted: sm_type stands in for the
-    * published sm_carrier list (carrier is not domain-valued here). */
+    * the final per-column cast. The published carrier filter runs as
+    * written: sm_carrier IN ('DHL', 'BARIAN') over genVersion 12's cyclic
+    * dsdgen carrier roster. */
   def q_tpcds_q66(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
@@ -1704,7 +1705,7 @@ object Tpcds {
     val td = t(spark, dir, "time_dim")
       .filter(col("t_time").between(28800, 57600)).select("t_time_sk")
     val sm = t(spark, dir, "ship_mode")
-      .filter(col("sm_type").isin("EXPRESS", "OVERNIGHT"))
+      .filter(col("sm_carrier").isin("DHL", "BARIAN"))
       .select("sm_ship_mode_sk")
     val wh = t(spark, dir, "warehouse").select("w_warehouse_sk",
       "w_warehouse_name", "w_warehouse_sq_ft", "w_city", "w_county", "w_state")
@@ -2576,15 +2577,18 @@ object Tpcds {
     * an item matching a color/size disjunct; the published correlated
     * per-manufacturer count decorrelates to a distinct qualifying-
     * manufacturer set semi-joined back to the item dim. No fact table at
-    * all (the plan should never touch one). Color disjuncts adapted to the
-    * generated i_color domain (published: powder/orchid/... outside it). */
+    * all (the plan should never touch one). Colors are the PUBLISHED
+    * names (powder/khaki/orchid/firebrick, rose/metallic/chiffon/
+    * gainsboro — in-domain since genVersion 12); the published per-block
+    * i_units gate stays dropped (units are not domain-valued) and colors
+    * group 4-per-block for gate-scale density. */
   def q_tpcds_q41(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val qual = t(spark, dir, "item")
       .filter(
-        (col("i_color").isin("almond", "antique", "aquamarine", "azure") &&
+        (col("i_color").isin("powder", "khaki", "orchid", "firebrick") &&
           col("i_size").isin("petite", "small", "medium")) ||
-        (col("i_color").isin("beige", "bisque", "black", "blue") &&
+        (col("i_color").isin("rose", "metallic", "chiffon", "gainsboro") &&
           col("i_size").isin("large", "extra large", "economy")))
       .select(col("i_manufact").as("qm")).distinct()
     t(spark, dir, "item")
@@ -3153,17 +3157,18 @@ object Tpcds {
   }
 
   /** [Q-tpcds-q56] TPC-DS Q56 shape: the Q60 three-channel per-item-id
-    * rollup gated by item COLOR (the published predicate, over the
-    * generated color domain) instead of category. The published
-    * ca_gmt_offset = -5 gate maps to a state pair — gmt offsets have no
-    * generated domain (uniform decimal draw). */
+    * rollup gated by item COLOR — the PUBLISHED triple
+    * slate/blanched/burnished, in-domain since genVersion 12's full
+    * dsdgen color vocabulary. The published ca_gmt_offset = -5 gate maps
+    * to a state pair — gmt offsets have no generated domain (uniform
+    * decimal draw). */
   def q_tpcds_q56(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
       .filter(col("d_year") === 2000 && col("d_moy") === 2)
       .select("d_date_sk")
     val ids = t(spark, dir, "item")
-      .filter(col("i_color").isin("chiffon", "chocolate", "coral"))
+      .filter(col("i_color").isin("slate", "blanched", "burnished"))
       .select(col("i_item_id").as("id")).distinct()
     val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
       .join(broadcast(ids), col("i_item_id") === col("id"), "left_semi")
@@ -3634,18 +3639,26 @@ object Tpcds {
     * average. Adapted: the published exact s_zip = ca_zip leaves ~13 rows
     * at verification scale, so locality is the 2-digit zip PREFIX over
     * the generator's shared 100-zip domain (Q8/Q19's zip-prefix
-    * precedent); the single published color becomes a 4-color slice.
+    * precedent); the published iteration color 'pale' (in-domain since
+    * genVersion 12) LEADS a slice widened by nine for gate-scale density.
     * Plan: one (ticket, item) fact⋈fact shuffle; store/item broadcast;
     * customer and address customer-keyed; the all-colors average attaches
     * by the nullable-derived-key broadcast hash join. */
   def q_tpcds_q24(spark: SparkSession, sfDir: String): DataFrame =
-    q24Paid(spark, sfDir, Seq("chiffon", "blush", "coral", "azure"))
+    q24Paid(spark, sfDir, Seq("pale", "blush", "coral", "azure", "almond",
+      "antique", "beige", "rose", "peach", "sienna"))
 
   /** [Q-tpcds-q24b] TPC-DS Q24's SECOND iteration: the published query
     * runs twice with a second color slice — same ssales CTE, same
-    * all-colors average threshold, disjoint colors. */
+    * all-colors average threshold, disjoint colors. The published
+    * iteration colors ('pale' then 'chiffon', in-domain since genVersion
+    * 12) LEAD their slices; each is widened by nine for gate-scale
+    * density (~2 items/color at sf0.01). */
   def q_tpcds_q24b(spark: SparkSession, sfDir: String): DataFrame =
-    q24Paid(spark, sfDir, Seq("almond", "antique", "beige", "brown"))
+    q24Paid(spark, sfDir, Seq("chiffon", "aquamarine", "bisque", "black",
+      "blue", "brown", "burlywood", "misty", "navy", "olive", "cyan",
+      "plum", "lavender", "linen", "smoke", "ivory", "lemon", "magenta",
+      "maroon", "cream", "wheat", "white"))
 
   private def q24Paid(spark: SparkSession, sfDir: String,
                       colors: Seq[String]): DataFrame = {
@@ -3711,7 +3724,8 @@ object Tpcds {
     * (item_sk, store_name, store_zip) keeping pairs where the later year
     * sold no more — both sides share one aggregation subtree whose shuffle
     * AQE reuses at runtime (exchange reuse), so facts are scanned once.
-    * Remaining adaptations: color/price slice widened to generator domains;
+    * Remaining adaptations: the published six colors lead a 30-color
+    * slice (gate-scale density) and the price band is generator-domain;
     * pair years 2000/2001 (published 1999/2000 — the generated calendar).
     * Plan: cs_ui and ss⋈sr are the two (order/ticket, item)-keyed fact
     * shuffles; demographics/income-band/promotion/store/item/date
@@ -3719,9 +3733,15 @@ object Tpcds {
     * sf); the final pairing is a keyed join of aggregate-sized sides. */
   def q_tpcds_q64(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
+    // the PUBLISHED six colors lead the slice (in-domain since genVersion
+    // 12), widened to thirty for gate-scale density; the price band stays
+    // the generated-domain adaptation
     val it = t(spark, dir, "item")
-      .filter(col("i_color").isin("chiffon", "blush", "coral", "azure",
-        "almond", "antique", "aquamarine", "beige") &&
+      .filter(col("i_color").isin("purple", "burlywood", "indian", "spring",
+        "floral", "medium", "chiffon", "blush", "coral", "azure", "almond",
+        "antique", "aquamarine", "beige", "rose", "peach", "slate",
+        "powder", "pale", "khaki", "orchid", "firebrick", "metallic",
+        "gainsboro", "misty", "navy", "olive", "sienna", "snow", "lace") &&
         col("i_current_price").between(50, 600))
       .select("i_item_sk", "i_product_name")
     val refund = col("cr_refunded_cash") + col("cr_reversed_charge") +
@@ -4806,7 +4826,7 @@ object Tpcds {
            | AND $timeCol IN (SELECT t_time_sk FROM ${P("time_dim")}
            |  WHERE t_time BETWEEN 28800 AND 57600)
            | AND $smCol IN (SELECT sm_ship_mode_sk FROM ${P("ship_mode")}
-           |  WHERE sm_type IN ('EXPRESS', 'OVERNIGHT'))""".stripMargin
+           |  WHERE sm_carrier IN ('DHL', 'BARIAN'))""".stripMargin
       val months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug",
         "sep", "oct", "nov", "dec")
       val sales = months.zipWithIndex.map { case (m, i) =>
@@ -5289,9 +5309,9 @@ object Tpcds {
          |WHERE i_manufact_id BETWEEN 1 AND 400
          |  AND i_manufact IN (
          |   SELECT i_manufact FROM ${P("item")}
-         |   WHERE (i_color IN ('almond','antique','aquamarine','azure')
+         |   WHERE (i_color IN ('powder','khaki','orchid','firebrick')
          |          AND i_size IN ('petite','small','medium'))
-         |      OR (i_color IN ('beige','bisque','black','blue')
+         |      OR (i_color IN ('rose','metallic','chiffon','gainsboro')
          |          AND i_size IN ('large','extra large','economy')))""".stripMargin,
     "q_tpcds_q12" -> classShareOracle("web_sales", "ws_sold_date_sk",
       "ws_item_sk", "ws_ext_sales_price"),
@@ -5597,7 +5617,7 @@ object Tpcds {
          |SELECT i_item_id, CAST(sum(amt) AS DOUBLE) AS total_sales
          |FROM chan JOIN ${P("item")} it ON chan.i_item_sk = it.i_item_sk
          |WHERE i_item_id IN (SELECT i_item_id FROM ${P("item")}
-         |  WHERE i_color IN ('chiffon', 'chocolate', 'coral'))
+         |  WHERE i_color IN ('slate', 'blanched', 'burnished'))
          |GROUP BY i_item_id""".stripMargin,
     "q_tpcds_q48" ->
       s"""SELECT CAST(sum(ss_quantity) AS BIGINT) AS total_quantity
@@ -5885,7 +5905,8 @@ object Tpcds {
          |SELECT c_last_name, c_first_name, s_store_name,
          | CAST(sum(netpaid) AS DOUBLE) AS paid
          |FROM ssales
-         |WHERE i_color IN ('chiffon', 'blush', 'coral', 'azure')
+         |WHERE i_color IN ('pale', 'blush', 'coral', 'azure', 'almond',
+         | 'antique', 'beige', 'rose', 'peach', 'sienna')
          |GROUP BY 1, 2, 3
          |HAVING CAST(sum(netpaid) AS DOUBLE) >
          | (SELECT 0.05 * (CAST(sum(netpaid) AS DOUBLE) / count(*))
@@ -5936,8 +5957,12 @@ object Tpcds {
          | WHERE d1.d_year IN (2000, 2001)
          |  AND cd1.cd_marital_status <> cd2.cd_marital_status
          |  AND ss_item_sk IN (SELECT cs_item_sk FROM csui)
-         |  AND i_color IN ('chiffon', 'blush', 'coral', 'azure', 'almond',
-         |   'antique', 'aquamarine', 'beige')
+         |  AND i_color IN ('purple', 'burlywood', 'indian', 'spring',
+         |   'floral', 'medium', 'chiffon', 'blush', 'coral', 'azure',
+         |   'almond', 'antique', 'aquamarine', 'beige', 'rose', 'peach',
+         |   'slate', 'powder', 'pale', 'khaki', 'orchid', 'firebrick',
+         |   'metallic', 'gainsboro', 'misty', 'navy', 'olive', 'sienna',
+         |   'snow', 'lace')
          |  AND i_current_price BETWEEN 50 AND 600
          | GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
          |SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
@@ -5974,7 +5999,10 @@ object Tpcds {
          |SELECT c_last_name, c_first_name, s_store_name,
          | CAST(sum(netpaid) AS DOUBLE) AS paid
          |FROM ssales
-         |WHERE i_color IN ('almond', 'antique', 'beige', 'brown')
+         |WHERE i_color IN ('chiffon', 'aquamarine', 'bisque', 'black',
+         | 'blue', 'brown', 'burlywood', 'misty', 'navy', 'olive', 'cyan',
+         | 'plum', 'lavender', 'linen', 'smoke', 'ivory', 'lemon',
+         | 'magenta', 'maroon', 'cream', 'wheat', 'white')
          |GROUP BY 1, 2, 3
          |HAVING CAST(sum(netpaid) AS DOUBLE) >
          | (SELECT 0.05 * (CAST(sum(netpaid) AS DOUBLE) / count(*))

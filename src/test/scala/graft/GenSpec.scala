@@ -612,6 +612,28 @@ class GenSpec extends AnyFunSuite {
       s"store names are not exactly the ten dsdgen syllables: $storeNames")
   }
 
+  test("v12: full color vocabulary; carriers cyclic and never nulled") {
+    import org.apache.spark.sql.functions._
+    // every color literal a published query names must be in-domain
+    val colors = TpcdsGen.table(spark, "item", 1.0, 2)
+      .select("i_color").filter(col("i_color").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSet
+    val published = Set("pale", "slate", "blanched", "burnished", "powder",
+      "khaki", "orchid", "firebrick", "rose", "metallic", "gainsboro",
+      "chiffon", "purple", "burlywood", "indian", "spring", "floral",
+      "medium")
+    assert(published.subsetOf(colors),
+      s"published colors missing from the generated domain: ${published -- colors}")
+    assert(colors.size > 60, s"color domain too small: ${colors.size}")
+    // carriers cycle through the dsdgen roster with NO null erasure —
+    // Q66's published DHL/BARIAN filter must match at every scale
+    val carriers = TpcdsGen.table(spark, "ship_mode", 1.0, 2)
+      .select("sm_carrier").collect().map(_.getString(0))
+    assert(!carriers.contains(null), "sm_carrier nulled — roster has holes")
+    assert(carriers.toSet == TpcdsGen.carriers.toSet,
+      s"carrier roster mismatch: ${carriers.toSet}")
+  }
+
   test("v10: sold dates are seasonal (super days), other date FKs uniform") {
     import org.apache.spark.sql.functions._
     val dd = TpcdsGen.table(spark, "date_dim", 1.0, 2)
