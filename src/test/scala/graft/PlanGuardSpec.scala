@@ -416,6 +416,35 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(q22.contains("LeftAnti"), s"Q22-full NOT EXISTS not an anti join:\n$q22")
   }
 
+  test("round-10 published-gate shapes: pushed store-city/household/carrier filters") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def fmt(name: String): String =
+      SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // Q46/Q68: published s_city pair pushed into the store scan, the
+    // published hd disjunction pushed into household_demographics, and
+    // both broadcast into the fact (the per-ticket aggregate then rides
+    // the dense ticket key — no fact-side SortMergeJoin before it)
+    for (q <- Seq("q_tpcds_q46", "q_tpcds_q68")) {
+      val p = fmt(q)
+      assert(p.contains("In(s_city, [Fairview,Midway])") ||
+        p.contains("In(s_city, [Midway,Fairview])"),
+        s"$q store-city filter not pushed:\n$p")
+      assert(p.contains("hd_dep_count") && p.contains("hd_vehicle_count"),
+        s"$q household disjunction lost:\n$p")
+    }
+    // Q66: the published carrier pair pushed into the ship_mode scan that
+    // feeds the broadcast semi
+    val q66 = fmt("q_tpcds_q66")
+    assert(q66.contains("In(sm_carrier, [BARIAN,DHL])") ||
+      q66.contains("In(sm_carrier, [DHL,BARIAN])"),
+      s"Q66 carrier filter not pushed:\n$q66")
+    // Q56: the published color triple pushed into the item scan
+    val q56 = fmt("q_tpcds_q56")
+    assert(q56.contains("i_color") && q56.contains("slate"),
+      s"Q56 published color triple not at the scan:\n$q56")
+  }
+
   test("q_win_rank2 slices by deterministic data buckets, not by the 5-value key") {
     import org.apache.spark.sql.execution.ExplainMode
     val plan = SparkEntry.queries("q_win_rank2")(spark, TestSpark.sf0001)
