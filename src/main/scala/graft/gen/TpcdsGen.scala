@@ -99,8 +99,11 @@ object TpcdsGen extends Benchmark {
     * runs as published instead of being dropped.
     * v12: the full dsdgen color vocabulary (~90 colors.dst names — every
     * color literal a published query names is in-domain) and the cyclic
-    * 20-carrier sm_carrier roster (Q66's published DHL/BARIAN filter). */
-  val genVersion = 12
+    * 20-carrier sm_carrier roster (Q66's published DHL/BARIAN filter).
+    * v13: gmt offsets coherent with the row's state (NY→-5 ... CA→-8),
+    * so the published ca_gmt_offset/s_gmt_offset = -5 gates run as
+    * written (Q33/Q56/Q60/Q61). */
+  val genVersion = 13
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -262,6 +265,14 @@ object TpcdsGen extends Benchmark {
     * ation=6 eing=7 hov=8 bar=9); Q96 filters s_store_name = 'ese'. */
   private[graft] val storeNameSyllables: Seq[String] = Seq("ought", "able",
     "pri", "ese", "anti", "cally", "ation", "eing", "hov", "bar")
+
+  /** v13: US timezone offset per generated state (dsdgen ties each address
+    * state to its gmt offset; published Q33/Q56/Q60/Q61 filter on it).
+    * Eastern/Central/Pacific over the 10-state domain → the published
+    * `= -5` gate keeps 6 of 10 states. */
+  private[graft] val stateGmt: Map[String, Int] = Map(
+    "CA" -> -8, "WA" -> -8, "IL" -> -6, "TX" -> -6,
+    "NY" -> -5, "FL" -> -5, "PA" -> -5, "OH" -> -5, "GA" -> -5, "MI" -> -5)
 
   /** v12: the dsdgen carrier roster (ship_mode.dat's 20 carriers, one per
     * row of the 20-row fixed dim). CYCLIC like the store names so every
@@ -734,6 +745,25 @@ object TpcdsGen extends Benchmark {
         pick(src, tag, dictionaries(f.name))
       case StringType => pick(src, tag, vocab)
       case DateType => date(src, tag, "1998-01-01", 2000)
+      // v13: gmt offsets are COHERENT with the row's state — the offset
+      // indexes the state dictionary with the STATE column's own hash, so
+      // (state, offset) pairs agree like dsdgen's (NY → -5, TX → -6,
+      // CA → -8, ...). Published ca_gmt_offset/s_gmt_offset = -5 gates
+      // (Q33/Q56/Q60/Q61) become real predicates. Dims without a
+      // dictionary state column draw from the same marginal (6:2:2).
+      case _: DecimalType if f.name.endsWith("_gmt_offset") =>
+        val statesKey = f.name.stripSuffix("gmt_offset") + "state"
+        dictionaries.get(statesKey) match {
+          case Some(states) if schema(tbl).fieldNames.contains(statesKey) =>
+            element_at(array(states.map(s => lit(stateGmt(s))): _*),
+              (pmod(h(src, tagFor(tbl, statesKey)), lit(states.size.toLong))
+                + 1).cast(IntegerType)).cast(f.dataType)
+          case _ =>
+            // same 6:2:2 marginal as the state-derived path (duplicates
+            // in the pick list carry the weights)
+            pick(src, tag, dictionaries("ca_state").map(s => stateGmt(s).toString))
+              .cast(f.dataType)
+        }
       case d: DecimalType =>
         (pmod(h(src, tag), lit(100000L)).cast(DecimalType(12, 2)) / 100).cast(d)
       case DoubleType => unif(src, tag)

@@ -1207,17 +1207,21 @@ object Tpcds {
     * sales for one category/geography/year), each a star of broadcast
     * dims + two customer-sized keyed attaches, joined as 1-row aggregates
     * on nullable-derived constant keys and divided ONCE as DOUBLE.
-    * Exercises the p_channel_* promotion flags. Adapted geography:
-    * ca_state slice instead of the published gmt offsets (uniform
-    * decimals have no -5 band). */
+    * Exercises the p_channel_* promotion flags. The published geography
+    * runs as written: ca_gmt_offset = -5 on the customer address AND
+    * s_gmt_offset = -5 on the store (genVersion 13's state-coherent
+    * offsets), with the published November month slice. */
   def q_tpcds_q61(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
-    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_moy") === 11)
       .select("d_date_sk")
     val it = t(spark, dir, "item").filter(col("i_category") === "Jewelry")
       .select("i_item_sk")
+    val st = t(spark, dir, "store")
+      .filter(col("s_gmt_offset") === -5).select("s_store_sk")
     val ca = t(spark, dir, "customer_address")
-      .filter(col("ca_state").isin("CA", "TX"))
+      .filter(col("ca_gmt_offset") === -5)
       .select(col("ca_address_sk"))
     val cust = t(spark, dir, "customer")
       .select("c_customer_sk", "c_current_addr_sk")
@@ -1225,6 +1229,8 @@ object Tpcds {
       val base = t(spark, dir, "store_sales")
         .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
         .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"), "left_semi")
+        .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"),
+          "left_semi")
         .join(cust, col("ss_customer_sk") === col("c_customer_sk"))
         .join(ca, col("c_current_addr_sk") === col("ca_address_sk"), "left_semi")
       val slice = if (promoted)
@@ -1256,8 +1262,9 @@ object Tpcds {
     * key (semi-pruned to the category's manufacturer set, customers
     * semi-pruned to the geography), UNION ALL'd and re-aggregated.
     * The manufacturer set rides the genVersion-5 1:1 id↔string tie.
-    * Adapted geography: ca_state slice for the published gmt offset
-    * (uniform decimals have no -5 band); year window. */
+    * The published geography runs as written — ca_gmt_offset = -5 over
+    * genVersion 13's state-coherent offsets; year window (the published
+    * single month stays the density adaptation). */
   def q_tpcds_q33(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
@@ -1268,7 +1275,7 @@ object Tpcds {
     val it = t(spark, dir, "item").select("i_item_sk", "i_manufact_id")
       .join(broadcast(manufs), col("i_manufact_id") === col("m_id"), "left_semi")
     val geo = t(spark, dir, "customer_address")
-      .filter(col("ca_state").isin("CA", "TX")).select("ca_address_sk")
+      .filter(col("ca_gmt_offset") === -5).select("ca_address_sk")
     def chan(fact: String, dateCol: String, itemCol: String, addrCol: String,
              amtCol: String): DataFrame =
       t(spark, dir, fact)
@@ -1293,8 +1300,8 @@ object Tpcds {
     * month slice (d_year, d_moy). The item membership test goes through the
     * i_item_id business key (the published query's IN subselect), not the
     * surrogate, so re-skued item rows sharing an id would aggregate
-    * together. Adapted geography: ca_state slice for the published gmt
-    * offset (uniform decimals have no -5 band). */
+    * together. The published geography runs as written — ca_gmt_offset
+    * = -5 (genVersion 13's state-coherent offsets). */
   def q_tpcds_q60(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
@@ -1306,7 +1313,7 @@ object Tpcds {
     val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
       .join(broadcast(ids), col("i_item_id") === col("id"), "left_semi")
     val geo = t(spark, dir, "customer_address")
-      .filter(col("ca_state").isin("NY", "FL")).select("ca_address_sk")
+      .filter(col("ca_gmt_offset") === -5).select("ca_address_sk")
     def chan(fact: String, dateCol: String, itemCol: String, addrCol: String,
              amtCol: String): DataFrame =
       t(spark, dir, fact)
@@ -3159,9 +3166,8 @@ object Tpcds {
   /** [Q-tpcds-q56] TPC-DS Q56 shape: the Q60 three-channel per-item-id
     * rollup gated by item COLOR — the PUBLISHED triple
     * slate/blanched/burnished, in-domain since genVersion 12's full
-    * dsdgen color vocabulary. The published ca_gmt_offset = -5 gate maps
-    * to a state pair — gmt offsets have no generated domain (uniform
-    * decimal draw). */
+    * dsdgen color vocabulary. The published ca_gmt_offset = -5 geography
+    * also runs as written (genVersion 13's state-coherent offsets). */
   def q_tpcds_q56(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
@@ -3173,7 +3179,7 @@ object Tpcds {
     val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
       .join(broadcast(ids), col("i_item_id") === col("id"), "left_semi")
     val geo = t(spark, dir, "customer_address")
-      .filter(col("ca_state").isin("TX", "OH")).select("ca_address_sk")
+      .filter(col("ca_gmt_offset") === -5).select("ca_address_sk")
     def chan(fact: String, dateCol: String, itemCol: String, addrCol: String,
              amtCol: String): DataFrame =
       t(spark, dir, fact)
@@ -4569,15 +4575,18 @@ object Tpcds {
          |  GROUP BY 1, 2, 3) ms
          |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk""".stripMargin,
     "q_tpcds_q61" ->
-      s"""WITH dd AS (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2000),
+      s"""WITH dd AS (SELECT d_date_sk FROM ${P("date_dim")}
+         |  WHERE d_year = 2000 AND d_moy = 11),
          | jry AS (SELECT i_item_sk FROM ${P("item")} WHERE i_category = 'Jewelry'),
+         | st5 AS (SELECT s_store_sk FROM ${P("store")} WHERE s_gmt_offset = -5),
          | geo AS (SELECT ca_address_sk FROM ${P("customer_address")}
-         |  WHERE ca_state IN ('CA', 'TX')),
+         |  WHERE ca_gmt_offset = -5),
          | promo AS (SELECT sum(ss_ext_sales_price) AS promo_d
          |  FROM ${P("store_sales")}
          |  JOIN dd ON ss_sold_date_sk = d_date_sk
          |  JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
          |  WHERE ss_item_sk IN (SELECT i_item_sk FROM jry)
+         |   AND ss_store_sk IN (SELECT s_store_sk FROM st5)
          |   AND c_current_addr_sk IN (SELECT ca_address_sk FROM geo)
          |   AND ss_promo_sk IN (SELECT p_promo_sk FROM ${P("promotion")}
          |    WHERE p_channel_dmail = 'Y' OR p_channel_email = 'Y'
@@ -4587,6 +4596,7 @@ object Tpcds {
          |  JOIN dd ON ss_sold_date_sk = d_date_sk
          |  JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
          |  WHERE ss_item_sk IN (SELECT i_item_sk FROM jry)
+         |   AND ss_store_sk IN (SELECT s_store_sk FROM st5)
          |   AND c_current_addr_sk IN (SELECT ca_address_sk FROM geo))
          |SELECT CAST(promo_d AS DOUBLE) AS promotions,
          | CAST(total_d AS DOUBLE) AS total,
@@ -4601,7 +4611,7 @@ object Tpcds {
            |  ON $dateCol = d_date_sk
            | JOIN ${P("item")} ON $itemCol = i_item_sk
            | WHERE $addrCol IN (SELECT ca_address_sk FROM ${P("customer_address")}
-           |   WHERE ca_state IN ('CA', 'TX'))
+           |   WHERE ca_gmt_offset = -5)
            |  AND i_manufact_id IN (SELECT i_manufact_id FROM ${P("item")}
            |   WHERE i_category = 'Electronics')
            | GROUP BY i_manufact_id""".stripMargin
@@ -4626,7 +4636,7 @@ object Tpcds {
            |  ON $dateCol = d_date_sk
            | JOIN ${P("item")} ON $itemCol = i_item_sk
            | WHERE $addrCol IN (SELECT ca_address_sk FROM ${P("customer_address")}
-           |   WHERE ca_state IN ('NY', 'FL'))
+           |   WHERE ca_gmt_offset = -5)
            |  AND i_item_id IN (SELECT i_item_id FROM ${P("item")}
            |   WHERE i_category = 'Music')
            | GROUP BY i_item_id""".stripMargin
@@ -5613,7 +5623,7 @@ object Tpcds {
          | JOIN ${P("date_dim")} ON s.dat = d_date_sk
          | WHERE d_year = 2000 AND d_moy = 2
          |  AND s.addr IN (SELECT ca_address_sk FROM ${P("customer_address")}
-         |   WHERE ca_state IN ('TX', 'OH')))
+         |   WHERE ca_gmt_offset = -5))
          |SELECT i_item_id, CAST(sum(amt) AS DOUBLE) AS total_sales
          |FROM chan JOIN ${P("item")} it ON chan.i_item_sk = it.i_item_sk
          |WHERE i_item_id IN (SELECT i_item_id FROM ${P("item")}

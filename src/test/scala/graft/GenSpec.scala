@@ -634,6 +634,25 @@ class GenSpec extends AnyFunSuite {
       s"carrier roster mismatch: ${carriers.toSet}")
   }
 
+  test("v13: gmt offsets are coherent with the row's state") {
+    import org.apache.spark.sql.functions._
+    // every (state, offset) pair matches the dsdgen-style timezone map —
+    // published ca_gmt_offset/s_gmt_offset = -5 gates depend on it
+    for ((tbl, st, off) <- Seq(
+        ("customer_address", "ca_state", "ca_gmt_offset"),
+        ("store", "s_state", "s_gmt_offset"))) {
+      val pairs = TpcdsGen.table(spark, tbl, 0.01, 2)
+        .select(st, off).filter(col(st).isNotNull && col(off).isNotNull)
+        .distinct().collect()
+        .map(r => r.getString(0) -> r.getDecimal(1).intValue()).toSet
+      assert(pairs.nonEmpty, s"$tbl has no (state, gmt) pairs")
+      val bad = pairs.filterNot { case (s, o) => TpcdsGen.stateGmt(s) == o }
+      assert(bad.isEmpty, s"$tbl (state, gmt) pairs off the timezone map: $bad")
+      // the published -5 band is non-empty at this scale
+      assert(pairs.exists(_._2 == -5), s"$tbl has no -5 offsets")
+    }
+  }
+
   test("v10: sold dates are seasonal (super days), other date FKs uniform") {
     import org.apache.spark.sql.functions._
     val dd = TpcdsGen.table(spark, "date_dim", 1.0, 2)
