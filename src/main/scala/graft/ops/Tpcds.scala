@@ -2124,13 +2124,15 @@ object Tpcds {
     * RETURNS-FREE lines — each channel aggregates only lines never
     * returned (left-anti on the (order, item) returns PK; the published
     * LEFT JOIN … WHERE return-key IS NULL), store totals left-join the
-    * other two channels, keep customers active elsewhere, ratio = store
-    * qty ÷ other-channel qty in one double division.
-    * Adapted grain: (year, customer) — the published (year, item,
-    * customer) grain has an empty cross-channel intersection under
-    * hash-uniform item draws at oracle scale. The channel aggregates are
-    * the scale work: one (order, item)-keyed anti join + one
-    * customer-keyed aggregate each. */
+    * other two channels on the PUBLISHED (year, item, customer) triple —
+    * real since v10's seasonal sold-date concentration (~600 cross-
+    * channel pair-year cells at sf0.01) — keep customers active
+    * elsewhere, ratio = store qty ÷ other-channel qty divided once as
+    * DOUBLE (the published ROUND(., 2) is the one precision adaptation —
+    * half-even vs half-up differs per engine). The channel aggregates
+    * are the scale work: one (order, item)-keyed anti join + one
+    * (item, customer)-keyed aggregate each; the outer merges ride the
+    * same pair key. */
   def q_tpcds_q78(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
@@ -2147,7 +2149,8 @@ object Tpcds {
           col(ordCol) === col(rOrdCol) && col(itemCol) === col(rItemCol),
           "left_anti")
         .filter(col(custCol).isNotNull)
-        .groupBy(col(custCol).as(s"${pfx}_customer_sk"))
+        .groupBy(col(custCol).as(s"${pfx}_customer_sk"),
+          col(itemCol).as(s"${pfx}_item_sk"))
         .agg(sum(col(qtyCol)).as(s"${pfx}_qty"),
           sum(col(wcCol)).as(s"${pfx}_wc"),
           sum(col(spCol)).as(s"${pfx}_sp"))
@@ -2162,15 +2165,22 @@ object Tpcds {
       "cs_sales_price", "catalog_returns", "cr_order_number", "cr_item_sk",
       "cs")
     val other = coalesce(col("ws_qty"), lit(0L)) + coalesce(col("cs_qty"), lit(0L))
-    ss.join(ws, col("ss_customer_sk") === col("ws_customer_sk"), "left_outer")
-      .join(cs, col("ss_customer_sk") === col("cs_customer_sk"), "left_outer")
+    ss.join(ws, col("ss_customer_sk") === col("ws_customer_sk") &&
+        col("ss_item_sk") === col("ws_item_sk"), "left_outer")
+      .join(cs, col("ss_customer_sk") === col("cs_customer_sk") &&
+        col("ss_item_sk") === col("cs_item_sk"), "left_outer")
       .filter(other > 0)
       .select(col("ss_customer_sk").as("customer_sk"),
+        col("ss_item_sk").as("item_sk"),
         (col("ss_qty").cast(DoubleType) / other.cast(DoubleType)).as("ratio"),
         col("ss_qty").as("store_qty"),
         col("ss_wc").cast(DoubleType).as("store_wholesale_cost"),
         col("ss_sp").cast(DoubleType).as("store_sales_price"),
-        other.as("other_chan_qty"))
+        other.as("other_chan_qty"),
+        (coalesce(col("ws_wc"), lit(0)) + coalesce(col("cs_wc"), lit(0)))
+          .cast(DoubleType).as("other_chan_wholesale_cost"),
+        (coalesce(col("ws_sp"), lit(0)) + coalesce(col("cs_sp"), lit(0)))
+          .cast(DoubleType).as("other_chan_sales_price"))
   }
 
   /** [Q-tpcds-q27] TPC-DS Q27 shape: demographic item/state averages with
@@ -2411,25 +2421,29 @@ object Tpcds {
         count(when(lag > 120, 1)).as("d_over_120"))
   }
 
-  /** [Q-tpcds-q97] TPC-DS Q97 shape: store/catalog audience overlap — the
-    * two channels' distinct year-active customer sets FULL OUTER joined,
-    * counting both-channel, store-only and catalog-only customers in one
-    * pass over the joined sets. Adapted grain: customer (the published
-    * (customer, item) pair grain has a ~zero intersection under uniform
-    * draws at oracle scale). */
+  /** [Q-tpcds-q97] TPC-DS Q97: store/catalog audience overlap at the
+    * PUBLISHED (customer, item) pair grain — the v10 seasonal sold-date
+    * concentration makes the cross-channel pair intersection real (~86
+    * pairs in the window at sf0.01), so the published full-outer join on
+    * both keys and its three CASE-counted buckets run as written (data-
+    * null customer keys fall into no bucket, exactly as published).
+    * Window: d_year = 2000 stands in for the published d_month_seq+11
+    * span (same 12-month width). Two (customer, item)-keyed distinct
+    * aggregates, one full-outer merge — all shuffles on the pair key. */
   def q_tpcds_q97(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
       .select("d_date_sk")
-    def chan(fact: String, dateCol: String, custCol: String,
-             as: String): DataFrame =
-      t(spark, dir, fact).select(col(dateCol), col(custCol))
+    def chan(fact: String, dateCol: String, custCol: String, itemCol: String,
+             cAs: String, iAs: String): DataFrame =
+      t(spark, dir, fact).select(col(dateCol), col(custCol), col(itemCol))
         .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
-        .filter(col(custCol).isNotNull)
-        .select(col(custCol).as(as)).distinct()
-    chan("store_sales", "ss_sold_date_sk", "ss_customer_sk", "sc")
+        .select(col(custCol).as(cAs), col(itemCol).as(iAs)).distinct()
+    chan("store_sales", "ss_sold_date_sk", "ss_customer_sk", "ss_item_sk",
+        "sc", "si")
       .join(chan("catalog_sales", "cs_sold_date_sk", "cs_bill_customer_sk",
-        "cc"), col("sc") === col("cc"), "full_outer")
+        "cs_item_sk", "cc", "ci"),
+        col("sc") === col("cc") && col("si") === col("ci"), "full_outer")
       .agg(
         count(when(col("sc").isNotNull && col("cc").isNotNull, 1))
           .as("store_and_catalog"),
@@ -5040,14 +5054,14 @@ object Tpcds {
       def chan(fact: String, dateCol: String, custCol: String, ordCol: String,
                itemCol: String, qtyCol: String, wcCol: String, spCol: String,
                ret: String, rOrdCol: String, rItemCol: String, pfx: String) =
-        s"""SELECT $custCol AS ${pfx}_customer_sk,
+        s"""SELECT $custCol AS ${pfx}_customer_sk, $itemCol AS ${pfx}_item_sk,
            | CAST(sum($qtyCol) AS BIGINT) AS ${pfx}_qty,
            | sum($wcCol) AS ${pfx}_wc, sum($spCol) AS ${pfx}_sp
            |FROM ${P(fact)}
            |JOIN ${P("date_dim")} ON $dateCol = d_date_sk
            |LEFT JOIN ${P(ret)} ON $ordCol = $rOrdCol AND $itemCol = $rItemCol
            |WHERE d_year = 2000 AND $rOrdCol IS NULL AND $custCol IS NOT NULL
-           |GROUP BY $custCol""".stripMargin
+           |GROUP BY $custCol, $itemCol""".stripMargin
       s"""WITH ss AS (${chan("store_sales", "ss_sold_date_sk", "ss_customer_sk",
              "ss_ticket_number", "ss_item_sk", "ss_quantity",
              "ss_wholesale_cost", "ss_sales_price", "store_returns",
@@ -5060,16 +5074,22 @@ object Tpcds {
              "cs_bill_customer_sk", "cs_order_number", "cs_item_sk",
              "cs_quantity", "cs_wholesale_cost", "cs_sales_price",
              "catalog_returns", "cr_order_number", "cr_item_sk", "cs")})
-         |SELECT ss_customer_sk AS customer_sk,
+         |SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk,
          | CAST(ss_qty AS DOUBLE)
          |  / CAST(COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS DOUBLE) AS ratio,
          | ss_qty AS store_qty,
          | CAST(ss_wc AS DOUBLE) AS store_wholesale_cost,
          | CAST(ss_sp AS DOUBLE) AS store_sales_price,
-         | COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS other_chan_qty
+         | COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS other_chan_qty,
+         | CAST(COALESCE(ws_wc, 0) + COALESCE(cs_wc, 0) AS DOUBLE)
+         |  AS other_chan_wholesale_cost,
+         | CAST(COALESCE(ws_sp, 0) + COALESCE(cs_sp, 0) AS DOUBLE)
+         |  AS other_chan_sales_price
          |FROM ss
          |LEFT JOIN ws ON ss_customer_sk = ws_customer_sk
+         | AND ss_item_sk = ws_item_sk
          |LEFT JOIN cs ON ss_customer_sk = cs_customer_sk
+         | AND ss_item_sk = cs_item_sk
          |WHERE COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) > 0""".stripMargin
     },
     "q_tpcds_q27" ->
@@ -5218,12 +5238,14 @@ object Tpcds {
          |WHERE d_year = 2000 AND d_moy = 9
          |GROUP BY s_store_name, s_company_id""".stripMargin,
     "q_tpcds_q97" ->
-      s"""WITH sc AS (SELECT DISTINCT ss_customer_sk AS c FROM ${P("store_sales")}
+      s"""WITH sc AS (SELECT DISTINCT ss_customer_sk AS c, ss_item_sk AS i
+         |  FROM ${P("store_sales")}
          |  JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
-         |  WHERE d_year = 2000 AND ss_customer_sk IS NOT NULL),
-         |cc AS (SELECT DISTINCT cs_bill_customer_sk AS c FROM ${P("catalog_sales")}
+         |  WHERE d_year = 2000),
+         |cc AS (SELECT DISTINCT cs_bill_customer_sk AS c, cs_item_sk AS i
+         |  FROM ${P("catalog_sales")}
          |  JOIN ${P("date_dim")} ON cs_sold_date_sk = d_date_sk
-         |  WHERE d_year = 2000 AND cs_bill_customer_sk IS NOT NULL)
+         |  WHERE d_year = 2000)
          |SELECT
          | count(CASE WHEN sc.c IS NOT NULL AND cc.c IS NOT NULL THEN 1 END)
          |  AS store_and_catalog,
@@ -5231,7 +5253,7 @@ object Tpcds {
          |  AS store_only,
          | count(CASE WHEN sc.c IS NULL AND cc.c IS NOT NULL THEN 1 END)
          |  AS catalog_only
-         |FROM sc FULL OUTER JOIN cc ON sc.c = cc.c""".stripMargin,
+         |FROM sc FULL OUTER JOIN cc ON sc.c = cc.c AND sc.i = cc.i""".stripMargin,
     "q_tpcds_q76" -> {
       def chan(fact: String, channel: String, nullCol: String, dateCol: String,
                itemCol: String, amtCol: String) =
