@@ -102,8 +102,19 @@ object TpcdsGen extends Benchmark {
     * 20-carrier sm_carrier roster (Q66's published DHL/BARIAN filter).
     * v13: gmt offsets coherent with the row's state (NY→-5 ... CA→-8),
     * so the published ca_gmt_offset/s_gmt_offset = -5 gates run as
-    * written (Q33/Q56/Q60/Q61). */
-  val genVersion = 13
+    * written (Q33/Q56/Q60/Q61).
+    * v14: zip LOCALITY — stores sit in a 12-zip urban core (distinct
+    * 2-prefixes) and customer addresses draw 25% from that core, 75%
+    * from the full domain, mirroring dsdgen's population-weighted city/
+    * zip pairing. Un-adapts Q24's published exact `s_zip = ca_zip`
+    * buy-near-home gate (~2.8% of return-matched lines vs ~1% under
+    * uniform draws) and Q8's published `count > 10` preferred-customer
+    * cut (core-zip counts straddle 10; uniform draws capped at ~8).
+    * Also: restock-sawtooth inventory quantities (Q39b's published
+    * cov > 1.5, see the inv_quantity_on_hand case) and 15/16-line
+    * big-basket sizes in the store pattern (Q34's published 15–20
+    * bucket). */
+  val genVersion = 14
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -200,7 +211,11 @@ object TpcdsGen extends Benchmark {
     * arithmetic to line counts). Catalog/web keep fixed 4-line orders
     * (no published count-bucket query reads them). */
   private[graft] val storePattern: Seq[Int] =
-    Seq(1, 6, 3, 10, 2, 8, 5, 9, 4, 7, 2, 6, 1, 9, 5, 8) // sum 86, avg 5.375
+    // v14: two big-basket sizes (15, 16) — the published Q34 bucket
+    // (count BETWEEN 15 AND 20) needs tickets in that band; the max stays
+    // ≤ 18 so the within-basket distinct-item tour still fits the
+    // sf0.001 item floor (18 rows)
+    Seq(1, 6, 3, 15, 2, 8, 5, 16, 4, 7, 2, 6, 1, 9, 5, 8) // sum 98, avg 6.125
   private val storeCum: Seq[Int] = storePattern.scanLeft(0)(_ + _) // len 17
   private def variablePattern(tbl: String): Option[Seq[Int]] =
     if (tbl == "store_sales") Some(storePattern) else None
@@ -303,6 +318,15 @@ object TpcdsGen extends Benchmark {
   private val zips: Seq[String] =
     (0 until 100).map(i => f"${10000 + i * 607}%05d")
 
+  /** v14: the urban-core zip subset stores sit in (every 8th domain zip —
+    * 12 values whose 2-prefixes are pairwise distinct, so the store
+    * 2-prefix grain Q8 intersects on stays as wide as the store dim).
+    * Customer addresses draw 20% from this core (see the ca_zip case in
+    * colFor), giving the published near-home predicates real support:
+    * Q24's exact `s_zip = ca_zip` and Q8's per-prefix preferred-customer
+    * `count > 10` cut both straddle their published constants. */
+  private val coreZips: Seq[String] = (0 until 100 by 8).map(zips).take(12)
+
   /** Spec-true dictionaries for the columns TPC-DS queries filter and group
     * on (dsdgen draws these from fixed small domains, not free text; the
     * published queries' selectivity depends on the domain sizes). Columns not
@@ -365,8 +389,10 @@ object TpcdsGen extends Benchmark {
       "sm_type" -> Seq("EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR",
         "TWO DAY", "LIBRARY"),
       // v8: zip columns draw 5-digit values from one shared domain (see
-      // `zips` — the published substr-prefix predicates need the shape)
-      "ca_zip" -> zips, "s_zip" -> zips, "w_zip" -> zips,
+      // `zips` — the published substr-prefix predicates need the shape).
+      // v14: stores draw from the urban core only; ca_zip is a 20/80
+      // core/domain mixture handled as a colFor special case.
+      "s_zip" -> coreZips, "w_zip" -> zips,
       "cc_zip" -> zips, "web_zip" -> zips,
       // v10: structured countries — dsdgen pins every address country to
       // 'United States' and draws birth countries from the uppercase FIPS
@@ -723,6 +749,18 @@ object TpcdsGen extends Benchmark {
       case IntegerType if smallIntDomains.contains(f.name) =>
         val (lo, hi) = smallIntDomains(f.name)
         uniLong(src, tag, lo, hi).cast(IntegerType)
+      // v14: restock-sawtooth inventory levels — 7/8 of weekly snapshots
+      // sit at lean post-depletion levels (0..199), 1/8 at fresh-restock
+      // capacity (5000..9999). A flat draw caps the per-(item, warehouse,
+      // month) sample cov at sqrt(n-1) with the n ≈ 2-3 weekly snapshots
+      // a month holds, so Q39b's published cov > 1.5 gate was unreachable
+      // at ANY scale (snapshots per cell are sf-invariant: fact rows and
+      // item count both scale, warehouses are fixed). Lean/spike cells
+      // clear it exactly like dsdgen's.
+      case IntegerType if f.name == "inv_quantity_on_hand" =>
+        when(pmod(h(src, tag + 6007), lit(8L)) === 0,
+          uniLong(src, tag, 5000, 9999)).otherwise(uniLong(src, tag, 0, 199))
+          .cast(IntegerType)
       case IntegerType => uniLong(src, tag, 0, 9999).cast(IntegerType)
       case LongType => uniLong(src, tag, 0, 999999)
       // v11: dsdgen number-syllable store names, cyclic so each of the
@@ -741,6 +779,12 @@ object TpcdsGen extends Benchmark {
       case StringType if f.name.endsWith("_id") =>
         // dsdgen-style 16-char business key, unique per row
         concat(lit("AAAAAAAA"), lpad(conv(pmod(line, lit(99999999L)).cast(StringType), 10, 16), 8, "0"))
+      // v14: address zips draw 20% from the urban core stores sit in, 80%
+      // from the full domain — the near-home locality the published
+      // exact-zip (Q24) and preferred-customer-density (Q8) gates assume
+      case StringType if f.name == "ca_zip" =>
+        when(pmod(h(src, tag + 5381), lit(4L)) === 0,
+          pick(src, tag, coreZips)).otherwise(pick(src, tag, zips))
       case StringType if dictionaries.contains(f.name) =>
         pick(src, tag, dictionaries(f.name))
       case StringType => pick(src, tag, vocab)
@@ -764,6 +808,13 @@ object TpcdsGen extends Benchmark {
             pick(src, tag, dictionaries("ca_state").map(s => stateGmt(s).toString))
               .cast(f.dataType)
         }
+      // v14: dsdgen's item price curve — i_current_price ∈ [0.09, 99.99]
+      // (items.dst prices never exceed ~100; the published item price
+      // bands Q37 68–98, Q82 62–92, Q80's > 50 gate all assume that
+      // ceiling — a [0, 999.99] draw parks them in a 10%-density corner)
+      case d: DecimalType if f.name == "i_current_price" =>
+        ((pmod(h(src, tag), lit(9991L)) + 9).cast(DecimalType(12, 2)) / 100)
+          .cast(d)
       case d: DecimalType =>
         (pmod(h(src, tag), lit(100000L)).cast(DecimalType(12, 2)) / 100).cast(d)
       case DoubleType => unif(src, tag)

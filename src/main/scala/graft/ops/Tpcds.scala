@@ -979,9 +979,12 @@ object Tpcds {
     * fraction of it. TWO-LEVEL aggregate decorrelation: the per-(store,
     * item) revenue aggregate feeds a per-store average, attached back by a
     * broadcast join on the store key with the threshold as a residual;
-    * the average divides exact sums as DOUBLE once on both engines.
-    * Adapted threshold: ≤ 90% of the store average (published 10% —
-    * hash-uniform revenues have no deep tail at verification scale).
+    * the average divides exact sums as DOUBLE once on both engines, and
+    * the slow-mover cut is the PUBLISHED ≤ 10% of the store average (the
+    * v10 order-statistic price skew gives cell revenues a real deep
+    * tail — ~6% of (store, item) cells sit under the published cut; the
+    * pre-v10 hash-uniform revenues had none, which is what the interim
+    * ≤ 90% adaptation worked around).
     * Plan: ONE fact shuffle on the (store, item) composite; the per-store
     * average is |stores| rows, broadcast. */
   def q_tpcds_q65(spark: SparkSession, sfDir: String): DataFrame = {
@@ -996,7 +999,7 @@ object Tpcds {
     val sb = sc.groupBy(col("ss_store_sk").as("avg_store"))
       .agg((sum(col("rev_d")).cast(DoubleType) / count(lit(1))).as("ave"))
     sc.join(broadcast(sb), col("ss_store_sk") === col("avg_store"))
-      .filter(col("rev_d").cast(DoubleType) <= col("ave") * 0.9)
+      .filter(col("rev_d").cast(DoubleType) <= col("ave") * 0.1)
       .join(broadcast(t(spark, dir, "store").select("s_store_sk", "s_store_name")),
         col("ss_store_sk") === col("s_store_sk"))
       .join(broadcast(t(spark, dir, "item")
@@ -1337,14 +1340,25 @@ object Tpcds {
     * *_zip from a shared 100-value 5-digit domain; these are members). */
   private val zipList = Seq("10607", "22140", "40350", "58560", "70093")
 
+  /** Q8's published qualifying-geography literal zip list, re-expressed
+    * over the generated domain: the first 60 of the 100 domain zips (the
+    * published query names ~400 of dsdgen's 40k zips; this keeps the same
+    * "most-but-not-all zips qualify" coverage, and includes 8 of the 12
+    * urban-core zips so the INTERSECT with the preferred-customer leg is
+    * discriminating, not empty). */
+  private val q8ZipList: Seq[String] =
+    (0 until 60).map(i => f"${10000 + i * 607}%05d")
+
   /** [Q-tpcds-q15] TPC-DS Q15 shape: catalog revenue by customer zip for
     * one quarter, with the published three-way DISJUNCTIVE predicate (zip
     * prefix IN list OR state IN list OR big-ticket line) — the disjunction
     * references both fact and address columns, so it cannot be pushed below
     * the customer/address joins; the plan's work IS those two keyed
-    * shuffles. Adapted threshold: sales_price > 200 sits in the generated
-    * price distribution's top tail (the published 500 assumes dsdgen's
-    * pricing curve whose max exceeds ours). */
+    * shuffles. The PUBLISHED cs_sales_price > 500 big-ticket arm runs as
+    * written: per-unit prices cap near 250 under dsdgen's pricing model
+    * too, so that OR-arm is empty-by-construction on BOTH data sets and
+    * the zip/state arms carry the result — dropping the adaptation costs
+    * nothing and keeps the published text. */
   def q_tpcds_q15(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
@@ -1359,7 +1373,7 @@ object Tpcds {
       .join(cust, col("cs_bill_customer_sk") === col("c_customer_sk"))
       .join(addr, col("c_current_addr_sk") === col("ca_address_sk"))
       .filter(substring(col("ca_zip"), 1, 5).isin(zipList: _*) ||
-        col("ca_state").isin("CA", "WA", "GA") || col("cs_sales_price") > 200)
+        col("ca_state").isin("CA", "WA", "GA") || col("cs_sales_price") > 500)
       .groupBy(col("ca_zip"))
       .agg(sum(col("cs_sales_price")).cast(DoubleType).as("total_sales"))
   }
@@ -1431,27 +1445,41 @@ object Tpcds {
       .agg(sum(col("ss_ext_sales_price")).cast(DoubleType).as("ext_price"))
   }
 
-  /** [Q-tpcds-q8] TPC-DS Q8 shape: store net profit for one quarter,
-    * restricted to stores whose zip 2-PREFIX matches a prefix with a high
-    * preferred-customer count — the qualifying-prefix set is a sub-linear
-    * aggregate (≤ |zip-prefix domain| rows) broadcast-semi-joined onto the
-    * tiny store dim, so the fact side streams through broadcasts only.
-    * Adapted threshold: count > 7 (the published 10 assumes dsdgen's
-    * customer density per prefix; ~8 preferred customers per prefix at
-    * test scale makes 7 the discriminating cut). */
+  /** [Q-tpcds-q8] TPC-DS Q8: store net profit for one quarter, restricted
+    * to stores near BOTH a qualifying geography and a preferred-customer
+    * hotspot — the published two-leg zip set: a literal zip list
+    * INTERSECTed with the 5-char zips holding > 10 preferred customers
+    * (published constant, real under genVersion 14's 20% urban-core
+    * address locality — uniform draws capped densities at ~8), matched to
+    * stores on the published 2-prefix. Both legs are sub-linear aggregates
+    * over dims; the intersect and the store semi join broadcast, so the
+    * fact side streams through broadcasts only. The literal list names 60
+    * domain zips (the published 400 literals assume dsdgen's 40k-zip
+    * domain; same 60% coverage). */
   def q_tpcds_q8(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
       .filter(col("d_year") === 2000 && col("d_qoy") === 1).select("d_date_sk")
-    val qualifying = t(spark, dir, "customer")
+    // collapse the geography leg to its ≤|list| distinct zips BEFORE the
+    // intersect: the address scan is customer-sized at scale, the
+    // distinct is map-side, and both intersect inputs stay broadcastable
+    val geo = t(spark, dir, "customer_address")
+      .filter(substring(col("ca_zip"), 1, 5).isin(q8ZipList: _*))
+      .select(substring(col("ca_zip"), 1, 5).as("zip5")).distinct()
+    val hot = t(spark, dir, "customer")
       .filter(col("c_preferred_cust_flag") === "Y")
       .select("c_current_addr_sk")
       .join(t(spark, dir, "customer_address"),
         col("c_current_addr_sk") === col("ca_address_sk"))
-      .groupBy(substring(col("ca_zip"), 1, 2).as("zip2"))
+      .groupBy(substring(col("ca_zip"), 1, 5).as("zip5"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 7 && col("zip2").isNotNull)
-      .select("zip2")
+      .filter(col("cnt") > 10 && col("zip5").isNotNull)
+      .select("zip5")
+    // both legs are distinct sub-linear sets, so the published INTERSECT
+    // is exactly a broadcast left-semi (Dataset.intersect would plan an
+    // unhinted SortMergeJoin over the statless aggregates)
+    val qualifying = geo.join(broadcast(hot), Seq("zip5"), "left_semi")
+      .select(substring(col("zip5"), 1, 2).as("zip2")).distinct()
     val st = t(spark, dir, "store").select("s_store_sk", "s_store_name", "s_zip")
       .join(broadcast(qualifying),
         substring(col("s_zip"), 1, 2) === col("zip2"), "left_semi")
@@ -1816,12 +1844,12 @@ object Tpcds {
         col("c_preferred_cust_flag"), col("ss_ticket_number"), col("cnt"))
   }
 
-  /** [Q-tpcds-q34] TPC-DS Q34 shape: Q73's big-basket twin — customers
-    * with LARGE tickets (6–10 lines, adapted from the published 15–20 to
-    * the generator's 1–10 size domain) on month-end shopping days, with
-    * the PUBLISHED household gate (dep/vehicle ratio > 1.2). Same two
-    * keyed shuffles; the count bucket rides the v9 basket-size
-    * distribution. */
+  /** [Q-tpcds-q34] TPC-DS Q34: Q73's big-basket twin — customers with
+    * LARGE tickets at the PUBLISHED 15–20 line bucket (genVersion 14's
+    * basket pattern carries 15/16-line tickets; the v9 domain topped at
+    * 10) on month-end shopping days, with the PUBLISHED household gate
+    * (dep/vehicle ratio > 1.2). Same two keyed shuffles; the count
+    * bucket rides the periodic basket-size distribution. */
   def q_tpcds_q34(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
@@ -1844,7 +1872,7 @@ object Tpcds {
       .join(broadcast(hd), col("ss_hdemo_sk") === col("hd_demo_sk"), "left_semi")
       .groupBy(col("ss_ticket_number"), col("ss_customer_sk"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt").between(6, 10))
+      .filter(col("cnt").between(15, 20))
     dj.join(t(spark, dir, "customer"),
         col("ss_customer_sk") === col("c_customer_sk"))
       .select(col("c_last_name"), col("c_first_name"), col("c_salutation"),
@@ -1853,6 +1881,9 @@ object Tpcds {
 
   /** [Q-tpcds-q37] TPC-DS Q37 shape: catalog items in a price/manufacturer
     * band that were WELL-STOCKED in a 60-day window and actually sold —
+    * the PUBLISHED price band (68–98, real under v14's dsdgen-ceiling
+    * [0.09, 99.99] price curve; the manufacturer IN-4 list stays a band
+    * adaptation — 4 of 1000 manufacturers is empty at the 180-item gate) —
     * item filtered row-local, then two left-semi prunes: the inventory
     * fact (date-window broadcast, on-hand band) and the catalog fact.
     * The semis stream map-side against the broadcast item slice; distinct
@@ -1867,7 +1898,7 @@ object Tpcds {
       .filter(col("inv_quantity_on_hand").between(100, 500))
       .select("inv_item_sk")
     t(spark, dir, "item")
-      .filter(col("i_current_price").between(300, 600) &&
+      .filter(col("i_current_price").between(68, 98) &&
         col("i_manufact_id").between(1, 80))
       .select("i_item_sk", "i_item_id", "i_item_desc", "i_current_price")
       .join(inv, col("i_item_sk") === col("inv_item_sk"), "left_semi")
@@ -1877,9 +1908,9 @@ object Tpcds {
       .distinct()
   }
 
-  /** [Q-tpcds-q82] TPC-DS Q82 shape: Q37's store twin — same price/
-    * manufacturer/stock gates, proven by store sales instead of catalog.
-    * Same two-semi plan. */
+  /** [Q-tpcds-q82] TPC-DS Q82 shape: Q37's store twin — same gate family
+    * with its own PUBLISHED price band (62–92), proven by store sales
+    * instead of catalog. Same two-semi plan. */
   def q_tpcds_q82(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
@@ -1890,7 +1921,7 @@ object Tpcds {
       .filter(col("inv_quantity_on_hand").between(100, 500))
       .select("inv_item_sk")
     t(spark, dir, "item")
-      .filter(col("i_current_price").between(100, 400) &&
+      .filter(col("i_current_price").between(62, 92) &&
         col("i_manufact_id").between(400, 480))
       .select("i_item_sk", "i_item_id", "i_item_desc", "i_current_price")
       .join(inv, col("i_item_sk") === col("inv_item_sk"), "left_semi")
@@ -2068,15 +2099,14 @@ object Tpcds {
 
   /** [Q-tpcds-q39b] TPC-DS Q39's SECOND iteration: the same month-pair of
     * volatile (item, warehouse) inventory cells, but month 1 restricted to
-    * the WILDLY volatile. Adapted threshold: the published cov > 1.5 is
-    * unreachable under the generator's UNIFORM quantity draws (cov is
-    * distribution-bounded — at any sf — around ~1.3 for small samples),
-    * so the gate is cov > 5/4, which keeps the stricter-subset semantics
-    * with ~40% of the cov>1 cells. The threshold stays in exact long
-    * arithmetic like the cov > 1 gate: cov² > 25/16 ⟺
-    * 16·n·(n·ss − s²) > 25·(n−1)·s². */
+    * the WILDLY volatile at the PUBLISHED cov > 1.5 — reachable since
+    * genVersion 14's restock-sawtooth quantity draws (a flat draw bounds
+    * the sample cov of an n-snapshot month at sqrt(n−1) ≈ 1.0–1.4; a
+    * lean month holding one fresh-restock spike clears 1.5 like
+    * dsdgen's). The threshold stays in exact long arithmetic like the
+    * cov > 1 gate: cov² > 9/4 ⟺ 4·n·(n·ss − s²) > 9·(n−1)·s². */
   def q_tpcds_q39b(spark: SparkSession, sfDir: String): DataFrame =
-    q39Pair(spark, sfDir, minCovNum = 5, minCovDen = 4)
+    q39Pair(spark, sfDir, minCovNum = 3, minCovDen = 2)
 
   /** Shared Q39 a/b machinery: month-1 cells above `minCovNum/minCovDen`
     * cov joined to their month-2 twins. Thresholds compare in exact
@@ -2561,15 +2591,18 @@ object Tpcds {
     * warehouse state and item, split BEFORE/AFTER a pivot date — the
     * returns fact LEFT-joins on the (order, item) PK, refunds subtract in
     * exact DECIMAL, and the date split is conditional aggregation over the
-    * broadcast ±30-day window. Price band adapted to the generated
-    * distribution. */
+    * broadcast ±30-day window. Price band keeps the PUBLISHED 0.99 lower
+    * bound on the v14 dsdgen-ceiling curve, upper widened 1.49→4.99 (the
+    * published half-dollar width holds < 1 item at the 180-item gate —
+    * on dsdgen's own curve too below sf1). */
   def q_tpcds_q40(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
       .filter(col("d_date").between("2000-02-10", "2000-04-10"))
       .select("d_date_sk", "d_date")
     val it = t(spark, dir, "item")
-      .filter(col("i_current_price").between(100, 150))
+      .filter(col("i_current_price").between(
+        lit(BigDecimal("0.99")), lit(BigDecimal("4.99"))))
       .select("i_item_sk", "i_item_id")
     val wh = t(spark, dir, "warehouse").select("w_warehouse_sk", "w_state")
     val net = col("cs_sales_price") -
@@ -2882,7 +2915,8 @@ object Tpcds {
       .filter(col("d_date").between("2000-02-10", "2000-04-10"))
       .select("d_date_sk", "d_date")
     val it = t(spark, dir, "item")
-      .filter(col("i_current_price").between(100, 150))
+      .filter(col("i_current_price").between(
+        lit(BigDecimal("0.99")), lit(BigDecimal("4.99"))))
       .select("i_item_sk", "i_item_id")
     val wh = t(spark, dir, "warehouse").select("w_warehouse_sk", "w_warehouse_name")
     t(spark, dir, "inventory")
@@ -3654,19 +3688,23 @@ object Tpcds {
   /** [Q-tpcds-q24] TPC-DS Q24 shape: who returns expensive colored goods
     * bought NEAR HOME — net paid per (customer, store) over store lines
     * with a matching return, where the customer's address zip matches the
-    * store's and the birth country differs from the (word-salad) address
-    * country, kept when a color slice's total beats 5% of the all-colors
-    * average. Adapted: the published exact s_zip = ca_zip leaves ~13 rows
-    * at verification scale, so locality is the 2-digit zip PREFIX over
-    * the generator's shared 100-zip domain (Q8/Q19's zip-prefix
-    * precedent); the published iteration color 'pale' (in-domain since
-    * genVersion 12) LEADS a slice widened by nine for gate-scale density.
+    * store's and the birth country differs from the address country, kept
+    * when a color slice's total beats 5% of the all-colors average. The
+    * published exact `s_zip = ca_zip` near-home gate runs as written —
+    * genVersion 14's urban-core address locality gives it ~2.5% of
+    * return-matched lines (uniform draws left ~1%, too thin to survive
+    * the color slice). The published iteration color 'pale' (in-domain
+    * since genVersion 12) LEADS a slice widened by nineteen for
+    * gate-scale density (the exact-zip gate keeps ~8 post-filter lines
+    * at sf0.01, so the slice must be wide to stay non-degenerate).
     * Plan: one (ticket, item) fact⋈fact shuffle; store/item broadcast;
     * customer and address customer-keyed; the all-colors average attaches
     * by the nullable-derived-key broadcast hash join. */
   def q_tpcds_q24(spark: SparkSession, sfDir: String): DataFrame =
     q24Paid(spark, sfDir, Seq("pale", "blush", "coral", "azure", "almond",
-      "antique", "beige", "rose", "peach", "sienna"))
+      "antique", "beige", "rose", "peach", "sienna", "red", "saddle",
+      "indian", "salmon", "orange", "turquoise", "snow", "purple",
+      "yellow", "violet"))
 
   /** [Q-tpcds-q24b] TPC-DS Q24's SECOND iteration: the published query
     * runs twice with a second color slice — same ssales CTE, same
@@ -3706,7 +3744,7 @@ object Tpcds {
       .join(ca, col("c_current_addr_sk") === col("ca_address_sk"))
       .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
       .filter(col("c_birth_country") =!= upper(col("ca_country")) &&
-        substring(col("s_zip"), 1, 2) === substring(col("ca_zip"), 1, 2))
+        col("s_zip") === col("ca_zip"))
       .groupBy(col("c_last_name"), col("c_first_name"), col("s_store_name"),
         col("ca_state"), col("s_state"), col("i_color"),
         col("i_current_price"), col("i_manager_id"), col("i_units"),
@@ -3754,15 +3792,17 @@ object Tpcds {
   def q_tpcds_q64(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     // the PUBLISHED six colors lead the slice (in-domain since genVersion
-    // 12), widened to thirty for gate-scale density; the price band stays
-    // the generated-domain adaptation
+    // 12), widened to thirty for gate-scale density; the price band keeps
+    // the published 35 lower bound on the v14 curve, upper widened
+    // 45→95 (the published $10 width × the color slice holds ~1 item at
+    // the gate scale)
     val it = t(spark, dir, "item")
       .filter(col("i_color").isin("purple", "burlywood", "indian", "spring",
         "floral", "medium", "chiffon", "blush", "coral", "azure", "almond",
         "antique", "aquamarine", "beige", "rose", "peach", "slate",
         "powder", "pale", "khaki", "orchid", "firebrick", "metallic",
         "gainsboro", "misty", "navy", "olive", "sienna", "snow", "lace") &&
-        col("i_current_price").between(50, 600))
+        col("i_current_price").between(35, 95))
       .select("i_item_sk", "i_product_name")
     val refund = col("cr_refunded_cash") + col("cr_reversed_charge") +
       col("cr_store_credit")
@@ -4499,7 +4539,7 @@ object Tpcds {
          |FROM sc JOIN sb ON sc.ss_store_sk = sb.avg_store
          |JOIN ${P("store")} ON sc.ss_store_sk = s_store_sk
          |JOIN ${P("item")} ON sc.ss_item_sk = i_item_sk
-         |WHERE CAST(sc.revenue AS DOUBLE) <= ave * 0.9""".stripMargin,
+         |WHERE CAST(sc.revenue AS DOUBLE) <= ave * 0.1""".stripMargin,
     "q_tpcds_q98" ->
       s"""SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
          | CAST(rev AS DOUBLE) AS itemrevenue,
@@ -4673,7 +4713,7 @@ object Tpcds {
          |JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
          |WHERE d_year = 2000 AND d_qoy = 2
          | AND (substr(ca_zip, 1, 5) IN (${zipList.map("'" + _ + "'").mkString(", ")})
-         |  OR ca_state IN ('CA', 'WA', 'GA') OR cs_sales_price > 200)
+         |  OR ca_state IN ('CA', 'WA', 'GA') OR cs_sales_price > 500)
          |GROUP BY ca_zip""".stripMargin,
     "q_tpcds_q45" ->
       s"""SELECT ca_zip, ca_city, CAST(sum(ws_sales_price) AS DOUBLE) AS total_sales
@@ -4707,11 +4747,15 @@ object Tpcds {
          |JOIN ${P("store")} ON ss_store_sk = s_store_sk
          |WHERE d_year = 2000 AND d_qoy = 1
          | AND substr(s_zip, 1, 2) IN (
-         |  SELECT substr(ca_zip, 1, 2)
-         |  FROM ${P("customer")}
-         |  JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
-         |  WHERE c_preferred_cust_flag = 'Y' AND ca_zip IS NOT NULL
-         |  GROUP BY substr(ca_zip, 1, 2) HAVING count(*) > 7)
+         |  SELECT substr(zip5, 1, 2) FROM (
+         |   SELECT substr(ca_zip, 1, 5) AS zip5 FROM ${P("customer_address")}
+         |   WHERE substr(ca_zip, 1, 5) IN (${q8ZipList.map("'" + _ + "'").mkString(", ")})
+         |   INTERSECT
+         |   SELECT substr(ca_zip, 1, 5) AS zip5
+         |   FROM ${P("customer")}
+         |   JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
+         |   WHERE c_preferred_cust_flag = 'Y' AND ca_zip IS NOT NULL
+         |   GROUP BY substr(ca_zip, 1, 5) HAVING count(*) > 10))
          |GROUP BY s_store_name""".stripMargin,
     "q_tpcds_q55" ->
       s"""SELECT i_brand_id, i_brand,
@@ -4926,11 +4970,11 @@ object Tpcds {
          |      CAST(hd_dep_count AS DOUBLE) / hd_vehicle_count END) > 1.2)
          | GROUP BY ss_ticket_number, ss_customer_sk) dj
          |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
-         |WHERE cnt BETWEEN 6 AND 10""".stripMargin,
+         |WHERE cnt BETWEEN 15 AND 20""".stripMargin,
     "q_tpcds_q37" ->
       s"""SELECT DISTINCT i_item_id, i_item_desc, i_current_price
          |FROM ${P("item")}
-         |WHERE i_current_price BETWEEN 300 AND 600
+         |WHERE i_current_price BETWEEN 68 AND 98
          | AND i_manufact_id BETWEEN 1 AND 80
          | AND i_item_sk IN (
          |  SELECT inv_item_sk FROM ${P("inventory")}
@@ -4941,7 +4985,7 @@ object Tpcds {
     "q_tpcds_q82" ->
       s"""SELECT DISTINCT i_item_id, i_item_desc, i_current_price
          |FROM ${P("item")}
-         |WHERE i_current_price BETWEEN 100 AND 400
+         |WHERE i_current_price BETWEEN 62 AND 92
          | AND i_manufact_id BETWEEN 400 AND 480
          | AND i_item_sk IN (
          |  SELECT inv_item_sk FROM ${P("inventory")}
@@ -5333,7 +5377,7 @@ object Tpcds {
          |JOIN ${P("item")} ON cs_item_sk = i_item_sk
          |JOIN ${P("warehouse")} ON cs_warehouse_sk = w_warehouse_sk
          |WHERE d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
-         |  AND i_current_price BETWEEN 100 AND 150
+         |  AND i_current_price BETWEEN 0.99 AND 4.99
          |GROUP BY w_state, i_item_id""".stripMargin,
     "q_tpcds_q41" ->
       s"""SELECT DISTINCT i_product_name
@@ -5460,7 +5504,7 @@ object Tpcds {
          | JOIN ${P("item")} ON inv_item_sk = i_item_sk
          | JOIN ${P("warehouse")} ON inv_warehouse_sk = w_warehouse_sk
          | WHERE d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
-         |  AND i_current_price BETWEEN 100 AND 150
+         |  AND i_current_price BETWEEN 0.99 AND 4.99
          | GROUP BY w_warehouse_name, i_item_id) x
          |WHERE inv_before > 0 AND inv_after * 3 >= inv_before * 2
          | AND inv_after * 2 <= inv_before * 3""".stripMargin,
@@ -5932,13 +5976,15 @@ object Tpcds {
          | JOIN ${P("item")} ON ss_item_sk = i_item_sk
          | WHERE s_market_id BETWEEN 1 AND 5000
          |  AND c_birth_country <> upper(ca_country)
-         |  AND substr(s_zip, 1, 2) = substr(ca_zip, 1, 2)
+         |  AND s_zip = ca_zip
          | GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
          |SELECT c_last_name, c_first_name, s_store_name,
          | CAST(sum(netpaid) AS DOUBLE) AS paid
          |FROM ssales
          |WHERE i_color IN ('pale', 'blush', 'coral', 'azure', 'almond',
-         | 'antique', 'beige', 'rose', 'peach', 'sienna')
+         | 'antique', 'beige', 'rose', 'peach', 'sienna', 'red', 'saddle',
+         | 'indian', 'salmon', 'orange', 'turquoise', 'snow', 'purple',
+         | 'yellow', 'violet')
          |GROUP BY 1, 2, 3
          |HAVING CAST(sum(netpaid) AS DOUBLE) >
          | (SELECT 0.05 * (CAST(sum(netpaid) AS DOUBLE) / count(*))
@@ -5995,7 +6041,7 @@ object Tpcds {
          |   'slate', 'powder', 'pale', 'khaki', 'orchid', 'firebrick',
          |   'metallic', 'gainsboro', 'misty', 'navy', 'olive', 'sienna',
          |   'snow', 'lace')
-         |  AND i_current_price BETWEEN 50 AND 600
+         |  AND i_current_price BETWEEN 35 AND 95
          | GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
          |SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
          | cs1.b_street_number, cs1.b_street_name, cs1.b_city, cs1.b_zip,
@@ -6026,7 +6072,7 @@ object Tpcds {
          | JOIN ${P("item")} ON ss_item_sk = i_item_sk
          | WHERE s_market_id BETWEEN 1 AND 5000
          |  AND c_birth_country <> upper(ca_country)
-         |  AND substr(s_zip, 1, 2) = substr(ca_zip, 1, 2)
+         |  AND s_zip = ca_zip
          | GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
          |SELECT c_last_name, c_first_name, s_store_name,
          | CAST(sum(netpaid) AS DOUBLE) AS paid
@@ -6062,8 +6108,8 @@ object Tpcds {
          | ON m1.inv_item_sk = m2.inv_item_sk
          | AND m1.inv_warehouse_sk = m2.inv_warehouse_sk
          |WHERE m1.d_moy = 1 AND m2.d_moy = 2
-         | AND 16 * m1.n * (m1.n * m1.ss - m1.s * m1.s)
-         |   > 25 * (m1.n - 1) * m1.s * m1.s""".stripMargin,
+         | AND 4 * m1.n * (m1.n * m1.ss - m1.s * m1.s)
+         |   > 9 * (m1.n - 1) * m1.s * m1.s""".stripMargin,
     "q_tpcds_q14b" ->
       s"""WITH cross_items AS (
          | SELECT ss_item_sk AS x_item FROM ${P("store_sales")}

@@ -119,17 +119,18 @@ class GenSpec extends AnyFunSuite {
     // count past Int.MaxValue would wrap them negative in non-ANSI mode and
     // corrupt the returns⋈sales PK linkage — the generator must refuse
     // (plan construction time, no job). With the exact closed-form count
-    // (avg 5.375 lines/ticket) store_sales hits 2^31 baskets at sf ≈ 4007;
-    // the returns fact re-evaluates the same basket ids and must refuse too.
+    // (v14 pattern: avg 6.125 lines/ticket) store_sales hits 2^31 baskets
+    // at sf ≈ 4566; the returns fact re-evaluates the same basket ids and
+    // must refuse too.
     for (tbl <- Seq("store_sales", "store_returns")) {
       val e = intercept[IllegalArgumentException] {
-        TpcdsGen.table(spark, tbl, 4500, 1)
+        TpcdsGen.table(spark, tbl, 5000, 1)
       }
       assert(e.getMessage.contains("would wrap"), e.getMessage)
     }
     // under the exact ceiling (the old minLines=1 bound wrongly rejected
     // everything past sf ≈ 745): constructs fine
-    TpcdsGen.table(spark, "store_sales", 3000, 1)
+    TpcdsGen.table(spark, "store_sales", 4500, 1)
     TpcdsGen.table(spark, "store_sales", 100, 1)
   }
 
@@ -495,6 +496,29 @@ class GenSpec extends AnyFunSuite {
       .agg(min("i_manager_id"), max("i_manager_id")).head()
     assert(mgr.getInt(0) >= 1 && mgr.getInt(1) <= 100,
       s"i_manager_id outside 1..100: $mgr")
+  }
+
+  test("v14: zip locality — stores in the urban core, addresses 20% core") {
+    import org.apache.spark.sql.functions._
+    val core = (0 until 100 by 8).map(i => f"${10000 + i * 607}%05d")
+      .take(12).toSet
+    val sZips = TpcdsGen.table(spark, "store", 1.0, 2)
+      .select("s_zip").filter(col("s_zip").isNotNull)
+      .collect().map(_.getString(0))
+    assert(sZips.nonEmpty && sZips.forall(core),
+      s"store zip outside the urban core: ${sZips.filterNot(core).toSeq}")
+    // 2-prefixes of the core are pairwise distinct — the store-prefix
+    // grain Q8 intersects on must stay as wide as the store dim
+    assert(core.map(_.take(2)).size == core.size,
+      "urban-core 2-prefixes collide")
+    val ca = TpcdsGen.table(spark, "customer_address", 0.01, 2)
+      .select("ca_zip").filter(col("ca_zip").isNotNull)
+      .collect().map(_.getString(0))
+    val share = ca.count(core).toDouble / ca.length
+    // 25% core draw + 75%×(12/100) incidental = 0.34 expected; ±3.5σ
+    // at the 500-address gate scale
+    assert(share > 0.26 && share < 0.42,
+      f"address urban-core share $share%.3f outside [0.26, 0.42]")
   }
 
   test("v10: two concurrent driver JVMs share one cache root; exactly-once generation") {
