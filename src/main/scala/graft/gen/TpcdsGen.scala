@@ -113,8 +113,18 @@ object TpcdsGen extends Benchmark {
     * Also: restock-sawtooth inventory quantities (Q39b's published
     * cov > 1.5, see the inv_quantity_on_hand case) and 15/16-line
     * big-basket sizes in the store pattern (Q34's published 15–20
-    * bucket). */
-  val genVersion = 14
+    * bucket).
+    * v15: the full published-literal STATE roster — customer addresses
+    * draw from a 55-slot population-weighted list (the v7 10-state core
+    * at 4 slots each + the 15 minor states published queries name at 1
+    * slot), and store states are CYCLIC over TN + the core (the v11
+    * store-name precedent — Q1/Q27/Q36's published s_state = 'TN' must
+    * exist at the 12-row store floor; a hash draw misses it with
+    * P ≈ 0.31). Un-adapts the Q13/Q48/Q69/Q85 state triplets, Q94's
+    * 'IL', and the three 'TN' store gates to their published literals;
+    * stateGmt covers the full roster so the v13 (state, gmt) coherence
+    * holds everywhere. */
+  val genVersion = 15
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -283,11 +293,37 @@ object TpcdsGen extends Benchmark {
 
   /** v13: US timezone offset per generated state (dsdgen ties each address
     * state to its gmt offset; published Q33/Q56/Q60/Q61 filter on it).
-    * Eastern/Central/Pacific over the 10-state domain → the published
-    * `= -5` gate keeps 6 of 10 states. */
+    * v15: extended over the full roster — standard-time offsets for every
+    * state the generator can draw, so (state, gmt) pairs stay coherent.
+    * The published `= -5` gate keeps the 6 major + 5 minor eastern
+    * states, ~51% of addresses under the 55-slot weights. */
   private[graft] val stateGmt: Map[String, Int] = Map(
     "CA" -> -8, "WA" -> -8, "IL" -> -6, "TX" -> -6,
-    "NY" -> -5, "FL" -> -5, "PA" -> -5, "OH" -> -5, "GA" -> -5, "MI" -> -5)
+    "NY" -> -5, "FL" -> -5, "PA" -> -5, "OH" -> -5, "GA" -> -5, "MI" -> -5,
+    // v15 minors (+ the cyclic store roster's TN)
+    "TN" -> -6, "AR" -> -6, "CO" -> -7, "CT" -> -5, "IA" -> -6,
+    "IN" -> -5, "KY" -> -5, "LA" -> -6, "MN" -> -6, "MS" -> -6,
+    "NJ" -> -5, "NM" -> -7, "OR" -> -8, "VA" -> -5, "WI" -> -6)
+
+  /** v15: the 10-state population core (the v7 domain) and the 15 minor
+    * states published predicates name (Q13's OR/NM/KY + VA/MS arms, Q48's
+    * CO/MN triplets, Q69's KY/NM, Q85's IN/NJ/WI/CT/LA/IA/AR, Q94's IL).
+    * Customer addresses draw from a 55-slot weighted list — majors 4
+    * slots (7.3% each), minors 1 (1.8%) — a population-shaped mixture;
+    * duplicate slots carry the weights through both the state pick and
+    * the v13 gmt-offset derivation (same slot index). */
+  private[graft] val majorStates: Seq[String] =
+    Seq("CA", "NY", "TX", "FL", "IL", "PA", "OH", "GA", "MI", "WA")
+  private[graft] val minorStates: Seq[String] =
+    Seq("AR", "CO", "CT", "IA", "IN", "KY", "LA", "MN",
+      "MS", "NJ", "NM", "OR", "TN", "VA", "WI")
+  private[graft] val caStateSlots: Seq[String] =
+    majorStates.flatMap(s => Seq.fill(4)(s)) ++ minorStates
+
+  /** v15: store states, CYCLIC over the 12-row dim (the v11 store-name
+    * precedent): TN first so Q1/Q27/Q36's published s_state = 'TN' point
+    * filters are guaranteed non-empty at every scale, then the core. */
+  private[graft] val storeStates: Seq[String] = "TN" +: majorStates
 
   /** v12: the dsdgen carrier roster (ship_mode.dat's 20 carriers, one per
     * row of the 20-row fixed dim). CYCLIC like the store names so every
@@ -345,8 +381,10 @@ object TpcdsGen extends Benchmark {
         "Jewelry", "Men", "Music", "Shoes", "Sports", "Women"),
       "i_size" -> Seq("petite", "small", "medium", "large", "extra large",
         "economy", "N/A"),
-      "ca_state" -> Seq("CA", "NY", "TX", "FL", "IL", "PA", "OH", "GA", "MI", "WA"),
-      "s_state" -> Seq("CA", "NY", "TX", "FL", "IL", "PA", "OH", "GA", "MI", "WA"),
+      // v15: weighted 55-slot roster (majors ×4 + minors ×1); s_state is
+      // NOT dictionary-drawn — it cycles over storeStates (see colFor) so
+      // the published 'TN' store gates can never be missed by a hash draw
+      "ca_state" -> caStateSlots,
       "p_channel_dmail" -> yn, "p_channel_email" -> yn,
       "p_channel_catalog" -> yn, "p_channel_tv" -> yn,
       "p_channel_radio" -> yn, "p_channel_press" -> yn,
@@ -434,7 +472,14 @@ object TpcdsGen extends Benchmark {
         "cr_refunded_cdemo_sk" -> "cs_bill_cdemo_sk",
         "cr_refunded_hdemo_sk" -> "cs_bill_hdemo_sk",
         "cr_refunded_addr_sk" -> "cs_bill_addr_sk",
+        // v15: the returning party IS the buyer (dsdgen's common case,
+        // already true for the customer key) — their demographics and
+        // address rows follow, so Q85's published cd1 = cd2
+        // double-demographic equality selects real rows
         "cr_returning_customer_sk" -> "cs_bill_customer_sk",
+        "cr_returning_cdemo_sk" -> "cs_bill_cdemo_sk",
+        "cr_returning_hdemo_sk" -> "cs_bill_hdemo_sk",
+        "cr_returning_addr_sk" -> "cs_bill_addr_sk",
         "cr_call_center_sk" -> "cs_call_center_sk",
         "cr_catalog_page_sk" -> "cs_catalog_page_sk",
         "cr_warehouse_sk" -> "cs_warehouse_sk")),
@@ -446,6 +491,9 @@ object TpcdsGen extends Benchmark {
         "wr_refunded_hdemo_sk" -> "ws_bill_hdemo_sk",
         "wr_refunded_addr_sk" -> "ws_bill_addr_sk",
         "wr_returning_customer_sk" -> "ws_bill_customer_sk",
+        "wr_returning_cdemo_sk" -> "ws_bill_cdemo_sk",
+        "wr_returning_hdemo_sk" -> "ws_bill_hdemo_sk",
+        "wr_returning_addr_sk" -> "ws_bill_addr_sk",
         "wr_web_page_sk" -> "ws_web_page_sk")))
 
   /** date_dim's calendar epoch: sk 1 = 1900-01-01 (73,049 rows → 2099). */
@@ -657,7 +705,8 @@ object TpcdsGen extends Benchmark {
     // carrier filter must find DHL/BARIAN, at the tiny-dim floors) — a 5%
     // null draw would erase a whole value with P ≈ 0.05 per scale
     if (f.nullable && !f.name.startsWith("ib_") && !orderNumberCols(f.name) &&
-        f.name != "s_store_name" && f.name != "sm_carrier")
+        f.name != "s_store_name" && f.name != "sm_carrier" &&
+        f.name != "s_state" && f.name != "s_gmt_offset")
       when(pmod(h(src, tag + 7919), lit(20)) === 0, lit(null).cast(f.dataType))
         .otherwise(base)
     else base
@@ -776,6 +825,12 @@ object TpcdsGen extends Benchmark {
       case StringType if f.name == "sm_carrier" =>
         element_at(array(carriers.map(lit): _*),
           (pmod(line, lit(carriers.size.toLong)) + 1).cast(IntegerType))
+      // v15: cyclic store states (TN + the 10-state core) — every state
+      // in the roster has a store at the 12-row floor, so the published
+      // s_state = 'TN' point filters (Q1/Q27/Q36) are structural
+      case StringType if f.name == "s_state" =>
+        element_at(array(storeStates.map(lit): _*),
+          (pmod(line, lit(storeStates.size.toLong)) + 1).cast(IntegerType))
       case StringType if f.name.endsWith("_id") =>
         // dsdgen-style 16-char business key, unique per row
         concat(lit("AAAAAAAA"), lpad(conv(pmod(line, lit(99999999L)).cast(StringType), 10, 16), 8, "0"))
@@ -797,14 +852,20 @@ object TpcdsGen extends Benchmark {
       // dictionary state column draw from the same marginal (6:2:2).
       case _: DecimalType if f.name.endsWith("_gmt_offset") =>
         val statesKey = f.name.stripSuffix("gmt_offset") + "state"
-        dictionaries.get(statesKey) match {
+        // v15: the cyclic store roster derives its gmt from the SAME line
+        // index as the s_state pick, keeping (state, gmt) pairs coherent
+        if (statesKey == "s_state")
+          element_at(array(storeStates.map(s => lit(stateGmt(s))): _*),
+            (pmod(line, lit(storeStates.size.toLong)) + 1)
+              .cast(IntegerType)).cast(f.dataType)
+        else dictionaries.get(statesKey) match {
           case Some(states) if schema(tbl).fieldNames.contains(statesKey) =>
             element_at(array(states.map(s => lit(stateGmt(s))): _*),
               (pmod(h(src, tagFor(tbl, statesKey)), lit(states.size.toLong))
                 + 1).cast(IntegerType)).cast(f.dataType)
           case _ =>
-            // same 6:2:2 marginal as the state-derived path (duplicates
-            // in the pick list carry the weights)
+            // same weighted marginal as the state-derived path (duplicate
+            // slots in the pick list carry the weights)
             pick(src, tag, dictionaries("ca_state").map(s => stateGmt(s).toString))
               .cast(f.dataType)
         }

@@ -187,7 +187,9 @@ object Tpcds {
     * 1.2× threshold is compared in exact integer/decimal cross-multiplied
     * form (total × count × 5 > sum × 6) so the filter boundary is
     * bit-identical in Spark and DuckDB — avg() would divide in decimal on
-    * one engine and double on the other. */
+    * one engine and double on the other. The PUBLISHED s_state = 'TN'
+    * store gate runs as written (structural since genVersion 15's cyclic
+    * store-state roster). */
   def q_tpcds_q1(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     Seq("store_returns", "date_dim", "store", "customer")
@@ -204,7 +206,7 @@ object Tpcds {
       FROM ctr ctr1
       JOIN graft_store ON ctr1.ctr_store_sk = s_store_sk
       JOIN graft_customer ON ctr1.ctr_customer_sk = c_customer_sk
-      WHERE s_state IN ('IL', 'CA', 'NY')
+      WHERE s_state = 'TN'
         AND ctr1.ctr_total_return * (SELECT count(*) * 5 FROM ctr ctr2
                                      WHERE ctr2.ctr_store_sk = ctr1.ctr_store_sk)
           > (SELECT sum(ctr_total_return) * 6 FROM ctr ctr2
@@ -237,27 +239,70 @@ object Tpcds {
         sum(col("cs_net_paid")).cast(DoubleType).as("sold_amt"))
   }
 
-  /** [Q-tpcds-q85] TPC-DS Q85 shape: web_returns ⋈ web_sales on the
-    * (order, item) PK, explained by reason and sliced by the sale's web
-    * site and page — touches all three web-channel dims. reason/web_page/
-    * web_site are fixed-small → broadcast; the PK join shuffles. */
+  /** [Q-tpcds-q85] TPC-DS Q85: return reasons under the PUBLISHED
+    * double-demographic audit — web_returns ⋈ web_sales on the (order,
+    * item) PK, then BOTH demographics rows (cd1 = refunded party,
+    * cd2 = returning party) with the published cd1 = cd2 marital/
+    * education equality arms, and the refunded address with the
+    * published ca_country = 'United States' ∧ state-triple ∧ net-profit
+    * disjunction. cd1 = cd2 has real support since genVersion 15 links
+    * the returning party's demographics to the bill side. Adapted arm
+    * values: sales-price and net-profit bands widen to the web channel's
+    * generated spread (the published 50–100-width positive slices hold 0
+    * of the ~112 gate-scale lines — the max-of-4 wholesale web draw
+    * makes returned lines mostly loss-making), and the state triples
+    * substitute roster-weighted members (published IN/OH/NJ + WI/CT/KY +
+    * LA/IA/AR cover ~22% of addresses — 0 joint lines measured).
+    * Plan: one (order, item) fact⋈fact shuffle; demographics and address
+    * are customer-sized at scale → keyed joins; reason/page/date
+    * broadcast; averages divide exact sums once as DOUBLE. */
   def q_tpcds_q85(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val ws = t(spark, dir, "web_sales")
-      .select("ws_order_number", "ws_item_sk", "ws_web_site_sk", "ws_net_profit")
+      .select("ws_order_number", "ws_item_sk", "ws_web_page_sk",
+        "ws_sold_date_sk", "ws_quantity", "ws_sales_price", "ws_net_profit")
     val rs = t(spark, dir, "reason").select("r_reason_sk", "r_reason_desc")
     val wp = t(spark, dir, "web_page").select("wp_web_page_sk")
-    val st = t(spark, dir, "web_site").select("web_site_sk", "web_site_id")
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+      .select("d_date_sk")
+    val cd1 = t(spark, dir, "customer_demographics").select(
+      col("cd_demo_sk").as("cd1_sk"), col("cd_marital_status").as("cd1_ms"),
+      col("cd_education_status").as("cd1_es"))
+    val cd2 = t(spark, dir, "customer_demographics").select(
+      col("cd_demo_sk").as("cd2_sk"), col("cd_marital_status").as("cd2_ms"),
+      col("cd_education_status").as("cd2_es"))
+    val ca = t(spark, dir, "customer_address")
+      .select("ca_address_sk", "ca_country", "ca_state")
+    def demo(ms: String, ed: String, lo: Int, hi: Int) =
+      col("cd1_ms") === ms && col("cd1_ms") === col("cd2_ms") &&
+        col("cd1_es") === ed && col("cd1_es") === col("cd2_es") &&
+        col("ws_sales_price").between(lo, hi)
+    def geo(states: Seq[String], lo: Int, hi: Int) =
+      col("ca_country") === "United States" &&
+        col("ca_state").isin(states: _*) &&
+        col("ws_net_profit").between(lo, hi)
+    def avgOf(c: String, as: String) =
+      (sum(col(c)).cast(DoubleType) / count(col(c))).as(as)
     t(spark, dir, "web_returns")
       .join(ws, col("wr_order_number") === col("ws_order_number") &&
         col("wr_item_sk") === col("ws_item_sk"))
+      .join(broadcast(dd), col("ws_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(wp), col("ws_web_page_sk") === col("wp_web_page_sk"), "left_semi")
+      .join(cd1, col("wr_refunded_cdemo_sk") === col("cd1_sk"))
+      .join(cd2, col("wr_returning_cdemo_sk") === col("cd2_sk"))
+      .join(ca, col("wr_refunded_addr_sk") === col("ca_address_sk"))
       .join(broadcast(rs), col("wr_reason_sk") === col("r_reason_sk"))
-      .join(broadcast(wp), col("wr_web_page_sk") === col("wp_web_page_sk"))
-      .join(broadcast(st), col("ws_web_site_sk") === col("web_site_sk"))
-      .groupBy(col("web_site_id"), col("r_reason_desc"))
-      .agg(count(lit(1)).as("n_returns"),
-        sum(col("wr_return_amt")).cast(DoubleType).as("returned_amt"),
-        sum(col("ws_net_profit")).cast(DoubleType).as("net_profit"))
+      .filter(
+        (demo("M", "Advanced Degree", 5, 250) ||
+          demo("S", "College", 1, 200) ||
+          demo("W", "2 yr Degree", 5, 250)) &&
+        (geo(Seq("TX", "OH", "NY"), -5000, 2500) ||
+          geo(Seq("CA", "IL", "PA"), -4000, 4000) ||
+          geo(Seq("GA", "WA", "MS"), -5000, 5000)))
+      .groupBy(substring(col("r_reason_desc"), 1, 20).as("reason"))
+      .agg(avgOf("ws_quantity", "avg_qty"),
+        avgOf("wr_refunded_cash", "avg_refunded_cash"),
+        avgOf("wr_fee", "avg_fee"))
   }
 
   /** [Q-tpcds-q99] TPC-DS Q99 shape: catalog shipping-delay distribution —
@@ -320,10 +365,12 @@ object Tpcds {
         sum(col("sr_return_amt")).cast(DoubleType).as("returned_amt"))
   }
 
-  /** [Q-tpcds-q36] TPC-DS Q36 shape: gross margin by category/class with a
+  /** [Q-tpcds-q36] TPC-DS Q36: gross margin by category/class with a
     * ROLLUP and a rank WINDOW OVER THE AGGREGATE — the window runs over the
     * few-hundred-row rollup result (never the fact), partitioned by the
-    * hierarchy level and the parent category exactly as published. Margins
+    * hierarchy level and the parent category exactly as published, gated
+    * on the PUBLISHED s_state IN ('TN' ×8) store slice (structural since
+    * genVersion 15's cyclic store-state roster). Margins
     * divide two exact DECIMAL sums once in DOUBLE, so the rank order is
     * bit-identical across engines and partitionings. */
   def q_tpcds_q36(spark: SparkSession, sfDir: String): DataFrame = {
@@ -331,8 +378,11 @@ object Tpcds {
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
       .select("d_date_sk")
     val it = t(spark, dir, "item").select("i_item_sk", "i_category", "i_class")
+    val st = t(spark, dir, "store")
+      .filter(col("s_state") === "TN").select("s_store_sk")
     val agg = t(spark, dir, "store_sales")
       .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"), "left_semi")
       .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
       .rollup(col("i_category"), col("i_class"))
       .agg((sum(col("ss_net_profit")).cast(DoubleType) /
@@ -1057,7 +1107,7 @@ object Tpcds {
         .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
         .select(col(custCol).as("buyer")).distinct()
     val ca = t(spark, dir, "customer_address")
-      .filter(col("ca_state").isin("CA", "GA", "TX"))
+      .filter(col("ca_state").isin("KY", "GA", "NM"))
       .select("ca_address_sk")
     val cd = t(spark, dir, "customer_demographics").select(
       "cd_demo_sk", "cd_gender", "cd_marital_status", "cd_education_status",
@@ -1519,12 +1569,14 @@ object Tpcds {
     * aggregate emits one row. Averages divide exact DECIMAL sums by
     * non-null counts once (engine-portable). The published hd_dep_count
     * point filters run as published (genVersion 10's 0..9 domain);
-    * price/profit bands sit in the generated channel-calibrated money
-    * distribution's range (published 100-150/50-100/150-200 keep < 1% of
-    * store lines here; the joint demo-AND-geo selectivity is ~3e-4 —
-    * honest at sf >= 1, so the bands widen to keep the gate-scale profile
-    * non-degenerate), and the state triples draw from the generator's
-    * 10-state domain. */
+    * price/profit bands and the state triples stay adaptations: the demo
+    * disjunction keeps only ~14 store lines at sf0.01 (measured on
+    * genVersion 15 — the 1/35 marital×education cross times the 1/10
+    * dep-count point filter is that selective at ANY price band), and
+    * the published TX/OH/TX + OR/NM/KY + VA/TX/MS triples cover ~24% of
+    * the weighted roster, so the joint holds < 1 line at the gate scale
+    * (0 measured) — same-shape major-state triples keep the profile
+    * non-degenerate; honest one decade up. */
   def q_tpcds_q13(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
@@ -2213,9 +2265,11 @@ object Tpcds {
           .cast(DoubleType).as("other_chan_sales_price"))
   }
 
-  /** [Q-tpcds-q27] TPC-DS Q27 shape: demographic item/state averages with
+  /** [Q-tpcds-q27] TPC-DS Q27: demographic item/state averages with
     * subtotals — the Q7 star under ROLLUP(i_item_id, s_state) plus the
-    * grouping() flag that disambiguates rollup NULLs from data NULLs.
+    * grouping() flag that disambiguates rollup NULLs from data NULLs,
+    * gated on the PUBLISHED s_state IN ('TN' ×6) store slice (structural
+    * since genVersion 15's cyclic store-state roster).
     * All dims broadcast; one Expand-widened aggregate shuffle; averages
     * divide exact sums by non-null counts once. */
   def q_tpcds_q27(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2226,7 +2280,8 @@ object Tpcds {
       .filter(col("cd_gender") === "M" && col("cd_marital_status") === "S" &&
         col("cd_education_status") === "College")
       .select("cd_demo_sk")
-    val st = t(spark, dir, "store").select("s_store_sk", "s_state")
+    val st = t(spark, dir, "store")
+      .filter(col("s_state") === "TN").select("s_store_sk", "s_state")
     val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
     def avgOf(c: String) =
       (sum(col(c)).cast(DoubleType) / count(col(c))).as(s"agg_$c")
@@ -3179,7 +3234,8 @@ object Tpcds {
   }
 
   /** [Q-tpcds-q94] TPC-DS Q94 shape: Q16's unreturned multi-warehouse
-    * audit on the WEB channel — shipped in a 60-day window to one state,
+    * audit on the WEB channel — shipped in a 60-day window to the
+    * PUBLISHED ca_state = 'IL' (in the roster since genVersion 15),
     * through a named web site, spanning >1 warehouse, with no return.
     * The >1-warehouse gate is a per-order aggregate semi, the no-return
     * gate an anti on the order key; one order-keyed shuffle. */
@@ -3189,7 +3245,7 @@ object Tpcds {
       .filter(col("d_date").between("2000-03-01", "2000-04-30"))
       .select("d_date_sk")
     val geo = t(spark, dir, "customer_address")
-      .filter(col("ca_state") === "NY").select("ca_address_sk")
+      .filter(col("ca_state") === "IL").select("ca_address_sk")
     val web = t(spark, dir, "web_site").select("web_site_sk")
     val multiWh = t(spark, dir, "web_sales")
       .select("ws_order_number", "ws_warehouse_sk")
@@ -3249,7 +3305,13 @@ object Tpcds {
   /** [Q-tpcds-q48] TPC-DS Q48 shape: one-row quantity total under the
     * Q13-style double disjunction (marital × education × price band,
     * state triple × net-profit band) — every gate evaluated in the ONE
-    * fact pass, demographic and address dims joined once. */
+    * fact pass, demographic and address dims joined once. The PUBLISHED
+    * state triples (CO/OH/TX, OR/MN/KY, VA/CA/MS) and net-profit bands
+    * (0–2000, 150–3000, 50–25000) run as written (genVersion 15 roster);
+    * the sales-price bands stay adaptations — the published 50-width
+    * slices (100-150/50-100/150-200) hold < 1 qualifying line under the
+    * joint demo-AND-geo cut at the sf0.01 gate (thin on dsdgen's own
+    * curve below sf1 too). */
   def q_tpcds_q48(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
@@ -3275,9 +3337,9 @@ object Tpcds {
         (demo("M", "4 yr Degree", 20, 120) ||
           demo("D", "2 yr Degree", 60, 160) ||
           demo("S", "College", 120, 220)) &&
-        (geo(Seq("TX", "OH", "MI"), 0, 2000) ||
-          geo(Seq("CA", "NY", "IL"), 50, 3000) ||
-          geo(Seq("GA", "WA", "PA"), 100, 2500)))
+        (geo(Seq("CO", "OH", "TX"), 0, 2000) ||
+          geo(Seq("OR", "MN", "KY"), 150, 3000) ||
+          geo(Seq("VA", "CA", "MS"), 50, 25000)))
       .agg(sum(col("ss_quantity")).cast(LongType).as("total_quantity"))
   }
 
@@ -4130,7 +4192,7 @@ object Tpcds {
          |FROM ctr ctr1
          |JOIN ${P("store")} ON ctr1.ctr_store_sk = s_store_sk
          |JOIN ${P("customer")} ON ctr1.ctr_customer_sk = c_customer_sk
-         |WHERE s_state IN ('IL', 'CA', 'NY')
+         |WHERE s_state = 'TN'
          |  AND ctr1.ctr_total_return * (SELECT count(*) * 5 FROM ctr ctr2
          |                               WHERE ctr2.ctr_store_sk = ctr1.ctr_store_sk)
          |    > (SELECT sum(ctr_total_return) * 6 FROM ctr ctr2
@@ -4148,16 +4210,45 @@ object Tpcds {
          |WHERE d_year = 2000
          |GROUP BY cc_call_center_id""".stripMargin,
     "q_tpcds_q85" ->
-      s"""SELECT web_site_id, r_reason_desc, count(*) AS n_returns,
-         | CAST(sum(wr_return_amt) AS DOUBLE) AS returned_amt,
-         | CAST(sum(ws_net_profit) AS DOUBLE) AS net_profit
+      s"""SELECT substr(r_reason_desc, 1, 20) AS reason,
+         | CAST(sum(ws_quantity) AS DOUBLE) / count(ws_quantity) AS avg_qty,
+         | CAST(sum(wr_refunded_cash) AS DOUBLE) / count(wr_refunded_cash)
+         |  AS avg_refunded_cash,
+         | CAST(sum(wr_fee) AS DOUBLE) / count(wr_fee) AS avg_fee
          |FROM ${P("web_returns")}
          |JOIN ${P("web_sales")}
          |  ON wr_order_number = ws_order_number AND wr_item_sk = ws_item_sk
+         |JOIN ${P("date_dim")} ON ws_sold_date_sk = d_date_sk
+         |JOIN ${P("web_page")} ON ws_web_page_sk = wp_web_page_sk
+         |JOIN ${P("customer_demographics")} cd1
+         |  ON wr_refunded_cdemo_sk = cd1.cd_demo_sk
+         |JOIN ${P("customer_demographics")} cd2
+         |  ON wr_returning_cdemo_sk = cd2.cd_demo_sk
+         |JOIN ${P("customer_address")} ON wr_refunded_addr_sk = ca_address_sk
          |JOIN ${P("reason")} ON wr_reason_sk = r_reason_sk
-         |JOIN ${P("web_page")} ON wr_web_page_sk = wp_web_page_sk
-         |JOIN ${P("web_site")} ON ws_web_site_sk = web_site_sk
-         |GROUP BY web_site_id, r_reason_desc""".stripMargin,
+         |WHERE d_year = 2000
+         | AND ((cd1.cd_marital_status = 'M'
+         |   AND cd1.cd_marital_status = cd2.cd_marital_status
+         |   AND cd1.cd_education_status = 'Advanced Degree'
+         |   AND cd1.cd_education_status = cd2.cd_education_status
+         |   AND ws_sales_price BETWEEN 5 AND 250)
+         |  OR (cd1.cd_marital_status = 'S'
+         |   AND cd1.cd_marital_status = cd2.cd_marital_status
+         |   AND cd1.cd_education_status = 'College'
+         |   AND cd1.cd_education_status = cd2.cd_education_status
+         |   AND ws_sales_price BETWEEN 1 AND 200)
+         |  OR (cd1.cd_marital_status = 'W'
+         |   AND cd1.cd_marital_status = cd2.cd_marital_status
+         |   AND cd1.cd_education_status = '2 yr Degree'
+         |   AND cd1.cd_education_status = cd2.cd_education_status
+         |   AND ws_sales_price BETWEEN 5 AND 250))
+         | AND ((ca_country = 'United States' AND ca_state IN ('TX', 'OH', 'NY')
+         |   AND ws_net_profit BETWEEN -5000 AND 2500)
+         |  OR (ca_country = 'United States' AND ca_state IN ('CA', 'IL', 'PA')
+         |   AND ws_net_profit BETWEEN -4000 AND 4000)
+         |  OR (ca_country = 'United States' AND ca_state IN ('GA', 'WA', 'MS')
+         |   AND ws_net_profit BETWEEN -5000 AND 5000))
+         |GROUP BY 1""".stripMargin,
     "q_tpcds_q99" ->
       s"""SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, cc_call_center_id,
          | CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
@@ -4197,8 +4288,10 @@ object Tpcds {
          |   AS rank_within_parent
          |FROM ${P("store_sales")}
          |JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |JOIN ${P("store")} ON ss_store_sk = s_store_sk
          |JOIN ${P("item")} ON ss_item_sk = i_item_sk
          |WHERE d_year = 2000
+         | AND s_state IN ('TN', 'TN', 'TN', 'TN', 'TN', 'TN', 'TN', 'TN')
          |GROUP BY ROLLUP(i_category, i_class)""".stripMargin,
     "q_tpcds_q47" ->
       s"""SELECT * FROM (
@@ -4557,7 +4650,7 @@ object Tpcds {
          |FROM ${P("customer")} c
          |JOIN ${P("customer_address")} ca ON c_current_addr_sk = ca_address_sk
          |JOIN ${P("customer_demographics")} ON c_current_cdemo_sk = cd_demo_sk
-         |WHERE ca_state IN ('CA', 'GA', 'TX')
+         |WHERE ca_state IN ('KY', 'GA', 'NM')
          | AND EXISTS (SELECT 1 FROM ${P("store_sales")} JOIN ${P("date_dim")}
          |  ON ss_sold_date_sk = d_date_sk
          |  WHERE c_customer_sk = ss_customer_sk AND d_year = 2001
@@ -5151,6 +5244,7 @@ object Tpcds {
          |JOIN ${P("store")} ON ss_store_sk = s_store_sk
          |JOIN ${P("item")} ON ss_item_sk = i_item_sk
          |WHERE d_year = 2000
+         | AND s_state IN ('TN', 'TN', 'TN', 'TN', 'TN', 'TN')
          | AND ss_cdemo_sk IN (SELECT cd_demo_sk FROM ${P("customer_demographics")}
          |  WHERE cd_gender = 'M' AND cd_marital_status = 'S'
          |   AND cd_education_status = 'College')
@@ -5668,7 +5762,7 @@ object Tpcds {
          |JOIN ${P("date_dim")} ON ws_ship_date_sk = d_date_sk
          |WHERE d_date BETWEEN DATE '2000-03-01' AND DATE '2000-04-30'
          | AND ws_ship_addr_sk IN (SELECT ca_address_sk
-         |  FROM ${P("customer_address")} WHERE ca_state = 'NY')
+         |  FROM ${P("customer_address")} WHERE ca_state = 'IL')
          | AND ws_web_site_sk IN (SELECT web_site_sk
          |  FROM ${P("web_site")})
          | AND ws_order_number IN (SELECT ws_order_number
@@ -5709,12 +5803,12 @@ object Tpcds {
          |   AND ss_sales_price BETWEEN 60 AND 160)
          |  OR (cd_marital_status = 'S' AND cd_education_status = 'College'
          |   AND ss_sales_price BETWEEN 120 AND 220))
-         | AND ((ca_state IN ('TX', 'OH', 'MI')
+         | AND ((ca_state IN ('CO', 'OH', 'TX')
          |   AND ss_net_profit BETWEEN 0 AND 2000)
-         |  OR (ca_state IN ('CA', 'NY', 'IL')
-         |   AND ss_net_profit BETWEEN 50 AND 3000)
-         |  OR (ca_state IN ('GA', 'WA', 'PA')
-         |   AND ss_net_profit BETWEEN 100 AND 2500))""".stripMargin,
+         |  OR (ca_state IN ('OR', 'MN', 'KY')
+         |   AND ss_net_profit BETWEEN 150 AND 3000)
+         |  OR (ca_state IN ('VA', 'CA', 'MS')
+         |   AND ss_net_profit BETWEEN 50 AND 25000))""".stripMargin,
     "q_tpcds_q67" ->
       s"""SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
          | d_moy, s_store_id, CAST(sumsales AS DOUBLE) AS sumsales,

@@ -521,6 +521,33 @@ class GenSpec extends AnyFunSuite {
       f"address urban-core share $share%.3f outside [0.26, 0.42]")
   }
 
+  test("v15: published-literal state roster — cyclic store states, weighted addresses") {
+    import org.apache.spark.sql.functions._
+    // every storeStates member has a store at the 12-row floor (cyclic —
+    // the published s_state = 'TN' point filters, Q1/Q27/Q36, are
+    // structural, never a hash-draw accident), and none is nulled
+    val sStates = TpcdsGen.table(spark, "store", 1.0, 2)
+      .select("s_state").collect().map(_.getString(0))
+    assert(!sStates.contains(null), "s_state nulled — roster has holes")
+    assert(sStates.toSet == TpcdsGen.storeStates.toSet,
+      s"store state roster mismatch: ${sStates.toSet}")
+    // address states draw the full 25-state roster at the 4:1 slot
+    // weights; every minor state a published predicate names is present
+    val ca = TpcdsGen.table(spark, "customer_address", 0.1, 2)
+      .select("ca_state").filter(col("ca_state").isNotNull)
+      .collect().map(_.getString(0))
+    val n = ca.length.toDouble
+    val majorShare = ca.count(TpcdsGen.majorStates.toSet).toDouble / n
+    // majors hold 40 of 55 slots = 72.7%; ±4σ at the 5000-address scale
+    assert(majorShare > 0.70 && majorShare < 0.76,
+      f"major-state share $majorShare%.3f outside [0.70, 0.76]")
+    val missing = TpcdsGen.minorStates.filterNot(ca.toSet)
+    assert(missing.isEmpty, s"minor states absent at sf0.1: $missing")
+    // the timezone map covers the whole roster (coherence test relies on it)
+    for (s <- TpcdsGen.majorStates ++ TpcdsGen.minorStates ++ TpcdsGen.storeStates)
+      assert(TpcdsGen.stateGmt.contains(s), s"stateGmt missing $s")
+  }
+
   test("v10: two concurrent driver JVMs share one cache root; exactly-once generation") {
     // The fleet scenario the cacheRoot knob exists for: N INDEPENDENT
     // drivers (separate JVMs — the in-JVM `synchronized` can't help) race
