@@ -123,8 +123,13 @@ object TpcdsGen extends Benchmark {
     * P ≈ 0.31). Un-adapts the Q13/Q48/Q69/Q85 state triplets, Q94's
     * 'IL', and the three 'TN' store gates to their published literals;
     * stateGmt covers the full roster so the v13 (state, gmt) coherence
-    * holds everywhere. */
-  val genVersion = 15
+    * holds everywhere.
+    * v16: cyclic counties on the physical-site dims (s_county at the
+    * 12-row store floor, cc_county at the 6-row call-center floor) —
+    * Q73's published 4-county list and Q16's published Williamson
+    * call-center gate run as written instead of depending on a hash
+    * draw that misses a county with P ≈ 0.3. */
+  val genVersion = 16
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -416,7 +421,9 @@ object TpcdsGen extends Benchmark {
         "spring", "steel", "tan", "thistle", "tomato", "turquoise",
         "violet", "wheat", "white", "yellow"),
       "s_city" -> cities, "ca_city" -> cities,
-      "s_county" -> counties, "ca_county" -> counties,
+      // v16: s_county/cc_county are CYCLIC (see colFor) — only the
+      // address-side county keeps the hash draw
+      "ca_county" -> counties,
       "ca_street_type" -> Seq("Street", "Avenue", "Boulevard", "Court",
         "Drive", "Lane", "Parkway", "Road", "Way", "Circle"),
       // v10: structured street names (dsdgen composes them from a fixed
@@ -706,7 +713,8 @@ object TpcdsGen extends Benchmark {
     // null draw would erase a whole value with P ≈ 0.05 per scale
     if (f.nullable && !f.name.startsWith("ib_") && !orderNumberCols(f.name) &&
         f.name != "s_store_name" && f.name != "sm_carrier" &&
-        f.name != "s_state" && f.name != "s_gmt_offset")
+        f.name != "s_state" && f.name != "s_gmt_offset" &&
+        f.name != "s_county" && f.name != "cc_county")
       when(pmod(h(src, tag + 7919), lit(20)) === 0, lit(null).cast(f.dataType))
         .otherwise(base)
     else base
@@ -831,6 +839,14 @@ object TpcdsGen extends Benchmark {
       case StringType if f.name == "s_state" =>
         element_at(array(storeStates.map(lit): _*),
           (pmod(line, lit(storeStates.size.toLong)) + 1).cast(IntegerType))
+      // v16: cyclic counties on the physical-site dims — every county
+      // (incl. the published 'Williamson County') holds a store at the
+      // 12-row floor and a call center at the 6-row floor, so Q73's
+      // published 4-county list and Q16's published call-center county
+      // gate are structural; customer addresses keep the hash draw
+      case StringType if f.name == "s_county" || f.name == "cc_county" =>
+        element_at(array(counties.map(lit): _*),
+          (pmod(line, lit(counties.size.toLong)) + 1).cast(IntegerType))
       case StringType if f.name.endsWith("_id") =>
         // dsdgen-style 16-char business key, unique per row
         concat(lit("AAAAAAAA"), lpad(conv(pmod(line, lit(99999999L)).cast(StringType), 10, 16), 8, "0"))

@@ -1857,8 +1857,10 @@ object Tpcds {
         .as("excess_discount"))
   }
 
-  /** [Q-tpcds-q73] TPC-DS Q73 shape: customers with SMALL tickets (1–5
-    * lines) on month-start shopping days in selected counties, with the
+  /** [Q-tpcds-q73] TPC-DS Q73: customers with SMALL tickets (1–5
+    * lines) on month-start shopping days in the PUBLISHED 4-county list
+    * (Williamson/Franklin Parish/Bronx/Orange — structural since
+    * genVersion 16's cyclic store counties), with the
     * PUBLISHED household gate — buy_potential ∈ {>10000, Unknown},
     * hd_vehicle_count > 0, dep/vehicle ratio > 1 (genVersion 10's dsdgen
     * count domains). Meaningful only over genVersion 9's variable-size
@@ -1873,7 +1875,7 @@ object Tpcds {
       .filter(col("d_dom").between(1, 3)).select("d_date_sk")
     val st = t(spark, dir, "store")
       .filter(col("s_county").isin("Williamson County", "Franklin Parish",
-        "Bronx County", "Orange County", "Ziebach County"))
+        "Bronx County", "Orange County"))
       .select("s_store_sk")
     val hd = t(spark, dir, "household_demographics")
       .filter(col("hd_buy_potential").isin(">10000", "Unknown") &&
@@ -2574,8 +2576,9 @@ object Tpcds {
     * returned — the correlated EXISTS collapses to a per-order distinct-
     * warehouse aggregate semi-join (Q95's decorrelation, catalog side),
     * the NOT EXISTS to an anti join on the order key; one distinct-order
-    * count + two money sums. The call-center join is kept without the
-    * published county filter (cc_county is not domain-valued). */
+    * count + two money sums. The PUBLISHED call-center county gate
+    * (cc_county IN 'Williamson County' ×5) runs as written — structural
+    * since genVersion 16's cyclic call-center counties. */
   def q_tpcds_q16(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
@@ -2583,7 +2586,10 @@ object Tpcds {
       .select("d_date_sk")
     val geo = t(spark, dir, "customer_address")
       .filter(col("ca_state") === "GA").select("ca_address_sk")
-    val cc = t(spark, dir, "call_center").select("cc_call_center_sk")
+    val cc = t(spark, dir, "call_center")
+      .filter(col("cc_county").isin("Williamson County", "Williamson County",
+        "Williamson County", "Williamson County", "Williamson County"))
+      .select("cc_call_center_sk")
     val multiWh = t(spark, dir, "catalog_sales")
       .select("cs_order_number", "cs_warehouse_sk")
       .groupBy(col("cs_order_number").as("mw_order"))
@@ -5036,7 +5042,7 @@ object Tpcds {
          | WHERE d_dom BETWEEN 1 AND 3
          |  AND ss_store_sk IN (SELECT s_store_sk FROM ${P("store")}
          |   WHERE s_county IN ('Williamson County', 'Franklin Parish',
-         |    'Bronx County', 'Orange County', 'Ziebach County'))
+         |    'Bronx County', 'Orange County'))
          |  AND ss_hdemo_sk IN (SELECT hd_demo_sk FROM ${P("household_demographics")}
          |   WHERE hd_buy_potential IN ('>10000', 'Unknown')
          |    AND hd_vehicle_count > 0
@@ -5425,7 +5431,9 @@ object Tpcds {
          | AND cs_ship_addr_sk IN (SELECT ca_address_sk
          |  FROM ${P("customer_address")} WHERE ca_state = 'GA')
          | AND cs_call_center_sk IN (SELECT cc_call_center_sk
-         |  FROM ${P("call_center")})
+         |  FROM ${P("call_center")}
+         |  WHERE cc_county IN ('Williamson County', 'Williamson County',
+         |   'Williamson County', 'Williamson County', 'Williamson County'))
          | AND cs_order_number IN (SELECT cs_order_number
          |  FROM ${P("catalog_sales")} GROUP BY cs_order_number
          |  HAVING count(DISTINCT cs_warehouse_sk) > 1)

@@ -548,6 +548,21 @@ class GenSpec extends AnyFunSuite {
       assert(TpcdsGen.stateGmt.contains(s), s"stateGmt missing $s")
   }
 
+  test("v16: cyclic counties — every county holds a store; Williamson holds a call center") {
+    // Q73's published 4-county list and Q16's published Williamson
+    // call-center gate must be structural, never a hash-draw accident
+    val sCty = TpcdsGen.table(spark, "store", 1.0, 2)
+      .select("s_county").collect().map(_.getString(0))
+    assert(!sCty.contains(null), "s_county nulled — roster has holes")
+    for (c <- Seq("Williamson County", "Franklin Parish", "Bronx County",
+        "Orange County"))
+      assert(sCty.contains(c), s"no store in $c")
+    val ccCty = TpcdsGen.table(spark, "call_center", 1.0, 2)
+      .select("cc_county").collect().map(_.getString(0))
+    assert(!ccCty.contains(null), "cc_county nulled")
+    assert(ccCty.contains("Williamson County"), "no Williamson call center")
+  }
+
   test("v10: two concurrent driver JVMs share one cache root; exactly-once generation") {
     // The fleet scenario the cacheRoot knob exists for: N INDEPENDENT
     // drivers (separate JVMs — the in-JVM `synchronized` can't help) race
