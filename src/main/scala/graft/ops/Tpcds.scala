@@ -898,14 +898,17 @@ object Tpcds {
     * key, then rolled up over (channel, id). The web leg exercises the
     * returns→sales PK linkage directly: web_returns carries no site FK, so
     * each return finds its site through the (order_number, item_sk) join
-    * the generator guarantees 1:1. Adapted window: one year instead of the
-    * published 14 days (uniform 5-year fact dates leave a 14-day slice
-    * near-empty at verification scale). Plan: each channel is one
+    * the generator guarantees 1:1. The PUBLISHED 14-day window
+    * (2000-08-23 + 14 days) runs as written — the v10 seasonal sold-date
+    * mass puts ~130/100/20 channel lines in the slice at sf0.01; the
+    * pre-v15 year widening dated from the uniform-date generations.
+    * Plan: each channel is one
     * union-then-aggregate pass — facts never join each other except the
     * keyed wr→ws PK lookup; dims and date broadcast. */
   def q_tpcds_q5(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
-    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_date").between("2000-08-23", "2000-09-06"))
       .select("d_date_sk")
     val D72 = org.apache.spark.sql.types.DecimalType(7, 2)
     val z = lit(BigDecimal(0)).cast(D72)
@@ -1128,20 +1131,23 @@ object Tpcds {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** [Q-tpcds-q6] TPC-DS Q6 shape: states whose customers buy premium
-    * items — the CORRELATED per-category average price decorrelated to one
+  /** [Q-tpcds-q6] TPC-DS Q6: states whose customers buy premium
+    * items in the PUBLISHED single-month window (Jan 2001 — the v10
+    * seasonal sold-date concentration plus the v14 dsdgen price ceiling
+    * put major-state counts over the published HAVING >= 10 floor at
+    * sf0.01; the pre-v15 full-year widening is no longer needed) — the
+    * CORRELATED per-category average price decorrelated to one
     * keyed aggregate over the item dim, attached back on the category key
     * with the 1.2× premium comparison as a residual; the month window
     * attaches through the published scalar d_month_seq subquery (1-row
     * broadcast semi on the month-seq key). The customer→address attach is
     * a keyed shuffle join (address is customer-sized at scale); the
-    * average divides exact sums as DOUBLE once on both engines. Adapted
-    * window: the full year (a single month leaves state counts under the
-    * published HAVING floor at verification scale). */
+    * average divides exact sums as DOUBLE once on both engines. */
   def q_tpcds_q6(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val monthSeq = t(spark, dir, "date_dim")
-      .filter(col("d_year") === 2001).select(col("d_month_seq").as("msq")).distinct()
+      .filter(col("d_year") === 2001 && col("d_moy") === 1)
+      .select(col("d_month_seq").as("msq")).distinct()
     val dd = t(spark, dir, "date_dim")
       .join(broadcast(monthSeq), col("d_month_seq") === col("msq"), "left_semi")
       .select("d_date_sk")
@@ -4534,7 +4540,8 @@ object Tpcds {
          |GROUP BY ss_customer_sk
          |ORDER BY sumsales NULLS FIRST, ss_customer_sk LIMIT 100""".stripMargin,
     "q_tpcds_q5" ->
-      s"""WITH dd AS (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2000),
+      s"""WITH dd AS (SELECT d_date_sk FROM ${P("date_dim")}
+         |  WHERE d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'),
          | ssr AS (
          |  SELECT s_store_id AS id0, sum(sales_price) AS sales,
          |   sum(return_amt) AS returns, sum(profit) - sum(net_loss) AS profit
@@ -4684,7 +4691,7 @@ object Tpcds {
          |JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
          |JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
          |WHERE d_month_seq IN (SELECT DISTINCT d_month_seq FROM ${P("date_dim")}
-         |  WHERE d_year = 2001)
+         |  WHERE d_year = 2001 AND d_moy = 1)
          | AND ss_item_sk IN (SELECT i_item_sk FROM premium)
          |GROUP BY ca_state HAVING count(*) >= 10""".stripMargin,
     "q_tpcds_q68" ->
