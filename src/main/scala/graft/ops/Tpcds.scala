@@ -1322,11 +1322,14 @@ object Tpcds {
     * semi-pruned to the geography), UNION ALL'd and re-aggregated.
     * The manufacturer set rides the genVersion-5 1:1 id↔string tie.
     * The published geography runs as written — ca_gmt_offset = -5 over
-    * genVersion 13's state-coherent offsets; year window (the published
-    * single month stays the density adaptation). */
+    * genVersion 13's state-coherent offsets — and so does the PUBLISHED
+    * single-month window (Jan 2000: 9/6/1 per-channel manufacturer cells
+    * at sf0.01 under the v10 seasonal mass; the manufacturer grain is
+    * coarse enough where Q56/Q60's item grain is not). */
   def q_tpcds_q33(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
-    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_moy") === 1)
       .select("d_date_sk")
     val manufs = t(spark, dir, "item")
       .filter(col("i_category") === "Electronics")
@@ -2087,23 +2090,26 @@ object Tpcds {
         r("thu", "thu2"), r("fri", "fri2"), r("sat", "sat2"))
   }
 
-  /** [Q-tpcds-q54] TPC-DS Q54 shape: revenue segmentation of cross-channel
+  /** [Q-tpcds-q54] TPC-DS Q54: revenue segmentation of cross-channel
     * prospects — customers who bought one category from catalog/web in
-    * Q4 2000 (the published single month is a quarter here — the geo
-    * equi-join narrows hard at test scale), their store revenue over the following quarter
-    * (counted at stores sharing the customer's county AND state — the
-    * shared v7 domains make the geo equi-join meaningful), histogrammed
+    * the PUBLISHED single month (Dec 2000 — the v10 holiday-window mass
+    * carries ~100 prospects at sf0.01; the pre-round-10 quarter widening
+    * is no longer needed), their store revenue over the PUBLISHED
+    * month_seq+1..+3 window derived by the published nested scalar
+    * subqueries (the anchor month's seq, exploded to the three following
+    * seqs, attaches to date_dim as a broadcast equi-semi — keyed, never
+    * a nested-loop range join), counted at stores sharing the customer's
+    * county AND state and histogrammed
     * into $50 segments. The prospect set is a distinct over the channel
     * union (customer-keyed shuffle); revenue is one store-fact pass
     * through broadcast date/store and the keyed prospect/address joins;
     * the histogram is a ≤hundreds-row regroup. Segment = floor(revenue /
     * 50) via one double division (identical in both engines). Adapted:
-    * category-only item slice, and the published month_seq+1..+3 window
-    * written as Jan–Mar 2001. */
+    * category-only item slice. */
   def q_tpcds_q54(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dDec = t(spark, dir, "date_dim")
-      .filter(col("d_year") === 2000 && col("d_moy").between(10, 12))
+      .filter(col("d_year") === 2000 && col("d_moy") === 12)
       .select("d_date_sk")
     val it = t(spark, dir, "item").filter(col("i_category") === "Women")
       .select("i_item_sk")
@@ -2121,8 +2127,15 @@ object Tpcds {
     val cust = t(spark, dir, "customer")
       .join(buyers, col("c_customer_sk") === col("customer_sk"), "left_semi")
       .select("c_customer_sk", "c_current_addr_sk")
+    // the published nested derivation: the anchor month's d_month_seq,
+    // +1..+3, as an exploded 3-row set equi-semi-joined onto date_dim
+    val followSeqs = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2000 && col("d_moy") === 12)
+      .select(col("d_month_seq").as("anchor_seq")).distinct()
+      .select(explode(array(col("anchor_seq") + 1, col("anchor_seq") + 2,
+        col("anchor_seq") + 3)).as("fseq"))
     val dQ1 = t(spark, dir, "date_dim")
-      .filter(col("d_year") === 2001 && col("d_moy").between(1, 3))
+      .join(broadcast(followSeqs), col("d_month_seq") === col("fseq"), "left_semi")
       .select("d_date_sk")
     val st = t(spark, dir, "store").select("s_county", "s_state")
     val addr = t(spark, dir, "customer_address")
@@ -4767,7 +4780,8 @@ object Tpcds {
              amtCol: String) =
         s"""SELECT i_manufact_id, sum($amtCol) AS total_sales_d
            | FROM ${P(fact)}
-           | JOIN (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2000) dd
+           | JOIN (SELECT d_date_sk FROM ${P("date_dim")}
+           |   WHERE d_year = 2000 AND d_moy = 1) dd
            |  ON $dateCol = d_date_sk
            | JOIN ${P("item")} ON $itemCol = i_item_sk
            | WHERE $addrCol IN (SELECT ca_address_sk FROM ${P("customer_address")}
@@ -5160,7 +5174,7 @@ object Tpcds {
          |  SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
          |  FROM ${P("web_sales")}) u
          | JOIN ${P("date_dim")} ON sold_date_sk = d_date_sk
-         | WHERE d_year = 2000 AND d_moy BETWEEN 10 AND 12 AND customer_sk IS NOT NULL
+         | WHERE d_year = 2000 AND d_moy = 12 AND customer_sk IS NOT NULL
          |  AND item_sk IN (SELECT i_item_sk FROM ${P("item")}
          |   WHERE i_category = 'Women')),
          |revenue AS (
@@ -5170,7 +5184,10 @@ object Tpcds {
          | JOIN ${P("customer")} ON ss_customer_sk = c_customer_sk
          | JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
          | JOIN ${P("store")} ON ca_county = s_county AND ca_state = s_state
-         | WHERE d_year = 2001 AND d_moy BETWEEN 1 AND 3
+         | WHERE d_month_seq BETWEEN (SELECT DISTINCT d_month_seq + 1
+         |    FROM ${P("date_dim")} WHERE d_year = 2000 AND d_moy = 12)
+         |  AND (SELECT DISTINCT d_month_seq + 3
+         |    FROM ${P("date_dim")} WHERE d_year = 2000 AND d_moy = 12)
          |  AND c_customer_sk IN (SELECT customer_sk FROM buyers)
          | GROUP BY c_customer_sk)
          |SELECT segment, count(*) AS num_customers, segment * 50 AS segment_base
