@@ -983,8 +983,11 @@ object Tpcds {
     * over the aggregate (unpartitioned by design — the window input is
     * ≤|items| aggregated rows, never fact-sized). Ratios divide exact
     * sums as DOUBLE once, identically on both engines, so ranks can't
-    * drift. Adapted thresholds: return_amt > 1000 (published 10000 —
-    * bounded D(7,2) amounts make that near-empty) and a year window. */
+    * drift. The PUBLISHED net_paid > 10000 big-ticket gate runs as
+    * written (the v10 channel-calibrated money puts 9/2/1 joined lines
+    * per channel over it at sf0.01); the year window stays the density
+    * adaptation (the published single month leaves the catalog and
+    * store legs empty — probed 3/0/0). */
   def q_tpcds_q49(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2001)
@@ -997,7 +1000,7 @@ object Tpcds {
         .join(returns, col(s"${pfx}_item_sk") === col(s"${rPfx}_item_sk") &&
           col(orderCol) === col(rOrderCol))
         .join(broadcast(dd), col(s"${pfx}_sold_date_sk") === col("d_date_sk"))
-        .filter(col(amtCol) > 1000 &&
+        .filter(col(amtCol) > 10000 &&
           col(s"${pfx}_net_profit") > 1 && col(s"${pfx}_net_paid") > 0 &&
           col(s"${pfx}_quantity") > 0)
       val z72 = lit(0).cast(org.apache.spark.sql.types.DecimalType(7, 2))
@@ -4630,7 +4633,7 @@ object Tpcds {
            |   ON ${pfx}_item_sk = ${rPfx}_item_sk AND $ordCol = $rOrdCol
            |  JOIN (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2001) dd
            |   ON ${pfx}_sold_date_sk = d_date_sk
-           |  WHERE $amtCol > 1000 AND ${pfx}_net_profit > 1
+           |  WHERE $amtCol > 10000 AND ${pfx}_net_profit > 1
            |   AND ${pfx}_net_paid > 0 AND ${pfx}_quantity > 0
            |  GROUP BY ${pfx}_item_sk) t)""".stripMargin
       "SELECT channel, item, return_ratio, return_rank, currency_rank FROM (\n" +
