@@ -367,6 +367,16 @@ class GenSpec extends AnyFunSuite {
     val p3 = TpcdsGen.table(spark, "store_returns", 0.001, 3)
     val p11 = TpcdsGen.table(spark, "store_returns", 0.001, 11)
     assert(p3.exceptAll(p11).count() == 0 && p11.exceptAll(p3).count() == 0)
+    // v15: the returning party IS the buyer — their demographics and
+    // address rows follow the bill side (Q85's published cd1 = cd2
+    // double-demographic equality leans on this)
+    val wr = TpcdsGen.table(spark, "web_returns", sf, 4)
+    for ((a, b) <- Seq(
+        "wr_returning_cdemo_sk" -> "wr_refunded_cdemo_sk",
+        "wr_returning_hdemo_sk" -> "wr_refunded_hdemo_sk",
+        "wr_returning_addr_sk" -> "wr_refunded_addr_sk"))
+      assert(wr.filter(!(col(a) <=> col(b))).count() == 0,
+        s"$a disagrees with $b")
   }
 
   test("sales money columns are arithmetically coherent") {
