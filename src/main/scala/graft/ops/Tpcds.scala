@@ -110,7 +110,7 @@ object Tpcds {
   }
 
   /** [Q-tpcds-returns] store_returns ⋈ store_sales on the (ticket, item)
-    * PK — the linkage TpcdsGen.returnsCols guarantees — rolled up to
+    * PK — the linkage TpcdsGen.returnsDf guarantees — rolled up to
     * category return totals for one year. The fact⋈fact join shuffles on
     * the join key (both sides hash-partitioned, no broadcast: at scale BOTH
     * sides are corpus-sized); everything else is broadcast. */
@@ -983,7 +983,7 @@ object Tpcds {
     * over the aggregate (unpartitioned by design — the window input is
     * ≤|items| aggregated rows, never fact-sized). Ratios divide exact
     * sums as DOUBLE once, identically on both engines, so ranks can't
-    * drift. The PUBLISHED net_paid > 10000 big-ticket gate runs as
+    * drift. The PUBLISHED return_amt > 10000 big-ticket gate runs as
     * written (the v10 channel-calibrated money puts 9/2/1 joined lines
     * per channel over it at sf0.01); the year window stays the density
     * adaptation (the published single month leaves the catalog and
@@ -1035,12 +1035,15 @@ object Tpcds {
     * fraction of it. TWO-LEVEL aggregate decorrelation: the per-(store,
     * item) revenue aggregate feeds a per-store average, attached back by a
     * broadcast join on the store key with the threshold as a residual;
-    * the average divides exact sums as DOUBLE once on both engines, and
     * the slow-mover cut is the PUBLISHED ≤ 10% of the store average (the
     * v10 order-statistic price skew gives cell revenues a real deep
     * tail — ~6% of (store, item) cells sit under the published cut; the
     * pre-v10 hash-uniform revenues had none, which is what the interim
-    * ≤ 90% adaptation worked around).
+    * ≤ 90% adaptation worked around). Hash-stable output discipline
+    * (SURVEY §7.4): revenue is summed as exact integer CENTS and the
+    * below-average cut is decided by exact integer CROSS-MULTIPLICATION
+    * (rev·10·cnt ≤ total, the Q1 precedent) — no computed double decides
+    * membership, so the boundary is bit-identical on any engine.
     * Plan: ONE fact shuffle on the (store, item) composite; the per-store
     * average is |stores| rows, broadcast. */
   def q_tpcds_q65(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1051,26 +1054,30 @@ object Tpcds {
       .filter(col("ss_store_sk").isNotNull && col("ss_item_sk").isNotNull)
       .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
       .groupBy(col("ss_store_sk"), col("ss_item_sk"))
-      .agg(sum(col("ss_sales_price")).as("rev_d"))
+      .agg(sum((col("ss_sales_price") * 100).cast(DecimalType(38, 0)))
+        .as("rev_c"))
     val sb = sc.groupBy(col("ss_store_sk").as("avg_store"))
-      .agg((sum(col("rev_d")).cast(DoubleType) / count(lit(1))).as("ave"))
+      .agg(sum(col("rev_c")).as("tot_c"), count(lit(1)).as("cnt"))
     sc.join(broadcast(sb), col("ss_store_sk") === col("avg_store"))
-      .filter(col("rev_d").cast(DoubleType) <= col("ave") * 0.1)
+      .filter(col("rev_c") * 10 * col("cnt") <= col("tot_c"))
       .join(broadcast(t(spark, dir, "store").select("s_store_sk", "s_store_name")),
         col("ss_store_sk") === col("s_store_sk"))
       .join(broadcast(t(spark, dir, "item")
           .select("i_item_sk", "i_item_desc", "i_current_price", "i_wholesale_cost", "i_brand")),
         col("ss_item_sk") === col("i_item_sk"))
       .select(col("s_store_name"), col("i_item_desc"),
-        col("rev_d").cast(DoubleType).as("revenue"),
+        (col("rev_c").cast(DoubleType) / 100.0).as("revenue"),
         col("i_current_price"), col("i_wholesale_cost"), col("i_brand"))
   }
 
   /** [Q-tpcds-q98] TPC-DS Q98 shape: item revenue with its RATIO-TO-CLASS —
     * a windowed sum over the aggregate (partition by i_class) dividing
     * each item's revenue by its class total. The window runs over
-    * ≤|items| aggregated rows, never the fact; the ratio divides two
-    * exact DECIMAL sums as DOUBLE once, identically on both engines. */
+    * ≤|items| aggregated rows, never the fact. Hash-stable output
+    * discipline (SURVEY §7.4): revenue is summed as exact integer CENTS,
+    * the emitted doubles are correctly-rounded int→double conversions plus
+    * IEEE ops, and the ratio is rounded at the output boundary — no
+    * engine's last-bit behavior can reach the driver's hash. */
   def q_tpcds_q98(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     import org.apache.spark.sql.expressions.Window
@@ -1085,13 +1092,16 @@ object Tpcds {
       .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
       .groupBy(col("i_item_id"), col("i_item_desc"), col("i_category"),
         col("i_class"), col("i_current_price"))
-      .agg(sum(col("ss_ext_sales_price")).as("rev_d"))
+      .agg(sum((col("ss_ext_sales_price") * 100).cast(DecimalType(38, 0)))
+        .as("rev_c"))
     agg.withColumn("revenueratio",
-        col("rev_d").cast(DoubleType) * 100.0 /
-          sum(col("rev_d")).over(Window.partitionBy(col("i_class"))).cast(DoubleType))
+        round(col("rev_c").cast(DoubleType) * 100.0 /
+          sum(col("rev_c")).over(Window.partitionBy(col("i_class")))
+            .cast(DoubleType), 6))
       .select(col("i_item_id"), col("i_item_desc"), col("i_category"),
         col("i_class"), col("i_current_price"),
-        col("rev_d").cast(DoubleType).as("itemrevenue"), col("revenueratio"))
+        (col("rev_c").cast(DoubleType) / 100.0).as("itemrevenue"),
+        col("revenueratio"))
   }
 
   /** [Q-tpcds-q69] TPC-DS Q69 shape: demographic profile of customers who
@@ -2738,7 +2748,11 @@ object Tpcds {
     * its class over one sales channel and a 30-day window. The per-item
     * aggregate shuffles once on the item attributes; the class-share window
     * partitions by i_class over the AGGREGATE (≤ items rows, never the
-    * fact). DECIMAL sum until the final ratio division. */
+    * fact). Hash-stable output discipline (SURVEY §7.4): revenue is summed
+    * as exact integer CENTS; the emitted doubles are one correctly-rounded
+    * int→double conversion plus IEEE ops (identical on any engine), and the
+    * ratio is additionally rounded at the output boundary so no last-bit
+    * behavior of either engine can reach the driver's hash. */
   private def classRevenueShare(
       spark: SparkSession, dir: String, fact: String,
       dateCol: String, itemCol: String, priceCol: String): DataFrame = {
@@ -2756,14 +2770,15 @@ object Tpcds {
       .join(broadcast(it), col(itemCol) === col("i_item_sk"))
       .groupBy(col("i_item_id"), col("i_item_desc"), col("i_category"),
         col("i_class"), col("i_current_price"))
-      .agg(sum(col(priceCol)).as("rev_d"))
+      .agg(sum((col(priceCol) * 100).cast(DecimalType(38, 0))).as("rev_c"))
       .withColumn("revenueratio",
-        col("rev_d").cast(DoubleType) * 100.0 /
-          sum(col("rev_d")).over(Window.partitionBy(col("i_class")))
-            .cast(DoubleType))
+        round(col("rev_c").cast(DoubleType) * 100.0 /
+          sum(col("rev_c")).over(Window.partitionBy(col("i_class")))
+            .cast(DoubleType), 6))
       .select(col("i_item_id"), col("i_item_desc"), col("i_category"),
         col("i_class"), col("i_current_price"),
-        col("rev_d").cast(DoubleType).as("itemrevenue"), col("revenueratio"))
+        (col("rev_c").cast(DoubleType) / 100.0).as("itemrevenue"),
+        col("revenueratio"))
   }
 
   /** [Q-tpcds-q12] TPC-DS Q12 shape: Q98's class-share report on the WEB
@@ -2845,27 +2860,32 @@ object Tpcds {
       .select("d_date_sk")
     val ca = t(spark, dir, "customer_address")
       .select(col("ca_address_sk").as("r_addr_sk"), col("ca_state").as("ctr_state"))
+    // Hash-stable output discipline (SURVEY §7.4): returns are summed as
+    // exact integer CENTS and the 1.2× outlier cut is decided by exact
+    // integer CROSS-MULTIPLICATION (ctr·cnt·5 > total·6, the Q1
+    // precedent) — no computed double decides membership, so the boundary
+    // is bit-identical on any engine; the emitted total is one
+    // correctly-rounded int→double conversion plus an IEEE division.
     val ctr = t(spark, dir, fact)
       .select(custCol, addrCol, dateCol, amtCol)
       .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
       .join(broadcast(ca), col(addrCol) === col("r_addr_sk"))
       .groupBy(col(custCol).as("ctr_customer_sk"), col("ctr_state"))
-      .agg(sum(col(amtCol)).as("ctr_total_return"))
+      .agg(sum((col(amtCol) * 100).cast(DecimalType(38, 0))).as("ctr_c"))
     val thr = ctr.groupBy(col("ctr_state").as("t_state"))
-      .agg((sum(col("ctr_total_return")).cast(DoubleType) /
-        count(col("ctr_total_return")) * 1.2).as("thr"))
+      .agg(sum(col("ctr_c")).as("tot_c"), count(col("ctr_c")).as("cnt"))
     val cust = t(spark, dir, "customer")
       .join(broadcast(t(spark, dir, "customer_address")
           .filter(col("ca_state") === homeState)
           .selectExpr(Seq("ca_address_sk AS home_addr_sk") ++ extraCols: _*)),
         col("c_current_addr_sk") === col("home_addr_sk"))
     ctr.join(broadcast(thr), col("ctr_state") === col("t_state"))
-      .filter(col("ctr_total_return").cast(DoubleType) > col("thr"))
+      .filter(col("ctr_c") * col("cnt") * 5 > col("tot_c") * 6)
       .join(cust, col("ctr_customer_sk") === col("c_customer_sk"))
       .select(Seq(col("c_customer_id"), col("c_salutation"),
         col("c_first_name"), col("c_last_name")) ++
         custExtra.map(col) ++ extraCols.map(col) :+
-        col("ctr_total_return").cast(DoubleType).as("ctr_total_return"): _*)
+        (col("ctr_c").cast(DoubleType) / 100.0).as("ctr_total_return"): _*)
   }
 
   /** [Q-tpcds-q30] TPC-DS Q30 shape: WEB-returns state outliers among
@@ -3870,8 +3890,11 @@ object Tpcds {
     * cross_sales grain. The published self-pairing runs as written: the
     * cross_sales aggregate filtered to the two years joins ITSELF on
     * (item_sk, store_name, store_zip) keeping pairs where the later year
-    * sold no more — both sides share one aggregation subtree whose shuffle
-    * AQE reuses at runtime (exchange reuse), so facts are scanned once.
+    * sold no more — each side gets its d_year filter PUSHED into its own
+    * scan (PlanGuardSpec asserts factScans == 2 with disjoint year
+    * slices), so the two scans together read ≈ one scan of both years;
+    * the pushed per-side filters make the subtrees non-identical, which
+    * is why exchange reuse deliberately does NOT apply here.
     * Remaining adaptations: the published six colors lead a 30-color
     * slice (gate-scale density) and the price band is generator-domain;
     * pair years 2000/2001 (published 1999/2000 — the generated calendar).
@@ -4649,26 +4672,29 @@ object Tpcds {
     },
     "q_tpcds_q65" ->
       s"""WITH dd AS (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2000),
-         | sc AS (SELECT ss_store_sk, ss_item_sk, sum(ss_sales_price) AS revenue
+         | sc AS (SELECT ss_store_sk, ss_item_sk,
+         |   sum(CAST(ss_sales_price * 100 AS BIGINT)) AS rev_c
          |  FROM ${P("store_sales")} JOIN dd ON ss_sold_date_sk = d_date_sk
          |  WHERE ss_store_sk IS NOT NULL AND ss_item_sk IS NOT NULL
          |  GROUP BY ss_store_sk, ss_item_sk),
-         | sb AS (SELECT ss_store_sk AS avg_store,
-         |   CAST(sum(revenue) AS DOUBLE) / count(*) AS ave
+         | sb AS (SELECT ss_store_sk AS avg_store, sum(rev_c) AS tot_c,
+         |   count(*) AS cnt
          |  FROM sc GROUP BY ss_store_sk)
-         |SELECT s_store_name, i_item_desc, CAST(sc.revenue AS DOUBLE) AS revenue,
+         |SELECT s_store_name, i_item_desc,
+         | CAST(sc.rev_c AS DOUBLE) / 100.0 AS revenue,
          | i_current_price, i_wholesale_cost, i_brand
          |FROM sc JOIN sb ON sc.ss_store_sk = sb.avg_store
          |JOIN ${P("store")} ON sc.ss_store_sk = s_store_sk
          |JOIN ${P("item")} ON sc.ss_item_sk = i_item_sk
-         |WHERE CAST(sc.revenue AS DOUBLE) <= ave * 0.1""".stripMargin,
+         |WHERE sc.rev_c * 10 * cnt <= tot_c""".stripMargin,
     "q_tpcds_q98" ->
       s"""SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
-         | CAST(rev AS DOUBLE) AS itemrevenue,
-         | CAST(rev AS DOUBLE) * 100.0 /
-         |  CAST(sum(rev) OVER (PARTITION BY i_class) AS DOUBLE) AS revenueratio
+         | CAST(rev_c AS DOUBLE) / 100.0 AS itemrevenue,
+         | ROUND(CAST(rev_c AS DOUBLE) * 100.0 /
+         |  CAST(sum(rev_c) OVER (PARTITION BY i_class) AS DOUBLE), 6)
+         |  AS revenueratio
          |FROM (SELECT i_item_id, i_item_desc, i_category, i_class,
-         |  i_current_price, sum(ss_ext_sales_price) AS rev
+         |  i_current_price, sum(CAST(ss_ext_sales_price * 100 AS BIGINT)) AS rev_c
          | FROM ${P("store_sales")} JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
          | JOIN ${P("item")} ON ss_item_sk = i_item_sk
          | WHERE d_year = 2000 AND i_category IN ('Sports', 'Books', 'Home')
@@ -6305,45 +6331,50 @@ object Tpcds {
          |GROUP BY 1, 2""".stripMargin)
 
   /** Oracle body shared by Q98's channel twins Q12/Q20 (Q98 predates the
-    * helper and keeps its d_year form). */
+    * helper and keeps its d_year form). Mirrors the engine's hash-stable
+    * discipline: exact integer cents, int→double casts, ROUND at the
+    * output boundary. */
   private def classShareOracle(fact: String, dateCol: String,
       itemCol: String, priceCol: String): String =
     s"""SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
-       | CAST(rev AS DOUBLE) AS itemrevenue,
-       | CAST(rev AS DOUBLE) * 100.0 /
-       |  CAST(sum(rev) OVER (PARTITION BY i_class) AS DOUBLE) AS revenueratio
+       | CAST(rev_c AS DOUBLE) / 100.0 AS itemrevenue,
+       | ROUND(CAST(rev_c AS DOUBLE) * 100.0 /
+       |  CAST(sum(rev_c) OVER (PARTITION BY i_class) AS DOUBLE), 6)
+       |  AS revenueratio
        |FROM (SELECT i_item_id, i_item_desc, i_category, i_class,
-       |  i_current_price, sum($priceCol) AS rev
+       |  i_current_price, sum(CAST($priceCol * 100 AS BIGINT)) AS rev_c
        | FROM ${P(fact)} JOIN ${P("date_dim")} ON $dateCol = d_date_sk
        | JOIN ${P("item")} ON $itemCol = i_item_sk
        | WHERE d_date BETWEEN DATE '2000-02-22' AND DATE '2000-03-23'
        |  AND i_category IN ('Sports', 'Books', 'Home')
        | GROUP BY 1, 2, 3, 4, 5) t""".stripMargin
 
-  /** Oracle body shared by the Q30/Q81 state-outlier twins. */
+  /** Oracle body shared by the Q30/Q81 state-outlier twins. Mirrors the
+    * engine's hash-stable discipline: exact integer cents, the 1.2× cut
+    * decided by integer cross-multiplication (ctr·cnt·5 > total·6), the
+    * emitted total one int→double cast plus an IEEE division. */
   private def stateOutlierOracle(fact: String, custCol: String,
       addrCol: String, dateCol: String, amtCol: String,
       homeState: String, extraCols: Seq[String]): String = {
     val extra = extraCols.map(c => s", $c").mkString
     s"""WITH ctr AS (
        | SELECT $custCol AS ctr_customer_sk, ca_state AS ctr_state,
-       |  sum($amtCol) AS ctr_total_return
+       |  sum(CAST($amtCol * 100 AS BIGINT)) AS ctr_c
        | FROM ${P(fact)}
        | JOIN ${P("date_dim")} ON $dateCol = d_date_sk
        | JOIN ${P("customer_address")} ON $addrCol = ca_address_sk
        | WHERE d_year = 2000
        | GROUP BY 1, 2),
        |thr AS (
-       | SELECT ctr_state AS t_state,
-       |  CAST(sum(ctr_total_return) AS DOUBLE)
-       |   / count(ctr_total_return) * 1.2 AS thr
+       | SELECT ctr_state AS t_state, sum(ctr_c) AS tot_c,
+       |  count(ctr_c) AS cnt
        | FROM ctr GROUP BY ctr_state)
        |SELECT c_customer_id, c_salutation, c_first_name, c_last_name$extra,
-       | CAST(ctr_total_return AS DOUBLE) AS ctr_total_return
+       | CAST(ctr_c AS DOUBLE) / 100.0 AS ctr_total_return
        |FROM ctr JOIN thr ON ctr_state = t_state
        |JOIN ${P("customer")} ON ctr_customer_sk = c_customer_sk
        |JOIN ${P("customer_address")} ON c_current_addr_sk = ca_address_sk
-       |WHERE CAST(ctr_total_return AS DOUBLE) > thr
+       |WHERE ctr_c * cnt * 5 > tot_c * 6
        |  AND ca_state = '$homeState'""".stripMargin
   }
 

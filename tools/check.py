@@ -7,8 +7,10 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 For each query in oracle_sql.json: run the SQL in DuckDB over the fixture
 tables, load the Spark parquet result, canonicalize (columns sorted by name,
-rows sorted by all columns), and compare cell-by-cell. Floats must match to
-1e-12 relative (we aim for bit-exact; near-misses are reported separately).
+rows sorted by all columns), and compare cell-by-cell. STRICT: floats must
+match BIT-EXACTLY — the driver hashes exact rendered values, so a
+"float-near" cell (within 1e-12 relative) is a FAILURE here too; it is
+counted and labeled separately only so the failure mode is recognizable.
 """
 import json, math, sys
 import duckdb
@@ -53,7 +55,17 @@ def selftest():
     assert cells_equal(float("nan"), float("nan")) is True
     assert cells_equal(None, None) is True
     assert cells_equal("a", "b") is False
+    # STRICT policy: a float-near cell fails a query (the driver hashes
+    # exact values, so ulp drift that this gate forgave would red there).
+    assert judge(bad=0, near=1) == "fail"
+    assert judge(bad=0, near=0) == "ok"
+    assert judge(bad=1, near=0) == "fail"
     print("selftest OK")
+
+def judge(bad, near):
+    """STRICT verdict for one query: any exact-diff OR float-near cell
+    fails — the driver's hash gate sees exact values only."""
+    return "fail" if (bad or near) else "ok"
 
 def main():
     if sys.argv[1:] == ["--selftest"]:
@@ -92,16 +104,20 @@ def main():
                     continue
                 if r == "float-near":
                     near += 1
+                    if first is None:
+                        first = (c, i, ev[i], gv[i])
                     continue
                 bad += 1
                 if first is None:
                     first = (c, i, ev[i], gv[i])
-        if bad:
+        if judge(bad, near) == "fail":
             failures.append(name)
-            print(f"FAIL {name}: {bad} cell diffs, e.g. col={first[0]} row={first[1]} exp={first[2]!r} got={first[3]!r}")
+            detail = f"{bad} cell diffs, {near} float-near (STRICT: near = fail)"
+            if first is not None:
+                detail += f", e.g. col={first[0]} row={first[1]} exp={first[2]!r} got={first[3]!r}"
+            print(f"FAIL {name}: {detail}")
         else:
-            tag = f" ({near} float-near)" if near else ""
-            print(f"OK   {name}: {len(exp)} rows{tag}")
+            print(f"OK   {name}: {len(exp)} rows")
     print(f"\n{len(oracle) - len(failures)}/{len(oracle)} oracle queries match")
     sys.exit(1 if failures else 0)
 
