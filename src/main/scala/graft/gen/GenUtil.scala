@@ -76,9 +76,13 @@ object GenUtil {
     * setting after. Generation jobs are pure wide projections over
     * spark.range: fused whole-stage methods for the 23-34-column tables
     * exceed HotSpot's 8 KB JIT limit and run interpreted, while the
-    * non-fused path splits per-expression into small JIT-able methods —
-    * measured 1.3-2.7x faster across both benchmarks' tables. Queries keep
-    * WSCG: operator fusion matters there and their methods are small. */
+    * non-fused path splits per-expression into small JIT-able methods.
+    * Re-measured after the staged-projection refactor (which fixed the
+    * 64 KB janino fallback in BOTH modes): non-fused still wins on the
+    * widest facts (sf1 store_sales 5.97 s vs 6.89 s fused), and the CLI
+    * sf1 full run dropped 126 s → 22.5 s once projections stopped
+    * evaluating interpreted. Queries keep WSCG: operator fusion matters
+    * there and their methods are small. */
   def withoutWholeStageCodegen[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
     val key = "spark.sql.codegen.wholeStage"
     val prev = spark.conf.getOption(key)

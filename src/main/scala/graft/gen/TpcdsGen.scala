@@ -33,7 +33,7 @@ import GenUtil._
   *    basket level) and returns facts re-evaluate the linked sales table's
   *    expressions at an injectively chosen sales line, so
   *    `returns ⋈ sales ON (order, item)` hits the originating sale —
-  *    see returnsCols;
+  *    see returnsDf;
   *  - the columns TPC-DS queries filter/group on draw from spec-true small
   *    dictionaries (`dictionaries` below), not free text.
   *
@@ -362,7 +362,7 @@ object TpcdsGen extends Benchmark {
   /** v14: the urban-core zip subset stores sit in (every 8th domain zip —
     * 12 values whose 2-prefixes are pairwise distinct, so the store
     * 2-prefix grain Q8 intersects on stays as wide as the store dim).
-    * Customer addresses draw 20% from this core (see the ca_zip case in
+    * Customer addresses draw 25% from this core (see the ca_zip case in
     * colFor), giving the published near-home predicates real support:
     * Q24's exact `s_zip = ca_zip` and Q8's per-prefix preferred-customer
     * `count > 10` cut both straddle their published constants. */
@@ -435,7 +435,7 @@ object TpcdsGen extends Benchmark {
         "TWO DAY", "LIBRARY"),
       // v8: zip columns draw 5-digit values from one shared domain (see
       // `zips` — the published substr-prefix predicates need the shape).
-      // v14: stores draw from the urban core only; ca_zip is a 20/80
+      // v14: stores draw from the urban core only; ca_zip is a 25/75
       // core/domain mixture handled as a colFor special case.
       "s_zip" -> coreZips, "w_zip" -> zips,
       "cc_zip" -> zips, "web_zip" -> zips,
@@ -576,67 +576,139 @@ object TpcdsGen extends Benchmark {
     * relations hold EXACTLY on the stored columns. All decimal arithmetic —
     * deterministic and partition-invariant like every other column; bounds
     * keep every ext value < 25 000, inside DECIMAL(7,2). Evaluated at the
-    * explicit line id, so returnsCols re-derives the SAME values at the
+    * explicit line id, so returnsDf re-derives the SAME values at the
     * linked sales line. None for non-money columns → generic path. */
   private def salesMoney(tbl: String, name: String, line: Column): Option[Column] = {
     if (!basketLines.contains(tbl)) return None
     val pfx = name.take(2)
+    def inlineRef(key: String): Column =
+      moneyExpr(tbl, pfx, key, line, inlineRef).getOrElse(
+        throw new IllegalArgumentException(s"unknown money dependency $key"))
+    moneyExpr(tbl, pfx, name.drop(3), line, inlineRef)
+  }
+
+  /** One stored sales-money column (canonical suffix, e.g. "net_paid") as
+    * an expression whose dependencies on OTHER stored money columns are
+    * fetched through `ref`. Two resolution modes, identical values (pure
+    * common-subexpression naming — genVersion unchanged):
+    *  - inline recursion (salesMoney): each dependency expands in place.
+    *    Used where a value appears once, e.g. returnsDf re-evaluating
+    *    its linked sale's price.
+    *  - named stage columns (salesDf): `ref` returns a column computed
+    *    once in an earlier stacked select. Used for the sales facts' own
+    *    projection, where inline expansion duplicated the derivation
+    *    chain across 16 output columns exponentially and blew janino's
+    *    64 KB generated-method limit (whole-stage codegen then silently
+    *    fell back to interpreted projection).
+    * v10 wholesale note: CHANNEL-CALIBRATED wholesale — an order statistic
+    * of four draws over the SAME [1.00, 99.99] range (store = min, catalog
+    * = 2nd smallest, web = max of 4 → means ≈ 20.8 / 40.4 / 80.8), inverse
+    * to the 4:2:1 channel row volumes, so total and per-item expected
+    * revenue is EQUAL across channels (within ~3%) and Q58/Q83-style
+    * published cross-channel parity bands are satisfiable. Every stored
+    * value keeps its published range. Tag offsets 1001..1004 never collide
+    * with a neighbour column's tag (tags are ≡17 mod 31; 100x+k isn't). */
+  private def moneyExpr(tbl: String, pfx: String, key: String, line: Column,
+      ref: String => Column): Option[Column] = {
     def t(n: String) = tagFor(tbl, s"${pfx}_$n")
     def frac(tag: Int, n: Int) = // uniform k/100 for k in [0, n-1], exact decimal
       pmod(h(line, tag), lit(n.toLong)).cast(DecimalType(12, 2)) / 100
-    lazy val qty = (pmod(h(line, t("quantity")), lit(100L)) + 1).cast(IntegerType)
-    // v10: CHANNEL-CALIBRATED wholesale — an order statistic of four draws
-    // over the SAME [1.00, 99.99] range (store = min, catalog = 2nd
-    // smallest, web = max of 4 → means ≈ 20.8 / 40.4 / 80.8), inverse to
-    // the 4:2:1 channel row volumes, so total and per-item expected
-    // revenue is EQUAL across channels (within ~3%) and Q58/Q83-style
-    // published cross-channel parity bands are satisfiable. Every stored
-    // value keeps its published range — no literal money predicate loses
-    // its support; only the distribution shape shifts per channel. Tag
-    // offsets 1001..1004 never collide with a neighbour column's tag
-    // (tags are ≡17 mod 31; 100x+k isn't).
-    lazy val whl = {
-      val u = (1 to 4).map(k =>
-        (pmod(h(line, t("wholesale_cost") + 1000 + k), lit(9900L)) + 100)
-          .cast(DecimalType(12, 2)) / 100)
-      val lo1 = least(u(0), u(1)); val hi1 = greatest(u(0), u(1))
-      val lo2 = least(u(2), u(3)); val hi2 = greatest(u(2), u(3))
-      d2(pfx match {
-        case "ss" => least(lo1, lo2)
-        case "cs" => least(greatest(lo1, lo2), least(hi1, hi2))
-        case _    => greatest(hi1, hi2) // "ws"
-      })
+    key match {
+      case "quantity" =>
+        Some((pmod(h(line, t("quantity")), lit(100L)) + 1).cast(IntegerType))
+      case "wholesale_cost" =>
+        val u = (1 to 4).map(k =>
+          (pmod(h(line, t("wholesale_cost") + 1000 + k), lit(9900L)) + 100)
+            .cast(DecimalType(12, 2)) / 100)
+        val lo1 = least(u(0), u(1)); val hi1 = greatest(u(0), u(1))
+        val lo2 = least(u(2), u(3)); val hi2 = greatest(u(2), u(3))
+        Some(d2(pfx match {
+          case "ss" => least(lo1, lo2)
+          case "cs" => least(greatest(lo1, lo2), least(hi1, hi2))
+          case _    => greatest(hi1, hi2) // "ws"
+        }))
+      case "list_price" => Some(d2(ref("wholesale_cost") *
+        (lit(BigDecimal("1.20")) + frac(t("list_price"), 131))))
+      case "sales_price" => Some(d2(ref("list_price") *
+        (lit(1) - frac(t("sales_price"), 91))))
+      case "ext_discount_amt" =>
+        Some(d2((ref("list_price") - ref("sales_price")) * ref("quantity")))
+      case "ext_sales_price" => Some(d2(ref("sales_price") * ref("quantity")))
+      case "ext_wholesale_cost" =>
+        Some(d2(ref("wholesale_cost") * ref("quantity")))
+      case "ext_list_price" => Some(d2(ref("list_price") * ref("quantity")))
+      case "ext_tax" => Some(d2(ref("ext_sales_price") * frac(t("ext_tax"), 10)))
+      case "coupon_amt" =>
+        Some(when(pmod(h(line, t("coupon_amt")), lit(5)) < 4, d2(lit(0)))
+          .otherwise(d2(ref("ext_sales_price") * frac(t("coupon_amt") + 1, 51))))
+      case "ext_ship_cost" =>
+        Some(d2(ref("list_price") * ref("quantity") * frac(t("ext_ship_cost"), 51)))
+      case "net_paid" => Some(d2(ref("ext_sales_price") - ref("coupon_amt")))
+      case "net_paid_inc_tax" => Some(d2(ref("net_paid") + ref("ext_tax")))
+      case "net_paid_inc_ship" => Some(d2(ref("net_paid") + ref("ext_ship_cost")))
+      case "net_paid_inc_ship_tax" =>
+        Some(d2(ref("net_paid") + ref("ext_ship_cost") + ref("ext_tax")))
+      case "net_profit" => Some(d2(ref("net_paid") - ref("ext_wholesale_cost")))
+      case _ => None
     }
-    lazy val markup = lit(BigDecimal("1.20")) + frac(t("list_price"), 131)
-    lazy val disc = frac(t("sales_price"), 91)
-    lazy val taxRate = frac(t("ext_tax"), 10)
-    lazy val list = d2(whl * markup)
-    lazy val sales = d2(list * (lit(1) - disc))
-    lazy val extSales = d2(sales * qty)
-    lazy val coupon = when(pmod(h(line, t("coupon_amt")), lit(5)) < 4, d2(lit(0)))
-      .otherwise(d2(extSales * frac(t("coupon_amt") + 1, 51)))
-    lazy val extTax = d2(extSales * taxRate)
-    lazy val netPaid = d2(extSales - coupon)
-    lazy val extShip = d2(list * qty * frac(t("ext_ship_cost"), 51))
-    name.drop(3) match {
-      case "quantity"           => Some(qty)
-      case "wholesale_cost"     => Some(whl)
-      case "list_price"         => Some(list)
-      case "sales_price"        => Some(sales)
-      case "ext_discount_amt"   => Some(d2((list - sales) * qty))
-      case "ext_sales_price"    => Some(extSales)
-      case "ext_wholesale_cost" => Some(d2(whl * qty))
-      case "ext_list_price"     => Some(d2(list * qty))
-      case "ext_tax"            => Some(extTax)
-      case "coupon_amt"         => Some(coupon)
-      case "ext_ship_cost"      => Some(extShip)
-      case "net_paid"           => Some(netPaid)
-      case "net_paid_inc_tax"   => Some(d2(netPaid + extTax))
-      case "net_paid_inc_ship"  => Some(d2(netPaid + extShip))
-      case "net_paid_inc_ship_tax" => Some(d2(netPaid + extShip + extTax))
-      case "net_profit"         => Some(d2(netPaid - d2(whl * qty)))
-      case _                    => None
+  }
+
+  /** Stored money columns shared across downstream columns, in dependency
+    * order — each level's expressions reference ONLY earlier levels. These
+    * become named columns in salesDf's stacked selects; the remaining
+    * money columns (ext_discount_amt, ext_list_price, net_paid_inc_*,
+    * net_profit) are consumed nowhere else and stay in the final
+    * projection. */
+  private val salesMoneyLevels: Seq[Seq[String]] = Seq(
+    Seq("quantity", "wholesale_cost"),
+    Seq("list_price"),
+    Seq("sales_price"),
+    Seq("ext_sales_price", "ext_ship_cost", "ext_wholesale_cost"),
+    Seq("ext_tax", "coupon_amt"),
+    Seq("net_paid"))
+
+  /** A sales fact as STAGED stacked selects: the basket id and each shared
+    * money value is computed once as a named column, and the final
+    * projection references them. CollapseProject keeps the stages apart
+    * (each named column is a non-cheap expression referenced more than
+    * once downstream), so whole-stage codegen emits each value once and
+    * the generated method stays far under janino's 64 KB limit — where
+    * the old single-select form inlined the whole derivation chain into
+    * each of the 16 money outputs and fell back to interpreted eval.
+    * Known seam: a FILTER composed directly over this live plan on several
+    * derived money columns at once gets pushed through the stages by
+    * Catalyst with full alias re-inlining (staging can't block predicate
+    * pushdown) and can itself exceed 64 KB — correct via Spark's
+    * interpreted fallback, just slow. The product's consumption path
+    * (ensure()/CLI) materializes to parquet first, where filters hit the
+    * scan instead. */
+  private def salesDf(tbl: String, sf: Double, baseDf: DataFrame): DataFrame = {
+    val st = schema(tbl)
+    val pfx = st.fields.head.name.take(2)
+    val line = col("id")
+    def stagedRef(key: String): Column = col(s"__$key")
+    val withBasket = baseDf.select(col("id"),
+      basketOfLine(tbl, col("id")).as("__basket"))
+    val staged = salesMoneyLevels.foldLeft(withBasket) { (df, level) =>
+      df.select(df.columns.map(col) ++ level.map(k =>
+        moneyExpr(tbl, pfx, k, line, stagedRef).get.as(s"__$k")): _*)
     }
+    val stagedNames = salesMoneyLevels.flatten.toSet
+    val cols = st.fields.zipWithIndex.map { case (f, i) =>
+      val suffix = f.name.drop(3)
+      val src = if (basketLevel(f.name)) col("__basket") else line
+      val c =
+        if (stagedNames(suffix))
+          nullify(f, src, tagOf(tbl, i), col(s"__$suffix"))
+        else moneyExpr(tbl, pfx, suffix, line, stagedRef) match {
+          case Some(m) => nullify(f, src, tagOf(tbl, i), m)
+          case None =>
+            colFor(tbl, sf, f, tagOf(tbl, i), isFirst = i == 0, line,
+              col("__basket"))
+        }
+      c.as(f.name)
+    }
+    staged.select(cols.toIndexedSeq: _*)
   }
 
   /** Item merchandise hierarchy, FUNCTIONALLY DEPENDENT like dsdgen's:
@@ -850,8 +922,8 @@ object TpcdsGen extends Benchmark {
       case StringType if f.name.endsWith("_id") =>
         // dsdgen-style 16-char business key, unique per row
         concat(lit("AAAAAAAA"), lpad(conv(pmod(line, lit(99999999L)).cast(StringType), 10, 16), 8, "0"))
-      // v14: address zips draw 20% from the urban core stores sit in, 80%
-      // from the full domain — the near-home locality the published
+      // v14: address zips draw 25% (1-in-4) from the urban core stores sit
+      // in, 75% from the full domain — the near-home locality the published
       // exact-zip (Q24) and preferred-customer-density (Q8) gates assume
       case StringType if f.name == "ca_zip" =>
         when(pmod(h(src, tag + 5381), lit(4L)) === 0,
@@ -906,7 +978,7 @@ object TpcdsGen extends Benchmark {
     if (isFirst) base else nullify(f, src, nullTag, base)
   }
 
-  /** Columns of a returns fact: each row re-evaluates its linked sales
+  /** A returns fact: each row re-evaluates its linked sales
     * table's column expressions at a deterministically chosen sales LINE id,
     * so `returns ⋈ sales ON (order_number, item_sk)` lands on the
     * originating sale with dsdgen-like ~1-in-10 selectivity — item, order
@@ -917,7 +989,7 @@ object TpcdsGen extends Benchmark {
     * table's own same-basket duplicate-item odds (~L²/2/|item| of baskets).
     * The returned date is the linked sale's sold date + 0–90 days, clamped
     * to the sales window — returns never precede their sale. */
-  private def returnsCols(tbl: String, sf: Double): Seq[Column] = {
+  private def returnsDf(tbl: String, sf: Double, baseDf: DataFrame): DataFrame = {
     val rl = returnsLinks(tbl)
     val st = schema(tbl)
     val sIndex = schema(rl.salesTbl).fields.zipWithIndex
@@ -930,11 +1002,15 @@ object TpcdsGen extends Benchmark {
     // (returns ≥ sales at extreme-tiny sf) degrades to pmod — valid FKs,
     // some sales lines returned twice
     val sid = if (returnsRows * stride <= salesRows) sid0 else pmod(sid0, lit(salesRows))
-    val sBkt = basketOfLine(rl.salesTbl, sid)
+    // Staging (same 64 KB story as salesDf): the linked sales line id and
+    // its basket are computed ONCE as named columns — every salesAt() call
+    // references them instead of re-inlining the draw — and the money
+    // derivation chain is one named column per level instead of an
+    // exponentially duplicated tree per consumer.
     def salesAt(colName: String): Column = {
       val (sfld, si) = sIndex(colName)
       colFor(rl.salesTbl, sf, sfld, tagOf(rl.salesTbl, si),
-        isFirst = si == 0, line = sid, basket = sBkt)
+        isFirst = si == 0, line = col("__sid"), basket = col("__sbkt"))
     }
     // Returns money columns, coherent with the LINKED SALE (dsdgen invariants
     // the published returns queries lean on): return_quantity ∈ [1, sold
@@ -945,14 +1021,14 @@ object TpcdsGen extends Benchmark {
     // matching dsdgen's nullable money columns.
     val sPfx = Map("store_sales" -> "ss", "catalog_sales" -> "cs",
       "web_sales" -> "ws")(rl.salesTbl)
-    def returnsMoney(name: String): Option[Column] = {
-      // every cross-reference recurses under the CANONICAL column name, so
-      // each leaf's hash draw is tagged by its own column no matter which
-      // consumer asked — the same value everywhere, like stored columns
-      def cref(suffix: String): Column = returnsMoney(s"${pfxOf(tbl)}_$suffix").get
+    val amt = if (tbl == "catalog_returns") "return_amount" else "return_amt"
+    // every cross-reference resolves under the CANONICAL column name, so
+    // each leaf's hash draw is tagged by its own column no matter which
+    // consumer asked — the same value everywhere, like stored columns
+    def returnsMoney(name: String, ref: String => Column): Option[Column] = {
+      def cref(suffix: String): Column = ref(s"${pfxOf(tbl)}_$suffix")
       def frac(off: Int, n: Int) = pmod(h(col("id"), tagFor(tbl, name) + off),
         lit(n.toLong)).cast(DecimalType(12, 2)) / 100
-      val amt = if (tbl == "catalog_returns") "return_amount" else "return_amt"
       name.drop(3) match {
         case "return_quantity" =>
           Some((pmod(h(col("id"), tagFor(tbl, name)),
@@ -975,22 +1051,45 @@ object TpcdsGen extends Benchmark {
         case _ => None
       }
     }
-    st.fields.zipWithIndex.map { case (f, i) =>
+    def stagedRef(name: String): Column = col(s"__$name")
+    val p = pfxOf(tbl)
+    // dependency-ordered shared values; credit and net_loss are consumed
+    // nowhere else and stay in the final projection
+    val moneyLevels: Seq[Seq[String]] = Seq(
+      Seq(s"${p}_return_quantity"),
+      Seq(s"${p}_$amt"),
+      Seq(s"${p}_return_tax", s"${p}_fee", s"${p}_return_ship_cost"),
+      Seq(s"${p}_return_amt_inc_tax"),
+      Seq(s"${p}_refunded_cash"),
+      Seq(s"${p}_reversed_charge"))
+    val withSid = baseDf.select(col("id"), sid.as("__sid"))
+    val withBkt = withSid.select(col("id"), col("__sid"),
+      basketOfLine(rl.salesTbl, col("__sid")).as("__sbkt"))
+    val staged = moneyLevels.foldLeft(withBkt) { (df, level) =>
+      df.select(df.columns.map(col) ++ level.map(n =>
+        returnsMoney(n, stagedRef).get.as(s"__$n")): _*)
+    }
+    val stagedNames = moneyLevels.flatten.toSet
+    val cols = st.fields.zipWithIndex.map { case (f, i) =>
       val c: Column =
-        if (f.name == rl.orderCol) (sBkt + 1).cast(f.dataType)
+        if (f.name == rl.orderCol) (col("__sbkt") + 1).cast(f.dataType)
         else if (f.name == rl.returnedDateCol)
           least(salesAt(rl.soldDateCol).cast(LongType) +
             uniLong(col("id"), tagOf(tbl, i), 0, 90), lit(dateSkHi)).cast(f.dataType)
         else rl.linked.get(f.name) match {
           case Some(salesCol) => salesAt(salesCol).cast(f.dataType)
-          case None => returnsMoney(f.name) match {
-            case Some(m) => nullify(f, col("id"), tagOf(tbl, i), d2OrSelf(f, m))
-            case None =>
-              colFor(tbl, sf, f, tagOf(tbl, i), isFirst = false, col("id"), col("id"))
-          }
+          case None =>
+            if (stagedNames(f.name))
+              nullify(f, col("id"), tagOf(tbl, i), d2OrSelf(f, col(s"__${f.name}")))
+            else returnsMoney(f.name, stagedRef) match {
+              case Some(m) => nullify(f, col("id"), tagOf(tbl, i), d2OrSelf(f, m))
+              case None =>
+                colFor(tbl, sf, f, tagOf(tbl, i), isFirst = false, col("id"), col("id"))
+            }
         }
       c.as(f.name)
-    }.toIndexedSeq
+    }
+    staged.select(cols.toIndexedSeq: _*)
   }
 
   /** Returns-table column prefix (sr/cr/wr). */
@@ -1117,14 +1216,12 @@ object TpcdsGen extends Benchmark {
     tbl match {
       case "date_dim" => dateDim(baseDf)
       case "time_dim" => timeDim(baseDf)
-      case t if returnsLinks.contains(t) =>
-        baseDf.select(returnsCols(t, sf): _*)
+      case t if returnsLinks.contains(t) => returnsDf(t, sf, baseDf)
+      case t if basketLines.contains(t) => salesDf(t, sf, baseDf)
       case _ =>
         val line = col("id")
-        val basket = if (basketLines.contains(tbl))
-          basketOfLine(tbl, line) else line
         val cols = st.fields.zipWithIndex.map { case (f, i) =>
-          colFor(tbl, sf, f, tagOf(tbl, i), isFirst = i == 0, line, basket).as(f.name)
+          colFor(tbl, sf, f, tagOf(tbl, i), isFirst = i == 0, line, line).as(f.name)
         }
         baseDf.select(cols.toIndexedSeq: _*)
     }

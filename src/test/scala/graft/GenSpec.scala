@@ -10,6 +10,24 @@ import graft.gen.{TpchGen, TpcdsGen}
 class GenSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** Materialize a generated table to temp parquet and read it back — the
+    * product's own consumption path (ensure()/CLI write parquet; queries
+    * read it). The money-coherence tests filter on DERIVED money columns;
+    * over a LIVE generation plan Catalyst pushes such a filter through the
+    * staged projects all the way to Range, re-inlining the alias chain
+    * into one giant condition (measured 3k+ expression nodes for the
+    * 4-column refund-split identity) that exceeds janino's 64 KB method
+    * limit and falls back to interpreted eval — correct but slow, and an
+    * ERROR line in the log. Reading the parquet back tests the same data
+    * invariants on the plan shape users actually run. */
+  private val matDir = java.nio.file.Files.createTempDirectory("genspec_mat")
+  private def materialized(tbl: String, sf: Double): org.apache.spark.sql.DataFrame = {
+    val path = s"$matDir/$tbl-$sf"
+    if (!new java.io.File(path).exists())
+      graft.gen.TpcdsGen.table(spark, tbl, sf, 4).write.parquet(path)
+    spark.read.parquet(path)
+  }
+
   test("TPC-H generation is partition-count invariant") {
     Seq("supplier", "orders", "lineitem").foreach { t =>
       val p1 = TpchGen.table(spark, t, 0.001, 1)
@@ -387,7 +405,7 @@ class GenSpec extends AnyFunSuite {
     for (t <- Seq("store_sales", "catalog_sales", "web_sales")) {
       val p = Map("store_sales" -> "ss", "catalog_sales" -> "cs",
         "web_sales" -> "ws")(t)
-      val df = TpcdsGen.table(spark, t, 0.01, 4)
+      val df = materialized(t, 0.01)
       def c(n: String) = col(s"${p}_$n")
       def d2(x: org.apache.spark.sql.Column) =
         x.cast(org.apache.spark.sql.types.DecimalType(7, 2))
@@ -417,8 +435,8 @@ class GenSpec extends AnyFunSuite {
 
   test("returns money columns are coherent with the linked sale") {
     import org.apache.spark.sql.functions._
-    val ss = TpcdsGen.table(spark, "store_sales", 0.01, 4)
-    val sr = TpcdsGen.table(spark, "store_returns", 0.01, 4)
+    val ss = materialized("store_sales", 0.01)
+    val sr = materialized("store_returns", 0.01)
     def d2(x: org.apache.spark.sql.Column) =
       x.cast(org.apache.spark.sql.types.DecimalType(7, 2))
     val j = sr.join(ss, sr("sr_ticket_number") === ss("ss_ticket_number") &&
@@ -758,5 +776,30 @@ class GenSpec extends AnyFunSuite {
     val invNovDec = inv.filter(col("d_moy") >= 11).count().toDouble
     assert(invNovDec / invN < 0.25,
       f"inventory dates unexpectedly seasonal: ${invNovDec / invN}%.3f")
+  }
+
+  test("fact-table generation compiles under whole-stage codegen (no 64 KB fallback)") {
+    // Regression for the staged-projection refactor: the old single-select
+    // form inlined the money derivation chain into each of the 16 money
+    // outputs, the generated method blew janino's 64 KB limit, and Spark
+    // silently fell back to interpreted projection (sf1 generation was 5×
+    // slower). doCodeGen + compile reproduces exactly what the executor
+    // would compile; a janino failure throws here instead of hiding in a
+    // WARN log line.
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val facts = Seq("store_sales", "catalog_sales", "web_sales",
+      "store_returns", "catalog_returns", "web_returns")
+    facts.foreach { tbl =>
+      val df = TpcdsGen.table(spark, tbl, 0.001, 2)
+      val spans = df.queryExecution.executedPlan.collect {
+        case w: WholeStageCodegenExec => w
+      }
+      assert(spans.nonEmpty, s"$tbl plan has no WholeStageCodegen span")
+      spans.foreach { w =>
+        val (_, code) = w.doCodeGen()
+        CodeGenerator.compile(code) // throws on janino failure
+      }
+    }
   }
 }
