@@ -635,43 +635,91 @@ object Tpcds {
           .as("catalog_sales_quantity"))
   }
 
-  /** [Q-tpcds-q14] TPC-DS Q14 shape: items sold through ALL THREE channels
-    * — an INTERSECT chain over the per-channel distinct item sets — then
-    * per-channel totals restricted to those cross-channel items via semi
-    * joins. INTERSECT is a keyed set-op (aggregate + join on item_sk, a
-    * dense int key); each channel's fact streams once through a semi join
-    * against the (small) cross-channel set. */
+  /** [Q-tpcds-q14] TPC-DS Q14 (first iteration), PUBLISHED shape:
+    * cross_items = items whose (brand_id, class_id, category_id) tuple
+    * sold in ALL THREE channels over the published three-year window —
+    * the hierarchy-tuple INTERSECT, not a raw item_sk intersect (the
+    * generator's item hierarchy is functionally dependent, so tuple
+    * membership is an item property and the published per-item cross_items
+    * semi join collapses to a tuple-keyed semi join); avg_sales = the
+    * all-channel three-year average of quantity × list_price; the
+    * November report keeps (channel, tuple) cells whose sales beat that
+    * average, ROLLUP'd over (channel, brand, class, category). The
+    * published 1999..2001 window and 2001-11 report month run as written
+    * on the generated calendar.
+    * Spark-first plan: the INTERSECT collapses into ONE inner three-way
+    * join of the per-channel tuple aggregates (each aggregate consumed
+    * EXACTLY once — a semi-join/union form read each one 2-3× with
+    * divergent column pruning, defeating exchange reuse: 7 fact scans
+    * measured, vs 3 item-joined + 3 date-only here), unpivoted to
+    * (channel, tuple) cells in one explode projection; avg_sales comes
+    * from plain date-only scans (no item join — the published CTE's own
+    * shape). Dims broadcast; the only shuffles are the
+    * ≤|brand×class×category| tuple aggregates. Hash-stable discipline
+    * (SURVEY §7.4): money summed as exact integer cents, the avg_sales
+    * gate decided by integer cross-multiplication
+    * (novCents·totCnt > totCents), the double emitted once at the output
+    * boundary. NULL-component tuples stay in the avg_sales totals (as
+    * published) but are excluded from cross membership on both engines —
+    * Spark join equality and SQL INTERSECT disagree on NULL tuples. */
   def q_tpcds_q14(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
-    // ONE keyed aggregate per channel: the per-item grain serves BOTH the
-    // INTERSECT (its key set) and the channel totals (sum of per-item
-    // sums = sum; count of per-item rows = distinct item count) — each
-    // fact is scanned once, where the naive form scans each twice
-    // (distinct for the intersect + raw rows for the totals) and pays a
-    // countDistinct Expand on the union. r9: 1.55 s → one-scan form.
-    def perItem(fact: String, pfx: String): DataFrame =
-      t(spark, dir, fact).groupBy(col(s"${pfx}_item_sk").as("item"))
-        .agg(sum(col(s"${pfx}_quantity")).as("qty"),
-          sum(col(s"${pfx}_ext_sales_price")).as("amt"))
-    val store = perItem("store_sales", "ss")
-    val catalog = perItem("catalog_sales", "cs")
-    val web = perItem("web_sales", "ws")
-    // cross-channel item set: semi joins against the other channels' key
-    // sets (the per-item aggregates are already distinct on item)
-    val cross = store.select("item")
-      .join(catalog.select(col("item").as("c_item")),
-        col("item") === col("c_item"), "left_semi")
-      .join(web.select(col("item").as("w_item")),
-        col("item") === col("w_item"), "left_semi")
-      .select(col("item").as("x_item"))
-    def chan(ch: DataFrame, name: String): DataFrame =
-      ch.join(cross, col("item") === col("x_item"), "left_semi")
-        .select(lit(name).as("channel"), col("item"), col("qty"), col("amt"))
-    chan(store, "store").union(chan(catalog, "catalog")).union(chan(web, "web"))
-      .groupBy(col("channel"))
-      .agg(sum(col("qty")).cast(org.apache.spark.sql.types.LongType).as("qty"),
-        sum(col("amt")).cast(DoubleType).as("amt"),
-        count(lit(1)).as("n_items"))
+    val key = Seq("i_brand_id", "i_class_id", "i_category_id")
+    val it = t(spark, dir, "item")
+      .select(col("i_item_sk") +: key.map(col): _*)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year").between(1999, 2001))
+      .select(col("d_date_sk"),
+        (col("d_year") === 2001 && col("d_moy") === 11).as("is_nov"))
+    def cents(pfx: String) =
+      (col(s"${pfx}_quantity") * col(s"${pfx}_list_price") * 100)
+        .cast(DecimalType(38, 0))
+    // per-channel November cells at the hierarchy-tuple grain; the group
+    // EXISTING (any sale in the 3-year window) is what cross membership
+    // tests, so tuples with zero November rows are kept (nov_cnt = 0)
+    def perTuple(fact: String, pfx: String): DataFrame =
+      t(spark, dir, fact)
+        .select(col(s"${pfx}_sold_date_sk").as("dsk"),
+          col(s"${pfx}_item_sk").as("isk"), cents(pfx).as("cents"))
+        .join(broadcast(dd), col("dsk") === col("d_date_sk"))
+        .join(broadcast(it), col("isk") === col("i_item_sk"))
+        .filter(key.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(key.map(col): _*)
+        .agg(sum(when(col("is_nov"), col("cents"))).as(s"${pfx}_nov_cents"),
+          count(when(col("is_nov"), lit(1))).as(s"${pfx}_nov_cnt"))
+    // the published avg_sales scalar: plain all-channel three-year totals
+    // (no item join, matching the published CTE) in exact cents, attached
+    // by the nullable-derived-key broadcast idiom
+    def chanTot(fact: String, pfx: String): DataFrame =
+      t(spark, dir, fact)
+        .select(col(s"${pfx}_sold_date_sk").as("dsk"), cents(pfx).as("cents"))
+        .join(broadcast(dd.select("d_date_sk")), col("dsk") === col("d_date_sk"))
+        .select("cents")
+    val tot = chanTot("store_sales", "ss")
+      .union(chanTot("catalog_sales", "cs"))
+      .union(chanTot("web_sales", "ws"))
+      .agg(sum(col("cents")).as("tot_cents"), count(col("cents")).as("tot_cnt"))
+      .withColumn("jk", coalesce(col("tot_cents") * 0, lit(0)).cast(
+        org.apache.spark.sql.types.IntegerType))
+    val joined = perTuple("store_sales", "ss")
+      .join(perTuple("catalog_sales", "cs"), key)
+      .join(perTuple("web_sales", "ws"), key)
+    def cell(name: String, pfx: String) =
+      struct(lit(name).as("channel"), col(s"${pfx}_nov_cents").as("nov_cents"),
+        col(s"${pfx}_nov_cnt").as("nov_cnt"))
+    joined
+      .select(key.map(col) :+ explode(array(cell("store", "ss"),
+        cell("catalog", "cs"), cell("web", "ws"))).as("c"): _*)
+      .select(key.map(col) :+ col("c.channel") :+ col("c.nov_cents") :+
+        col("c.nov_cnt"): _*)
+      .filter(col("nov_cnt") > 0)
+      .withColumn("jk", coalesce(col("nov_cents") * 0, lit(0)).cast(
+        org.apache.spark.sql.types.IntegerType))
+      .join(broadcast(tot), Seq("jk"))
+      .filter(col("nov_cents") * col("tot_cnt") > col("tot_cents"))
+      .rollup(col("channel"), col("i_brand_id"), col("i_class_id"),
+        col("i_category_id"))
+      .agg((sum(col("nov_cents")).cast(DoubleType) / 100.0).as("sales"),
+        sum(col("nov_cnt")).as("number_sales"))
   }
 
   /** [Q-tpcds-q11] TPC-DS Q11 shape: customers whose web spend grew faster
@@ -1591,14 +1639,18 @@ object Tpcds {
     * aggregate emits one row. Averages divide exact DECIMAL sums by
     * non-null counts once (engine-portable). The published hd_dep_count
     * point filters run as published (genVersion 10's 0..9 domain);
-    * price/profit bands and the state triples stay adaptations: the demo
-    * disjunction keeps only ~14 store lines at sf0.01 (measured on
-    * genVersion 15 — the 1/35 marital×education cross times the 1/10
-    * dep-count point filter is that selective at ANY price band), and
-    * the published TX/OH/TX + OR/NM/KY + VA/TX/MS triples cover ~24% of
-    * the weighted roster, so the joint holds < 1 line at the gate scale
-    * (0 measured) — same-shape major-state triples keep the profile
-    * non-degenerate; honest one decade up. */
+    * price/profit bands and the state triples stay adaptations — the
+    * published joint is STRUCTURALLY empty at gate scales, measured on
+    * gen16 at two scales (r11): the three published demo arms WITHOUT
+    * their price bands keep 33 store lines at sf0.01 / 333 at sf0.1;
+    * adding the published 50-wide price bands (100-150/50-100/150-200,
+    * deep in the tail of the store channel's min-of-4 price curve, mean
+    * ≈ 21) cuts them to 1 / 10; the published geo disjunction keeps
+    * ~0.3% of lines; their product is ≈ 0.003 lines per 0.01 sf — joint
+    * = 0 measured at BOTH scales, first line expected around sf 3-10.
+    * Both selectivities are sf-invariant, so no weight bump short of
+    * distorting the demo cross or the price curve carries it; same-shape
+    * major-state triples keep the profile non-degenerate. */
   def q_tpcds_q13(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
@@ -4042,19 +4094,33 @@ object Tpcds {
   /** [Q-tpcds-q14b] TPC-DS Q14's SECOND iteration: store sales of
     * cross-channel items at the (brand, class, category) grain, this year's
     * month against the same month last year, keeping cells that grew.
-    * Reuses Q14's one-aggregate-per-channel cross-channel item set; the
+    * Cross membership is the PUBLISHED hierarchy-tuple INTERSECT over the
+    * published three-year window (tuples sold in all three channels — the
+    * same collapse-to-tuple-grain argument as Q14's first iteration); the
     * two calendar windows resolve from anchor dates by Q58's nested
     * month-seq derivation (published week grain → month, the documented
     * density adaptation), and the year pair is ONE conditional aggregate
-    * over ONE store_sales pass — not a CTE self-join of two scans. */
+    * over ONE store_sales pass — not a CTE self-join of two scans.
+    * Hash-stable discipline: the grew-or-not gate compares exact integer
+    * CENTS, never computed doubles; the emitted sales are one int→double
+    * conversion plus an IEEE division each. */
   def q_tpcds_q14b(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
-    def itemSet(fact: String, pfx: String) =
-      t(spark, dir, fact).select(col(s"${pfx}_item_sk").as(s"${pfx}_i")).distinct()
-    val cross = itemSet("store_sales", "ss")
-      .join(itemSet("catalog_sales", "cs"), col("ss_i") === col("cs_i"), "left_semi")
-      .join(itemSet("web_sales", "ws"), col("ss_i") === col("ws_i"), "left_semi")
-      .select(col("ss_i").as("x_item"))
+    val key = Seq("i_brand_id", "i_class_id", "i_category_id")
+    val it = t(spark, dir, "item")
+      .select(col("i_item_sk") +: key.map(col): _*)
+    val dd3 = t(spark, dir, "date_dim")
+      .filter(col("d_year").between(1999, 2001)).select("d_date_sk")
+    def tupleSet(fact: String, pfx: String) =
+      t(spark, dir, fact)
+        .select(col(s"${pfx}_sold_date_sk").as("dsk"), col(s"${pfx}_item_sk").as("isk"))
+        .join(broadcast(dd3), col("dsk") === col("d_date_sk"))
+        .join(broadcast(it), col("isk") === col("i_item_sk"))
+        .select(key.map(col): _*).distinct()
+    val nonNull = key.map(col(_).isNotNull).reduce(_ && _)
+    val crossTuples = tupleSet("store_sales", "ss").filter(nonNull)
+      .join(tupleSet("catalog_sales", "cs"), key, "left_semi")
+      .join(tupleSet("web_sales", "ws"), key, "left_semi")
     def monthOf(date: String, mark: String) =
       t(spark, dir, "date_dim")
         .filter(col("d_date") === to_date(lit(date)))
@@ -4067,24 +4133,26 @@ object Tpcds {
         .join(broadcast(monthOf("2000-12-11", "ly_seq")),
           col("d_month_seq") === col("ly_seq"), "left_semi")
         .select(col("d_date_sk"), lit(0).as("is_ty")))
-    val it = t(spark, dir, "item")
-      .select("i_item_sk", "i_brand_id", "i_class_id", "i_category_id")
     val ty = col("is_ty") === 1
+    val cents = (col("ss_quantity") * col("ss_list_price") * 100)
+      .cast(DecimalType(38, 0))
     t(spark, dir, "store_sales")
       .select("ss_sold_date_sk", "ss_item_sk", "ss_quantity", "ss_list_price")
-      .join(cross, col("ss_item_sk") === col("x_item"), "left_semi")
       .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
       .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
-      .groupBy(col("i_brand_id"), col("i_class_id"), col("i_category_id"))
-      .agg(sum(when(ty, col("ss_quantity") * col("ss_list_price"))).as("ty_sales"),
+      .join(broadcast(crossTuples), key, "left_semi")
+      .groupBy(key.map(col): _*)
+      .agg(sum(when(ty, cents)).as("ty_cents"),
         count(when(ty, lit(1))).as("ty_number_sales"),
-        sum(when(!ty, col("ss_quantity") * col("ss_list_price"))).as("ly_sales"),
+        sum(when(!ty, cents)).as("ly_cents"),
         count(when(!ty, lit(1))).as("ly_number_sales"))
       .filter(col("ty_number_sales") > 0 && col("ly_number_sales") > 0 &&
-        col("ty_sales").cast(DoubleType) > col("ly_sales").cast(DoubleType))
+        col("ty_cents") > col("ly_cents"))
       .select(lit("store").as("channel"), col("i_brand_id"), col("i_class_id"),
-        col("i_category_id"), col("ty_sales").cast(DoubleType).as("ty_sales"),
-        col("ty_number_sales"), col("ly_sales").cast(DoubleType).as("ly_sales"),
+        col("i_category_id"),
+        (col("ty_cents").cast(DoubleType) / 100.0).as("ty_sales"),
+        col("ty_number_sales"),
+        (col("ly_cents").cast(DoubleType) / 100.0).as("ly_sales"),
         col("ly_number_sales"))
   }
 
@@ -4452,26 +4520,47 @@ object Tpcds {
          | AND cs_sold_date_sk >= sr_returned_date_sk
          |JOIN ${P("item")} ON ss_item_sk = i_item_sk
          |GROUP BY i_category""".stripMargin,
-    "q_tpcds_q14" ->
-      s"""WITH cross_items AS (
-         | SELECT ss_item_sk AS item_sk FROM ${P("store_sales")}
-         | INTERSECT SELECT cs_item_sk FROM ${P("catalog_sales")}
-         | INTERSECT SELECT ws_item_sk FROM ${P("web_sales")})
-         |SELECT channel, CAST(sum(qty) AS BIGINT) AS qty,
-         | CAST(sum(amt) AS DOUBLE) AS amt, count(DISTINCT item) AS n_items
-         |FROM (
-         | SELECT 'store' AS channel, ss_item_sk AS item, ss_quantity AS qty,
-         |  ss_ext_sales_price AS amt FROM ${P("store_sales")}
-         |  WHERE ss_item_sk IN (SELECT item_sk FROM cross_items)
-         | UNION ALL
-         | SELECT 'catalog', cs_item_sk, cs_quantity, cs_ext_sales_price
-         |  FROM ${P("catalog_sales")}
-         |  WHERE cs_item_sk IN (SELECT item_sk FROM cross_items)
-         | UNION ALL
-         | SELECT 'web', ws_item_sk, ws_quantity, ws_ext_sales_price
-         |  FROM ${P("web_sales")}
-         |  WHERE ws_item_sk IN (SELECT item_sk FROM cross_items)) u
-         |GROUP BY channel""".stripMargin,
+    "q_tpcds_q14" -> {
+      def leg(fact: String, pfx: String) =
+        s"""SELECT i_brand_id, i_class_id, i_category_id,
+           |  sum(cents) AS yr_cents, count(cents) AS yr_cnt,
+           |  sum(CASE WHEN is_nov THEN cents END) AS nov_cents,
+           |  count(CASE WHEN is_nov THEN 1 END) AS nov_cnt
+           | FROM (SELECT ${pfx}_sold_date_sk AS dsk, ${pfx}_item_sk AS isk,
+           |   CAST(${pfx}_quantity * ${pfx}_list_price * 100 AS BIGINT) AS cents
+           |  FROM ${P(fact)}) f
+           | JOIN dd ON dsk = d_date_sk
+           | JOIN ${P("item")} ON isk = i_item_sk
+           | GROUP BY 1, 2, 3""".stripMargin
+      def rep(src: String, name: String) =
+        s"""SELECT '$name' AS channel, i_brand_id, i_class_id, i_category_id,
+           |  nov_cents, nov_cnt
+           | FROM $src JOIN cross_t USING (i_brand_id, i_class_id, i_category_id)
+           | CROSS JOIN tot
+           | WHERE nov_cnt > 0 AND nov_cents * tot_cnt > tot_cents""".stripMargin
+      s"""WITH dd AS (SELECT d_date_sk, (d_year = 2001 AND d_moy = 11) AS is_nov
+         |  FROM ${P("date_dim")} WHERE d_year BETWEEN 1999 AND 2001),
+         |st AS (${leg("store_sales", "ss")}),
+         |ct AS (${leg("catalog_sales", "cs")}),
+         |wt AS (${leg("web_sales", "ws")}),
+         |cross_t AS (
+         | SELECT i_brand_id, i_class_id, i_category_id FROM st
+         |  WHERE i_brand_id IS NOT NULL AND i_class_id IS NOT NULL
+         |   AND i_category_id IS NOT NULL
+         | INTERSECT SELECT i_brand_id, i_class_id, i_category_id FROM ct
+         | INTERSECT SELECT i_brand_id, i_class_id, i_category_id FROM wt),
+         |tot AS (SELECT sum(yr_cents) AS tot_cents, sum(yr_cnt) AS tot_cnt
+         | FROM (SELECT yr_cents, yr_cnt FROM st
+         |  UNION ALL SELECT yr_cents, yr_cnt FROM ct
+         |  UNION ALL SELECT yr_cents, yr_cnt FROM wt) u)
+         |SELECT channel, i_brand_id, i_class_id, i_category_id,
+         | CAST(sum(nov_cents) AS DOUBLE) / 100.0 AS sales,
+         | CAST(sum(nov_cnt) AS BIGINT) AS number_sales
+         |FROM (${rep("st", "store")}
+         | UNION ALL ${rep("ct", "catalog")}
+         | UNION ALL ${rep("wt", "web")}) y
+         |GROUP BY ROLLUP(channel, i_brand_id, i_class_id, i_category_id)""".stripMargin
+    },
     "q_tpcds_q11" ->
       s"""WITH s AS (
          | SELECT ss_customer_sk AS cust,
@@ -6265,12 +6354,18 @@ object Tpcds {
          |WHERE m1.d_moy = 1 AND m2.d_moy = 2
          | AND 4 * m1.n * (m1.n * m1.ss - m1.s * m1.s)
          |   > 9 * (m1.n - 1) * m1.s * m1.s""".stripMargin,
-    "q_tpcds_q14b" ->
-      s"""WITH cross_items AS (
-         | SELECT ss_item_sk AS x_item FROM ${P("store_sales")}
-         | WHERE ss_item_sk IN (SELECT cs_item_sk FROM ${P("catalog_sales")})
-         |  AND ss_item_sk IN (SELECT ws_item_sk FROM ${P("web_sales")})
-         | GROUP BY ss_item_sk),
+    "q_tpcds_q14b" -> {
+      def tset(fact: String, pfx: String) =
+        s"""SELECT DISTINCT i_brand_id, i_class_id, i_category_id
+           | FROM ${P(fact)}
+           | JOIN dd3 ON ${pfx}_sold_date_sk = d_date_sk
+           | JOIN ${P("item")} ON ${pfx}_item_sk = i_item_sk""".stripMargin
+      s"""WITH dd3 AS (SELECT d_date_sk FROM ${P("date_dim")}
+         |  WHERE d_year BETWEEN 1999 AND 2001),
+         |cross_t AS (
+         | (${tset("store_sales", "ss")}
+         |  ) INTERSECT (${tset("catalog_sales", "cs")}
+         |  ) INTERSECT (${tset("web_sales", "ws")})),
          |dd AS (
          | SELECT d_date_sk, 1 AS is_ty FROM ${P("date_dim")}
          | WHERE d_month_seq = (SELECT d_month_seq FROM ${P("date_dim")}
@@ -6280,23 +6375,26 @@ object Tpcds {
          | WHERE d_month_seq = (SELECT d_month_seq FROM ${P("date_dim")}
          |                      WHERE d_date = DATE '2000-12-11'))
          |SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
-         | CAST(sum(CASE WHEN is_ty = 1 THEN ss_quantity * ss_list_price END)
-         |  AS DOUBLE) AS ty_sales,
+         | CAST(sum(CASE WHEN is_ty = 1
+         |  THEN CAST(ss_quantity * ss_list_price * 100 AS BIGINT) END)
+         |  AS DOUBLE) / 100.0 AS ty_sales,
          | count(CASE WHEN is_ty = 1 THEN 1 END) AS ty_number_sales,
-         | CAST(sum(CASE WHEN is_ty = 0 THEN ss_quantity * ss_list_price END)
-         |  AS DOUBLE) AS ly_sales,
+         | CAST(sum(CASE WHEN is_ty = 0
+         |  THEN CAST(ss_quantity * ss_list_price * 100 AS BIGINT) END)
+         |  AS DOUBLE) / 100.0 AS ly_sales,
          | count(CASE WHEN is_ty = 0 THEN 1 END) AS ly_number_sales
          |FROM ${P("store_sales")}
          |JOIN dd ON ss_sold_date_sk = d_date_sk
          |JOIN ${P("item")} ON ss_item_sk = i_item_sk
-         |WHERE ss_item_sk IN (SELECT x_item FROM cross_items)
+         |JOIN cross_t USING (i_brand_id, i_class_id, i_category_id)
          |GROUP BY 2, 3, 4
          |HAVING count(CASE WHEN is_ty = 1 THEN 1 END) > 0
          | AND count(CASE WHEN is_ty = 0 THEN 1 END) > 0
-         | AND CAST(sum(CASE WHEN is_ty = 1 THEN ss_quantity * ss_list_price END)
-         |   AS DOUBLE) >
-         |  CAST(sum(CASE WHEN is_ty = 0 THEN ss_quantity * ss_list_price END)
-         |   AS DOUBLE)""".stripMargin,
+         | AND sum(CASE WHEN is_ty = 1
+         |   THEN CAST(ss_quantity * ss_list_price * 100 AS BIGINT) END) >
+         |  sum(CASE WHEN is_ty = 0
+         |   THEN CAST(ss_quantity * ss_list_price * 100 AS BIGINT) END)""".stripMargin
+    },
     "q_tpcds_q23b" ->
       s"""WITH dd4 AS (SELECT d_date_sk FROM ${P("date_dim")}
          |  WHERE d_year BETWEEN 1999 AND 2002),
