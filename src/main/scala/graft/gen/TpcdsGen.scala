@@ -128,8 +128,17 @@ object TpcdsGen extends Benchmark {
     * 12-row store floor, cc_county at the 6-row call-center floor) —
     * Q73's published 4-county list and Q16's published Williamson
     * call-center gate run as written instead of depending on a hash
-    * draw that misses a county with P ≈ 0.3. */
-  val genVersion = 16
+    * draw that misses a county with P ≈ 0.3.
+    * v17: ~10% of catalog/web returning parties differ from the buyer
+    * (dsdgen returns a fraction of items through someone else). The
+    * fresh party is a uniform customer whose cdemo/hdemo/addr keys
+    * RE-EVALUATE that customer row's own c_current_* expressions, so the
+    * returning keys stay row-coherent; the other 90% keep the v15
+    * buyer-is-returner linkage. Q85's published cd1 = cd2 marital/
+    * education equality arms become real predicates (~10% of joined rows
+    * carry an independent second demographic) instead of vacuous
+    * pass-alls. */
+  val genVersion = 17
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -482,7 +491,9 @@ object TpcdsGen extends Benchmark {
         // v15: the returning party IS the buyer (dsdgen's common case,
         // already true for the customer key) — their demographics and
         // address rows follow, so Q85's published cd1 = cd2
-        // double-demographic equality selects real rows
+        // double-demographic equality selects real rows. v17: returnsDf
+        // overrides ~10% of rows with an independent returning party
+        // (see retParty), so the equality arms retain real selectivity.
         "cr_returning_customer_sk" -> "cs_bill_customer_sk",
         "cr_returning_cdemo_sk" -> "cs_bill_cdemo_sk",
         "cr_returning_hdemo_sk" -> "cs_bill_hdemo_sk",
@@ -1062,10 +1073,38 @@ object TpcdsGen extends Benchmark {
       Seq(s"${p}_return_amt_inc_tax"),
       Seq(s"${p}_refunded_cash"),
       Seq(s"${p}_reversed_charge"))
+    // v17: ~10% of catalog/web returning parties are an INDEPENDENT
+    // customer (dsdgen: returns come back through someone else for a
+    // fraction of orders). One per-row draw flips all four returning_*
+    // keys together; the fresh party's cdemo/hdemo/addr RE-EVALUATE that
+    // customer row's own c_current_* expressions, so the quadruple stays
+    // row-coherent. Store returns carry no returning_* block.
+    val retCustCol = s"${pfxOf(tbl)}_returning_customer_sk"
+    val hasRet = rl.linked.contains(retCustCol)
+    val retParty: Map[String, String] = Map(
+      s"${pfxOf(tbl)}_returning_cdemo_sk" -> "c_current_cdemo_sk",
+      s"${pfxOf(tbl)}_returning_hdemo_sk" -> "c_current_hdemo_sk",
+      s"${pfxOf(tbl)}_returning_addr_sk" -> "c_current_addr_sk")
+    val cIndex = schema("customer").fields.zipWithIndex
+      .map { case (f, i) => f.name -> (f, i) }.toMap
+    def freshPartyKey(name: String): Column =
+      if (name == retCustCol) col("__ret_line") + 1
+      else {
+        val (cf, ci) = cIndex(retParty(name))
+        colFor("customer", sf, cf, tagOf("customer", ci), isFirst = false,
+          col("__ret_line"), col("__ret_line"))
+      }
     val withSid = baseDf.select(col("id"), sid.as("__sid"))
     val withBkt = withSid.select(col("id"), col("__sid"),
       basketOfLine(rl.salesTbl, col("__sid")).as("__sbkt"))
-    val staged = moneyLevels.foldLeft(withBkt) { (df, level) =>
+    val withRet =
+      if (!hasRet) withBkt
+      else withBkt.select(col("id"), col("__sid"), col("__sbkt"),
+        (pmod(h(col("id"), tagFor(tbl, retCustCol) + 4099), lit(10L)) =!= 0)
+          .as("__ret_same"),
+        uniLong(col("id"), tagFor(tbl, retCustCol) + 4211, 0,
+          rowCount("customer", sf) - 1).as("__ret_line"))
+    val staged = moneyLevels.foldLeft(withRet) { (df, level) =>
       df.select(df.columns.map(col) ++ level.map(n =>
         returnsMoney(n, stagedRef).get.as(s"__$n")): _*)
     }
@@ -1076,6 +1115,9 @@ object TpcdsGen extends Benchmark {
         else if (f.name == rl.returnedDateCol)
           least(salesAt(rl.soldDateCol).cast(LongType) +
             uniLong(col("id"), tagOf(tbl, i), 0, 90), lit(dateSkHi)).cast(f.dataType)
+        else if (hasRet && (f.name == retCustCol || retParty.contains(f.name)))
+          when(col("__ret_same"), salesAt(rl.linked(f.name)))
+            .otherwise(freshPartyKey(f.name)).cast(f.dataType)
         else rl.linked.get(f.name) match {
           case Some(salesCol) => salesAt(salesCol).cast(f.dataType)
           case None =>

@@ -385,16 +385,34 @@ class GenSpec extends AnyFunSuite {
     val p3 = TpcdsGen.table(spark, "store_returns", 0.001, 3)
     val p11 = TpcdsGen.table(spark, "store_returns", 0.001, 11)
     assert(p3.exceptAll(p11).count() == 0 && p11.exceptAll(p3).count() == 0)
-    // v15: the returning party IS the buyer — their demographics and
-    // address rows follow the bill side (Q85's published cd1 = cd2
-    // double-demographic equality leans on this)
-    val wr = TpcdsGen.table(spark, "web_returns", sf, 4)
-    for ((a, b) <- Seq(
-        "wr_returning_cdemo_sk" -> "wr_refunded_cdemo_sk",
-        "wr_returning_hdemo_sk" -> "wr_refunded_hdemo_sk",
-        "wr_returning_addr_sk" -> "wr_refunded_addr_sk"))
-      assert(wr.filter(!(col(a) <=> col(b))).count() == 0,
-        s"$a disagrees with $b")
+    // v17: ~90% of returning parties ARE the buyer (their demo/address
+    // keys follow the bill side — the v15 linkage); ~10% are an
+    // INDEPENDENT customer, so Q85's published cd1 = cd2 equality arms
+    // are real predicates, not vacuous pass-alls
+    val wr = TpcdsGen.table(spark, "web_returns", 0.01, 4)
+    val wrN = wr.count().toDouble
+    val sameShare = wr.filter(
+      col("wr_returning_customer_sk") <=> col("wr_refunded_customer_sk") &&
+      col("wr_returning_cdemo_sk") <=> col("wr_refunded_cdemo_sk") &&
+      col("wr_returning_hdemo_sk") <=> col("wr_refunded_hdemo_sk") &&
+      col("wr_returning_addr_sk") <=> col("wr_refunded_addr_sk"))
+      .count().toDouble / wrN
+    assert(sameShare > 0.84 && sameShare < 0.96,
+      f"buyer-is-returner share $sameShare%.3f outside the 90%% draw band")
+    // the fresh party's keys are ROW-COHERENT: they re-evaluate that
+    // customer row's own c_current_* draws
+    val cust = TpcdsGen.table(spark, "customer", 0.01, 4)
+      .select(col("c_customer_sk"), col("c_current_cdemo_sk"),
+        col("c_current_hdemo_sk"), col("c_current_addr_sk"))
+    val fresh = wr.filter(
+        !(col("wr_returning_customer_sk") <=> col("wr_refunded_customer_sk")))
+      .join(cust, col("wr_returning_customer_sk") === col("c_customer_sk"))
+    assert(fresh.count() > 0, "no independent returning parties drawn")
+    assert(fresh.filter(
+      !(col("wr_returning_cdemo_sk") <=> col("c_current_cdemo_sk")) ||
+      !(col("wr_returning_hdemo_sk") <=> col("c_current_hdemo_sk")) ||
+      !(col("wr_returning_addr_sk") <=> col("c_current_addr_sk"))).count() == 0,
+      "an independent returning party's keys disagree with its customer row")
   }
 
   test("sales money columns are arithmetically coherent") {
