@@ -1202,8 +1202,10 @@ object Tpcds {
     * with the 1.2× premium comparison as a residual; the month window
     * attaches through the published scalar d_month_seq subquery (1-row
     * broadcast semi on the month-seq key). The customer→address attach is
-    * a keyed shuffle join (address is customer-sized at scale); the
-    * average divides exact sums as DOUBLE once on both engines. */
+    * a keyed shuffle join (address is customer-sized at scale); the 1.2×
+    * premium cut is decided by exact integer CROSS-MULTIPLICATION
+    * (price·cnt·5 > total·6 in cents — SURVEY §7.4 hash-stable
+    * discipline), never a computed double. */
   def q_tpcds_q6(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val monthSeq = t(spark, dir, "date_dim")
@@ -1215,12 +1217,13 @@ object Tpcds {
     val catAvg = t(spark, dir, "item")
       .filter(col("i_category").isNotNull)
       .groupBy(col("i_category").as("avg_cat"))
-      .agg((sum(col("i_current_price")).cast(DoubleType) /
-        count(col("i_current_price"))).as("ave"))
+      .agg(sum((col("i_current_price") * 100).cast(DecimalType(38, 0)))
+        .as("tot_c"), count(col("i_current_price")).as("cnt"))
     val premium = t(spark, dir, "item")
       .select("i_item_sk", "i_category", "i_current_price")
       .join(broadcast(catAvg), col("i_category") === col("avg_cat"))
-      .filter(col("i_current_price").cast(DoubleType) > col("ave") * 1.2)
+      .filter((col("i_current_price") * 100).cast(DecimalType(38, 0)) *
+        col("cnt") * 5 > col("tot_c") * 6)
       .select("i_item_sk")
     val ca = t(spark, dir, "customer_address").select("ca_address_sk", "ca_state")
     val cust = t(spark, dir, "customer").select("c_customer_sk", "c_current_addr_sk")
@@ -1908,9 +1911,10 @@ object Tpcds {
     * exceeds 1.3× the per-item average discount over the same window. The
     * per-item threshold is a keyed aggregate joined back on item (the
     * published correlated subquery, decorrelated); the manufacturer slice
-    * is a broadcast semi-join; output is one row. The threshold divides
-    * exact DECIMAL sums once as DOUBLE, then scales by 1.3 — both engines
-    * compare the same doubles. */
+    * is a broadcast semi-join; output is one row. The 1.3× threshold is
+    * decided by exact integer CROSS-MULTIPLICATION in cents
+    * (amt·cnt·10 > total·13 — SURVEY §7.4 hash-stable discipline); the
+    * emitted total is one int→double conversion plus an IEEE division. */
   def q_tpcds_q32(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
@@ -1919,15 +1923,15 @@ object Tpcds {
     val it = t(spark, dir, "item")
       .filter(col("i_manufact_id").between(1, 50)).select("i_item_sk")
     val cs = t(spark, dir, "catalog_sales")
-      .select("cs_sold_date_sk", "cs_item_sk", "cs_ext_discount_amt")
+      .select(col("cs_sold_date_sk"), col("cs_item_sk"),
+        (col("cs_ext_discount_amt") * 100).cast(DecimalType(38, 0)).as("amt_c"))
       .join(broadcast(dd), col("cs_sold_date_sk") === col("d_date_sk"))
     val thr = cs.groupBy(col("cs_item_sk").as("t_item"))
-      .agg((sum(col("cs_ext_discount_amt")).cast(DoubleType) /
-        count(col("cs_ext_discount_amt")) * 1.3).as("thr"))
+      .agg(sum(col("amt_c")).as("tot_c"), count(col("amt_c")).as("cnt"))
     cs.join(broadcast(it), col("cs_item_sk") === col("i_item_sk"), "left_semi")
       .join(thr, col("cs_item_sk") === col("t_item"))
-      .filter(col("cs_ext_discount_amt").cast(DoubleType) > col("thr"))
-      .agg(sum(col("cs_ext_discount_amt")).cast(DoubleType)
+      .filter(col("amt_c") * col("cnt") * 10 > col("tot_c") * 13)
+      .agg((sum(col("amt_c")).cast(DoubleType) / 100.0)
         .as("excess_discount"))
   }
 
@@ -2703,18 +2707,24 @@ object Tpcds {
     * the broadcast dim. All ranking happens over the per-item AGGREGATE. */
   def q_tpcds_q44(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
+    // Hash-stable discipline (SURVEY §7.4): profit summed as exact integer
+    // CENTS; the 0.9× baseline cut cross-multiplies by the (positive)
+    // counts (sum·bcnt·10 > bsum·cnt·9 — sign-safe for negative profit);
+    // the rank key is CAST(cents AS DOUBLE)/cnt — an exact int→double
+    // conversion plus one IEEE division, bit-identical on both engines.
     val base = t(spark, dir, "store_sales")
       .filter(col("ss_store_sk") === 4)
-      .select("ss_item_sk", "ss_addr_sk", "ss_net_profit")
+      .select(col("ss_item_sk"), col("ss_addr_sk"),
+        (col("ss_net_profit") * 100).cast(DecimalType(38, 0)).as("np_c"))
     val thr = base.filter(col("ss_addr_sk").isNull)
-      .agg((sum(col("ss_net_profit")).cast(DoubleType) /
-        count(col("ss_net_profit"))).as("base_avg"))
+      .agg(sum(col("np_c")).as("bsum_c"), count(col("np_c")).as("bcnt"))
     val perItem = base.groupBy(col("ss_item_sk").as("item_sk"))
-      .agg((sum(col("ss_net_profit")).cast(DoubleType) /
-        count(col("ss_net_profit"))).as("rank_col"))
+      .agg(sum(col("np_c")).as("sum_c"), count(col("np_c")).as("cnt"))
       .join(broadcast(thr),
-        (col("rank_col") * 0 + 1) === (col("base_avg") * 0 + 1))
-      .filter(col("rank_col") > col("base_avg") * 0.9)
+        (col("sum_c") * 0 + 1) === (col("bsum_c") * 0 + 1))
+      .filter(col("sum_c") * col("bcnt") * 10 > col("bsum_c") * col("cnt") * 9)
+      .select(col("item_sk"),
+        (col("sum_c").cast(DoubleType) / col("cnt")).as("rank_col"))
     import org.apache.spark.sql.expressions.Window
     val asc = perItem.select(col("item_sk"),
         rank().over(Window.orderBy(col("rank_col").asc)).as("rnk"))
@@ -2848,7 +2858,8 @@ object Tpcds {
   /** [Q-tpcds-q92] TPC-DS Q92 shape: web-channel excess discount — Q32's
     * decorrelation on web_sales (per-item 1.3× average threshold attached
     * by a keyed join, never a correlated rescan), manufacturer band
-    * shifted to keep the twin distinct from Q32's. */
+    * shifted to keep the twin distinct from Q32's. Same hash-stable
+    * cross-multiplied cut as Q32 (amt·cnt·10 > total·13 in cents). */
   def q_tpcds_q92(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
@@ -2857,15 +2868,15 @@ object Tpcds {
     val it = t(spark, dir, "item")
       .filter(col("i_manufact_id").between(300, 400)).select("i_item_sk")
     val ws = t(spark, dir, "web_sales")
-      .select("ws_sold_date_sk", "ws_item_sk", "ws_ext_discount_amt")
+      .select(col("ws_sold_date_sk"), col("ws_item_sk"),
+        (col("ws_ext_discount_amt") * 100).cast(DecimalType(38, 0)).as("amt_c"))
       .join(broadcast(dd), col("ws_sold_date_sk") === col("d_date_sk"))
     val thr = ws.groupBy(col("ws_item_sk").as("t_item"))
-      .agg((sum(col("ws_ext_discount_amt")).cast(DoubleType) /
-        count(col("ws_ext_discount_amt")) * 1.3).as("thr"))
+      .agg(sum(col("amt_c")).as("tot_c"), count(col("amt_c")).as("cnt"))
     ws.join(broadcast(it), col("ws_item_sk") === col("i_item_sk"), "left_semi")
       .join(thr, col("ws_item_sk") === col("t_item"))
-      .filter(col("ws_ext_discount_amt").cast(DoubleType) > col("thr"))
-      .agg(sum(col("ws_ext_discount_amt")).cast(DoubleType)
+      .filter(col("amt_c") * col("cnt") * 10 > col("tot_c") * 13)
+      .agg((sum(col("amt_c")).cast(DoubleType) / 100.0)
         .as("excess_discount"))
   }
 
@@ -4811,11 +4822,12 @@ object Tpcds {
          | cd_purchase_estimate, cd_credit_rating""".stripMargin,
     "q_tpcds_q6" ->
       s"""WITH ave AS (SELECT i_category AS avg_cat,
-         |  CAST(sum(i_current_price) AS DOUBLE) / count(i_current_price) AS ave
+         |  sum(CAST(i_current_price * 100 AS BIGINT)) AS tot_c,
+         |  count(i_current_price) AS cnt
          | FROM ${P("item")} WHERE i_category IS NOT NULL GROUP BY i_category),
          | premium AS (SELECT i_item_sk FROM ${P("item")} JOIN ave
          |  ON i_category = avg_cat
-         |  WHERE CAST(i_current_price AS DOUBLE) > ave * 1.2)
+         |  WHERE CAST(i_current_price * 100 AS BIGINT) * cnt * 5 > tot_c * 6)
          |SELECT ca_state AS state, count(*) AS cnt
          |FROM ${P("store_sales")}
          |JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
@@ -5157,20 +5169,20 @@ object Tpcds {
     },
     "q_tpcds_q32" ->
       s"""WITH cs AS (
-         | SELECT cs_item_sk, cs_ext_discount_amt
+         | SELECT cs_item_sk,
+         |  CAST(cs_ext_discount_amt * 100 AS BIGINT) AS amt_c
          | FROM ${P("catalog_sales")}
          | JOIN ${P("date_dim")} ON cs_sold_date_sk = d_date_sk
          | WHERE d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'),
          |thr AS (
-         | SELECT cs_item_sk AS t_item,
-         |  CAST(sum(cs_ext_discount_amt) AS DOUBLE)
-         |   / count(cs_ext_discount_amt) * 1.3 AS thr
+         | SELECT cs_item_sk AS t_item, sum(amt_c) AS tot_c,
+         |  count(amt_c) AS cnt
          | FROM cs GROUP BY cs_item_sk)
-         |SELECT CAST(sum(cs_ext_discount_amt) AS DOUBLE) AS excess_discount
+         |SELECT CAST(sum(amt_c) AS DOUBLE) / 100.0 AS excess_discount
          |FROM cs JOIN thr ON cs_item_sk = t_item
-         |WHERE cs_item_sk IN (SELECT i_item_sk FROM ${P("item")}
-         |  WHERE i_manufact_id BETWEEN 1 AND 50)
-         | AND CAST(cs_ext_discount_amt AS DOUBLE) > thr""".stripMargin,
+         |WHERE amt_c * cnt * 10 > tot_c * 13
+         | AND cs_item_sk IN (SELECT i_item_sk FROM ${P("item")}
+         |  WHERE i_manufact_id BETWEEN 1 AND 50)""".stripMargin,
     "q_tpcds_q73" ->
       s"""SELECT c_last_name, c_first_name, c_salutation,
          | c_preferred_cust_flag, ss_ticket_number, cnt
@@ -5583,19 +5595,18 @@ object Tpcds {
          |  FROM ${P("catalog_returns")})""".stripMargin,
     "q_tpcds_q44" ->
       s"""WITH base AS (
-         |  SELECT ss_item_sk, ss_addr_sk, ss_net_profit
+         |  SELECT ss_item_sk, ss_addr_sk,
+         |    CAST(ss_net_profit * 100 AS BIGINT) AS np_c
          |  FROM ${P("store_sales")} WHERE ss_store_sk = 4),
          |thr AS (
-         |  SELECT CAST(sum(ss_net_profit) AS DOUBLE) / count(ss_net_profit)
-         |    AS base_avg
+         |  SELECT sum(np_c) AS bsum_c, count(np_c) AS bcnt
          |  FROM base WHERE ss_addr_sk IS NULL),
          |flt AS (
-         |  SELECT item_sk, rank_col FROM (
-         |    SELECT ss_item_sk AS item_sk,
-         |      CAST(sum(ss_net_profit) AS DOUBLE) / count(ss_net_profit)
-         |        AS rank_col
+         |  SELECT item_sk, CAST(sum_c AS DOUBLE) / cnt AS rank_col FROM (
+         |    SELECT ss_item_sk AS item_sk, sum(np_c) AS sum_c,
+         |      count(np_c) AS cnt
          |    FROM base GROUP BY ss_item_sk) q, thr
-         |  WHERE rank_col > base_avg * 0.9),
+         |  WHERE sum_c * bcnt * 10 > bsum_c * cnt * 9),
          |a AS (SELECT item_sk, rank() OVER (ORDER BY rank_col ASC) AS rnk
          |      FROM flt),
          |d AS (SELECT item_sk, rank() OVER (ORDER BY rank_col DESC) AS rnk
@@ -5639,20 +5650,20 @@ object Tpcds {
       "cs_item_sk", "cs_ext_sales_price"),
     "q_tpcds_q92" ->
       s"""WITH ws AS (
-         | SELECT ws_item_sk, ws_ext_discount_amt
+         | SELECT ws_item_sk,
+         |  CAST(ws_ext_discount_amt * 100 AS BIGINT) AS amt_c
          | FROM ${P("web_sales")}
          | JOIN ${P("date_dim")} ON ws_sold_date_sk = d_date_sk
          | WHERE d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'),
          |thr AS (
-         | SELECT ws_item_sk AS t_item,
-         |  CAST(sum(ws_ext_discount_amt) AS DOUBLE)
-         |   / count(ws_ext_discount_amt) * 1.3 AS thr
+         | SELECT ws_item_sk AS t_item, sum(amt_c) AS tot_c,
+         |  count(amt_c) AS cnt
          | FROM ws GROUP BY ws_item_sk)
-         |SELECT CAST(sum(ws_ext_discount_amt) AS DOUBLE) AS excess_discount
+         |SELECT CAST(sum(amt_c) AS DOUBLE) / 100.0 AS excess_discount
          |FROM ws JOIN thr ON ws_item_sk = t_item
-         |WHERE ws_item_sk IN (SELECT i_item_sk FROM ${P("item")}
-         |  WHERE i_manufact_id BETWEEN 300 AND 400)
-         | AND CAST(ws_ext_discount_amt AS DOUBLE) > thr""".stripMargin,
+         |WHERE amt_c * cnt * 10 > tot_c * 13
+         | AND ws_item_sk IN (SELECT i_item_sk FROM ${P("item")}
+         |  WHERE i_manufact_id BETWEEN 300 AND 400)""".stripMargin,
     "q_tpcds_q62" ->
       s"""SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, web_name,
          | CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
