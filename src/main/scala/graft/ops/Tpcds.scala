@@ -1029,7 +1029,13 @@ object Tpcds {
     * returned qty, qty ≤ sold qty). Each channel is the returns⋈sales
     * (order, item) PK join, a per-item aggregate, then two RANK windows
     * over the aggregate (unpartitioned by design — the window input is
-    * ≤|items| aggregated rows, never fact-sized). Ratios divide exact
+    * ≤|items| aggregated rows, never fact-sized; the big-ticket gate
+    * shrinks it further). Single-partition bound: dsdgen's item counts
+    * grow sublinearly — 18k rows at sf1, 300k at sf1000, 502k at
+    * sf100000 — so the worst-case window input is ~500k rows × ~24 B
+    * ≈ 12 MB, a single-task sort measured in milliseconds; the two-phase
+    * footer-stats rank (q_win_rank2) stays the escape hatch if a
+    * deployment ranks a fact-grain frame instead. Ratios divide exact
     * sums as DOUBLE once, identically on both engines, so ranks can't
     * drift. The PUBLISHED return_amt > 10000 big-ticket gate runs as
     * written (the v10 channel-calibrated money puts 9/2/1 joined lines
@@ -1113,9 +1119,13 @@ object Tpcds {
       .join(broadcast(t(spark, dir, "item")
           .select("i_item_sk", "i_item_desc", "i_current_price", "i_wholesale_cost", "i_brand")),
         col("ss_item_sk") === col("i_item_sk"))
+      // Nullable decimal passthroughs cast to DOUBLE at the output
+      // boundary (r11 NULL-decimal hash-divergence evidence).
       .select(col("s_store_name"), col("i_item_desc"),
         (col("rev_c").cast(DoubleType) / 100.0).as("revenue"),
-        col("i_current_price"), col("i_wholesale_cost"), col("i_brand"))
+        col("i_current_price").cast(DoubleType).as("i_current_price"),
+        col("i_wholesale_cost").cast(DoubleType).as("i_wholesale_cost"),
+        col("i_brand"))
   }
 
   /** [Q-tpcds-q98] TPC-DS Q98 shape: item revenue with its RATIO-TO-CLASS —
@@ -1133,8 +1143,11 @@ object Tpcds {
       .select("d_date_sk")
     val it = t(spark, dir, "item")
       .filter(col("i_category").isin("Sports", "Books", "Home"))
-      .select("i_item_sk", "i_item_id", "i_item_desc", "i_category",
-        "i_class", "i_current_price")
+      // i_current_price is nullable DECIMAL; cast to DOUBLE at the output
+      // boundary (r11 NULL-decimal hash-divergence evidence).
+      .select(col("i_item_sk"), col("i_item_id"), col("i_item_desc"),
+        col("i_category"), col("i_class"),
+        col("i_current_price").cast(DoubleType).as("i_current_price"))
     val agg = t(spark, dir, "store_sales")
       .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
       .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
@@ -2704,7 +2717,12 @@ object Tpcds {
     * attached by a hash join on a nullable-derived key), ranked both
     * directions over the same exact-sum average (bit-identical rank key),
     * then the two top-10 lists join on rank and pick up item names from
-    * the broadcast dim. All ranking happens over the per-item AGGREGATE. */
+    * the broadcast dim. All ranking happens over the per-item AGGREGATE —
+    * single-partition bound: one store's item set caps at |items|, which
+    * dsdgen grows sublinearly (18k at sf1, 300k at sf1000, 502k at
+    * sf100000), so the unpartitioned rank sorts ≤ ~500k 16-byte rows
+    * (~8 MB) in one task; q_win_rank2's two-phase machinery is the escape
+    * hatch if the frame were ever fact-grain. */
   def q_tpcds_q44(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     // Hash-stable discipline (SURVEY §7.4): profit summed as exact integer
@@ -2814,7 +2832,10 @@ object Tpcds {
     * as exact integer CENTS; the emitted doubles are one correctly-rounded
     * int→double conversion plus IEEE ops (identical on any engine), and the
     * ratio is additionally rounded at the output boundary so no last-bit
-    * behavior of either engine can reach the driver's hash. */
+    * behavior of either engine can reach the driver's hash. The nullable
+    * i_current_price passthrough is cast to DOUBLE at the output boundary
+    * (NULL-decimal cells were the one output class the driver's harness
+    * hashed divergently — round-11 verdict; NULL doubles are proven safe). */
   private def classRevenueShare(
       spark: SparkSession, dir: String, fact: String,
       dateCol: String, itemCol: String, priceCol: String): DataFrame = {
@@ -2824,8 +2845,9 @@ object Tpcds {
       .select("d_date_sk")
     val it = t(spark, dir, "item")
       .filter(col("i_category").isin("Sports", "Books", "Home"))
-      .select("i_item_sk", "i_item_id", "i_item_desc", "i_category",
-        "i_class", "i_current_price")
+      .select(col("i_item_sk"), col("i_item_id"), col("i_item_desc"),
+        col("i_category"), col("i_class"),
+        col("i_current_price").cast(DoubleType).as("i_current_price"))
     t(spark, dir, fact)
       .select(dateCol, itemCol, priceCol)
       .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
@@ -2937,6 +2959,11 @@ object Tpcds {
       .agg(sum((col(amtCol) * 100).cast(DecimalType(38, 0))).as("ctr_c"))
     val thr = ctr.groupBy(col("ctr_state").as("t_state"))
       .agg(sum(col("ctr_c")).as("tot_c"), count(col("ctr_c")).as("cnt"))
+    // extraCols entries may be "expr AS name" (used to cast nullable
+    // DECIMAL passthroughs like ca_gmt_offset to DOUBLE at the output
+    // boundary — r11 NULL-decimal hash-divergence evidence); the output
+    // select refers to them by their final name.
+    val extraNames = extraCols.map(c => c.split("(?i) AS ").last.trim)
     val cust = t(spark, dir, "customer")
       .join(broadcast(t(spark, dir, "customer_address")
           .filter(col("ca_state") === homeState)
@@ -2947,7 +2974,7 @@ object Tpcds {
       .join(cust, col("ctr_customer_sk") === col("c_customer_sk"))
       .select(Seq(col("c_customer_id"), col("c_salutation"),
         col("c_first_name"), col("c_last_name")) ++
-        custExtra.map(col) ++ extraCols.map(col) :+
+        custExtra.map(col) ++ extraNames.map(col) :+
         (col("ctr_c").cast(DoubleType) / 100.0).as("ctr_total_return"): _*)
   }
 
@@ -2974,7 +3001,9 @@ object Tpcds {
       "cr_returned_date_sk", "cr_return_amt_inc_tax", "IL", Seq.empty,
       Seq("ca_street_number", "ca_street_name", "ca_street_type",
         "ca_suite_number", "ca_city", "ca_county", "ca_state", "ca_zip",
-        "ca_country", "ca_gmt_offset", "ca_location_type"))
+        "ca_country",
+        "CAST(ca_gmt_offset AS DOUBLE) AS ca_gmt_offset",
+        "ca_location_type"))
 
   /** [Q-tpcds-q26] TPC-DS Q26 shape: Q7's demographic per-item averages on
     * the CATALOG channel (bill-side demographics), a different demographic
@@ -4782,13 +4811,15 @@ object Tpcds {
          |  FROM sc GROUP BY ss_store_sk)
          |SELECT s_store_name, i_item_desc,
          | CAST(sc.rev_c AS DOUBLE) / 100.0 AS revenue,
-         | i_current_price, i_wholesale_cost, i_brand
+         | CAST(i_current_price AS DOUBLE) AS i_current_price,
+         | CAST(i_wholesale_cost AS DOUBLE) AS i_wholesale_cost, i_brand
          |FROM sc JOIN sb ON sc.ss_store_sk = sb.avg_store
          |JOIN ${P("store")} ON sc.ss_store_sk = s_store_sk
          |JOIN ${P("item")} ON sc.ss_item_sk = i_item_sk
          |WHERE sc.rev_c * 10 * cnt <= tot_c""".stripMargin,
     "q_tpcds_q98" ->
-      s"""SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+      s"""SELECT i_item_id, i_item_desc, i_category, i_class,
+         | CAST(i_current_price AS DOUBLE) AS i_current_price,
          | CAST(rev_c AS DOUBLE) / 100.0 AS itemrevenue,
          | ROUND(CAST(rev_c AS DOUBLE) * 100.0 /
          |  CAST(sum(rev_c) OVER (PARTITION BY i_class) AS DOUBLE), 6)
@@ -5691,7 +5722,9 @@ object Tpcds {
       "cr_returned_date_sk", "cr_return_amt_inc_tax", "IL",
       Seq("ca_street_number", "ca_street_name", "ca_street_type",
         "ca_suite_number", "ca_city", "ca_county", "ca_state", "ca_zip",
-        "ca_country", "ca_gmt_offset", "ca_location_type")),
+        "ca_country",
+        "CAST(ca_gmt_offset AS DOUBLE) AS ca_gmt_offset",
+        "ca_location_type")),
     "q_tpcds_q26" ->
       s"""SELECT i_item_id,
          | CAST(sum(cs_quantity) AS DOUBLE) / count(cs_quantity) AS agg1,
@@ -6445,7 +6478,8 @@ object Tpcds {
     * output boundary. */
   private def classShareOracle(fact: String, dateCol: String,
       itemCol: String, priceCol: String): String =
-    s"""SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+    s"""SELECT i_item_id, i_item_desc, i_category, i_class,
+       | CAST(i_current_price AS DOUBLE) AS i_current_price,
        | CAST(rev_c AS DOUBLE) / 100.0 AS itemrevenue,
        | ROUND(CAST(rev_c AS DOUBLE) * 100.0 /
        |  CAST(sum(rev_c) OVER (PARTITION BY i_class) AS DOUBLE), 6)

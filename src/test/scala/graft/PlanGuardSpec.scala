@@ -333,7 +333,8 @@ class PlanGuardSpec extends AnyFunSuite {
     // Q32: the per-item threshold attaches by a keyed join; the manufact
     // band prunes item at the scan
     val q32 = fmt("q_tpcds_q32")
-    assert(q32.contains("thr"), s"Q32 threshold attach missing:\n$q32")
+    assert(q32.contains("t_item") && q32.contains("tot_c"),
+      s"Q32 threshold attach missing:\n$q32")
     assert(q32.contains("GreaterThanOrEqual(i_manufact_id,1)"),
       s"Q32 manufact band not pushed:\n$q32")
   }

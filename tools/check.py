@@ -12,9 +12,11 @@ match BIT-EXACTLY — the driver hashes exact rendered values, so a
 "float-near" cell (within 1e-12 relative) is a FAILURE here too; it is
 counted and labeled separately only so the failure mode is recognizable.
 """
-import json, math, sys
+import glob, json, math, sys
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
+import pyarrow.types as pat
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -95,7 +97,7 @@ def main():
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
             continue
         bad = near = 0
-        first = None
+        first_bad = first_near = None
         for c in exp.columns:
             ev, gv = exp[c].tolist(), got[c].tolist()
             for i in range(len(ev)):
@@ -104,22 +106,57 @@ def main():
                     continue
                 if r == "float-near":
                     near += 1
-                    if first is None:
-                        first = (c, i, ev[i], gv[i])
+                    if first_near is None:
+                        first_near = (c, i, ev[i], gv[i])
                     continue
                 bad += 1
-                if first is None:
-                    first = (c, i, ev[i], gv[i])
+                if first_bad is None:
+                    first_bad = (c, i, ev[i], gv[i])
         if judge(bad, near) == "fail":
             failures.append(name)
             detail = f"{bad} cell diffs, {near} float-near (STRICT: near = fail)"
+            # prefer the exact-diff sample: it is the severe failure mode
+            first = first_bad if bad > 0 else first_near
             if first is not None:
-                detail += f", e.g. col={first[0]} row={first[1]} exp={first[2]!r} got={first[3]!r}"
+                kind = "exact-diff" if bad > 0 else "float-near"
+                detail += (f", e.g. ({kind}) col={first[0]} row={first[1]}"
+                           f" exp={first[2]!r} got={first[3]!r}")
             print(f"FAIL {name}: {detail}")
         else:
             print(f"OK   {name}: {len(exp)} rows")
     print(f"\n{len(oracle) - len(failures)}/{len(oracle)} oracle queries match")
-    sys.exit(1 if failures else 0)
+    lint = null_decimal_lint(out_dir)
+    sys.exit(1 if (failures or lint) else 0)
+
+def null_decimal_lint(out_dir):
+    """Flag any result parquet containing a NULL cell in a DECIMAL column —
+    the only output class that has ever hash-diverged at the driver (r11
+    verdict: Q12/Q20/Q65/Q81/Q98 all emitted NULL decimals; no green query
+    did). Scans EVERY query result in out_dir, oracle-checked or not, so
+    new queries can't silently join the class."""
+    flagged = []
+    for d in sorted(glob.glob(f"{out_dir}/q_*")):
+        name = d.rsplit("/", 1)[-1]
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            continue
+        null_dec_cols = set()
+        for f in files:
+            t = pq.read_table(f)
+            for i, field in enumerate(t.schema):
+                if pat.is_decimal(field.type) and t.column(i).null_count > 0:
+                    null_dec_cols.add(field.name)
+        if null_dec_cols:
+            flagged.append(name)
+            print(f"LINT {name}: NULL cells in DECIMAL column(s) "
+                  f"{sorted(null_dec_cols)} — cast to DOUBLE at the output "
+                  f"boundary (r11 NULL-decimal hash-divergence class)")
+    if flagged:
+        print(f"LINT: {len(flagged)} quer{'y' if len(flagged)==1 else 'ies'} "
+              f"emit NULL decimals: {flagged}")
+    else:
+        print("LINT: no NULL-decimal cells in any result")
+    return flagged
 
 if __name__ == "__main__":
     main()
