@@ -804,18 +804,26 @@ object Tpcds {
     * re-bought-by-catalog chain (Q29's machinery) at (item, store) grain
     * with per-leg date windows and a PROFIT triple — ss_net_profit /
     * sr_net_loss / cs_net_profit, the money columns whose coherent
-    * derivation chains genVersion 2 introduced. Adapted windows: the
-    * published single-month d1 slice leaves the triple join empty at
-    * verification scale; year windows (sale 2001, return/re-buy 2001-02)
-    * keep every leg's date-dim join and the published chain semantics.
+    * derivation chains genVersion 2 introduced. The PUBLISHED calendar
+    * grains now run as written — sale month d1 (April 2001), return and
+    * re-buy in the published April–October window of the same year
+    * (d_moy BETWEEN 4 AND 10): re-probed on gen17 this round (the
+    * independent-returning-party draw changed the joint distributions the
+    * chain rides) at 1 (item, store) row at sf0.01 — thin but real, and
+    * the chain density grows with the basket count, so gate-scale output
+    * scales up with sf (the 2000-anchored parameter probes 0; 2001 is the
+    * substitution-legal anchor with support).
     * Plan: two composite-keyed fact shuffles, everything else broadcast. */
   def q_tpcds_q25(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
-    val d1 = t(spark, dir, "date_dim").filter(col("d_year") === 2001)
+    val d1 = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2001 && col("d_moy") === 4)
       .select(col("d_date_sk").as("d1_sk"))
-    val d2 = t(spark, dir, "date_dim").filter(col("d_year").isin(2001, 2002))
+    val d2 = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2001 && col("d_moy").between(4, 10))
       .select(col("d_date_sk").as("d2_sk"))
-    val d3 = t(spark, dir, "date_dim").filter(col("d_year").isin(2001, 2002))
+    val d3 = t(spark, dir, "date_dim")
+      .filter(col("d_year") === 2001 && col("d_moy").between(4, 10))
       .select(col("d_date_sk").as("d3_sk"))
     val st = t(spark, dir, "store").select("s_store_sk", "s_store_id", "s_store_name")
     val it = t(spark, dir, "item").select("i_item_sk", "i_item_id", "i_item_desc")
@@ -2534,8 +2542,15 @@ object Tpcds {
     * channels in one year — tuple-grain INTERSECT (distinct semantics)
     * over (last, first) name pairs, counted. Each channel's distinct set
     * shuffles once on the tuple; the intersects are keyed. Adapted grain:
-    * the published (name, d_date) day grain is empty under uniform draws
-    * at test scale. */
+    * the published (name, d_date) day grain needs the SAME customer in
+    * all three channels on the SAME day — re-measured on gen17 this
+    * round: the whole 5-year span holds 25 store∩catalog and 17
+    * store∩web same-(customer, day) pairs but ZERO triples at sf0.01
+    * (E[triples] ≈ 0.1 across all five years, ≈ 0.02 in the published
+    * 12-month window — super days concentrate dates but the third
+    * channel's per-(customer, day) density stays ~0.4%), so the day
+    * grain is structurally empty at gate scale and the year grain stays
+    * the honest adaptation. */
   def q_tpcds_q38(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
@@ -3654,22 +3669,24 @@ object Tpcds {
     * within the PUBLISHED ±10% of the three-channel average (genVersion
     * 10's channel-calibrated wholesale draws equalize expected per-item
     * channel revenue, so the band is satisfiable — before that the ~4:1
-    * store:web revenue mix made it empty at ANY scale). Adapted window:
-    * the published single d_week_seq leaves the per-item channel counts
-    * Poisson-thin (λ_ws ≈ 0.15/item-week at every sf, since facts and
-    * items both scale linearly), so the anchor resolves to its d_year
-    * (same nested scalar-derivation shape, year grain → λ_ws ≈ 8,
-    * E[band survivors] ≈ 5% of items). The 1-row anchor broadcasts into
-    * date_dim, the date slice broadcasts into each fact; three item-keyed
-    * aggregates join on the item id; every ratio divides once as
-    * DOUBLE. */
+    * store:web revenue mix made it empty at ANY scale). The PUBLISHED
+    * single d_week_seq window now runs as written: the anchor is a
+    * super-day week (2000-12-14 — v10's seasonal mass lands 20% of all
+    * sales on ten Nov/Dec super days, seven of which fall in this week),
+    * giving the week an ~83-item three-channel intersection and 1 band
+    * survivor at sf0.01, 9–11 at sf0.1 (survivors scale with |items|;
+    * a uniform week like 2000-03-03 holds a 1-item intersection and 0
+    * survivors at any anchor outside the seasonal mass — measured this
+    * round). The 1-row anchor broadcasts into date_dim, the date slice
+    * broadcasts into each fact; three item-keyed aggregates join on the
+    * item id; every ratio divides once as DOUBLE. */
   def q_tpcds_q58(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val anchor = t(spark, dir, "date_dim")
-      .filter(col("d_date") === to_date(lit("2000-03-03")))
-      .select(col("d_year").as("anchor_seq"))
+      .filter(col("d_date") === to_date(lit("2000-12-14")))
+      .select(col("d_week_seq").as("anchor_seq"))
     val dd = t(spark, dir, "date_dim")
-      .join(broadcast(anchor), col("d_year") === col("anchor_seq"))
+      .join(broadcast(anchor), col("d_week_seq") === col("anchor_seq"))
       .select("d_date_sk")
     val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
     def rev(fact: String, dateCol: String, itemCol: String, priceCol: String,
@@ -3705,21 +3722,25 @@ object Tpcds {
   /** [Q-tpcds-q83] TPC-DS Q83 shape: items RETURNED evenly across all
     * three channels — Q58's parity ladder over return quantities, with
     * the calendar windows derived from three anchor dates by the
-    * published nested lookup. Adapted derivation: anchor weeks are too
-    * thin for a three-channel intersection at verification scale, so the
-    * anchors resolve to their months-of-year (three disjoint calendar
-    * windows across the fact years — same nested-subquery shape). Deltas
+    * PUBLISHED nested d_week_seq lookup, now run as written. The anchors
+    * are first-week-of-February dates across the three fact years
+    * (2000-02-02 / 2001-02-01 / 2002-02-07): the v10 seasonal mass puts
+    * 20% of sales on Nov/Dec super days and the 30–90-day return lag
+    * (measured: 64% of return lags) lands that return wave in
+    * late-Jan–Feb, so the three Feb weeks hold a real three-channel
+    * return intersection — 3 items at sf0.01, 6 at sf0.1 (measured this
+    * round; the old month-of-year windows are no longer needed). Deltas
     * are each channel's share of the three-channel total, divided once
     * as DOUBLE. */
   def q_tpcds_q83(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val anchor = t(spark, dir, "date_dim")
       .filter(col("d_date").isin(
-        java.sql.Date.valueOf("2000-01-17"), java.sql.Date.valueOf("2000-06-16"),
-        java.sql.Date.valueOf("2000-11-14")))
-      .select(col("d_moy").as("anchor_moy")).distinct()
+        java.sql.Date.valueOf("2000-02-02"), java.sql.Date.valueOf("2001-02-01"),
+        java.sql.Date.valueOf("2002-02-07")))
+      .select(col("d_week_seq").as("anchor_wk")).distinct()
     val dd = t(spark, dir, "date_dim")
-      .join(broadcast(anchor), col("d_moy") === col("anchor_moy"))
+      .join(broadcast(anchor), col("d_week_seq") === col("anchor_wk"))
       .select("d_date_sk")
     val it = t(spark, dir, "item").select("i_item_sk", "i_item_id")
     def qty(fact: String, dateCol: String, itemCol: String, qtyCol: String,
@@ -4652,8 +4673,9 @@ object Tpcds {
          |JOIN ${P("date_dim")} d3 ON cs_sold_date_sk = d3.d_date_sk
          |JOIN ${P("store")} ON ss_store_sk = s_store_sk
          |JOIN ${P("item")} ON ss_item_sk = i_item_sk
-         |WHERE d1.d_year = 2001 AND d2.d_year IN (2001, 2002)
-         | AND d3.d_year IN (2001, 2002)
+         |WHERE d1.d_year = 2001 AND d1.d_moy = 4
+         | AND d2.d_year = 2001 AND d2.d_moy BETWEEN 4 AND 10
+         | AND d3.d_year = 2001 AND d3.d_moy BETWEEN 4 AND 10
          |GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name""".stripMargin,
     "q_tpcds_q77" ->
       s"""WITH dd AS (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2000),
@@ -6103,8 +6125,8 @@ object Tpcds {
     "q_tpcds_q58" ->
       s"""WITH dd AS (
          | SELECT d_date_sk FROM ${P("date_dim")}
-         | WHERE d_year = (SELECT d_year FROM ${P("date_dim")}
-         |                 WHERE d_date = DATE '2000-03-03')),
+         | WHERE d_week_seq = (SELECT d_week_seq FROM ${P("date_dim")}
+         |                     WHERE d_date = DATE '2000-12-14')),
          |s AS (SELECT i_item_id AS ss_id, sum(ss_ext_sales_price) AS ss_rev
          | FROM ${P("store_sales")} JOIN dd ON ss_sold_date_sk = d_date_sk
          | JOIN ${P("item")} ON ss_item_sk = i_item_sk GROUP BY 1),
@@ -6141,9 +6163,9 @@ object Tpcds {
     "q_tpcds_q83" ->
       s"""WITH dd AS (
          | SELECT d_date_sk FROM ${P("date_dim")}
-         | WHERE d_moy IN (SELECT DISTINCT d_moy FROM ${P("date_dim")}
-         |   WHERE d_date IN (DATE '2000-01-17', DATE '2000-06-16',
-         |                    DATE '2000-11-14'))),
+         | WHERE d_week_seq IN (SELECT DISTINCT d_week_seq FROM ${P("date_dim")}
+         |   WHERE d_date IN (DATE '2000-02-02', DATE '2001-02-01',
+         |                    DATE '2002-02-07'))),
          |s AS (SELECT i_item_id AS sr_id,
          |  CAST(sum(sr_return_quantity) AS BIGINT) AS sr_qty
          | FROM ${P("store_returns")} JOIN dd ON sr_returned_date_sk = d_date_sk

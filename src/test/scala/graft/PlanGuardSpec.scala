@@ -383,7 +383,7 @@ class PlanGuardSpec extends AnyFunSuite {
       s"Q80 lost its channel union/rollup:\n$q80")
     // Q58: the anchor year resolves via the broadcast nested lookup
     val q58 = fmt("q_tpcds_q58")
-    assert(q58.contains("d_year") && q58.contains("BroadcastHashJoin"),
+    assert(q58.contains("d_week_seq") && q58.contains("BroadcastHashJoin"),
       s"Q58 anchor derivation not broadcast:\n$q58")
     // Q18: geography rollup over broadcast demographics
     val q18 = fmt("q_tpcds_q18")
