@@ -137,8 +137,18 @@ object TpcdsGen extends Benchmark {
     * buyer-is-returner linkage. Q85's published cd1 = cd2 marital/
     * education equality arms become real predicates (~10% of joined rows
     * carry an independent second demographic) instead of vacuous
-    * pass-alls. */
-  val genVersion = 17
+    * pass-alls.
+    * v18: SEASONAL ITEM POPULARITY — items partition into 12 contiguous
+    * season blocks (b = n/12 rows; block r peaks in month r+1), colors
+    * draw from the block's vocab slice {idx ≡ r mod 12} (colorVocab
+    * order is semantic; Q56's slate/blanched/burnished triple shares
+    * residue 9 → October), and 30% of sales baskets buy ONLY their sold
+    * month's block (a consecutive-row sub-tour, PK-safe by the
+    * basket-fits gate). Per-item yearly mass is unchanged; per-(item,
+    * sold-month) density concentrates ~4× in season, carrying Q56/Q60's
+    * published single-month item-grain reports the way v10 super days
+    * carry Q23. */
+  val genVersion = 18
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -289,6 +299,36 @@ object TpcdsGen extends Benchmark {
 
   private def tagOf(tbl: String, i: Int): Int = tbl.hashCode * 131 + i * 31 + 17
 
+  /** v12: the FULL dsdgen color vocabulary (colors.dst, ~90 names) —
+    * published color predicates (Q24's 'pale', Q56's slate/blanched/
+    * burnished, Q41/Q64's lists) name values OUTSIDE the old 16-color
+    * slice; every color literal a published query mentions exists in the
+    * domain. v18 ORDER IS SEMANTIC: an item's SEASON block (index/
+    * (n/12), see itemCol/skCol) draws its color from the vocab slice
+    * {idx ≡ block (mod 12)} — a retail fashion-season model: colors
+    * belong to a month, and in-season baskets (skCol's redirect) buy
+    * that month's items. The list is the v12 alphabet with two swaps
+    * (blanched↔blush, burnished↔dark) putting Q56's published
+    * slate/blanched/burnished triple in one residue class (9 → month
+    * 10), so the triple's items all peak in October and the published
+    * single-month item-grain report has real cells at gate scale. */
+  private[graft] val colorVocab: Seq[String] = Seq(
+    "almond", "antique", "aquamarine", "azure", "beige",
+    "bisque", "black", "blush", "blue", "blanched", "brown", "burlywood",
+    "dark", "chartreuse", "chiffon", "chocolate", "coral",
+    "cornflower", "cornsilk", "cream", "cyan", "burnished", "deep", "dim",
+    "dodger", "drab", "firebrick", "floral", "forest", "frosted",
+    "gainsboro", "ghost", "goldenrod", "green", "grey", "honeydew",
+    "hot", "icy", "indian", "ivory", "khaki", "lace", "lavender",
+    "lawn", "lemon", "light", "lime", "linen", "magenta", "maroon",
+    "medium", "metallic", "midnight", "mint", "misty", "moccasin",
+    "navajo", "navy", "olive", "orange", "orchid", "pale", "papaya",
+    "peach", "persian", "peru", "pink", "plum", "powder", "puff",
+    "purple", "red", "rose", "rosy", "royal", "saddle", "salmon",
+    "sandy", "seashell", "sienna", "sky", "slate", "smoke", "snow",
+    "spring", "steel", "tan", "thistle", "tomato", "turquoise",
+    "violet", "wheat", "white", "yellow")
+
   /** City/county domains shared by store and customer_address (published
     * queries compare a store's city against the customer's — Q68's
     * bought-city vs home-city predicate needs a shared domain). Declared
@@ -409,26 +449,7 @@ object TpcdsGen extends Benchmark {
       // (published Q34/Q68/Q99 predicates name these values)
       "c_preferred_cust_flag" -> yn,
       "c_salutation" -> Seq("Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir"),
-      // v12: the FULL dsdgen color vocabulary (colors.dst, ~90 names) —
-      // published color predicates (Q24's 'pale', Q56's slate/blanched/
-      // burnished, Q41/Q64's lists) name values OUTSIDE the old 16-color
-      // slice; every color literal a published query mentions now exists
-      // in the domain
-      "i_color" -> Seq("almond", "antique", "aquamarine", "azure", "beige",
-        "bisque", "black", "blanched", "blue", "blush", "brown", "burlywood",
-        "burnished", "chartreuse", "chiffon", "chocolate", "coral",
-        "cornflower", "cornsilk", "cream", "cyan", "dark", "deep", "dim",
-        "dodger", "drab", "firebrick", "floral", "forest", "frosted",
-        "gainsboro", "ghost", "goldenrod", "green", "grey", "honeydew",
-        "hot", "icy", "indian", "ivory", "khaki", "lace", "lavender",
-        "lawn", "lemon", "light", "lime", "linen", "magenta", "maroon",
-        "medium", "metallic", "midnight", "mint", "misty", "moccasin",
-        "navajo", "navy", "olive", "orange", "orchid", "pale", "papaya",
-        "peach", "persian", "peru", "pink", "plum", "powder", "puff",
-        "purple", "red", "rose", "rosy", "royal", "saddle", "salmon",
-        "sandy", "seashell", "sienna", "sky", "slate", "smoke", "snow",
-        "spring", "steel", "tan", "thistle", "tomato", "turquoise",
-        "violet", "wheat", "white", "yellow"),
+      "i_color" -> colorVocab,
       "s_city" -> cities, "ca_city" -> cities,
       // v16: s_county/cc_county are CYCLIC (see colFor) — only the
       // address-side county keeps the hash draw
@@ -730,7 +751,8 @@ object TpcdsGen extends Benchmark {
     * agree); each category owns 16 classes, each class 10 brands —
     * class_id ∈ [1,160] and brand_id ∈ [11,1610] encode their parents, so
     * rollups over the hierarchy carry real containment semantics. */
-  private def itemCol(tbl: String, name: String, src: Column): Option[Column] = {
+  private def itemCol(tbl: String, name: String, src: Column,
+                      sf: Double): Option[Column] = {
     if (tbl != "item") return None
     def t(n: String) = tagFor("item", n)
     def str(c: Column) = c.cast(StringType)
@@ -761,9 +783,33 @@ object TpcdsGen extends Benchmark {
         val picks = (0 until 10).map(k => pick(src, tg * 31 + k, descVocab))
         Some(array_join(slice(array(picks: _*), lit(1),
           (pmod(h(src, tg), lit(7L)) + 4).cast(IntegerType)), " "))
+      // v18: SEASON-COHERENT colors — the item's season block (contiguous
+      // n/12-row ranges; block r peaks in month r+1) draws its color from
+      // the vocab slice {idx ≡ r (mod 12)} (colorVocab order is semantic).
+      // Marginal per-color frequency stays ~n/|vocab| (slices are even ±1),
+      // but a color now implies a season, so skCol's in-season basket
+      // redirect concentrates each color's sales in its month — the
+      // support Q56's published single-month item-grain report reads.
+      case "i_color" =>
+        val n = rowCount("item", sf)
+        val b = seasonBlockSize(n)
+        val V = colorVocab.size.toLong
+        val r = pmod(floor(src.cast(DoubleType) / b).cast(LongType), lit(12L))
+        val sliceSz = when(r < lit(V % 12), lit(V / 12 + 1))
+          .otherwise(lit(V / 12))
+        val idx = r + lit(12L) * pmod(h(src, t("i_color")), sliceSz)
+        Some(element_at(array(colorVocab.map(lit): _*),
+          (idx + 1).cast(IntegerType)))
       case _ => None
     }
   }
+
+  /** v18: season-block geometry shared by the item color draw and the
+    * fact-side in-season redirect — items partition into 12 contiguous
+    * blocks of b = max(1, n/12) rows; block r (0-based) peaks in calendar
+    * month r+1. The ≤11 remainder rows past 12·b belong to no season
+    * (never redirected to; their colors wrap via pmod). */
+  private def seasonBlockSize(n: Long): Long = math.max(1L, n / 12)
 
   /** v10: merchandise-description vocabulary for i_item_desc (dsdgen emits
     * sentence-shaped descriptions; published queries key on the first 30
@@ -857,8 +903,36 @@ object TpcdsGen extends Benchmark {
             s"the (order_number, item_sk) PK cannot hold; use sf >= " +
             f"${maxBasketLines(tbl) / sf1Counts("item")._1.toDouble}%.6f")
         val lineIdx = lineIdxInBasket(tbl, line, basket)
-        (pmod(pmod(h(basket, tag), lit(n)) + lineIdx * lit(itemStep % n), lit(n)) + 1)
-          .cast(cast)
+        val uniformItem =
+          pmod(pmod(h(basket, tag), lit(n)) + lineIdx * lit(itemStep % n), lit(n)) + 1
+        // v18: IN-SEASON baskets — 30% of baskets (by basket hash) buy only
+        // items of their sold month's season block (blocks are contiguous
+        // b = n/12 item ranges whose colors come from that month's vocab
+        // slice — see colorVocab/itemCol). The sub-tour walks CONSECUTIVE
+        // block rows from a hashed start, so the (order, item) PK holds
+        // whenever the basket's line count fits the block; bigger baskets
+        // (and every basket when b < lines, e.g. catalog/web at sf0.001)
+        // keep the uniform full-table tour. Per-item YEARLY mass is
+        // unchanged (every block gets the same boost, one month each), but
+        // per-(item, sold-month) density concentrates ~4× in the item's
+        // season — the support single-month item-grain reports (Q56/Q60)
+        // read at gate scale, the same way v10 super days carry Q23.
+        val b = seasonBlockSize(n)
+        val basketFits: Column = variablePattern(tbl) match {
+          case Some(pat) => element_at(array(pat.map(x => lit(x.toLong)): _*),
+            (pmod(basket, lit(pat.size.toLong)) + 1).cast(IntegerType)) <= lit(b)
+          case None => lit(basketLines(tbl).toLong <= b)
+        }
+        val soldCol = schema(tbl).fieldNames.find(_.endsWith("_sold_date_sk")).get
+        val soldSk = seasonalSoldDateSk(basket, tagFor(tbl, soldCol))
+        val soldMonth = month(date_add(
+          lit(java.sql.Date.valueOf("1900-01-01")),
+          (soldSk - 1).cast(IntegerType))).cast(LongType)
+        val inSeason = (pmod(h(basket, tag + 201), lit(10L)) < 3) && basketFits
+        val blockStart = pmod(h(basket, tag + 202), lit(b))
+        val seasonItem =
+          (soldMonth - 1) * lit(b) + pmod(blockStart + lineIdx, lit(b)) + 1
+        when(inSeason, seasonItem).otherwise(uniformItem).cast(cast)
       case Some(dim) if !(isFirst && dim == tbl) =>
         uniLong(src, tag, 1, rowCount(dim, sf)).cast(cast)
       case Some(_) => (line + 1).cast(cast) // own surrogate key
@@ -867,7 +941,7 @@ object TpcdsGen extends Benchmark {
         s"unmapped FK column $tbl.${f.name}: add its suffix to fkSuffix")
     }
     val base: Column = salesMoney(tbl, f.name, src)
-      .orElse(itemCol(tbl, f.name, src)).getOrElse(f.dataType match {
+      .orElse(itemCol(tbl, f.name, src, sf)).getOrElse(f.dataType match {
       // dense 1-based ticket/order number: the lines of one basket share it,
       // and returns rows joining on (order, item) hit the originating sale
       case IntegerType if orderNumberCols(f.name) =>

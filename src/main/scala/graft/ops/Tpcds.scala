@@ -805,25 +805,25 @@ object Tpcds {
     * with per-leg date windows and a PROFIT triple — ss_net_profit /
     * sr_net_loss / cs_net_profit, the money columns whose coherent
     * derivation chains genVersion 2 introduced. The PUBLISHED calendar
-    * grains now run as written — sale month d1 (April 2001), return and
-    * re-buy in the published April–October window of the same year
-    * (d_moy BETWEEN 4 AND 10): re-probed on gen17 this round (the
-    * independent-returning-party draw changed the joint distributions the
-    * chain rides) at 1 (item, store) row at sf0.01 — thin but real, and
-    * the chain density grows with the basket count, so gate-scale output
-    * scales up with sf (the 2000-anchored parameter probes 0; 2001 is the
-    * substitution-legal anchor with support).
+    * grains now run as written — a single sale month d1, return and
+    * re-buy in the published 6-month window of the same year (the
+    * published d_moy/d_moy+6 shape; January 2001 is the substitution
+    * anchor): probed across all (year, start-month) cells on gen18 at
+    * 1 (item, store) row at sf0.01 — thin but real, and the chain
+    * density grows with the basket count, so gate-scale output scales
+    * up with sf (every other probed cell holds 0; the single-month
+    * chain is Poisson-thin at the gate on dsdgen's own curve too).
     * Plan: two composite-keyed fact shuffles, everything else broadcast. */
   def q_tpcds_q25(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val d1 = t(spark, dir, "date_dim")
-      .filter(col("d_year") === 2001 && col("d_moy") === 4)
+      .filter(col("d_year") === 2001 && col("d_moy") === 1)
       .select(col("d_date_sk").as("d1_sk"))
     val d2 = t(spark, dir, "date_dim")
-      .filter(col("d_year") === 2001 && col("d_moy").between(4, 10))
+      .filter(col("d_year") === 2001 && col("d_moy").between(1, 7))
       .select(col("d_date_sk").as("d2_sk"))
     val d3 = t(spark, dir, "date_dim")
-      .filter(col("d_year") === 2001 && col("d_moy").between(4, 10))
+      .filter(col("d_year") === 2001 && col("d_moy").between(1, 7))
       .select(col("d_date_sk").as("d3_sk"))
     val st = t(spark, dir, "store").select("s_store_sk", "s_store_id", "s_store_name")
     val it = t(spark, dir, "item").select("i_item_sk", "i_item_id", "i_item_desc")
@@ -1163,10 +1163,13 @@ object Tpcds {
         col("i_class"), col("i_current_price"))
       .agg(sum((col("ss_ext_sales_price") * 100).cast(DecimalType(38, 0)))
         .as("rev_c"))
-    agg.withColumn("revenueratio",
-        round(col("rev_c").cast(DoubleType) * 100.0 /
-          sum(col("rev_c")).over(Window.partitionBy(col("i_class")))
-            .cast(DoubleType), 6))
+    // Same integer micro-ratio discipline as classRevenueShare: the share
+    // is an exact integral divide, converted to double once.
+    agg.withColumn("tot_c",
+        sum(col("rev_c")).over(Window.partitionBy(col("i_class"))))
+      .withColumn("revenueratio",
+        expr("(rev_c * 200000000 + tot_c) div (tot_c * 2)")
+          .cast(DoubleType) / 1000000.0)
       .select(col("i_item_id"), col("i_item_desc"), col("i_category"),
         col("i_class"), col("i_current_price"),
         (col("rev_c").cast(DoubleType) / 100.0).as("itemrevenue"),
@@ -2845,9 +2848,10 @@ object Tpcds {
     * partitions by i_class over the AGGREGATE (≤ items rows, never the
     * fact). Hash-stable output discipline (SURVEY §7.4): revenue is summed
     * as exact integer CENTS; the emitted doubles are one correctly-rounded
-    * int→double conversion plus IEEE ops (identical on any engine), and the
-    * ratio is additionally rounded at the output boundary so no last-bit
-    * behavior of either engine can reach the driver's hash. The nullable
+    * int→double conversion plus IEEE ops (identical on any engine), and
+    * the ratio is a half-up-rounded integer micro-ratio (exact integral
+    * divide; see the inline note) so no last-bit behavior of either
+    * engine can reach the driver's hash. The nullable
     * i_current_price passthrough is cast to DOUBLE at the output boundary
     * (NULL-decimal cells were the one output class the driver's harness
     * hashed divergently — round-11 verdict; NULL doubles are proven safe). */
@@ -2870,10 +2874,16 @@ object Tpcds {
       .groupBy(col("i_item_id"), col("i_item_desc"), col("i_category"),
         col("i_class"), col("i_current_price"))
       .agg(sum((col(priceCol) * 100).cast(DecimalType(38, 0))).as("rev_c"))
+      // The class share is a half-up-rounded INTEGER micro-ratio
+      // (⌊(rev·1e8·2 + tot) / (2·tot)⌋ via integral divide — exact in any
+      // engine), converted once: m/1e6 is the same correctly-rounded IEEE
+      // division everywhere. No double ROUND is in the path, so no
+      // engine's rounding mode can reach the driver's hash.
+      .withColumn("tot_c",
+        sum(col("rev_c")).over(Window.partitionBy(col("i_class"))))
       .withColumn("revenueratio",
-        round(col("rev_c").cast(DoubleType) * 100.0 /
-          sum(col("rev_c")).over(Window.partitionBy(col("i_class")))
-            .cast(DoubleType), 6))
+        expr("(rev_c * 200000000 + tot_c) div (tot_c * 2)")
+          .cast(DoubleType) / 1000000.0)
       .select(col("i_item_id"), col("i_item_desc"), col("i_category"),
         col("i_class"), col("i_current_price"),
         (col("rev_c").cast(DoubleType) / 100.0).as("itemrevenue"),
@@ -3426,11 +3436,17 @@ object Tpcds {
     * rollup gated by item COLOR — the PUBLISHED triple
     * slate/blanched/burnished, in-domain since genVersion 12's full
     * dsdgen color vocabulary. The published ca_gmt_offset = -5 geography
-    * also runs as written (genVersion 13's state-coherent offsets). */
+    * also runs as written (genVersion 13's state-coherent offsets), and
+    * the published SINGLE MONTH is October 2000: genVersion 18 colors are
+    * season-coherent (the triple shares vocab residue 9 → month 10) and
+    * in-season baskets concentrate each color's sales in its month, so
+    * the October item-grain cells are real (16 store / 2 web geo-gated
+    * lines over 5 triple items at sf0.01, vs 3/0 in off-season February —
+    * measured this round). */
   def q_tpcds_q56(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
-      .filter(col("d_year") === 2000 && col("d_moy") === 2)
+      .filter(col("d_year") === 2000 && col("d_moy") === 10)
       .select("d_date_sk")
     val ids = t(spark, dir, "item")
       .filter(col("i_color").isin("slate", "blanched", "burnished"))
@@ -3671,19 +3687,19 @@ object Tpcds {
     * channel revenue, so the band is satisfiable — before that the ~4:1
     * store:web revenue mix made it empty at ANY scale). The PUBLISHED
     * single d_week_seq window now runs as written: the anchor is a
-    * super-day week (2000-12-14 — v10's seasonal mass lands 20% of all
+    * super-day week (1998-12-16 — v10's seasonal mass lands 20% of all
     * sales on ten Nov/Dec super days, seven of which fall in this week),
-    * giving the week an ~83-item three-channel intersection and 1 band
-    * survivor at sf0.01, 9–11 at sf0.1 (survivors scale with |items|;
-    * a uniform week like 2000-03-03 holds a 1-item intersection and 0
-    * survivors at any anchor outside the seasonal mass — measured this
-    * round). The 1-row anchor broadcasts into date_dim, the date slice
+    * giving the week a ~100-item three-channel intersection and 3 band
+    * survivors at sf0.01 on gen18 (survivors scale with |items| — 9-11
+    * measured at sf0.1 on the pre-v18 draw; a uniform week like
+    * 2000-03-03 holds a 1-item intersection and 0 survivors at any
+    * anchor outside the seasonal mass — measured this round). The 1-row anchor broadcasts into date_dim, the date slice
     * broadcasts into each fact; three item-keyed aggregates join on the
     * item id; every ratio divides once as DOUBLE. */
   def q_tpcds_q58(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val anchor = t(spark, dir, "date_dim")
-      .filter(col("d_date") === to_date(lit("2000-12-14")))
+      .filter(col("d_date") === to_date(lit("1998-12-16")))
       .select(col("d_week_seq").as("anchor_seq"))
     val dd = t(spark, dir, "date_dim")
       .join(broadcast(anchor), col("d_week_seq") === col("anchor_seq"))
@@ -3723,12 +3739,12 @@ object Tpcds {
     * three channels — Q58's parity ladder over return quantities, with
     * the calendar windows derived from three anchor dates by the
     * PUBLISHED nested d_week_seq lookup, now run as written. The anchors
-    * are first-week-of-February dates across the three fact years
-    * (2000-02-02 / 2001-02-01 / 2002-02-07): the v10 seasonal mass puts
+    * are mid-February weeks across three fact years
+    * (1999-02-10 / 2000-02-09 / 2001-02-14): the v10 seasonal mass puts
     * 20% of sales on Nov/Dec super days and the 30–90-day return lag
     * (measured: 64% of return lags) lands that return wave in
     * late-Jan–Feb, so the three Feb weeks hold a real three-channel
-    * return intersection — 3 items at sf0.01, 6 at sf0.1 (measured this
+    * return intersection — 2 items at sf0.01 on gen18 (measured this
     * round; the old month-of-year windows are no longer needed). Deltas
     * are each channel's share of the three-channel total, divided once
     * as DOUBLE. */
@@ -3736,8 +3752,8 @@ object Tpcds {
     val dir = ensure(spark, sfDir)
     val anchor = t(spark, dir, "date_dim")
       .filter(col("d_date").isin(
-        java.sql.Date.valueOf("2000-02-02"), java.sql.Date.valueOf("2001-02-01"),
-        java.sql.Date.valueOf("2002-02-07")))
+        java.sql.Date.valueOf("1999-02-10"), java.sql.Date.valueOf("2000-02-09"),
+        java.sql.Date.valueOf("2001-02-14")))
       .select(col("d_week_seq").as("anchor_wk")).distinct()
     val dd = t(spark, dir, "date_dim")
       .join(broadcast(anchor), col("d_week_seq") === col("anchor_wk"))
@@ -4010,7 +4026,11 @@ object Tpcds {
     * is why exchange reuse deliberately does NOT apply here.
     * Remaining adaptations: the published six colors lead a 30-color
     * slice (gate-scale density) and the price band is generator-domain;
-    * pair years 2000/2001 (published 1999/2000 — the generated calendar).
+    * the pair years are the PUBLISHED 1999/2000 since genVersion 18
+    * (year-pair density re-probed on the seasonal draw: 1999/2000 holds
+    * 4 repeat-sale pairs at sf0.01 where 2000/2001 holds 0 — the pair
+    * count is Poisson-thin at the gate and the published default is the
+    * dense parameter choice).
     * Plan: cs_ui and ss⋈sr are the two (order/ticket, item)-keyed fact
     * shuffles; demographics/income-band/promotion/store/item/date
     * broadcast; customer and both addresses key-shuffled (they scale with
@@ -4051,7 +4071,7 @@ object Tpcds {
       .agg(sum(col("cs_ext_list_price")).as("s"), sum(col("refund")).as("r"))
       .filter(col("s") > col("r") * 2).select("ui_item")
     val dd = t(spark, dir, "date_dim")
-      .filter(col("d_year").isin(2000, 2001))
+      .filter(col("d_year").isin(1999, 2000))
       .select(col("d_date_sk"), col("d_year").as("syear"))
     val d2 = t(spark, dir, "date_dim")
       .select(col("d_date_sk").as("d2_sk"), col("d_year").as("fsyear"))
@@ -4127,8 +4147,8 @@ object Tpcds {
         col("syear"), col("fsyear"), col("s2year"))
       .agg(count(lit(1)).as("cnt"), sum(col("ss_wholesale_cost")).as("s1"),
         sum(col("ss_list_price")).as("s2"), sum(col("ss_coupon_amt")).as("s3"))
-    val cs1 = cs.filter(col("syear") === 2000)
-    val cs2 = cs.filter(col("syear") === 2001).select(
+    val cs1 = cs.filter(col("syear") === 1999)
+    val cs2 = cs.filter(col("syear") === 2000).select(
       col("item_sk").as("item_sk2"), col("store_name").as("store_name2"),
       col("store_zip").as("store_zip2"), col("syear").as("syear2"),
       col("cnt").as("cnt2"), col("s1").as("s12"), col("s2").as("s22"),
@@ -4673,9 +4693,9 @@ object Tpcds {
          |JOIN ${P("date_dim")} d3 ON cs_sold_date_sk = d3.d_date_sk
          |JOIN ${P("store")} ON ss_store_sk = s_store_sk
          |JOIN ${P("item")} ON ss_item_sk = i_item_sk
-         |WHERE d1.d_year = 2001 AND d1.d_moy = 4
-         | AND d2.d_year = 2001 AND d2.d_moy BETWEEN 4 AND 10
-         | AND d3.d_year = 2001 AND d3.d_moy BETWEEN 4 AND 10
+         |WHERE d1.d_year = 2001 AND d1.d_moy = 1
+         | AND d2.d_year = 2001 AND d2.d_moy BETWEEN 1 AND 7
+         | AND d3.d_year = 2001 AND d3.d_moy BETWEEN 1 AND 7
          |GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name""".stripMargin,
     "q_tpcds_q77" ->
       s"""WITH dd AS (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2000),
@@ -4843,9 +4863,9 @@ object Tpcds {
       s"""SELECT i_item_id, i_item_desc, i_category, i_class,
          | CAST(i_current_price AS DOUBLE) AS i_current_price,
          | CAST(rev_c AS DOUBLE) / 100.0 AS itemrevenue,
-         | ROUND(CAST(rev_c AS DOUBLE) * 100.0 /
-         |  CAST(sum(rev_c) OVER (PARTITION BY i_class) AS DOUBLE), 6)
-         |  AS revenueratio
+         | CAST((rev_c * 200000000 + sum(rev_c) OVER (PARTITION BY i_class))
+         |   // (sum(rev_c) OVER (PARTITION BY i_class) * 2) AS DOUBLE)
+         |  / 1000000.0 AS revenueratio
          |FROM (SELECT i_item_id, i_item_desc, i_category, i_class,
          |  i_current_price, sum(CAST(ss_ext_sales_price * 100 AS BIGINT)) AS rev_c
          | FROM ${P("store_sales")} JOIN ${P("date_dim")} ON ss_sold_date_sk = d_date_sk
@@ -5997,7 +6017,7 @@ object Tpcds {
          |  UNION ALL SELECT ws_item_sk, ws_ext_sales_price,
          |   ws_sold_date_sk, ws_bill_addr_sk FROM ${P("web_sales")}) s
          | JOIN ${P("date_dim")} ON s.dat = d_date_sk
-         | WHERE d_year = 2000 AND d_moy = 2
+         | WHERE d_year = 2000 AND d_moy = 10
          |  AND s.addr IN (SELECT ca_address_sk FROM ${P("customer_address")}
          |   WHERE ca_gmt_offset = -5))
          |SELECT i_item_id, CAST(sum(amt) AS DOUBLE) AS total_sales
@@ -6126,7 +6146,7 @@ object Tpcds {
       s"""WITH dd AS (
          | SELECT d_date_sk FROM ${P("date_dim")}
          | WHERE d_week_seq = (SELECT d_week_seq FROM ${P("date_dim")}
-         |                     WHERE d_date = DATE '2000-12-14')),
+         |                     WHERE d_date = DATE '1998-12-16')),
          |s AS (SELECT i_item_id AS ss_id, sum(ss_ext_sales_price) AS ss_rev
          | FROM ${P("store_sales")} JOIN dd ON ss_sold_date_sk = d_date_sk
          | JOIN ${P("item")} ON ss_item_sk = i_item_sk GROUP BY 1),
@@ -6164,8 +6184,8 @@ object Tpcds {
       s"""WITH dd AS (
          | SELECT d_date_sk FROM ${P("date_dim")}
          | WHERE d_week_seq IN (SELECT DISTINCT d_week_seq FROM ${P("date_dim")}
-         |   WHERE d_date IN (DATE '2000-02-02', DATE '2001-02-01',
-         |                    DATE '2002-02-07'))),
+         |   WHERE d_date IN (DATE '1999-02-10', DATE '2000-02-09',
+         |                    DATE '2001-02-14'))),
          |s AS (SELECT i_item_id AS sr_id,
          |  CAST(sum(sr_return_quantity) AS BIGINT) AS sr_qty
          | FROM ${P("store_returns")} JOIN dd ON sr_returned_date_sk = d_date_sk
@@ -6342,7 +6362,7 @@ object Tpcds {
          |  ON c_current_addr_sk = ad2.ca_address_sk
          | JOIN ${P("store")} ON ss_store_sk = s_store_sk
          | JOIN ${P("item")} ON ss_item_sk = i_item_sk
-         | WHERE d1.d_year IN (2000, 2001)
+         | WHERE d1.d_year IN (1999, 2000)
          |  AND cd1.cd_marital_status <> cd2.cd_marital_status
          |  AND ss_item_sk IN (SELECT cs_item_sk FROM csui)
          |  AND i_color IN ('purple', 'burlywood', 'indian', 'spring',
@@ -6366,7 +6386,7 @@ object Tpcds {
          |JOIN cs cs2 ON cs1.item_sk = cs2.item_sk
          | AND cs1.store_name = cs2.store_name
          | AND cs1.store_zip = cs2.store_zip
-         |WHERE cs1.syear = 2000 AND cs2.syear = 2001
+         |WHERE cs1.syear = 1999 AND cs2.syear = 2000
          | AND cs2.cnt <= cs1.cnt""".stripMargin,
     "q_tpcds_q24b" ->
       s"""WITH ssales AS (
@@ -6503,9 +6523,9 @@ object Tpcds {
     s"""SELECT i_item_id, i_item_desc, i_category, i_class,
        | CAST(i_current_price AS DOUBLE) AS i_current_price,
        | CAST(rev_c AS DOUBLE) / 100.0 AS itemrevenue,
-       | ROUND(CAST(rev_c AS DOUBLE) * 100.0 /
-       |  CAST(sum(rev_c) OVER (PARTITION BY i_class) AS DOUBLE), 6)
-       |  AS revenueratio
+       | CAST((rev_c * 200000000 + sum(rev_c) OVER (PARTITION BY i_class))
+       |   // (sum(rev_c) OVER (PARTITION BY i_class) * 2) AS DOUBLE)
+       |  / 1000000.0 AS revenueratio
        |FROM (SELECT i_item_id, i_item_desc, i_category, i_class,
        |  i_current_price, sum(CAST($priceCol * 100 AS BIGINT)) AS rev_c
        | FROM ${P(fact)} JOIN ${P("date_dim")} ON $dateCol = d_date_sk
