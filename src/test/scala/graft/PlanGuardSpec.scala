@@ -460,4 +460,34 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!plan.toUpperCase.contains("SPARK_PARTITION_ID"),
       s"pid still derived from physical partition placement:\n$plan")
   }
+
+  test("no declared query emits NULL cells in DECIMAL output columns") {
+    // The round-11 driver divergence class: NULL decimals render
+    // differently on the harness's Spark-result vs DuckDB-oracle load
+    // paths (pyarrow object None vs float64 NaN). Every query that ever
+    // hash-diverged at the driver emitted >= 1 NULL decimal cell and no
+    // green query emitted any — so the invariant is enforced here
+    // engine-side (tools/check.py lints the same property driver-side):
+    // nullable DECIMAL passthroughs must be cast (usually to DOUBLE) at
+    // the output boundary.
+    import org.apache.spark.sql.functions.{coalesce, lit, sum, when, col}
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, TestSpark.sf0001)
+        val decCols = df.schema.fields
+          .filter(_.dataType.isInstanceOf[DecimalType]).map(_.name)
+        if (decCols.isEmpty) None
+        else {
+          val row = df.select(decCols.map(c =>
+            coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+              .as(c)).toIndexedSeq: _*).collect().head
+          val bad = decCols.filter(c => row.getAs[Long](c) > 0)
+          if (bad.nonEmpty) Some(s"$name[${bad.mkString(",")}]") else None
+        }
+    }
+    assert(offenders.isEmpty,
+      s"NULL decimal cells in: ${offenders.mkString(", ")} — cast these " +
+        "outputs to DOUBLE at the boundary (r11 NULL-decimal class)")
+  }
 }
