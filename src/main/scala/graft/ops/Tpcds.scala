@@ -1046,13 +1046,14 @@ object Tpcds {
     * deployment ranks a fact-grain frame instead. Ratios divide exact
     * sums as DOUBLE once, identically on both engines, so ranks can't
     * drift. The PUBLISHED return_amt > 10000 big-ticket gate runs as
-    * written (the v10 channel-calibrated money puts 9/2/1 joined lines
-    * per channel over it at sf0.01); the year window stays the density
-    * adaptation (the published single month leaves the catalog and
-    * store legs empty — probed 3/0/0). */
+    * written (the v10 channel-calibrated money puts 3/2/0 web/catalog/
+    * store joined lines over it at sf0.01 in 2002 — the densest year on
+    * gen18, re-probed this round across all five years); the year window
+    * stays the density adaptation (the published single month leaves the
+    * catalog and store legs empty). */
   def q_tpcds_q49(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
-    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2001)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2002)
       .select("d_date_sk")
     import org.apache.spark.sql.expressions.Window
     def channel(name: String, sales: DataFrame, returns: DataFrame,
@@ -1677,7 +1678,10 @@ object Tpcds {
     * = 0 measured at BOTH scales, first line expected around sf 3-10.
     * Both selectivities are sf-invariant, so no weight bump short of
     * distorting the demo cross or the price curve carries it; same-shape
-    * major-state triples keep the profile non-degenerate. */
+    * major-state triples keep the profile non-degenerate. The r11
+    * measurement carries to gen18 unchanged: the v18 scope diff (round
+    * 12) shows only item_sk/i_color moved — every demographic, address,
+    * price and profit column this query gates on is bit-identical. */
   def q_tpcds_q13(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
@@ -4825,7 +4829,7 @@ object Tpcds {
            |    CAST(sum(coalesce(${pfx}_net_paid, 0)) AS DOUBLE) AS currency_ratio
            |  FROM ${P(sales)} JOIN ${P(returns)}
            |   ON ${pfx}_item_sk = ${rPfx}_item_sk AND $ordCol = $rOrdCol
-           |  JOIN (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2001) dd
+           |  JOIN (SELECT d_date_sk FROM ${P("date_dim")} WHERE d_year = 2002) dd
            |   ON ${pfx}_sold_date_sk = d_date_sk
            |  WHERE $amtCol > 10000 AND ${pfx}_net_profit > 1
            |   AND ${pfx}_net_paid > 0 AND ${pfx}_quantity > 0
