@@ -213,7 +213,7 @@ object SparkEntry {
     "q_join_asof" ->
       s"SELECT p.event_id, p.user_id, b.ts AS asof_ts, b.value AS asof_value FROM (SELECT event_id, user_id, $evTs AS ts FROM events WHERE event_type = 'click') p ASOF LEFT JOIN (SELECT user_id, $evTs AS ts, value FROM events WHERE event_type = 'purchase') b ON p.user_id = b.user_id AND p.ts >= b.ts",
     "q_agg_pricing" ->
-      s"SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(sum($extDec) AS DOUBLE) AS sum_base_price, CAST(sum($extDec * $oneMinusDisc) AS DOUBLE) AS sum_disc_price, CAST(sum($extDec * $oneMinusDisc * $onePlusTax) AS DOUBLE) AS sum_charge, sum(l_quantity) / count(*) AS avg_qty, CAST(sum($extDec) AS DOUBLE) / count(*) AS avg_price, CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' GROUP BY l_returnflag, l_linestatus",
+      s"SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(sum($extDec) AS DOUBLE) AS sum_base_price, CAST(CAST(sum($extDec * $oneMinusDisc) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_disc_price, CAST(CAST(sum($extDec * $oneMinusDisc * $onePlusTax) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge, sum(l_quantity) / count(*) AS avg_qty, CAST(sum($extDec) AS DOUBLE) / count(*) AS avg_price, CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02' GROUP BY l_returnflag, l_linestatus",
     "q_agg_distinct" ->
       "SELECT count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders FROM orders",
     "q_agg_rollup" ->

@@ -144,10 +144,14 @@ object TpcdsGen extends Benchmark {
     * order is semantic; Q56's slate/blanched/burnished triple shares
     * residue 9 → October), and 30% of sales baskets buy ONLY their sold
     * month's block (a consecutive-row sub-tour, PK-safe by the
-    * basket-fits gate). Per-item yearly mass is unchanged; per-(item,
-    * sold-month) density concentrates ~4× in season, carrying Q56/Q60's
-    * published single-month item-grain reports the way v10 super days
-    * carry Q23. */
+    * basket-fits gate). Per-item yearly mass stays flat across the ten
+    * non-holiday blocks (each boosted once a year by the same amount);
+    * the Nov/Dec blocks run ~1.2–1.7× hotter because the v10
+    * super-day/holiday date mass lands in their season — holiday items
+    * are more popular, the dsdgen-like shape. Per-(item, sold-month)
+    * density concentrates ~4× in season, carrying Q56/Q60's published
+    * single-month item-grain reports the way v10 super days carry
+    * Q23. */
   val genVersion = 18
 
   /** Prime step of the within-basket item tour (see the item case in
@@ -912,11 +916,13 @@ object TpcdsGen extends Benchmark {
         // block rows from a hashed start, so the (order, item) PK holds
         // whenever the basket's line count fits the block; bigger baskets
         // (and every basket when b < lines, e.g. catalog/web at sf0.001)
-        // keep the uniform full-table tour. Per-item YEARLY mass is
-        // unchanged (every block gets the same boost, one month each), but
-        // per-(item, sold-month) density concentrates ~4× in the item's
-        // season — the support single-month item-grain reports (Q56/Q60)
-        // read at gate scale, the same way v10 super days carry Q23.
+        // keep the uniform full-table tour. Per-item YEARLY mass stays
+        // flat across the ten non-holiday blocks (each gets the same
+        // boost, one month each; Nov/Dec compound with the v10 holiday
+        // date mass and run hotter — GenSpec pins both), and per-(item,
+        // sold-month) density concentrates ~4× in the item's season —
+        // the support single-month item-grain reports (Q56/Q60) read at
+        // gate scale, the same way v10 super days carry Q23.
         val b = seasonBlockSize(n)
         val basketFits: Column = variablePattern(tbl) match {
           case Some(pat) => element_at(array(pat.map(x => lit(x.toLong)): _*),

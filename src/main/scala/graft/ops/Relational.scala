@@ -220,14 +220,22 @@ object Relational {
     val ext8 = dec(col("l_extendedprice"), 8, 2)
     val oneMinusDisc = lit(1) - dec(col("l_discount"), 4, 2)
     val onePlusTax = lit(1) + dec(col("l_tax"), 4, 2)
+    // The two product sums convert through an exact BIGINT of MILLIONTHS
+    // before the double cast: above 2^53 micro-units (~sf1 fixtures) a
+    // direct decimal→double cast is correctly rounded in Spark
+    // (BigDecimal) but double-rounds in DuckDB (int128→double, then the
+    // scale divide), drifting 1 ULP. int64→double + one IEEE division is
+    // identical everywhere (headroom to ~9.2e12 dollars per group).
+    def viaMicros(c: Column): Column =
+      (sum(c) * 1000000).cast(LongType).cast(D) / 1000000.0
     t(s, d, "lineitem")
       .filter(col("l_shipdate") <= lit("2000-09-02").cast(TimestampType))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
         sum(ext8).cast(D).as("sum_base_price"),
-        sum(ext * oneMinusDisc).cast(D).as("sum_disc_price"),
-        sum(ext * oneMinusDisc * onePlusTax).cast(D).as("sum_charge"),
+        viaMicros(ext * oneMinusDisc).as("sum_disc_price"),
+        viaMicros(ext * oneMinusDisc * onePlusTax).as("sum_charge"),
         (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (sum(ext8).cast(D) / count(lit(1))).as("avg_price"),
         (sum(dec(col("l_discount"), 4, 2)).cast(D) / count(lit(1))).as("avg_disc"),

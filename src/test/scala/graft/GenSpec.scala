@@ -796,6 +796,56 @@ class GenSpec extends AnyFunSuite {
       f"inventory dates unexpectedly seasonal: ${invNovDec / invN}%.3f")
   }
 
+  test("v18: seasonal item popularity — season-coherent colors, in-season concentration, yearly mass flat") {
+    import org.apache.spark.sql.functions._
+    // (a) the Q56 published triple shares one residue class mod 12 (the
+    // vocab order is semantic — a careless re-sort would silently move
+    // the triple out of its October season)
+    val v = TpcdsGen.colorVocab
+    val res = Seq("slate", "blanched", "burnished").map(c => v.indexOf(c) % 12)
+    assert(res.distinct == Seq(9), s"Q56 triple residues $res != 9")
+    // (b) item colors come from the season block's vocab slice: an item in
+    // block r (0-based index / (n/12)) only wears colors with idx ≡ r mod 12
+    val items = TpcdsGen.table(spark, "item", 0.01, 4)
+      .select(col("i_item_sk"), col("i_color")).collect()
+    val n = items.length
+    val b = math.max(1, n / 12)
+    items.filter(_.get(1) != null).foreach { r =>
+      val sk = r.getAs[Number](0).longValue()
+      val block = (((sk - 1) / b) % 12).toInt
+      val idx = v.indexOf(r.getString(1))
+      assert(idx % 12 == block,
+        s"item $sk (block $block) wears off-season color ${r.getString(1)} (residue ${idx % 12})")
+    }
+    // (c) in-season concentration: October-block items take well over the
+    // uniform 1/12 share of October store lines
+    val dd = TpcdsGen.table(spark, "date_dim", 1.0, 2)
+      .select(col("d_date_sk"), col("d_moy"))
+    val ss = TpcdsGen.table(spark, "store_sales", 0.01, 4)
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+    val oct = ss.filter(col("d_moy") === 10)
+    val octN = oct.count().toDouble
+    val octInSeason = oct
+      .filter(((col("ss_item_sk") - 1) / b).cast("long") === 9).count().toDouble
+    val uniformShare = b.toDouble / n
+    assert(octInSeason / octN > 2 * uniformShare,
+      f"October in-season share ${octInSeason / octN}%.3f not concentrated (uniform $uniformShare%.3f)")
+    // (d) per-item YEARLY mass is flat across the NON-HOLIDAY season
+    // blocks (each is boosted once a year by the same amount); the Nov and
+    // Dec blocks run hotter BY DESIGN — the v10 super-day/holiday date
+    // mass lands in their season, so the redirect compounds there
+    // (holiday items are more popular, the dsdgen-like shape)
+    val perBlock = ss.filter(col("ss_item_sk") <= 12L * b)
+      .groupBy((((col("ss_item_sk") - 1) / b).cast("long")).as("blk"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nonHoliday = perBlock.filter(_._1 <= 9).values
+    val (bmin, bmax) = (nonHoliday.min.toDouble, nonHoliday.max.toDouble)
+    assert(bmax / bmin < 1.25,
+      s"non-holiday yearly per-block mass skewed ${bmax / bmin}: $perBlock")
+    assert(perBlock(11L) > bmax && perBlock(10L) > bmin,
+      s"holiday blocks not hotter than the uniform ten: $perBlock")
+  }
+
   test("fact-table generation compiles under whole-stage codegen (no 64 KB fallback)") {
     // Regression for the staged-projection refactor: the old single-select
     // form inlined the money derivation chain into each of the 16 money
