@@ -1074,6 +1074,13 @@ object Tpcds {
           (sum(coalesce(col(amtCol), z72)).cast(DoubleType) /
             sum(coalesce(col(s"${pfx}_net_paid"), z72)).cast(DoubleType))
             .as("currency_ratio"))
+      // Unpartitioned rank windows here run a single-partition sort, but the
+      // input is the per-item per-channel AGGREGATE (≤ |item|), and the spec's
+      // item table is sub-linear in sf: 18k rows at sf1, 300k at sf1000, 502k
+      // at sf100000 — ≤ ~12 MB of (item, 2×double) rows, a sub-second sort on
+      // one executor at any supported scale. The two-phase footer-stats rank
+      // (q_win_rank2, ops/Relational.scala) is the escape hatch if a rank
+      // grain ever becomes fact-proportional.
       perItem
         .withColumn("return_rank", rank().over(Window.orderBy(col("return_ratio"))).cast(org.apache.spark.sql.types.IntegerType))
         .withColumn("currency_rank", rank().over(Window.orderBy(col("currency_ratio"))).cast(org.apache.spark.sql.types.IntegerType))
@@ -2461,6 +2468,8 @@ object Tpcds {
       .select("ss_sold_date_sk", "ss_store_sk", "ss_net_profit")
       .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
       .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+    // Unpartitioned rank over the per-STATE aggregate: ≤ ~50 rows at any sf
+    // (bound note at Q49's per-item ranks applies a fortiori).
     val topStates = base.groupBy(col("s_state").as("ts_state"))
       .agg(sum(col("ss_net_profit")).as("sp"))
       .select(col("ts_state"), rank().over(
@@ -2766,6 +2775,8 @@ object Tpcds {
       .select(col("item_sk"),
         (col("sum_c").cast(DoubleType) / col("cnt")).as("rank_col"))
     import org.apache.spark.sql.expressions.Window
+    // Unpartitioned ranks over the single-store per-item aggregate: ≤ |item|
+    // rows, sub-linear in sf (see the bound note at Q49's per-item ranks).
     val asc = perItem.select(col("item_sk"),
         rank().over(Window.orderBy(col("rank_col").asc)).as("rnk"))
       .filter(col("rnk") < 11)
