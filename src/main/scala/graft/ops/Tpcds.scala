@@ -2574,7 +2574,13 @@ object Tpcds {
     * 12-month window — super days concentrate dates but the third
     * channel's per-(customer, day) density stays ~0.4%), so the day
     * grain is structurally empty at gate scale and the year grain stays
-    * the honest adaptation. */
+    * the honest adaptation. CONFIRMED on the gen18 multi-decade curve
+    * (round 12, DuckDB over the generated caches): same-day triples over
+    * the whole span = 0 at sf0.01, 9 at sf1, 132 at sf10 (33 inside a
+    * published-style 12-month month_seq window at sf10) — per-customer
+    * triple probability is sf-invariant but the population grows, so the
+    * published day grain is REAL from ~sf0.5 up and linear after; the
+    * gate-scale emptiness is density, not a generator defect. */
   def q_tpcds_q38(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
