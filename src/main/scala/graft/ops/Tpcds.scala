@@ -2855,7 +2855,13 @@ object Tpcds {
     * names (powder/khaki/orchid/firebrick, rose/metallic/chiffon/
     * gainsboro — in-domain since genVersion 12); the published per-block
     * i_units gate stays dropped (units are not domain-valued) and colors
-    * group 4-per-block for gate-scale density. */
+    * group 4-per-block for gate-scale density. Measured on the gen18
+    * curve (round 12): the published SHAPE (40-wide manufact band
+    * 738-778, 2-color × 2-size arms) returns 0 product names at sf0.01
+    * (the 2000-row item table holds only 9 band items) but 24 at sf1 and
+    * sf10 — identical to the adapted form's 24 at those scales, so the
+    * adaptation converges to the published query as the item table
+    * grows; gate-scale emptiness is item-table width, not model shape. */
   def q_tpcds_q41(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val qual = t(spark, dir, "item")
@@ -3965,6 +3971,11 @@ object Tpcds {
     * since genVersion 12) LEADS a slice widened by nineteen for
     * gate-scale density (the exact-zip gate keeps ~8 post-filter lines
     * at sf0.01, so the slice must be wide to stay non-degenerate).
+    * Measured on the gen18 curve (round 12): the published SINGLE-color
+    * form run end-to-end (threshold included) returns 49 rows at sf1
+    * and 431 at sf10 ('pale' holds 57 zip-matched return lines at sf1,
+    * 506 at sf10; 'chiffon' for the second iteration: 52 / 397 rows) —
+    * real from ~sf0.1 up, gate-empty by density alone.
     * Plan: one (ticket, item) fact⋈fact shuffle; store/item broadcast;
     * customer and address customer-keyed; the all-colors average attaches
     * by the nullable-derived-key broadcast hash join. */
@@ -4059,7 +4070,13 @@ object Tpcds {
     * (year-pair density re-probed on the seasonal draw: 1999/2000 holds
     * 4 repeat-sale pairs at sf0.01 where 2000/2001 holds 0 — the pair
     * count is Poisson-thin at the gate and the published default is the
-    * dense parameter choice).
+    * dense parameter choice). Measured on the gen18 curve (round 12,
+    * coarse (item, customer, store, zip)-grain pair probe with the
+    * catalog-healthy gate): the published 6-color × $35-45 slice holds
+    * 0 ITEMS at sf0.01 (expected ≈ 0.7 on a 2000-row item table) but
+    * 111 items / 130 repeat-sale pairs at sf1 and 1019 / 1061 at sf10 —
+    * the published parameters are real one decade above the gate and
+    * empty below it purely because the item table is narrow.
     * Plan: cs_ui and ss⋈sr are the two (order/ticket, item)-keyed fact
     * shuffles; demographics/income-band/promotion/store/item/date
     * broadcast; customer and both addresses key-shuffled (they scale with
