@@ -151,8 +151,18 @@ object TpcdsGen extends Benchmark {
     * are more popular, the dsdgen-like shape. Per-(item, sold-month)
     * density concentrates ~4× in season, carrying Q56/Q60's published
     * single-month item-grain reports the way v10 super days carry
-    * Q23. */
-  val genVersion = 18
+    * Q23.
+    * v19: customer_demographics CAPPED at its full cross product
+    * (1,920,800 rows — dsdgen's fixed size at EVERY scale factor).
+    * Below sf1 the linear prefix is unchanged, so all gate-scale caches
+    * (sf0.001/0.01/0.1) and sf1 are bit-identical to v18 (GenDiff-
+    * verified) and no query result moves; at sf10+ cd stops scaling
+    * (the pre-v19 curve minted duplicate demographic rows — 192M at
+    * sf100 — and turned every designed cd broadcast fact-sized,
+    * measured as a Q64 driver-collect blow-up at sf100). Fact *_cdemo_sk
+    * draws follow rowCount, so they span the full cross product from
+    * sf1 up, exactly like dsdgen. */
+  val genVersion = 19
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -165,6 +175,13 @@ object TpcdsGen extends Benchmark {
     "catalog_returns"        -> (144067L, false),
     "customer"               -> (100000L, false),
     "customer_address"       -> (50000L, false),
+    // capped in rowCount: cd is the demographic CROSS PRODUCT, so its
+    // sf1 size is also its ceiling — dsdgen emits the same 1,920,800
+    // rows at every scale factor; scaling past the full cross product
+    // would mint duplicate demographic combinations and turn every
+    // designed cd broadcast into a fact-sized relation (measured: the
+    // pre-v19 linear curve hit 192M rows at sf100 and blew Q64's
+    // broadcast collect past spark.driver.maxResultSize)
     "customer_demographics"  -> (1920800L, false),
     "date_dim"               -> (73049L, true),
     "income_band"            -> (20L, true),
@@ -193,7 +210,14 @@ object TpcdsGen extends Benchmark {
 
   def rowCount(table: String, sf: Double): Long = {
     val (n, fixed) = sf1Counts(table)
-    if (fixed) n else math.max(1L, (n * sf).toLong)
+    // cross-product dims scale linearly only UP TO their full cross
+    // product (their sf1 size), then stay fixed like dsdgen's: below
+    // sf1 the linear prefix keeps the gate-scale caches bit-identical,
+    // at and above sf1 the spec-exact fixed size keeps cd broadcastable
+    // at any scale (60 MB, never fact-sized)
+    if (fixed) n
+    else if (table == "customer_demographics") math.max(1L, math.min((n * sf).toLong, n))
+    else math.max(1L, (n * sf).toLong)
   }
 
   /** FK column-name suffix → target dimension (TPC-DS naming convention;

@@ -229,6 +229,17 @@ class GenSpec extends AnyFunSuite {
     }
   }
 
+  test("v19: customer_demographics scales only up to its full cross product") {
+    // linear prefix below sf1 (gate caches bit-identical to v18) ...
+    assert(TpcdsGen.rowCount("customer_demographics", 0.01) == 19208L)
+    assert(TpcdsGen.rowCount("customer_demographics", 0.1) == 192080L)
+    // ... then capped at dsdgen's fixed 1,920,800-row cross product, so
+    // cd stays broadcastable (never fact-sized) at any scale factor
+    Seq(1.0, 10.0, 100.0, 1000.0).foreach { sf =>
+      assert(TpcdsGen.rowCount("customer_demographics", sf) == 1920800L, s"sf$sf")
+    }
+  }
+
   test("sales facts are basketed: dense tickets, basket-coherent FKs") {
     import org.apache.spark.sql.functions._
     val sf = 0.01
