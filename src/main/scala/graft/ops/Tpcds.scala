@@ -1825,9 +1825,16 @@ object Tpcds {
     * (year, brand, class, category, manufact) grain, and the two years
     * join to keep cells whose unit ratio fell under 0.9. The (order, item)
     * keyed joins are the scale work; the year-pair join runs over
-    * hierarchy-cell aggregates only. Ratio adapted to one double division
-    * (the published DECIMAL(17,2) division rounds differently per
-    * engine). */
+    * hierarchy-cell aggregates only. The published decline gate
+    * CAST(curr AS DECIMAL(17,2))/CAST(prev AS DECIMAL(17,2)) < 0.9 is
+    * evaluated EXACTLY by integer cross-multiplication (prev > 0 ⇒
+    * curr/prev < 9/10 ⟺ 10·curr < 9·prev over the rationals), so no
+    * engine's decimal-division rounding can reach the result — the same
+    * technique that closed Q32/Q92/Q39b. Equivalence to the published
+    * division form measured in DuckDB on the gen19 caches (identical row
+    * sets, 0 predicate disagreements, at sf0.001/sf0.01/sf1); counts are
+    * BIGINT sums of 32-bit quantities,
+    * so ×10/×9 cannot overflow below ~10^17 units per hierarchy cell. */
   def q_tpcds_q75(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
@@ -1885,8 +1892,7 @@ object Tpcds {
         col("i_category_id") === col("p_category_id") &&
         col("i_manufact_id") === col("p_manufact_id"))
       .filter(col("prev_yr_cnt") > 0 &&
-        col("sales_cnt").cast(DoubleType) / col("prev_yr_cnt").cast(DoubleType)
-          < 0.9)
+        col("sales_cnt") * 10 < col("prev_yr_cnt") * 9)
       .select(lit(1999).as("prev_year"), col("d_year").as("year_"),
         col("i_brand_id"), col("i_class_id"), col("i_category_id"),
         col("i_manufact_id"), col("prev_yr_cnt"),
@@ -5250,7 +5256,7 @@ object Tpcds {
          | AND c.i_category_id = p.i_category_id
          | AND c.i_manufact_id = p.i_manufact_id
          |WHERE c.d_year = 2000 AND p.d_year = 1999 AND p.sales_cnt > 0
-         | AND CAST(c.sales_cnt AS DOUBLE) / CAST(p.sales_cnt AS DOUBLE) < 0.9""".stripMargin
+         | AND c.sales_cnt * 10 < p.sales_cnt * 9""".stripMargin
     },
     "q_tpcds_q66" -> {
       def chan(fact: String, dateCol: String, timeCol: String, smCol: String,
