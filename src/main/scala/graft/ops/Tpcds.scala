@@ -4230,9 +4230,13 @@ object Tpcds {
     * Cross membership is the PUBLISHED hierarchy-tuple INTERSECT over the
     * published three-year window (tuples sold in all three channels — the
     * same collapse-to-tuple-grain argument as Q14's first iteration); the
-    * two calendar windows resolve from anchor dates by Q58's nested
-    * month-seq derivation (published week grain → month, the documented
-    * density adaptation), and the year pair is ONE conditional aggregate
+    * two calendar windows are the PUBLISHED single d_week_seq windows,
+    * resolved from the anchor dates by the published nested week-seq
+    * derivation (un-adapted r12: the December anchors ride the v10
+    * super-day mass — measured on gen19, 107 cross-tuple cells hold sales
+    * in BOTH published weeks at sf0.01, 48 grew → 48 result rows; 529 at
+    * sf1 — so the month-window density adaptation is retired), and the
+    * year pair is ONE conditional aggregate
     * over ONE store_sales pass — not a CTE self-join of two scans.
     * Hash-stable discipline: the grew-or-not gate compares exact integer
     * CENTS, never computed doubles; the emitted sales are one int→double
@@ -4254,17 +4258,17 @@ object Tpcds {
     val crossTuples = tupleSet("store_sales", "ss").filter(nonNull)
       .join(tupleSet("catalog_sales", "cs"), key, "left_semi")
       .join(tupleSet("web_sales", "ws"), key, "left_semi")
-    def monthOf(date: String, mark: String) =
+    def weekOf(date: String, mark: String) =
       t(spark, dir, "date_dim")
         .filter(col("d_date") === to_date(lit(date)))
-        .select(col("d_month_seq").as(mark))
+        .select(col("d_week_seq").as(mark))
     val dd = t(spark, dir, "date_dim")
-      .join(broadcast(monthOf("2001-12-11", "ty_seq")),
-        col("d_month_seq") === col("ty_seq"), "left_semi")
+      .join(broadcast(weekOf("2001-12-11", "ty_seq")),
+        col("d_week_seq") === col("ty_seq"), "left_semi")
       .select(col("d_date_sk"), lit(1).as("is_ty"))
       .union(t(spark, dir, "date_dim")
-        .join(broadcast(monthOf("2000-12-11", "ly_seq")),
-          col("d_month_seq") === col("ly_seq"), "left_semi")
+        .join(broadcast(weekOf("2000-12-11", "ly_seq")),
+          col("d_week_seq") === col("ly_seq"), "left_semi")
         .select(col("d_date_sk"), lit(0).as("is_ty")))
     val ty = col("is_ty") === 1
     val cents = (col("ss_quantity") * col("ss_list_price") * 100)
@@ -6506,12 +6510,12 @@ object Tpcds {
          |  ) INTERSECT (${tset("web_sales", "ws")})),
          |dd AS (
          | SELECT d_date_sk, 1 AS is_ty FROM ${P("date_dim")}
-         | WHERE d_month_seq = (SELECT d_month_seq FROM ${P("date_dim")}
-         |                      WHERE d_date = DATE '2001-12-11')
+         | WHERE d_week_seq = (SELECT d_week_seq FROM ${P("date_dim")}
+         |                     WHERE d_date = DATE '2001-12-11')
          | UNION ALL
          | SELECT d_date_sk, 0 FROM ${P("date_dim")}
-         | WHERE d_month_seq = (SELECT d_month_seq FROM ${P("date_dim")}
-         |                      WHERE d_date = DATE '2000-12-11'))
+         | WHERE d_week_seq = (SELECT d_week_seq FROM ${P("date_dim")}
+         |                     WHERE d_date = DATE '2000-12-11'))
          |SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
          | CAST(sum(CASE WHEN is_ty = 1
          |  THEN CAST(ss_quantity * ss_list_price * 100 AS BIGINT) END)
