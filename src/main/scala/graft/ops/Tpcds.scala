@@ -2170,9 +2170,11 @@ object Tpcds {
     * between year 2000 weeks and the same week one year (53 weeks) later.
     * The union streams both facts through one broadcast date join and one
     * (week_seq) aggregate shuffle; both comparison sides are semi-pruned
-    * to their single year before aggregating. Ratios divide exact DECIMAL
-    * sums once as DOUBLE (the published round(,2) is dropped — halfway
-    * rounding differs per engine). */
+    * to their single year before aggregating. Ratios carry the PUBLISHED
+    * round(,2) — evaluated exactly as a half-up integer micro-ratio over
+    * the two cent sums (the Q75/Q32/Q92 cross-multiplication technique;
+    * cents cancel in the ratio, so no engine's halfway rounding can
+    * reach the output). */
   def q_tpcds_q2(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     def dow(name: String): Column =
@@ -2181,10 +2183,12 @@ object Tpcds {
       .select("d_date_sk", "d_week_seq", "d_day_name")
     val u = t(spark, dir, "web_sales")
         .select(col("ws_sold_date_sk").as("sold_date_sk"),
-          col("ws_ext_sales_price").as("sales_price"))
+          (col("ws_ext_sales_price") * 100).cast(DecimalType(38, 0))
+            .as("sales_price"))
       .union(t(spark, dir, "catalog_sales")
         .select(col("cs_sold_date_sk").as("sold_date_sk"),
-          col("cs_ext_sales_price").as("sales_price")))
+          (col("cs_ext_sales_price") * 100).cast(DecimalType(38, 0))
+            .as("sales_price")))
     val wk = u.join(broadcast(dd), col("sold_date_sk") === col("d_date_sk"))
       .groupBy(col("d_week_seq"))
       .agg(dow("Sunday").as("sun"), dow("Monday").as("mon"),
@@ -2200,8 +2204,12 @@ object Tpcds {
       .select(col("d_week_seq").as("w2"), col("sun").as("sun2"),
         col("mon").as("mon2"), col("tue").as("tue2"), col("wed").as("wed2"),
         col("thu").as("thu2"), col("fri").as("fri2"), col("sat").as("sat2"))
+    // the published ROUND(week / next-year week, 2): both sides are exact
+    // integer CENTS (the cents cancel in the ratio), so half-up rounding is
+    // the exact integral ⌊(a·100·2 + b) / (2·b)⌋ — engine-independent
     def r(a: String, b: String): Column =
-      (col(a).cast(DoubleType) / col(b).cast(DoubleType)).as(s"${a}_r")
+      (expr(s"($a * 200 + $b) div ($b * 2)").cast(DoubleType) / 100.0)
+        .as(s"${a}_r")
     y.join(z, col("d_week_seq") === col("w2") - 53)
       .select(col("d_week_seq").as("week_seq"), r("sun", "sun2"),
         r("mon", "mon2"), r("tue", "tue2"), r("wed", "wed2"),
@@ -2348,9 +2356,11 @@ object Tpcds {
     * other two channels on the PUBLISHED (year, item, customer) triple —
     * real since v10's seasonal sold-date concentration (~600 cross-
     * channel pair-year cells at sf0.01) — keep customers active
-    * elsewhere, ratio = store qty ÷ other-channel qty divided once as
-    * DOUBLE (the published ROUND(., 2) is the one precision adaptation —
-    * half-even vs half-up differs per engine). The channel aggregates
+    * elsewhere, ratio = the PUBLISHED ROUND(store qty ÷ other qty, 2) —
+    * evaluated EXACTLY as a half-up integer micro-ratio over the two
+    * BIGINT quantity sums (the Q75/Q32/Q92 cross-multiplication
+    * technique; no engine-dependent double rounding reaches the
+    * output). The channel aggregates
     * are the scale work: one (order, item)-keyed anti join + one
     * (item, customer)-keyed aggregate each; the outer merges ride the
     * same pair key. */
@@ -2391,9 +2401,14 @@ object Tpcds {
       .join(cs, col("ss_customer_sk") === col("cs_customer_sk") &&
         col("ss_item_sk") === col("cs_item_sk"), "left_outer")
       .filter(other > 0)
+      .withColumn("other_q", other)
       .select(col("ss_customer_sk").as("customer_sk"),
         col("ss_item_sk").as("item_sk"),
-        (col("ss_qty").cast(DoubleType) / other.cast(DoubleType)).as("ratio"),
+        // the published ROUND(ss_qty/other, 2): half-up of a ratio of two
+        // BIGINT sums = ⌊(a·100·2 + b) / (2·b)⌋ by integral divide — exact
+        // in any engine; one int→double conversion + /100.0 (both exact)
+        (expr("(ss_qty * 200 + other_q) div (other_q * 2)")
+          .cast(DoubleType) / 100.0).as("ratio"),
         col("ss_qty").as("store_qty"),
         col("ss_wc").cast(DoubleType).as("store_wholesale_cost"),
         col("ss_sp").cast(DoubleType).as("store_sales_price"),
@@ -5396,9 +5411,11 @@ object Tpcds {
     "q_tpcds_q2" ->
       s"""WITH u AS (
          | SELECT ws_sold_date_sk AS sold_date_sk,
-         |  ws_ext_sales_price AS sales_price FROM ${P("web_sales")}
+         |  CAST(ws_ext_sales_price * 100 AS BIGINT) AS sales_price
+         | FROM ${P("web_sales")}
          | UNION ALL
-         | SELECT cs_sold_date_sk, cs_ext_sales_price FROM ${P("catalog_sales")}),
+         | SELECT cs_sold_date_sk, CAST(cs_ext_sales_price * 100 AS BIGINT)
+         | FROM ${P("catalog_sales")}),
          |wk AS (
          | SELECT d_week_seq,
          |  sum(CASE WHEN d_day_name = 'Sunday' THEN sales_price END) AS sun,
@@ -5413,13 +5430,13 @@ object Tpcds {
          |wk2000 AS (SELECT DISTINCT d_week_seq AS wk FROM ${P("date_dim")}
          |  WHERE d_year = 2000)
          |SELECT y.d_week_seq AS week_seq,
-         | CAST(y.sun AS DOUBLE) / CAST(z.sun AS DOUBLE) AS sun_r,
-         | CAST(y.mon AS DOUBLE) / CAST(z.mon AS DOUBLE) AS mon_r,
-         | CAST(y.tue AS DOUBLE) / CAST(z.tue AS DOUBLE) AS tue_r,
-         | CAST(y.wed AS DOUBLE) / CAST(z.wed AS DOUBLE) AS wed_r,
-         | CAST(y.thu AS DOUBLE) / CAST(z.thu AS DOUBLE) AS thu_r,
-         | CAST(y.fri AS DOUBLE) / CAST(z.fri AS DOUBLE) AS fri_r,
-         | CAST(y.sat AS DOUBLE) / CAST(z.sat AS DOUBLE) AS sat_r
+         | CAST((y.sun * 200 + z.sun) // (z.sun * 2) AS DOUBLE) / 100.0 AS sun_r,
+         | CAST((y.mon * 200 + z.mon) // (z.mon * 2) AS DOUBLE) / 100.0 AS mon_r,
+         | CAST((y.tue * 200 + z.tue) // (z.tue * 2) AS DOUBLE) / 100.0 AS tue_r,
+         | CAST((y.wed * 200 + z.wed) // (z.wed * 2) AS DOUBLE) / 100.0 AS wed_r,
+         | CAST((y.thu * 200 + z.thu) // (z.thu * 2) AS DOUBLE) / 100.0 AS thu_r,
+         | CAST((y.fri * 200 + z.fri) // (z.fri * 2) AS DOUBLE) / 100.0 AS fri_r,
+         | CAST((y.sat * 200 + z.sat) // (z.sat * 2) AS DOUBLE) / 100.0 AS sat_r
          |FROM wk y JOIN wk z ON y.d_week_seq = z.d_week_seq - 53
          |WHERE y.d_week_seq IN (SELECT wk FROM wk2000)
          | AND z.d_week_seq IN (SELECT wk + 53 FROM wk2000)""".stripMargin,
@@ -5501,8 +5518,9 @@ object Tpcds {
              "cs_quantity", "cs_wholesale_cost", "cs_sales_price",
              "catalog_returns", "cr_order_number", "cr_item_sk", "cs")})
          |SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk,
-         | CAST(ss_qty AS DOUBLE)
-         |  / CAST(COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS DOUBLE) AS ratio,
+         | CAST((ss_qty * 200 + (COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0)))
+         |   // ((COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0)) * 2) AS DOUBLE)
+         |  / 100.0 AS ratio,
          | ss_qty AS store_qty,
          | CAST(ss_wc AS DOUBLE) AS store_wholesale_cost,
          | CAST(ss_sp AS DOUBLE) AS store_sales_price,
