@@ -119,4 +119,18 @@ class PropertySpec extends AnyFunSuite {
       salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0
     }, cases = 5)
   }
+
+  test("integral micro-ratio equals BigDecimal HALF_UP to 2 decimals (Q78/Q2 output idiom)") {
+    // floor((a*200 + b) / (2b)) / 100 must be EXACTLY round-half-up(a/b, 2)
+    // for positive longs — the engine-independent ROUND the TPC-DS outputs
+    // emit. Pure arithmetic, no Spark job.
+    val ab: Gen[(Long, Long)] =
+      Gen.zip(Gen.chooseNum(0L, 2000000000L), Gen.chooseNum(1L, 2000000000L))
+    check(Prop.forAll(ab) { case (a, b) =>
+      val micro = (a * 200 + b) / (2 * b)
+      val expect = (BigDecimal(a) / BigDecimal(b))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      BigDecimal(micro, 2) == expect
+    })
+  }
 }
