@@ -1689,14 +1689,18 @@ object Tpcds {
     * measurement carries to gen18 unchanged: the v18 scope diff (round
     * 12) shows only item_sk/i_color moved — every demographic, address,
     * price and profit column this query gates on is bit-identical.
-    * CONFIRMED on the gen18 four-decade curve (round 12, DuckDB over the
+    * CONFIRMED on the four-decade curve (round 12, DuckDB over the
     * generated caches): published joint = 0 at sf0.01, 0 at sf0.1, 3 at
-    * sf1, 39 at sf10 (demo-with-published-price arms alone: 1313 lines
-    * at sf10, geo arms 2.2% of year-2000 lines) — the published
-    * predicate is REAL from ~sf1 up and grows linearly after its first
-    * lines, so the gate-scale emptiness is a density fact of the joint
-    * tail, exactly as the structural argument predicts; the adapted
-    * bands remain only so the sf0.01 oracle profile is non-degenerate. */
+    * sf1 (gen18, bit-identical through sf1 under gen19's cd cap —
+    * GenDiff-verified), re-probed at sf10 on gen19 after the cap
+    * re-drew the fact cdemo keys: joint = 17, demo-with-published-price
+    * arms alone 1230 (gen18 measured 39 / 1313 — both joint counts sit
+    * within 2σ of the ≈27 the arm densities predict, the Poisson-thin
+    * tail behaving as a tail) — the published predicate is REAL from
+    * ~sf1 up, so the gate-scale emptiness is a density fact of the
+    * joint tail, exactly as the structural argument predicts; the
+    * adapted bands remain only so the sf0.01 oracle profile is
+    * non-degenerate. */
   def q_tpcds_q13(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2000)
