@@ -102,6 +102,77 @@ object Scale {
       .write.mode(SaveMode.ErrorIfExists).parquet(path)
   }
 
+  /** Global (unpartitioned) RANK over `orderCol` WITHOUT the
+    * single-partition sort `Window.orderBy` plans — the generic form of
+    * [[graft.ops.Relational.q_win_rank2]]'s two-phase escape hatch, usable
+    * on any frame (including computed aggregates, where no parquet footer
+    * stats exist: the slice bounds come from a 1-row min/max aggregate
+    * attached by a derived-key broadcast hash join — data, not partitioner
+    * state, so the slice id stays a pure function of the row however
+    * Catalyst materializes the branches).
+    *
+    * Phase 1: slice id = equi-width bucket of the order value between the
+    * broadcast (min, max) — ascending or inverted for descending — then
+    * row_number per slice (windows of ~n/slices rows, parallelism ∝ data).
+    * Phase 2: per-slice counts (≤ `slices` rows — the ONE remaining
+    * unpartitioned window, bounded by construction) cumulate into offsets;
+    * global row_number = local + broadcast offset; tie-aware rank =
+    * min(row_number) over the value tie group (a diverse-key shuffle).
+    *
+    * Semantics ≡ `rank().over(Window.orderBy(asc/desc))` including NULL
+    * placement (asc: nulls first, slice 0; desc: nulls last, last slice)
+    * and ties — asserted by ScaleSpec against the single-window form.
+    * Monotone double conversion of the order value only picks the SLICE;
+    * exact ordering inside/across slices uses the original column, so
+    * non-double order columns rank exactly.
+    *
+    * WHEN TO USE (measured, r12): this wins when the ranked frame is
+    * fact-proportional — the one-task sort is the bottleneck and the two
+    * extra keyed shuffles are noise. It LOSES on small computed
+    * aggregates: the bounds pass re-executes the input subtree, so wiring
+    * it into Q49/Q44's ≤|items| per-item aggregates measured 2–3× SLOWER
+    * (q49 0.88 → 4.3 s, q44 0.43 → 1.3 s at sf0.1) than their bounded
+    * single-partition windows, which therefore stay. If `df` is an
+    * expensive subtree, persist it first — the helper scans it twice. */
+  def globalRank(df: DataFrame, orderCol: String, ascending: Boolean,
+                 rankCol: String, slices: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    val p = if (slices > 0) slices
+            else df.sparkSession.sparkContext.defaultParallelism
+    val v = col(orderCol).cast(DoubleType)
+    // the 1-row bounds attach by the repo's nullable-derived-key broadcast
+    // HASH join (a key computed from a column, so it can't constant-fold
+    // back into a nested-loop cross join — PlanGuard forbids unkeyed joins)
+    val bounds = df.agg(min(v).as("_lo"), max(v).as("_hi"))
+      .withColumn("_bk", coalesce(col("_lo") * 0, lit(0.0)))
+    val dir = if (ascending) v - col("_lo") else col("_hi") - v
+    val span = col("_hi") - col("_lo") + lit(1e-9)
+    // NULL order value (or all-NULL frame): asc sorts nulls FIRST → slice
+    // 0; desc sorts them LAST → last slice — matching Window.orderBy
+    val nullPid = if (ascending) lit(0) else lit(p - 1)
+    val parted = df.withColumn("_bk", coalesce(v * 0, lit(0.0)))
+      .join(broadcast(bounds), "_bk")
+      .withColumn("_pid",
+        least(lit(p - 1), greatest(lit(0),
+          coalesce(floor(dir * p / span).cast(IntegerType), nullPid))))
+      .drop("_bk", "_lo", "_hi")
+    val ord = if (ascending) col(orderCol).asc else col(orderCol).desc
+    val withLrn = parted
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(ord)))
+    val offsets = withLrn.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off",
+        sum("_cnt").over(Window.orderBy(col("_pid"))) - col("_cnt"))
+      .select(col("_pid").as("_opid"), col("_off"))
+    withLrn.join(broadcast(offsets), col("_pid") === col("_opid"))
+      .withColumn(rankCol,
+        min(col("_lrn") + col("_off"))
+          .over(Window.partitionBy(col(orderCol)))
+          .cast(IntegerType))
+      .drop("_pid", "_opid", "_lrn", "_off")
+  }
+
   /** Equi-join `big ⋈ dim` on `key` with the dim side replicated over
     * `saltFactor` sub-keys. The big side's salt is derived from xxhash64 of
     * the whole row (deterministic, uniform); the dim side explodes to all

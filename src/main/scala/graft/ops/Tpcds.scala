@@ -1041,9 +1041,13 @@ object Tpcds {
     * shrinks it further). Single-partition bound: dsdgen's item counts
     * grow sublinearly — 18k rows at sf1, 300k at sf1000, 502k at
     * sf100000 — so the worst-case window input is ~500k rows × ~24 B
-    * ≈ 12 MB, a single-task sort measured in milliseconds; the two-phase
-    * footer-stats rank (q_win_rank2) stays the escape hatch if a
-    * deployment ranks a fact-grain frame instead. Ratios divide exact
+    * ≈ 12 MB, a single-task sort measured in milliseconds; the generic
+    * two-phase rank ([[Scale.globalRank]]) stays the escape hatch if a
+    * deployment ranks a fact-grain frame instead — MEASURED here (r12):
+    * wiring it into these aggregate-grain ranks ran 0.88 → 4.3 s at
+    * sf0.1 (the bounds pass re-executes each channel subtree), so the
+    * bounded one-task sort is the RIGHT plan at this grain, by
+    * experiment and not just by the bound. Ratios divide exact
     * sums as DOUBLE once, identically on both engines, so ranks can't
     * drift. The PUBLISHED return_amt > 10000 big-ticket gate runs as
     * written (the v10 channel-calibrated money puts 3/2/0 web/catalog/
@@ -1078,9 +1082,9 @@ object Tpcds {
       // input is the per-item per-channel AGGREGATE (≤ |item|), and the spec's
       // item table is sub-linear in sf: 18k rows at sf1, 300k at sf1000, 502k
       // at sf100000 — ≤ ~12 MB of (item, 2×double) rows, a sub-second sort on
-      // one executor at any supported scale. The two-phase footer-stats rank
-      // (q_win_rank2, ops/Relational.scala) is the escape hatch if a rank
-      // grain ever becomes fact-proportional.
+      // one executor at any supported scale. Scale.globalRank is the escape
+      // hatch if a rank grain ever becomes fact-proportional (measured 2–3×
+      // slower HERE — see the scaladoc bound note above).
       perItem
         .withColumn("return_rank", rank().over(Window.orderBy(col("return_ratio"))).cast(org.apache.spark.sql.types.IntegerType))
         .withColumn("currency_rank", rank().over(Window.orderBy(col("currency_ratio"))).cast(org.apache.spark.sql.types.IntegerType))
@@ -2791,8 +2795,10 @@ object Tpcds {
     * single-partition bound: one store's item set caps at |items|, which
     * dsdgen grows sublinearly (18k at sf1, 300k at sf1000, 502k at
     * sf100000), so the unpartitioned rank sorts ≤ ~500k 16-byte rows
-    * (~8 MB) in one task; q_win_rank2's two-phase machinery is the escape
-    * hatch if the frame were ever fact-grain. */
+    * (~8 MB) in one task; [[Scale.globalRank]]'s two-phase machinery is
+    * the escape hatch if the frame were ever fact-grain (measured 3×
+    * slower at THIS aggregate grain, r12 — the bounds pass re-executes
+    * the per-item subtree — so the bounded one-task sort stays). */
   def q_tpcds_q44(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     // Hash-stable discipline (SURVEY §7.4): profit summed as exact integer

@@ -138,4 +138,34 @@ class ScaleSpec extends AnyFunSuite {
     val joined = Scale.saltedJoin(hot, dim, "k", 8)
     assert(joined.count() == 10000)
   }
+
+  test("globalRank equals rank() over the unpartitioned window — ties, NULLs, both directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ties (few distinct values), NULLs, and a non-double order column
+    val rows = (1 to 500).map(i =>
+      (i.toLong, if (i % 7 == 0) None else Some((i % 23) * 10 - 50)))
+    val df = rows.toDF("id", "v")
+    for (asc <- Seq(true, false)) {
+      val w = if (asc) Window.orderBy(col("v").asc) else Window.orderBy(col("v").desc)
+      val want = df.withColumn("r", rank().over(w))
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      val got = Scale.globalRank(df, "v", ascending = asc, "r", slices = 8)
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      assert(got == want, s"globalRank(asc=$asc) diverged from the window form")
+    }
+  }
+
+  test("globalRank's big window is slice-keyed, never a full single-partition sort") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+    val plan = Scale.globalRank(df, "v", ascending = true, "r")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(shuffles.contains("_pid"), s"no slice-keyed hash shuffle:\n$plan")
+    // the slice id must be a pure function of the row, not of placement
+    assert(!plan.toUpperCase.contains("SPARK_PARTITION_ID"),
+      s"pid derived from physical partition placement:\n$plan")
+  }
 }
