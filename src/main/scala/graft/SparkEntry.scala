@@ -123,6 +123,7 @@ object SparkEntry {
     "q_compact_latest" -> Relational.q_compact_latest,
     "q_fn_interval" -> Relational.q_fn_interval,
     "q_join_salted" -> Scale.q_join_salted,
+    "q_win_grank" -> Scale.q_win_grank,
     "q_pipeline_clean" -> TextOps.q_pipeline_clean,
     "q_win_sessionize" -> Relational.q_win_sessionize,
     "q_fn_hash" -> Relational.q_fn_hash,
@@ -387,6 +388,10 @@ object SparkEntry {
       s"SELECT event_id, $evTs + INTERVAL '90 minutes' AS ts_plus90, date_diff('minute', date_trunc('day', $evTs), $evTs) AS mins_into_day, CAST(floor(epoch($evTs)) AS BIGINT) AS epoch_s FROM events",
     "q_join_salted" ->
       "SELECT c_mktsegment, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+    // q_win_grank's generic two-phase global rank must equal the plain
+    // UNPARTITIONED single-window rank — the oracle IS that window
+    "q_win_grank" ->
+      "SELECT o_orderkey, o_totalprice, CAST(rank() OVER (ORDER BY o_totalprice DESC) AS INT) AS rnk FROM orders",
     "q_pipeline_clean" ->
       s"""WITH m AS (SELECT doc_id, lang, md5(text) AS h,
          |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -188,6 +188,19 @@ object Scale {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** [Q-win-grank] the generic two-phase global rank DECLARED — every
+    * order ranked by price, DESCENDING, with no partition key at all (the
+    * case [[graft.ops.Relational.q_win_rank2]]'s machinery can't serve:
+    * rank2 still slices within a partition column; globalRank needs only
+    * the order column and a min/max pass, so it generalizes to computed
+    * frames). The oracle is the plain unpartitioned window — the driver's
+    * hash match is the EXTERNAL proof that the two-phase plan is
+    * value-for-value that window, ties and all. */
+  def q_win_grank(s: SparkSession, d: String): DataFrame =
+    globalRank(
+      graft.Tables(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      "o_totalprice", ascending = false, "rnk")
+
   /** [Q-join-salted] the salted skew join DECLARED — revenue per market
     * segment through `saltedJoin(orders ⋈ customer)` with 8 salt sub-keys.
     * The oracle is the PLAIN equi-join SQL: the driver's DuckDB hash-match
