@@ -126,14 +126,21 @@ object Scale {
     * exact ordering inside/across slices uses the original column, so
     * non-double order columns rank exactly.
     *
-    * WHEN TO USE (measured, r12): this wins when the ranked frame is
-    * fact-proportional — the one-task sort is the bottleneck and the two
-    * extra keyed shuffles are noise. It LOSES on small computed
-    * aggregates: the bounds pass re-executes the input subtree, so wiring
-    * it into Q49/Q44's ≤|items| per-item aggregates measured 2–3× SLOWER
-    * (q49 0.88 → 4.3 s, q44 0.43 → 1.3 s at sf0.1) than their bounded
-    * single-partition windows, which therefore stay. If `df` is an
-    * expensive subtree, persist it first — the helper scans it twice. */
+    * WHEN TO USE (measured, r12 — `graft.tools.RankBench` is the A/B
+    * harness): this wins when the ranked frame is fact-proportional — the
+    * one-task sort is the bottleneck and the extra keyed shuffles are
+    * noise. The local[32] crossover curve over parquet-backed orders
+    * replicas: 150k rows window 0.18 s vs two-phase 0.68 (window 3.7×
+    * ahead), 3M rows 2.1 vs 2.9, 15M rows 13.3 vs 10.9 — the single-task
+    * sort's advantage decays with rows and flips around 10⁷ even on ONE
+    * machine; on a cluster the one-task sort is additionally a straggler
+    * and a memory wall while the two-phase plan spreads ∝ data. It LOSES
+    * on small computed aggregates: the bounds pass re-executes the input
+    * subtree, so wiring it into Q49/Q44's ≤|items| per-item aggregates
+    * measured 2–3× SLOWER (q49 0.88 → 4.3 s, q44 0.43 → 1.3 s at sf0.1)
+    * than their bounded single-partition windows, which therefore stay.
+    * If `df` is an expensive subtree, persist it first — the helper scans
+    * it twice. */
   def globalRank(df: DataFrame, orderCol: String, ascending: Boolean,
                  rankCol: String, slices: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
