@@ -1082,9 +1082,14 @@ object Tpcds {
       // input is the per-item per-channel AGGREGATE (≤ |item|), and the spec's
       // item table is sub-linear in sf: 18k rows at sf1, 300k at sf1000, 502k
       // at sf100000 — ≤ ~12 MB of (item, 2×double) rows, a sub-second sort on
-      // one executor at any supported scale. Scale.globalRank is the escape
-      // hatch if a rank grain ever becomes fact-proportional (measured 2–3×
-      // slower HERE — see the scaladoc bound note above).
+      // one executor at any supported scale. NOTE the published OR of the
+      // two rank filters BLOCKS Spark 4's WindowGroupLimit pushdown here
+      // (verified r12: 0 group-limits in the executed plan, vs 4 in Q44's
+      // independent filters), so the full aggregate does sort — which is
+      // exactly what the ≤|items| bound covers. Scale.globalRank/topKRank
+      // are the escape hatches if a rank grain ever becomes
+      // fact-proportional (globalRank measured 2–3× slower HERE — see the
+      // scaladoc bound note above).
       perItem
         .withColumn("return_rank", rank().over(Window.orderBy(col("return_ratio"))).cast(org.apache.spark.sql.types.IntegerType))
         .withColumn("currency_rank", rank().over(Window.orderBy(col("currency_ratio"))).cast(org.apache.spark.sql.types.IntegerType))
@@ -2795,10 +2800,13 @@ object Tpcds {
     * single-partition bound: one store's item set caps at |items|, which
     * dsdgen grows sublinearly (18k at sf1, 300k at sf1000, 502k at
     * sf100000), so the unpartitioned rank sorts ≤ ~500k 16-byte rows
-    * (~8 MB) in one task; [[Scale.globalRank]]'s two-phase machinery is
-    * the escape hatch if the frame were ever fact-grain (measured 3×
-    * slower at THIS aggregate grain, r12 — the bounds pass re-executes
-    * the per-item subtree — so the bounded one-task sort stays). */
+    * (~8 MB) in one task — and in fact BETTER than bounded: Spark 4
+    * pushes each `rnk < 11` filter into WindowGroupLimit (verified in
+    * the executed plan, r12: 4 group-limits, partial+final × asc+desc),
+    * so every partition forwards only its rank-aware top-10 and the
+    * single-partition exchange carries ≤ 10·P rows, not the frame.
+    * [[Scale.globalRank]]/[[Scale.topKRank]] remain the escape hatches
+    * for shapes the pushdown can't serve. */
   def q_tpcds_q44(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     // Hash-stable discipline (SURVEY §7.4): profit summed as exact integer

@@ -156,6 +156,50 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("topKRank equals rank().filter(rank <= k) — ties, NULL blocks, k beyond frame, both directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val shapes: Seq[Seq[Option[Int]]] = Seq(
+      (1 to 200).map(i => if (i % 5 == 0) None else Some((i % 13) * 10)), // ties + 20% nulls
+      (1 to 50).map(_ => Option.empty[Int]),                             // all nulls
+      (1 to 50).map(i => Some(7)),                                       // all one tie group
+      (1 to 3).map(i => Some(i)),                                        // tiny frame
+      Seq.empty[Option[Int]])                                            // empty frame
+    for {
+      (vals, si) <- shapes.zipWithIndex
+      asc <- Seq(true, false)
+      k <- Seq(1, 4, 10, 100)
+    } {
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val w = if (asc) Window.orderBy(col("v").asc) else Window.orderBy(col("v").desc)
+      val want = df.withColumn("r", rank().over(w)).filter(col("r") <= k)
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      val got = Scale.topKRank(df, "v", ascending = asc, k, "r")
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      assert(got == want, s"topKRank(shape=$si, asc=$asc, k=$k) diverged")
+    }
+  }
+
+  test("topKRank never sorts the corpus: partial limits, hash-attached threshold") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, i * 3 % 997)).toDF("id", "v")
+    val plan = Scale.topKRank(df, "v", ascending = false, 10, "r")
+      .queryExecution.executedPlan.toString
+    // the k-th threshold subtree computes per-partition partial limits
+    // (LocalLimit / TakeOrderedAndProject), never a full global sort
+    assert(plan.contains("LocalLimit") || plan.contains("TakeOrderedAndProject"),
+      s"k-th threshold not a distributed partial limit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold not attached by a broadcast HASH join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"threshold attach degraded to a nested loop:\n$plan")
+    // bonus discovered writing this: Spark 4 pushes rank<=k into
+    // WindowGroupLimit on the survivors too (per-partition rank-aware
+    // top-k before the exchange) — assert we keep composing with it
+    assert(plan.contains("WindowGroupLimit"),
+      s"survivors' rank filter lost its group-limit pushdown:\n$plan")
+  }
+
   test("globalRank's big window is slice-keyed, never a full single-partition sort") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
