@@ -124,6 +124,7 @@ object SparkEntry {
     "q_fn_interval" -> Relational.q_fn_interval,
     "q_join_salted" -> Scale.q_join_salted,
     "q_win_grank" -> Scale.q_win_grank,
+    "q_win_topk_rank" -> Scale.q_win_topk_rank,
     "q_pipeline_clean" -> TextOps.q_pipeline_clean,
     "q_win_sessionize" -> Relational.q_win_sessionize,
     "q_fn_hash" -> Relational.q_fn_hash,
@@ -392,6 +393,10 @@ object SparkEntry {
     // UNPARTITIONED single-window rank — the oracle IS that window
     "q_win_grank" ->
       "SELECT o_orderkey, o_totalprice, CAST(rank() OVER (ORDER BY o_totalprice DESC) AS INT) AS rnk FROM orders",
+    // q_win_topk_rank's threshold algebra must equal the plain rank-filter
+    // subquery — ties at the 100th price included on both sides
+    "q_win_topk_rank" ->
+      "SELECT o_orderkey, o_totalprice, rnk FROM (SELECT o_orderkey, o_totalprice, CAST(rank() OVER (ORDER BY o_totalprice DESC) AS INT) AS rnk FROM orders) WHERE rnk <= 100",
     "q_pipeline_clean" ->
       s"""WITH m AS (SELECT doc_id, lang, md5(text) AS h,
          |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

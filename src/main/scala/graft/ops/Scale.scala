@@ -266,6 +266,17 @@ object Scale {
       graft.Tables(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
       "o_totalprice", ascending = false, "rnk")
 
+  /** [Q-win-topk-rank] the tie-aware distributed top-k-with-rank DECLARED —
+    * the 100 highest-priced orders with their global rank, via
+    * [[topKRank]] (per-partition partial-limit threshold, broadcast hash
+    * attach, only survivors ranked). The oracle is the plain
+    * `rank() ... WHERE rnk <= k` subquery — the driver's hash match is
+    * the external proof of the threshold algebra, ties included. */
+  def q_win_topk_rank(s: SparkSession, d: String): DataFrame =
+    topKRank(
+      graft.Tables(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      "o_totalprice", ascending = false, 100, "rnk")
+
   /** [Q-join-salted] the salted skew join DECLARED — revenue per market
     * segment through `saltedJoin(orders ⋈ customer)` with 8 salt sub-keys.
     * The oracle is the PLAIN equi-join SQL: the driver's DuckDB hash-match
