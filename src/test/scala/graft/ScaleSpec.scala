@@ -156,6 +156,32 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRank/topKRank correctness does not hinge on AQE or exchange reuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 300).map(i => (i.toLong, if (i % 9 == 0) None else Some(i % 17)))
+      .toDF("id", "v")
+    val wantRank = df.withColumn("r", rank().over(Window.orderBy(col("v").desc)))
+      .select("id", "r").as[(Long, Int)].collect().toMap
+    val wantTop = df.withColumn("r", rank().over(Window.orderBy(col("v").desc)))
+      .filter(col("r") <= 5).select("id", "r").as[(Long, Int)].collect().toMap
+    for (flags <- Seq(("false", "false"), ("true", "true"))) {
+      spark.conf.set("spark.sql.adaptive.enabled", flags._1)
+      spark.conf.set("spark.sql.exchange.reuse", flags._2)
+      try {
+        val g = Scale.globalRank(df, "v", ascending = false, "r", slices = 7)
+          .select("id", "r").as[(Long, Int)].collect().toMap
+        val t = Scale.topKRank(df, "v", ascending = false, 5, "r")
+          .select("id", "r").as[(Long, Int)].collect().toMap
+        assert(g == wantRank, s"globalRank diverged under aqe/reuse=$flags")
+        assert(t == wantTop, s"topKRank diverged under aqe/reuse=$flags")
+      } finally {
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.sql.exchange.reuse")
+      }
+    }
+  }
+
   test("topKRank equals rank().filter(rank <= k) — ties, NULL blocks, k beyond frame, both directions") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
