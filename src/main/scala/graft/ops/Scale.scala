@@ -124,7 +124,13 @@ object Scale {
     * and ties — asserted by ScaleSpec against the single-window form.
     * Monotone double conversion of the order value only picks the SLICE;
     * exact ordering inside/across slices uses the original column, so
-    * non-double order columns rank exactly.
+    * non-double order columns rank exactly. Two degenerate-but-correct
+    * edges: a NaN anywhere in the column makes max() NaN, which collapses
+    * every row to the null-fallback slice — one slice, one sorted window,
+    * correct output, no parallelism (price-like columns never carry NaN);
+    * and a single dominant tie value concentrates the tie-resolution
+    * shuffle on that value's group (rank of a tie group is one number, but
+    * its rows still co-locate to compute it).
     *
     * WHEN TO USE (measured, r12 — `graft.tools.RankBench` is the A/B
     * harness): this wins when the ranked frame is fact-proportional — the

@@ -156,6 +156,31 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRank/topKRank stay exact on NaN-bearing double columns (degenerate slices allowed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1 to 120).map { i =>
+      val v = if (i % 11 == 0) Double.NaN
+              else if (i % 7 == 0) Double.PositiveInfinity
+              else (i % 13) * 1.5
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "v")
+    for (asc <- Seq(true, false)) {
+      val w = if (asc) Window.orderBy(col("v").asc) else Window.orderBy(col("v").desc)
+      val wantR = df.withColumn("r", rank().over(w)).select("id", "r")
+        .as[(Long, Int)].collect().toMap
+      val gotR = Scale.globalRank(df, "v", ascending = asc, "r", slices = 6)
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      assert(gotR == wantR, s"globalRank diverged on NaN/Inf (asc=$asc)")
+      val wantT = df.withColumn("r", rank().over(w)).filter(col("r") <= 9)
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      val gotT = Scale.topKRank(df, "v", ascending = asc, 9, "r")
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      assert(gotT == wantT, s"topKRank diverged on NaN/Inf (asc=$asc)")
+    }
+  }
+
   test("globalRank/topKRank correctness does not hinge on AQE or exchange reuse") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
