@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: one JSON line on stdout with per-query wall-clock seconds.
   *
@@ -9,8 +10,53 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is reported in "failed" — never as a timing row; the
   * headline metric sums successful queries only and "n_failed" makes a
   * partial run impossible to mistake for a clean one.
+  *
+  * AMBIENT-CONTENTION INDEX (r13): two consecutive rounds of driver records
+  * were dominated by diffuse host contention (r12: 1.53× total with
+  * untouched fixture-only queries 3-4× up; the same code re-measured 1.27×
+  * lower in an idle window). A record that can't show its own contention
+  * level can't defend any per-query claim, so the run now interleaves three
+  * FIXED synthetic control tasks (pure compute / shuffle / sort — no
+  * fixture dependency, no round-over-round churn) at five points through
+  * the timed pass and reports, per control, the median sample over its
+  * committed idle-window reference ([[Bench.controlRef]]). The headline
+  * `contention_index` is the median of all sample/ref ratios: ~1.0 = clean
+  * record; ≫1 = the host was contended and per-query inflation must be
+  * read against it before calling anything a regression.
   */
 object Bench {
+
+  /** Fixed synthetic control tasks. Deterministic, fixture-independent,
+    * each ~0.2-0.6 s idle on local[32] — long enough to sample scheduler/
+    * CPU contention, short enough that 5 interleavings cost ~5 s total. */
+  def controlTasks(spark: SparkSession): Seq[(String, () => Unit)] = {
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    Seq(
+      // codegen'd hash loop: pure CPU, no shuffle, no IO (hash shifted to
+      // 24 bits so the ANSI sum of 2^26 terms can't overflow a long)
+      "ctl_cpu" -> (() => noop(
+        spark.range(1L << 26).select(
+          sum(shiftrightunsigned(xxhash64(col("id")), 40)).as("s")))),
+      // 4096-key groupBy: exchange + partial/final agg machinery
+      "ctl_shuffle" -> (() => noop(
+        spark.range(1L << 23)
+          .groupBy(pmod(xxhash64(col("id")), lit(4096)).as("k"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("s")))),
+      // range-partitioned sort: sampling pass + sort buffers
+      "ctl_sort" -> (() => noop(
+        spark.range(1L << 22)
+          .select(xxhash64(col("id")).as("h"), col("id"))
+          .orderBy(col("h")))))
+  }
+
+  /** Committed idle-window reference medians (seconds) for the control
+    * tasks: measured r13 on the build host via `graft.tools.ControlCal 15
+    * 32` (median of 15 back-to-back samples, idle window). A live run's
+    * sample/ref ratios ~1.0 mean the record is as clean as the reference
+    * window; re-measure and update alongside any control-task change. */
+  val controlRef: Map[String, Double] = Map(
+    "ctl_cpu" -> 0.122, "ctl_shuffle" -> 0.440, "ctl_sort" -> 0.641)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,7 +85,9 @@ object Bench {
     // cold column keeps the two methodologies comparable side by side
     // (warm-cache reps 2..N typically run faster than a first run)
     val colds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq
+      .filterNot(q => SparkEntry.pinnedScaleProofs.contains(q._1))
+      .sortBy(_._1).foreach { case (name, fn) =>
       try {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -58,9 +106,29 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // contention controls: warm each once (codegen compile is not ambient
+    // load), then sample all three at 5 points interleaved through the
+    // timed pass (start, after each quarter, end)
+    val controls = controlTasks(spark)
+    controls.foreach { case (_, run) => run() }
+    val controlSamples =
+      scala.collection.mutable.LinkedHashMap(controls.map(_._1 -> scala.collection.mutable.ListBuffer.empty[Double]): _*)
+    def sampleControls(): Unit = controls.foreach { case (name, run) =>
+      val t0 = System.nanoTime()
+      run()
+      controlSamples(name) += (System.nanoTime() - t0) / 1e9
+    }
+    // pinned-scale proof twins run sf1-sized work whatever sfDir says —
+    // excluding them keeps the record sf-proportional (their correctness
+    // is the driver gate's job, not the bench's)
+    val ordered = SparkEntry.queries.toSeq
+      .filterNot(q => SparkEntry.pinnedScaleProofs.contains(q._1))
+      .sortBy(_._1)
+    val checkpoints = (1 to 3).map(q => q * ordered.size / 4).toSet
+    sampleControls()
     // stable name order: Map iteration order varies per build, which would
     // shuffle warmup/cache attribution between rounds
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    ordered.zipWithIndex.foreach { case ((name, fn), qi) =>
       try {
         val runs = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -74,7 +142,9 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed += name
       }
+      if (checkpoints.contains(qi + 1)) sampleControls()
     }
+    sampleControls()
     // The harness keeps only a fixed-size stdout TAIL (~2.2 KB); a single
     // JSON line carrying all per-query times (~3-4 KB at 111+ queries) gets
     // front-truncated and has never parsed (BENCH_r01..r04 "parsed": null).
@@ -96,7 +166,16 @@ object Bench {
     val spread = spreads.map { case (k, (mn, mx)) => s""""$k":[${f(mn)},${f(mx)}]""" }
       .mkString("{", ",", "}")
     val cold = colds.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","timing":"median of $reps warm back-to-back runs; cold = untimed-pass first run (pre-r8 rounds reported cold single-shots)","reps":$reps,"queries":$qs,"spread":$spread,"cold":$cold,"cold_total":${f(colds.values.sum)},"failed":$fl,"n_failed":${failed.size},"sf":"$sfDir","queries_md5":"$md5"}"""
+    // contention record: per-control samples + median, the committed idle
+    // reference, and one headline index (median of all sample/ref ratios)
+    def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    val ctlJson = controlSamples.map { case (k, xs) =>
+      s""""$k":{"median":${f(med(xs.toSeq))},"ref":${f(controlRef(k))},"samples":[${xs.map(f).mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val ratios = controlSamples.toSeq.flatMap { case (k, xs) =>
+      xs.map(_ / controlRef(k)) }
+    val contentionIdx = med(ratios)
+    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","timing":"median of $reps warm back-to-back runs; cold = untimed-pass first run (pre-r8 rounds reported cold single-shots)","reps":$reps,"queries":$qs,"spread":$spread,"cold":$cold,"cold_total":${f(colds.values.sum)},"failed":$fl,"n_failed":${failed.size},"sf":"$sfDir","contention_index":${f(contentionIdx)},"controls":$ctlJson,"excluded_pinned_scale":${SparkEntry.pinnedScaleProofs.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")},"queries_md5":"$md5"}"""
     // the full per-query record lands BOTH in the env-pointed tmp file and
     // as a committed repo artifact (the harness's fixed-size stdout tail
     // holds only ~86 of 150+ per-query part entries, so round-over-round
@@ -125,7 +204,7 @@ object Bench {
     if (entries.nonEmpty) parts.zipWithIndex.foreach { case (p, i) =>
       println(s"""{"part":${i + 1},"of":$k,"queries":${p.mkString("{", ",", "}")}}""")
     }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${timings.size},"reps":$reps,"n_failed":${failed.size},"failed":$fl,"sf":"$sfDir","per_query_file":"$outPath","per_query_parts":$k,"queries_md5":"$md5"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${timings.size},"reps":$reps,"n_failed":${failed.size},"failed":$fl,"sf":"$sfDir","contention_index":${f(contentionIdx)},"per_query_file":"$outPath","per_query_parts":$k,"queries_md5":"$md5"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(0) // failures are visible in the JSON itself
   }

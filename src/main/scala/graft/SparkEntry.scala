@@ -165,6 +165,16 @@ object SparkEntry {
   ) ++ Tpcds.queries ++ // §2.14 TPC-DS workload over generated TPC-DS parquet
     TpchFull.queries // partsupp-dependent TPC-H over generated full-schema parquet
 
+  /** Queries pinned to a FIXED generated scale ([[graft.ops.Tpcds.pubScale]])
+    * regardless of the fixture sfDir — the published-form proof twins. They
+    * run in the correctness gate like any other query (both engines read
+    * the same pinned cache), but [[graft.Bench]] excludes them from the
+    * sf-proportional record: an sf1-sized constant inside an sf0.1 total
+    * would read as a regression that isn't one. */
+  val pinnedScaleProofs: Set[String] = Set(
+    "q_tpcds_q38_pub", "q_tpcds_q13_pub", "q_tpcds_q41_pub",
+    "q_tpcds_q24_pub", "q_tpcds_q64_pub")
+
   private val extDec = "CAST(l_extendedprice AS DECIMAL(12,2))"
   private val oneMinusDisc = "(1 - CAST(l_discount AS DECIMAL(4,2)))"
   private val onePlusTax = "(1 + CAST(l_tax AS DECIMAL(4,2)))"

@@ -161,7 +161,18 @@ object TpcdsGen extends Benchmark {
     * sf100 — and turned every designed cd broadcast fact-sized,
     * measured as a Q64 driver-collect blow-up at sf100). Fact *_cdemo_sk
     * draws follow rowCount, so they span the full cross product from
-    * sf1 up, exactly like dsdgen. */
+    * sf1 up, exactly like dsdgen.
+    *
+    * BUMP LOG (r12 advice: classify every bump as semantic vs refactor,
+    * and record the check that matched the class):
+    *   v18 — SEMANTIC (seasonal popularity redraws item colors + basket
+    *         tours); bit-diff expected, change SCOPE column-diffed old-vs-
+    *         new per table (only item_sk/i_color and basket item draws
+    *         moved — r12).
+    *   v19 — SEMANTIC at sf10+ only (cd cross-product cap); sf≤1 caches
+    *         GenDiff-verified BIT-IDENTICAL to v18 (r12).
+    *   r13 — no bump; no generator-value change this round (pub twins and
+    *         bench/scale work only), so no GenDiff run is owed. */
   val genVersion = 19
 
   /** Prime step of the within-basket item tour (see the item case in

@@ -122,15 +122,29 @@ object Scale {
     * Semantics ≡ `rank().over(Window.orderBy(asc/desc))` including NULL
     * placement (asc: nulls first, slice 0; desc: nulls last, last slice)
     * and ties — asserted by ScaleSpec against the single-window form.
-    * Monotone double conversion of the order value only picks the SLICE;
-    * exact ordering inside/across slices uses the original column, so
-    * non-double order columns rank exactly. Two degenerate-but-correct
-    * edges: a NaN anywhere in the column makes max() NaN, which collapses
-    * every row to the null-fallback slice — one slice, one sorted window,
-    * correct output, no parallelism (price-like columns never carry NaN);
-    * and a single dominant tie value concentrates the tie-resolution
-    * shuffle on that value's group (rank of a tie group is one number, but
-    * its rows still co-locate to compute it).
+    * The double cast of the order value only picks the SLICE; exact
+    * ordering inside/across slices uses the original column. That is
+    * correct ONLY for types whose cast-to-double is order-homomorphic
+    * (a ≤ b ⟹ cast(a) ≤ cast(b)): numerics (long > 2^53 loses precision
+    * but stays weakly monotone, which slicing tolerates), boolean, date,
+    * timestamp. For every other type (strings: lexicographic "10" < "9"
+    * but 10.0 > 9.0; mixed numeric/non-numeric strings split between
+    * numeric slices and the null-fallback slice) the two orders DISAGREE
+    * and the sliced plan would rank silently wrong — so those types fall
+    * back to the plain single-window form (correct, not parallel; a
+    * fact-scale string rank should order by a numeric sort key instead).
+    * Two degenerate-but-correct edges: a NaN anywhere in the column makes
+    * max() NaN, which collapses every row to the null-fallback slice —
+    * one slice, one sorted window, correct output, no parallelism
+    * (price-like columns never carry NaN); and a single dominant tie
+    * value concentrates the tie-resolution shuffle on that value's group
+    * (rank of a tie group is one number, but its rows still co-locate to
+    * compute it).
+    *
+    * Internal column names `_bk/_lo/_hi/_pid/_lrn/_opid/_off` are
+    * reserved: an input frame already carrying one would be silently
+    * overwritten by `withColumn` and dropped at the end, so the helper
+    * refuses it up front.
     *
     * WHEN TO USE (measured, r12 — `graft.tools.RankBench` is the A/B
     * harness): this wins when the ranked frame is fact-proportional — the
@@ -150,7 +164,26 @@ object Scale {
   def globalRank(df: DataFrame, orderCol: String, ascending: Boolean,
                  rankCol: String, slices: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    import org.apache.spark.sql.types._
+    val reserved = Seq("_bk", "_lo", "_hi", "_pid", "_lrn", "_opid", "_off")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"globalRank reserves internal column names ${reserved.mkString(",")}; " +
+        s"input frame already carries ${clash.mkString(",")} — rename first")
+    require(df.columns.contains(orderCol), s"no column $orderCol")
+    val orderType = df.schema(orderCol).dataType
+    // slice assignment is cast-to-double; only order-homomorphic casts may
+    // take the sliced plan — anything else (strings!) would rank wrong
+    val homomorphic = orderType match {
+      case _: NumericType | BooleanType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _ => false
+    }
+    if (!homomorphic) {
+      val ord0 = if (ascending) col(orderCol).asc else col(orderCol).desc
+      return df.withColumn(rankCol,
+        rank().over(Window.orderBy(ord0)).cast(IntegerType))
+    }
     val p = if (slices > 0) slices
             else df.sparkSession.sparkContext.defaultParallelism
     val v = col(orderCol).cast(DoubleType)
@@ -168,9 +201,13 @@ object Scale {
     val nullPid = if (ascending) lit(0) else lit(p - 1)
     val parted = df.withColumn("_bk", pmod(xxhash64(v), lit(1L)))
       .join(broadcast(bounds), "_bk")
+      // (dir / span) first: dir*p overflows to Infinity for |values| near
+      // Double.MaxValue/p, and floor(Inf)'s Long.MaxValue wraps the non-ANSI
+      // Int cast to -1 → greatest() would clamp the LARGEST rows into slice
+      // 0. dir/span stays in [0,1], so the intermediate stays in [0,p].
       .withColumn("_pid",
         least(lit(p - 1), greatest(lit(0),
-          coalesce(floor(dir * p / span).cast(IntegerType), nullPid))))
+          coalesce(floor(dir / span * p).cast(IntegerType), nullPid))))
       .drop("_bk", "_lo", "_hi")
     val ord = if (ascending) col(orderCol).asc else col(orderCol).desc
     val withLrn = parted
@@ -236,6 +273,11 @@ object Scale {
                rankCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.IntegerType
+    val reserved = Seq("_bk", "_thr", "_nn")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"topKRank reserves internal column names ${reserved.mkString(",")}; " +
+        s"input frame already carries ${clash.mkString(",")} — rename first")
     val v = col(orderCol)
     val ord = if (ascending) v.asc else v.desc
     val kthAgg = if (ascending) max(col("_v")) else min(col("_v"))

@@ -1055,14 +1055,18 @@ object Tpcds {
     * gen18, re-probed this round across all five years); the year window
     * stays the density adaptation (the published single month leaves the
     * catalog and store legs empty). */
-  def q_tpcds_q49(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Q49's per-channel (item, return_ratio, currency_ratio) aggregates —
+    * shared by the declared window-rank tail below and by
+    * `graft.tools.Q49Bench`'s topKRank-shaped A/B tail, so the two tails
+    * are measured over the IDENTICAL upstream plan. */
+  private[graft] def q49Channels(spark: SparkSession,
+                                 sfDir: String): Seq[(String, DataFrame)] = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2002)
       .select("d_date_sk")
-    import org.apache.spark.sql.expressions.Window
-    def channel(name: String, sales: DataFrame, returns: DataFrame,
-                pfx: String, rPfx: String, orderCol: String, rOrderCol: String,
-                amtCol: String): DataFrame = {
+    def channelAgg(sales: DataFrame, returns: DataFrame,
+                   pfx: String, rPfx: String, orderCol: String,
+                   rOrderCol: String, amtCol: String): DataFrame = {
       val joined = sales
         .join(returns, col(s"${pfx}_item_sk") === col(s"${rPfx}_item_sk") &&
           col(orderCol) === col(rOrderCol))
@@ -1071,42 +1075,53 @@ object Tpcds {
           col(s"${pfx}_net_profit") > 1 && col(s"${pfx}_net_paid") > 0 &&
           col(s"${pfx}_quantity") > 0)
       val z72 = lit(0).cast(org.apache.spark.sql.types.DecimalType(7, 2))
-      val perItem = joined.groupBy(col(s"${pfx}_item_sk").as("item"))
+      joined.groupBy(col(s"${pfx}_item_sk").as("item"))
         .agg((sum(coalesce(col(s"${rPfx}_return_quantity"), lit(0))).cast(DoubleType) /
           sum(coalesce(col(s"${pfx}_quantity"), lit(0))).cast(DoubleType))
           .as("return_ratio"),
           (sum(coalesce(col(amtCol), z72)).cast(DoubleType) /
             sum(coalesce(col(s"${pfx}_net_paid"), z72)).cast(DoubleType))
             .as("currency_ratio"))
-      // Unpartitioned rank windows here run a single-partition sort, but the
-      // input is the per-item per-channel AGGREGATE (≤ |item|), and the spec's
-      // item table is sub-linear in sf: 18k rows at sf1, 300k at sf1000, 502k
-      // at sf100000 — ≤ ~12 MB of (item, 2×double) rows, a sub-second sort on
-      // one executor at any supported scale. NOTE the published OR of the
-      // two rank filters BLOCKS Spark 4's WindowGroupLimit pushdown here
-      // (verified r12: 0 group-limits in the executed plan, vs 4 in Q44's
-      // independent filters), so the full aggregate does sort — which is
-      // exactly what the ≤|items| bound covers. Scale.globalRank/topKRank
-      // are the escape hatches if a rank grain ever becomes
-      // fact-proportional (globalRank measured 2–3× slower HERE — see the
-      // scaladoc bound note above).
+    }
+    Seq(
+      "web" -> channelAgg(
+        t(spark, dir, "web_sales"), t(spark, dir, "web_returns"),
+        "ws", "wr", "ws_order_number", "wr_order_number", "wr_return_amt"),
+      "catalog" -> channelAgg(
+        t(spark, dir, "catalog_sales"), t(spark, dir, "catalog_returns"),
+        "cs", "cr", "cs_order_number", "cr_order_number", "cr_return_amount"),
+      "store" -> channelAgg(
+        t(spark, dir, "store_sales"), t(spark, dir, "store_returns"),
+        "ss", "sr", "ss_ticket_number", "sr_ticket_number", "sr_return_amt"))
+  }
+
+  def q_tpcds_q49(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Unpartitioned rank windows here run a single-partition sort, but the
+    // input is the per-item per-channel AGGREGATE (≤ |item|), and the spec's
+    // item table is sub-linear in sf: 18k rows at sf1, 300k at sf1000, 502k
+    // at sf100000 — ≤ ~12 MB of (item, 2×double) rows, a sub-second sort on
+    // one executor at any supported scale. NOTE the published OR of the
+    // two rank filters BLOCKS Spark 4's WindowGroupLimit pushdown here
+    // (verified r12: 0 group-limits in the executed plan, vs 4 in Q44's
+    // independent filters), so the full aggregate does sort — which is
+    // exactly what the ≤|items| bound covers. BOTH escape hatches are now
+    // measured at this grain and LOSE (tools.Q49Bench, r13, sf0.1,
+    // median of 5, identical output asserted first): window tail 0.98 s;
+    // the topKRank-shaped tail (per-metric kth-value thresholds +
+    // broadcast strictly-smaller rank-count joins over persisted channel
+    // aggregates) 3.19 s; Scale.globalRank wiring 2–3× slower (r12) —
+    // the extra passes over the small frame cost more than the ≤12 MB
+    // one-task sorts they avoid. Both stay the documented escape hatches
+    // for fact-grain rank frames.
+    q49Channels(spark, sfDir).map { case (name, perItem) =>
       perItem
         .withColumn("return_rank", rank().over(Window.orderBy(col("return_ratio"))).cast(org.apache.spark.sql.types.IntegerType))
         .withColumn("currency_rank", rank().over(Window.orderBy(col("currency_ratio"))).cast(org.apache.spark.sql.types.IntegerType))
         .filter(col("return_rank") <= 10 || col("currency_rank") <= 10)
         .select(lit(name).as("channel"), col("item"), col("return_ratio"),
           col("return_rank"), col("currency_rank"))
-    }
-    val web = channel("web",
-      t(spark, dir, "web_sales"), t(spark, dir, "web_returns"),
-      "ws", "wr", "ws_order_number", "wr_order_number", "wr_return_amt")
-    val catalog = channel("catalog",
-      t(spark, dir, "catalog_sales"), t(spark, dir, "catalog_returns"),
-      "cs", "cr", "cs_order_number", "cr_order_number", "cr_return_amount")
-    val store = channel("store",
-      t(spark, dir, "store_sales"), t(spark, dir, "store_returns"),
-      "ss", "sr", "ss_ticket_number", "sr_ticket_number", "sr_return_amt")
-    web.union(catalog).union(store)
+    }.reduce(_ union _)
   }
 
   /** [Q-tpcds-q65] TPC-DS Q65 shape: a store's slow movers — (store, item)
@@ -1743,6 +1758,59 @@ object Tpcds {
         (geo(Seq("TX", "OH", "MI"), 0, 300) ||
           geo(Seq("CA", "NY", "IL"), 50, 400) ||
           geo(Seq("GA", "WA", "PA"), 0, 250)))
+      .agg(
+        (sum(col("ss_quantity")).cast(DoubleType) / count(col("ss_quantity")))
+          .as("avg_qty"),
+        (sum(col("ss_ext_sales_price")).cast(DoubleType) /
+          count(col("ss_ext_sales_price"))).as("avg_ext_price"),
+        (sum(col("ss_ext_wholesale_cost")).cast(DoubleType) /
+          count(col("ss_ext_wholesale_cost"))).as("avg_whl"),
+        sum(col("ss_ext_wholesale_cost")).cast(DoubleType).as("sum_whl"))
+  }
+
+  /** [Q-tpcds-q13-pub] Q13's PUBLISHED predicates — the qualification
+    * marital×education arms WITH their published 50-wide sales-price
+    * bands (100–150 / 50–100 / 150–200), the published state triples
+    * (TX,OH,TX / OR,NM,KY / VA,TX,MS) with their published profit bands,
+    * the published ca_country gate, and the published d_year 2001 —
+    * proven at the pinned sf1 scale where the committed probe measures
+    * the joint at 4 store lines (0 at sf0.01 and sf0.1; the adapted
+    * bands exist only so the gate-scale profile is non-degenerate).
+    * Identical broadcast-star plan to [[q_tpcds_q13]]. */
+  def q_tpcds_q13_pub(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = pubDir(spark)
+    val dd = t(spark, dir, "date_dim").filter(col("d_year") === 2001)
+      .select("d_date_sk")
+    val cd = t(spark, dir, "customer_demographics")
+      .select("cd_demo_sk", "cd_marital_status", "cd_education_status")
+    val hd = t(spark, dir, "household_demographics")
+      .select("hd_demo_sk", "hd_dep_count")
+    val addr = t(spark, dir, "customer_address")
+      .select("ca_address_sk", "ca_state", "ca_country")
+    val st = t(spark, dir, "store").select("s_store_sk")
+    def demo(ms: String, ed: String, lo: Int, hi: Int, dep: Int) =
+      col("cd_marital_status") === ms && col("cd_education_status") === ed &&
+        col("ss_sales_price").between(lo, hi) &&
+        col("hd_dep_count") === dep
+    def geo(states: Seq[String], lo: Int, hi: Int) =
+      col("ca_state").isin(states: _*) && col("ss_net_profit").between(lo, hi)
+    t(spark, dir, "store_sales")
+      .select("ss_sold_date_sk", "ss_store_sk", "ss_cdemo_sk", "ss_hdemo_sk",
+        "ss_addr_sk", "ss_quantity", "ss_sales_price", "ss_ext_sales_price",
+        "ss_ext_wholesale_cost", "ss_net_profit")
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(cd), col("ss_cdemo_sk") === col("cd_demo_sk"))
+      .join(broadcast(hd), col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .join(addr, col("ss_addr_sk") === col("ca_address_sk"))
+      .filter(
+        (demo("M", "Advanced Degree", 100, 150, 3) ||
+          demo("S", "College", 50, 100, 1) ||
+          demo("W", "2 yr Degree", 150, 200, 1)) &&
+        col("ca_country") === "United States" &&
+        (geo(Seq("TX", "OH"), 100, 200) ||
+          geo(Seq("OR", "NM", "KY"), 150, 300) ||
+          geo(Seq("VA", "TX", "MS"), 50, 250)))
       .agg(
         (sum(col("ss_quantity")).cast(DoubleType) / count(col("ss_quantity")))
           .as("avg_qty"),
@@ -2633,6 +2701,36 @@ object Tpcds {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [Q-tpcds-q38-pub] Q38's PUBLISHED form — the (name, d_date) DAY grain
+    * over the published 12-month d_month_seq window (1200–1211, calendar
+    * 2000) — proven at the pinned sf1 scale. The day grain is structurally
+    * empty at sf0.01 (0 triples, committed probe) but ROBUSTLY non-empty
+    * at sf1: 5,756 intersected (last, first, date) tuples — far above the
+    * 9 same-customer triples the r12 probe counted, because the published
+    * intersect is at NAME grain and the 100k-customer name pool collides
+    * heavily (two different "Smith, John"s in two channels on one day
+    * intersect; at gate scale names are near-unique so the two grains
+    * coincide and both are empty). Same keyed-intersect plan as
+    * [[q_tpcds_q38]] with d_date added to each channel's distinct. */
+  def q_tpcds_q38_pub(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = pubDir(spark)
+    val dd = t(spark, dir, "date_dim")
+      .filter(col("d_month_seq").between(1200, 1211))
+      .select("d_date_sk", "d_date")
+    val cust = t(spark, dir, "customer")
+      .select("c_customer_sk", "c_last_name", "c_first_name")
+    def chan(fact: String, dateCol: String, custCol: String): DataFrame =
+      t(spark, dir, fact).select(col(dateCol), col(custCol))
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(cust, col(custCol) === col("c_customer_sk"))
+        .select("c_last_name", "c_first_name", "d_date").distinct()
+    chan("store_sales", "ss_sold_date_sk", "ss_customer_sk")
+      .intersect(chan("catalog_sales", "cs_sold_date_sk",
+        "cs_bill_customer_sk"))
+      .intersect(chan("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** [Q-tpcds-q87] TPC-DS Q87 shape: Q38's complement — store customers
     * who used NEITHER other channel that year, via tuple-grain EXCEPT
     * (distinct semantics), counted. Same keyed set-op plan. */
@@ -2912,6 +3010,38 @@ object Tpcds {
       .select(col("i_manufact").as("qm")).distinct()
     t(spark, dir, "item")
       .filter(col("i_manufact_id").between(1, 400))
+      .join(broadcast(qual), col("i_manufact") === col("qm"), "left_semi")
+      .select("i_product_name").distinct()
+  }
+
+  /** [Q-tpcds-q41-pub] Q41's PUBLISHED form — the 40-wide manufact band
+    * (738–778) and all EIGHT published color/size/category arms — proven
+    * at the pinned sf1 scale (8 product names; the 2000-row sf0.01 item
+    * table holds only 9 band items → 0 names, committed probe). The one
+    * remaining deviation: the published per-arm i_units gates stay
+    * dropped, because gen19's i_units domain is word-salad text
+    * ("accounts", "deposits", …) that NEVER contains the published unit
+    * names — a generator-domain fact (verdict "word-salad tails"), not a
+    * density one, so no scale proves it. Same dimension-only
+    * decorrelated-EXISTS plan as [[q_tpcds_q41]]. */
+  def q_tpcds_q41_pub(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = pubDir(spark)
+    def arm(cat: String, colors: Seq[String], sizes: Seq[String]) =
+      col("i_category") === cat && col("i_color").isin(colors: _*) &&
+        col("i_size").isin(sizes: _*)
+    val qual = t(spark, dir, "item")
+      .filter(
+        arm("Women", Seq("powder", "khaki"), Seq("medium", "extra large")) ||
+        arm("Women", Seq("brown", "honeydew"), Seq("N/A", "small")) ||
+        arm("Men", Seq("floral", "deep"), Seq("petite", "large")) ||
+        arm("Men", Seq("light", "cornflower"), Seq("medium", "extra large")) ||
+        arm("Women", Seq("midnight", "snow"), Seq("medium", "extra large")) ||
+        arm("Women", Seq("cyan", "papaya"), Seq("N/A", "small")) ||
+        arm("Men", Seq("orange", "frosted"), Seq("petite", "large")) ||
+        arm("Men", Seq("forest", "ghost"), Seq("medium", "extra large")))
+      .select(col("i_manufact").as("qm")).distinct()
+    t(spark, dir, "item")
+      .filter(col("i_manufact_id").between(738, 778))
       .join(broadcast(qual), col("i_manufact") === col("qm"), "left_semi")
       .select("i_product_name").distinct()
   }
@@ -4036,9 +4166,22 @@ object Tpcds {
       "plum", "lavender", "linen", "smoke", "ivory", "lemon", "magenta",
       "maroon", "cream", "wheat", "white"))
 
+  /** [Q-tpcds-q24-pub] Q24's PUBLISHED single-color iteration ('pale'),
+    * proven at the pinned sf1 scale where the committed density probe
+    * measures it non-empty (49 rows end-to-end at sf1, 431 at sf10; 0 at
+    * the sf0.01 gate — 'pale' holds ~2 items there). Same plan as
+    * [[q_tpcds_q24]]; only the color slice narrows to the published
+    * parameter. The market-id gate stays the documented generator-domain
+    * adaptation (gen19 s_market_id is not the published 1..10 domain). */
+  def q_tpcds_q24_pub(spark: SparkSession, sfDir: String): DataFrame =
+    q24PaidAt(spark, pubDir(spark), Seq("pale"))
+
   private def q24Paid(spark: SparkSession, sfDir: String,
-                      colors: Seq[String]): DataFrame = {
-    val dir = ensure(spark, sfDir)
+                      colors: Seq[String]): DataFrame =
+    q24PaidAt(spark, ensure(spark, sfDir), colors)
+
+  private def q24PaidAt(spark: SparkSession, dir: String,
+                        colors: Seq[String]): DataFrame = {
     val st = t(spark, dir, "store")
       .filter(col("s_market_id").between(1, 5000))
       .select("s_store_sk", "s_store_name", "s_state", "s_zip")
@@ -4120,20 +4263,37 @@ object Tpcds {
     * shuffles; demographics/income-band/promotion/store/item/date
     * broadcast; customer and both addresses key-shuffled (they scale with
     * sf); the final pairing is a keyed join of aggregate-sized sides. */
-  def q_tpcds_q64(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = ensure(spark, sfDir)
+  def q_tpcds_q64(spark: SparkSession, sfDir: String): DataFrame =
     // the PUBLISHED six colors lead the slice (in-domain since genVersion
     // 12), widened to thirty for gate-scale density; the price band keeps
     // the published 35 lower bound on the v14 curve, upper widened
     // 45→95 (the published $10 width × the color slice holds ~1 item at
     // the gate scale)
-    val it = t(spark, dir, "item")
-      .filter(col("i_color").isin("purple", "burlywood", "indian", "spring",
+    q64At(spark, ensure(spark, sfDir),
+      Seq("purple", "burlywood", "indian", "spring",
         "floral", "medium", "chiffon", "blush", "coral", "azure", "almond",
         "antique", "aquamarine", "beige", "rose", "peach", "slate",
         "powder", "pale", "khaki", "orchid", "firebrick", "metallic",
-        "gainsboro", "misty", "navy", "olive", "sienna", "snow", "lace") &&
-        col("i_current_price").between(35, 95))
+        "gainsboro", "misty", "navy", "olive", "sienna", "snow", "lace"),
+      35, 95)
+
+  /** [Q-tpcds-q64-pub] Q64's PUBLISHED slice — the six published colors
+    * and the published $35–45 price band — proven at the pinned sf1 scale
+    * where the committed density probe measures it real (111 items / 130
+    * repeat-sale pairs at sf1, 1019/1061 at sf10, 0 at the sf0.01 gate:
+    * expected ≈0.7 items on a 2000-row item table). Identical plan to
+    * [[q_tpcds_q64]] — disjoint pushed year slices, the full published
+    * enrichment legs — only the slice parameters are the published ones. */
+  def q_tpcds_q64_pub(spark: SparkSession, sfDir: String): DataFrame =
+    q64At(spark, pubDir(spark),
+      Seq("purple", "burlywood", "indian", "spring", "floral", "medium"),
+      35, 45)
+
+  private def q64At(spark: SparkSession, dir: String, colors: Seq[String],
+                    priceLo: Int, priceHi: Int): DataFrame = {
+    val it = t(spark, dir, "item")
+      .filter(col("i_color").isin(colors: _*) &&
+        col("i_current_price").between(priceLo, priceHi))
       .select("i_item_sk", "i_product_name")
     val refund = col("cr_refunded_cash") + col("cr_reversed_charge") +
       col("cr_store_credit")
@@ -4402,6 +4562,20 @@ object Tpcds {
     * any other fixture scale fails with an explanatory error instead of an
     * opaque wrong-scale hash mismatch. Bench (no oracle) runs at any scale. */
   val oracleScale = "sf0.01"
+
+  /** PUBLISHED-FORM proof scale (r12 verdict #3): the published predicates
+    * that are measured structurally EMPTY at the sf0.01 gate (Q38's day
+    * grain, Q13's published demo×geo joint, Q24's single color, Q41's
+    * 40-wide manufact band, Q64's 6-color × $10 price slice) are measured
+    * NON-EMPTY one decade up — so their `*_pub` twins pin to the sf1
+    * generated cache and run the published form THERE, converting the
+    * committed density measurements into oracle-backed proofs. The twins
+    * ignore the fixture sfDir entirely (both engines read the pinned
+    * cache), and sit in [[graft.SparkEntry.pinnedScaleProofs]] so the
+    * sf-proportional bench record doesn't mix scales. */
+  val pubScale = "sf1"
+  private def pubDir(spark: SparkSession): String = ensure(spark, pubScale)
+  private def Pp(name: String) = s"'$root/$pubScale/$name.parquet/*.parquet'"
 
   /** True iff `sfDir`'s generated data is what [[oracle]]'s pinned paths read. */
   def oracleCompatible(sfDir: String): Boolean =
@@ -5809,6 +5983,173 @@ object Tpcds {
          |          AND i_size IN ('petite','small','medium'))
          |      OR (i_color IN ('rose','metallic','chiffon','gainsboro')
          |          AND i_size IN ('large','extra large','economy')))""".stripMargin,
+    // ---- sf1-pinned PUBLISHED-form proof twins (paths via Pp, not P) ----
+    "q_tpcds_q38_pub" -> {
+      def chan(fact: String, dateCol: String, custCol: String) =
+        s"""SELECT DISTINCT c_last_name, c_first_name, d_date
+           |FROM ${Pp(fact)}
+           |JOIN ${Pp("date_dim")} ON $dateCol = d_date_sk
+           |JOIN ${Pp("customer")} ON $custCol = c_customer_sk
+           |WHERE d_month_seq BETWEEN 1200 AND 1211""".stripMargin
+      s"""SELECT count(*) AS cnt FROM (
+         |${chan("store_sales", "ss_sold_date_sk", "ss_customer_sk")}
+         |INTERSECT
+         |${chan("catalog_sales", "cs_sold_date_sk", "cs_bill_customer_sk")}
+         |INTERSECT
+         |${chan("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk")}) h""".stripMargin
+    },
+    "q_tpcds_q13_pub" ->
+      s"""SELECT
+         | CAST(sum(ss_quantity) AS DOUBLE) / count(ss_quantity) AS avg_qty,
+         | CAST(sum(ss_ext_sales_price) AS DOUBLE) / count(ss_ext_sales_price)
+         |  AS avg_ext_price,
+         | CAST(sum(ss_ext_wholesale_cost) AS DOUBLE)
+         |  / count(ss_ext_wholesale_cost) AS avg_whl,
+         | CAST(sum(ss_ext_wholesale_cost) AS DOUBLE) AS sum_whl
+         |FROM ${Pp("store_sales")}
+         |JOIN ${Pp("date_dim")} ON ss_sold_date_sk = d_date_sk
+         |JOIN ${Pp("store")} ON ss_store_sk = s_store_sk
+         |JOIN ${Pp("customer_demographics")} ON ss_cdemo_sk = cd_demo_sk
+         |JOIN ${Pp("household_demographics")} ON ss_hdemo_sk = hd_demo_sk
+         |JOIN ${Pp("customer_address")} ON ss_addr_sk = ca_address_sk
+         |WHERE d_year = 2001
+         | AND ((cd_marital_status = 'M' AND cd_education_status = 'Advanced Degree'
+         |   AND ss_sales_price BETWEEN 100 AND 150 AND hd_dep_count = 3)
+         |  OR (cd_marital_status = 'S' AND cd_education_status = 'College'
+         |   AND ss_sales_price BETWEEN 50 AND 100 AND hd_dep_count = 1)
+         |  OR (cd_marital_status = 'W' AND cd_education_status = '2 yr Degree'
+         |   AND ss_sales_price BETWEEN 150 AND 200 AND hd_dep_count = 1))
+         | AND ca_country = 'United States'
+         | AND ((ca_state IN ('TX', 'OH') AND ss_net_profit BETWEEN 100 AND 200)
+         |  OR (ca_state IN ('OR', 'NM', 'KY') AND ss_net_profit BETWEEN 150 AND 300)
+         |  OR (ca_state IN ('VA', 'TX', 'MS') AND ss_net_profit BETWEEN 50 AND 250))""".stripMargin,
+    "q_tpcds_q41_pub" ->
+      s"""SELECT DISTINCT i_product_name
+         |FROM ${Pp("item")}
+         |WHERE i_manufact_id BETWEEN 738 AND 778
+         |  AND i_manufact IN (
+         |   SELECT i_manufact FROM ${Pp("item")}
+         |   WHERE (i_category = 'Women' AND i_color IN ('powder','khaki')
+         |          AND i_size IN ('medium','extra large'))
+         |      OR (i_category = 'Women' AND i_color IN ('brown','honeydew')
+         |          AND i_size IN ('N/A','small'))
+         |      OR (i_category = 'Men' AND i_color IN ('floral','deep')
+         |          AND i_size IN ('petite','large'))
+         |      OR (i_category = 'Men' AND i_color IN ('light','cornflower')
+         |          AND i_size IN ('medium','extra large'))
+         |      OR (i_category = 'Women' AND i_color IN ('midnight','snow')
+         |          AND i_size IN ('medium','extra large'))
+         |      OR (i_category = 'Women' AND i_color IN ('cyan','papaya')
+         |          AND i_size IN ('N/A','small'))
+         |      OR (i_category = 'Men' AND i_color IN ('orange','frosted')
+         |          AND i_size IN ('petite','large'))
+         |      OR (i_category = 'Men' AND i_color IN ('forest','ghost')
+         |          AND i_size IN ('medium','extra large')))""".stripMargin,
+    "q_tpcds_q24_pub" ->
+      s"""WITH ssales AS (
+         | SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+         |  i_color, i_current_price, i_manager_id, i_units, i_size,
+         |  sum(ss_net_paid) AS netpaid
+         | FROM ${Pp("store_sales")}
+         | JOIN ${Pp("store_returns")} ON ss_ticket_number = sr_ticket_number
+         |  AND ss_item_sk = sr_item_sk
+         | JOIN ${Pp("store")} ON ss_store_sk = s_store_sk
+         | JOIN ${Pp("customer")} ON ss_customer_sk = c_customer_sk
+         | JOIN ${Pp("customer_address")} ON c_current_addr_sk = ca_address_sk
+         | JOIN ${Pp("item")} ON ss_item_sk = i_item_sk
+         | WHERE s_market_id BETWEEN 1 AND 5000
+         |  AND c_birth_country <> upper(ca_country)
+         |  AND s_zip = ca_zip
+         | GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+         |SELECT c_last_name, c_first_name, s_store_name,
+         | CAST(sum(netpaid) AS DOUBLE) AS paid
+         |FROM ssales
+         |WHERE i_color = 'pale'
+         |GROUP BY 1, 2, 3
+         |HAVING CAST(sum(netpaid) AS DOUBLE) >
+         | (SELECT 0.05 * (CAST(sum(netpaid) AS DOUBLE) / count(*))
+         |  FROM ssales)""".stripMargin,
+    // Staged MATERIALIZED CTEs, unlike the sf0.01 q_tpcds_q64 oracle: at
+    // sf1 DuckDB's join-order pick for the inlined 17-join + IN-subquery
+    // form ran away (>170 CPU-min, 87 GB RSS, killed — measured r13);
+    // materializing the ~26-item slice, the slice-pruned csui (identical
+    // semantics: csui only gates items already in the slice) and the
+    // selective fact core first makes the same query 0.7 s. Join staging
+    // over INNER many-to-one lookups is order-independent, so the result
+    // is the published one.
+    "q_tpcds_q64_pub" ->
+      s"""WITH islice AS MATERIALIZED (
+         | SELECT i_item_sk, i_product_name FROM ${Pp("item")}
+         | WHERE i_color IN ('purple', 'burlywood', 'indian', 'spring',
+         |   'floral', 'medium')
+         |  AND i_current_price BETWEEN 35 AND 45),
+         |csui AS MATERIALIZED (
+         | SELECT cs_item_sk FROM ${Pp("catalog_sales")}
+         | JOIN islice ON cs_item_sk = i_item_sk
+         | JOIN ${Pp("catalog_returns")} ON cs_order_number = cr_order_number
+         |  AND cs_item_sk = cr_item_sk
+         | GROUP BY cs_item_sk
+         | HAVING sum(cs_ext_list_price) >
+         |  2 * sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit)),
+         |core AS MATERIALIZED (
+         | SELECT ss_item_sk, ss_customer_sk, ss_cdemo_sk, ss_hdemo_sk,
+         |  ss_addr_sk, ss_promo_sk, ss_store_sk, d1.d_year AS syear,
+         |  ss_wholesale_cost, ss_list_price, ss_coupon_amt, i_product_name
+         | FROM ${Pp("store_sales")}
+         | JOIN ${Pp("store_returns")} ON ss_ticket_number = sr_ticket_number
+         |  AND ss_item_sk = sr_item_sk
+         | JOIN islice ON ss_item_sk = i_item_sk
+         | JOIN csui ON ss_item_sk = cs_item_sk
+         | JOIN ${Pp("date_dim")} d1 ON ss_sold_date_sk = d1.d_date_sk
+         | WHERE d1.d_year IN (1999, 2000)),
+         |cs AS MATERIALIZED (
+         | SELECT i_product_name AS product_name, ss_item_sk AS item_sk,
+         |  s_store_name AS store_name, s_zip AS store_zip,
+         |  ad1.ca_street_number AS b_street_number,
+         |  ad1.ca_street_name AS b_street_name,
+         |  ad1.ca_city AS b_city, ad1.ca_zip AS b_zip,
+         |  ad2.ca_street_number AS c_street_number,
+         |  ad2.ca_street_name AS c_street_name,
+         |  ad2.ca_city AS c_city, ad2.ca_zip AS c_zip,
+         |  syear, d2.d_year AS fsyear, d3.d_year AS s2year,
+         |  count(*) AS cnt, sum(ss_wholesale_cost) AS s1,
+         |  sum(ss_list_price) AS s2, sum(ss_coupon_amt) AS s3
+         | FROM core
+         | JOIN ${Pp("customer")} ON ss_customer_sk = c_customer_sk
+         | JOIN ${Pp("customer_demographics")} cd1 ON ss_cdemo_sk = cd1.cd_demo_sk
+         | JOIN ${Pp("customer_demographics")} cd2
+         |  ON c_current_cdemo_sk = cd2.cd_demo_sk
+         | JOIN ${Pp("household_demographics")} hd1 ON ss_hdemo_sk = hd1.hd_demo_sk
+         | JOIN ${Pp("income_band")} ib1
+         |  ON hd1.hd_income_band_sk = ib1.ib_income_band_sk
+         | JOIN ${Pp("household_demographics")} hd2
+         |  ON c_current_hdemo_sk = hd2.hd_demo_sk
+         | JOIN ${Pp("income_band")} ib2
+         |  ON hd2.hd_income_band_sk = ib2.ib_income_band_sk
+         | JOIN ${Pp("promotion")} ON ss_promo_sk = p_promo_sk
+         | JOIN ${Pp("date_dim")} d2 ON c_first_sales_date_sk = d2.d_date_sk
+         | JOIN ${Pp("date_dim")} d3 ON c_first_shipto_date_sk = d3.d_date_sk
+         | JOIN ${Pp("customer_address")} ad1 ON ss_addr_sk = ad1.ca_address_sk
+         | JOIN ${Pp("customer_address")} ad2
+         |  ON c_current_addr_sk = ad2.ca_address_sk
+         | JOIN ${Pp("store")} ON ss_store_sk = s_store_sk
+         | WHERE cd1.cd_marital_status <> cd2.cd_marital_status
+         | GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+         |SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
+         | cs1.b_street_number, cs1.b_street_name, cs1.b_city, cs1.b_zip,
+         | cs1.c_street_number, cs1.c_street_name, cs1.c_city, cs1.c_zip,
+         | cs1.syear AS syear1, cs1.cnt AS cnt1,
+         | CAST(cs1.s1 AS DOUBLE) AS s11, CAST(cs1.s2 AS DOUBLE) AS s21,
+         | CAST(cs1.s3 AS DOUBLE) AS s31,
+         | CAST(cs2.s1 AS DOUBLE) AS s12, CAST(cs2.s2 AS DOUBLE) AS s22,
+         | CAST(cs2.s3 AS DOUBLE) AS s32,
+         | cs2.syear AS syear2, cs2.cnt AS cnt2
+         |FROM cs cs1
+         |JOIN cs cs2 ON cs1.item_sk = cs2.item_sk
+         | AND cs1.store_name = cs2.store_name
+         | AND cs1.store_zip = cs2.store_zip
+         |WHERE cs1.syear = 1999 AND cs2.syear = 2000
+         | AND cs2.cnt <= cs1.cnt""".stripMargin,
     "q_tpcds_q12" -> classShareOracle("web_sales", "ws_sold_date_sk",
       "ws_item_sk", "ws_ext_sales_price"),
     "q_tpcds_q20" -> classShareOracle("catalog_sales", "cs_sold_date_sk",
@@ -6720,6 +7061,12 @@ object Tpcds {
     "q_tpcds_q28" -> q_tpcds_q28,
     "q_tpcds_q9" -> q_tpcds_q9,
     "q_tpcds_q38" -> q_tpcds_q38,
+    // sf1-pinned published-form proof twins (SparkEntry.pinnedScaleProofs)
+    "q_tpcds_q38_pub" -> q_tpcds_q38_pub,
+    "q_tpcds_q13_pub" -> q_tpcds_q13_pub,
+    "q_tpcds_q41_pub" -> q_tpcds_q41_pub,
+    "q_tpcds_q24_pub" -> q_tpcds_q24_pub,
+    "q_tpcds_q64_pub" -> q_tpcds_q64_pub,
     "q_tpcds_q87" -> q_tpcds_q87,
     "q_tpcds_q50" -> q_tpcds_q50,
     "q_tpcds_q97" -> q_tpcds_q97,

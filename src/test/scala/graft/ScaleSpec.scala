@@ -251,6 +251,62 @@ class ScaleSpec extends AnyFunSuite {
       s"survivors' rank filter lost its group-limit pushdown:\n$plan")
   }
 
+  test("globalRank ranks STRING order columns exactly (lexicographic, via the fallback plan)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the canonical disagreement: lexicographic "10" < "9" but 10.0 > 9.0,
+    // plus non-numeric strings (double-cast → NULL) and real NULLs — the
+    // sliced plan would mis-rank all of these; the type gate must route
+    // them to the exact single-window fallback (ADVICE r12, medium)
+    val vals: Seq[Option[String]] =
+      Seq(Some("10"), Some("9"), Some("100"), Some("zebra"), Some("apple"),
+          None, Some(""), Some("10"), Some("Zebra"), Some("07"), None) ++
+        (1 to 80).map(i => Some((i % 17).toString))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    for (asc <- Seq(true, false)) {
+      val w = if (asc) Window.orderBy(col("v").asc) else Window.orderBy(col("v").desc)
+      val want = df.withColumn("r", rank().over(w))
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      val got = Scale.globalRank(df, "v", ascending = asc, "r", slices = 8)
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      assert(got == want, s"globalRank(asc=$asc) diverged on strings")
+    }
+  }
+
+  test("globalRank stays exact at extreme double magnitudes (no dir*p overflow)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // |values| near Double.MaxValue: the old floor(dir*p/span) overflowed
+    // dir*p to Infinity, wrapped the Int cast to -1, and clamped the
+    // LARGEST rows into slice 0 (ADVICE r12); floor(dir/span*p) stays finite
+    val vals = Seq(-Double.MaxValue, -1e308, -1.0, 0.0, 1.0, 1e300,
+                   1e308, Double.MaxValue, Double.MaxValue) ++
+      (1 to 60).map(i => i * 1e306)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    for (asc <- Seq(true, false)) {
+      val w = if (asc) Window.orderBy(col("v").asc) else Window.orderBy(col("v").desc)
+      val want = df.withColumn("r", rank().over(w))
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      val got = Scale.globalRank(df, "v", ascending = asc, "r", slices = 8)
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      assert(got == want, s"globalRank(asc=$asc) diverged at extreme magnitudes")
+    }
+  }
+
+  test("globalRank/topKRank refuse input frames carrying reserved internal names") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, i * 2, s"x$i")).toDF("id", "v", "_pid")
+    val eg = intercept[IllegalArgumentException] {
+      Scale.globalRank(df, "v", ascending = true, "r")
+    }
+    assert(eg.getMessage.contains("_pid"), s"wrong message: ${eg.getMessage}")
+    val df2 = (1 to 10).map(i => (i.toLong, i * 2, i)).toDF("id", "v", "_thr")
+    val et = intercept[IllegalArgumentException] {
+      Scale.topKRank(df2, "v", ascending = true, 3, "r")
+    }
+    assert(et.getMessage.contains("_thr"), s"wrong message: ${et.getMessage}")
+  }
+
   test("globalRank's big window is slice-keyed, never a full single-partition sort") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, i * 1.5)).toDF("id", "v")

@@ -182,6 +182,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.select("event_id").distinct().count() == total)
   }
 
+  test("mid-stream KILL + checkpoint restart delivers exactly-once output") {
+    // the r12 verdict's delivery-contract gap: the restart test above stops
+    // BETWEEN two clean AvailableNow drains; a real pipeline dies MID-query.
+    // Here the first run is an unbounded trigger over 24 one-file
+    // micro-batches, stopped abruptly as soon as two batches have
+    // committed — in-flight work is abandoned, the checkpoint holds a
+    // partial offset log, and un-ingested files remain. The restart must
+    // deliver every event exactly once: the file-sink _spark_metadata log
+    // excludes any uncommitted batch output, and the source resumes from
+    // the committed offsets.
+    import org.apache.spark.sql.streaming.Trigger
+    val src = "/tmp/graft-kill-src"
+    val out = "/tmp/graft-kill-out"
+    val cp = "/tmp/graft-kill-cp"
+    rmAll(src, out, cp)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    // 24 single-file micro-batches: wide margin between "2 committed" and
+    // "all done", so the kill always lands mid-stream
+    raw.repartition(24).write.mode("overwrite").parquet(src)
+    val total = raw.count()
+    def resumable() = EventStreams
+      .readReplay(spark, src, "3650 days", maxFilesPerTrigger = 1)
+      .select("event_id", "user_id", "event_type", "value")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+    val q1 = resumable().trigger(Trigger.ProcessingTime("10 milliseconds")).start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 2,
+      "stream made no progress before the kill")
+    q1.stop() // abrupt: interrupts the stream thread, abandons in-flight work
+    // reading THROUGH the sink's _spark_metadata log (spark.read on a file-
+    // sink dir respects it): only committed batches are visible
+    val afterKill = spark.read.parquet(out).count()
+    assert(afterKill > 0, "no committed output before the kill")
+    assert(afterKill < total,
+      s"kill landed after completion ($afterKill of $total) — widen the margin")
+    val q2 = resumable().trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val result = spark.read.parquet(out)
+    assert(result.count() == total,
+      s"loss or replay across the kill: ${result.count()} vs $total")
+    assert(result.select("event_id").distinct().count() == total,
+      "duplicate event_ids — the restart replayed a committed batch")
+  }
+
   private def rmAll(paths: String*): Unit = paths.foreach { p =>
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete()

@@ -67,6 +67,14 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # a typo'd name on the command line must be an ERROR, not a silent skip:
+    # with every name typo'd the loop below would print "0/0 rendered-
+    # identical" and exit 0, reading as a pass (ADVICE r12)
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"ERROR: {len(unknown)} requested name(s) not in "
+              f"oracle_sql.json: {' '.join(sorted(unknown))}")
+        sys.exit(2)
     failures = []
     n_run = 0
     for name, sql in sorted(oracle.items()):
@@ -114,6 +122,9 @@ def main():
     if failures:
         print("failing:", " ".join(failures))
         sys.exit(1)
+    if n_run == 0:
+        print("ERROR: no queries ran — nothing to verify")
+        sys.exit(2)
 
 
 if __name__ == "__main__":
