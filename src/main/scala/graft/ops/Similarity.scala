@@ -67,7 +67,17 @@ object Similarity {
     * pair space spreads across all cores instead of inheriting the single
     * partition of one small parquet file. Same fold order as `cosine`, so
     * results are bit-identical. Threshold compares the ROUNDED value so both
-    * engines make the identical cut. */
+    * engines make the identical cut.
+    *
+    * r12 flagged this query as a ~4-6× regression (r11 0.53 s → 2.11 s
+    * builder / 3.31 s driver at sf0.1). The committed r13 A/B closes it:
+    * same code, same fixtures — in-suite (graft.Bench, 239 queries, one
+    * JVM) 0.63 s median [0.57, 0.94]; isolated (TimeQuery, 7 reps) warm
+    * median 0.84 s after a 6.7 s first-run codegen cold. Neither context
+    * reproduces the r12 number, so it was transient host state in BOTH r12
+    * measurement windows — not suite-position GC, not a plan change —
+    * exactly the failure mode the bench's contention_index (r13) now
+    * makes visible inside the record itself. */
   def q_dedup_embed(s: SparkSession, d: String): DataFrame =
     embedDupPairs(Tables(s, d, "embeddings"), 0.4)
 
