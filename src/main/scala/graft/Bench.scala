@@ -20,9 +20,18 @@ import org.apache.spark.sql.functions._
   * fixture dependency, no round-over-round churn) at five points through
   * the timed pass and reports, per control, the median sample over its
   * committed idle-window reference ([[Bench.controlRef]]). The headline
-  * `contention_index` is the median of all sample/ref ratios: ~1.0 = clean
-  * record; ≫1 = the host was contended and per-query inflation must be
-  * read against it before calling anything a regression.
+  * `contention_index` is the median of all sample/ref ratios.
+  *
+  * CALIBRATION (r13, committed): refs come from a FRESH JVM
+  * (ControlCal); mid-run samples carry the suite JVM's own GC/JIT
+  * pressure, so an IDLE-window full 239-query run scores ≈ 1.35, not
+  * 1.0 (the r13 record; its first pre-suite sample matched the fresh-JVM
+  * ref exactly, mid-run samples rose, the final sort sample came in
+  * UNDER ref — in-JVM aging, not ambient load). Read the index as:
+  * ≤ ~1.5 = as clean as the committed idle reference; ≥ ~2 sustained =
+  * the host was contended (the r12 pattern — untouched queries 3-4× up —
+  * would score well above 2) and per-query inflation must be read
+  * against it before calling anything a regression.
   */
 object Bench {
 
