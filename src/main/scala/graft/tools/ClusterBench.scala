@@ -45,20 +45,50 @@ object ClusterBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"[cluster] master=local-cluster[$w,$c,$m] jar=$jar")
-    names.foreach { n =>
-      try {
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          SparkEntry.queries(n)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        println(f"[cluster] $n%-22s median=${times(times.size / 2)}%.2f  " +
-          times.map(t => f"$t%.2f").mkString(" "))
-      } catch {
-        case e: Throwable =>
-          println(s"[cluster] $n FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
-      }
+    // SPARK_GRAFT_CLUSTER_DUMP=<outDir>: instead of timing, dump each
+    // query's RESULT (computed entirely through the multi-JVM seam) plus
+    // the matching oracle_sql.json slice, VerifySome-style — then
+    // tools/check.py + tools/driversim.py prove the seam ORACLE-EXACT,
+    // not just crash-free (broadcasts, exchanges and custom expressions
+    // all serialized for real).
+    sys.env.get("SPARK_GRAFT_CLUSTER_DUMP") match {
+      case Some(outDir) =>
+        new java.io.File(outDir).mkdirs()
+        names.foreach { n =>
+          try {
+            SparkEntry.queries(n)(spark, sfDir).coalesce(1)
+              .write.mode("overwrite").parquet(s"$outDir/$n")
+            println(s"[cluster] dumped $n")
+          } catch { case e: Throwable =>
+            println(s"[cluster] $n FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
+          }
+        }
+        def q(s: String): String = "\"" + s.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+          case '\r' => "\\r"; case '\t' => "\\t"
+          case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+          case ch => ch.toString
+        } + "\""
+        val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+          .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+      case None =>
+        names.foreach { n =>
+          try {
+            val times = (1 to reps).map { _ =>
+              val t0 = System.nanoTime()
+              SparkEntry.queries(n)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            println(f"[cluster] $n%-22s median=${times(times.size / 2)}%.2f  " +
+              times.map(t => f"$t%.2f").mkString(" "))
+          } catch {
+            case e: Throwable =>
+              println(s"[cluster] $n FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
+          }
+        }
     }
     spark.stop()
   }
