@@ -369,6 +369,17 @@ class PlanGuardSpec extends AnyFunSuite {
       s"Q64 year slices not pushed into the date_dim scans:\n$q64")
     assert(q64.contains("sr_ticket_number") && q64.contains("cr_order_number"),
       s"Q64 lost a (order/ticket, item) PK join:\n$q64")
+    // the sf1-pinned PUBLISHED twin shares q64At, so it must keep the
+    // exact same physical guarantees — disjoint pushed year slices, two
+    // fact scans, PK joins (the slice parameters are the only difference)
+    val q64p = fmt("q_tpcds_q64_pub")
+    assert(factScans(q64p, "store_sales") == 2,
+      s"Q64_pub cross_sales pairing lost a year-sliced subtree:\n$q64p")
+    assert(q64p.contains("EqualTo(d_year,1999)") &&
+      q64p.contains("EqualTo(d_year,2000)"),
+      s"Q64_pub year slices not pushed into the date_dim scans:\n$q64p")
+    assert(q64p.contains("sr_ticket_number") && q64p.contains("cr_order_number"),
+      s"Q64_pub lost a (order/ticket, item) PK join:\n$q64p")
     // Q23/Q24: the 1-row scalar (max spend / all-colors average) attaches
     // by a broadcast HASH join on the derived key — the global no-nested-
     // loop sweep keeps it honest; here assert the key survives
