@@ -293,6 +293,27 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("topKRank is exact on STRING order columns (native ordering, no double cast anywhere)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // unlike globalRank, topKRank never casts the order column — the
+    // threshold comes from orderBy/limit in the column's own ordering —
+    // so strings must rank exactly WITHOUT any fallback plan
+    val vals: Seq[Option[String]] =
+      Seq(Some("10"), Some("9"), Some("100"), Some("zebra"), None, Some(""),
+          Some("10"), Some("Zebra"), Some("07"), None) ++
+        (1 to 60).map(i => Some((i % 13).toString))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    for (asc <- Seq(true, false); k <- Seq(3, 12)) {
+      val w = if (asc) Window.orderBy(col("v").asc) else Window.orderBy(col("v").desc)
+      val want = df.withColumn("r", rank().over(w)).filter(col("r") <= k)
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      val got = Scale.topKRank(df, "v", ascending = asc, k, "r")
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      assert(got == want, s"topKRank(asc=$asc, k=$k) diverged on strings")
+    }
+  }
+
   test("globalRank/topKRank refuse input frames carrying reserved internal names") {
     import spark.implicits._
     val df = (1 to 10).map(i => (i.toLong, i * 2, s"x$i")).toDF("id", "v", "_pid")
