@@ -162,6 +162,14 @@ object TpcdsGen extends Benchmark {
     * measured as a Q64 driver-collect blow-up at sf100). Fact *_cdemo_sk
     * draws follow rowCount, so they span the full cross product from
     * sf1 up, exactly like dsdgen.
+    * v20: structured i_units — the dsdgen 21-unit measure roster
+    * (unitsRoster), hash-drawn per item and NULL-EXEMPT (see unitsRoster
+    * doc). Closes the last dropped published predicate in the suite:
+    * q_tpcds_q41_pub now runs the FULL published qualification including
+    * the per-arm i_units gates at its pinned proof scale. Only
+    * item.i_units moves; every other column of every table is
+    * bit-identical to v19 (column-diffed old-vs-new — r14), so all
+    * committed density probes for non-units predicates carry over.
     *
     * BUMP LOG (r12 advice: classify every bump as semantic vs refactor,
     * and record the check that matched the class):
@@ -172,8 +180,12 @@ object TpcdsGen extends Benchmark {
     *   v19 — SEMANTIC at sf10+ only (cd cross-product cap); sf≤1 caches
     *         GenDiff-verified BIT-IDENTICAL to v18 (r12).
     *   r13 — no bump; no generator-value change this round (pub twins and
-    *         bench/scale work only), so no GenDiff run is owed. */
-  val genVersion = 19
+    *         bench/scale work only), so no GenDiff run is owed.
+    *   v20 — SEMANTIC (i_units dictionary + null exemption); bit-diff
+    *         expected on item.i_units ONLY, change SCOPE column-diffed
+    *         old-vs-new per table at sf0.01 (r14: 32/32 non-item tables
+    *         bit-identical, item identical on all columns but i_units). */
+  val genVersion = 20
 
   /** Prime step of the within-basket item tour (see the item case in
     * colFor); must stay coprime to every supported item row count. */
@@ -427,6 +439,23 @@ object TpcdsGen extends Benchmark {
     "PRIVATECARRIER", "DIAMOND", "ORIENTAL", "BOXBUNDLES", "ALLIANCE",
     "GREAT EASTERN", "GERMA", "RUPEKSA", "BARIAN")
 
+  /** v20: the dsdgen unit-of-measure roster (units.dst — the 21 names
+    * dsdgen draws i_units from; reference schema field: the item table's
+    * `i_units` column, /root/reference/src/tpcds.rs ~line 540). Q41's
+    * published qualification gates on 16 of these (Ounce/Oz, Bunch/Ton,
+    * N/A/Dozen, Box/Pound, Pallet/Gross, Cup/Dram, Each/Tbl, Lb/Bundle);
+    * a word-salad domain could never contain them, so the gates had to
+    * be dropped before v20. Hash-drawn (item scales with sf — every unit
+    * exists whp at the 2000-row sf0.01 floor, P(miss one) < 1e-40) but
+    * NULL-EXEMPT like the v11/v12 structural rosters: Q41's per-arm
+    * (category × color × units × size) joint leaves single-digit
+    * qualifying items at the sf1 proof scale, so a 5% null draw on the
+    * gate column would make the published-form proof a coin flip. */
+  private[graft] val unitsRoster: Seq[String] = Seq("Unknown", "Each",
+    "Dozen", "Case", "Pallet", "Gross", "Ounce", "Pound", "Ton", "Dram",
+    "Oz", "Lb", "Bunch", "Box", "Carton", "Cup", "Gram", "N/A", "Tbl",
+    "Tsp", "Bundle")
+
   /** v10: dsdgen-style composed street names (first + second part). */
   private val streetNames: Seq[String] = {
     val first = Seq("Oak", "Maple", "Cedar", "Elm", "Pine", "Walnut",
@@ -489,6 +518,9 @@ object TpcdsGen extends Benchmark {
       "c_preferred_cust_flag" -> yn,
       "c_salutation" -> Seq("Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir"),
       "i_color" -> colorVocab,
+      // v20: dsdgen's 21-unit measure roster (null-exempt — see
+      // unitsRoster's doc; Q41's published per-arm i_units gates)
+      "i_units" -> unitsRoster,
       "s_city" -> cities, "ca_city" -> cities,
       // v16: s_county/cc_county are CYCLIC (see colFor) — only the
       // address-side county keeps the hash draw
@@ -878,11 +910,14 @@ object TpcdsGen extends Benchmark {
     // s_store_name / sm_carrier: the cyclic domains are structural
     // guarantees (Q96's published name filter must find 'ese', Q66's
     // carrier filter must find DHL/BARIAN, at the tiny-dim floors) — a 5%
-    // null draw would erase a whole value with P ≈ 0.05 per scale
+    // null draw would erase a whole value with P ≈ 0.05 per scale.
+    // i_units (v20): Q41's published arms leave single-digit qualifying
+    // items at the sf1 proof scale; nulls there make the proof a coin flip
     if (f.nullable && !f.name.startsWith("ib_") && !orderNumberCols(f.name) &&
         f.name != "s_store_name" && f.name != "sm_carrier" &&
         f.name != "s_state" && f.name != "s_gmt_offset" &&
-        f.name != "s_county" && f.name != "cc_county")
+        f.name != "s_county" && f.name != "cc_county" &&
+        f.name != "i_units")
       when(pmod(h(src, tag + 7919), lit(20)) === 0, lit(null).cast(f.dataType))
         .otherwise(base)
     else base

@@ -172,8 +172,9 @@ object Scale {
         s"input frame already carries ${clash.mkString(",")} — rename first")
     require(df.columns.contains(orderCol), s"no column $orderCol")
     val orderType = df.schema(orderCol).dataType
-    // slice assignment is cast-to-double; only order-homomorphic casts may
-    // take the sliced plan — anything else (strings!) would rank wrong
+    // slice assignment needs an order-homomorphic NUMERIC image of the
+    // order column; anything without one (strings!) takes the exact
+    // single-window fallback instead of ranking wrong
     val homomorphic = orderType match {
       case _: NumericType | BooleanType | DateType | TimestampType |
            TimestampNTZType => true
@@ -186,7 +187,22 @@ object Scale {
     }
     val p = if (slices > 0) slices
             else df.sparkSession.sparkContext.defaultParallelism
-    val v = col(orderCol).cast(DoubleType)
+    // Per-type monotone map to double. Spark 4 forbids CAST(DATE AS
+    // DOUBLE) and CAST(TIMESTAMP_NTZ AS DOUBLE) (DATATYPE_MISMATCH at
+    // analysis), and NTZ→TIMESTAMP is NOT monotone (a DST spring-forward
+    // gap resolves by shifting +1h, so local 02:59 can map AFTER 03:00):
+    // dates take the epoch-day image, NTZ a TZ-free field decomposition.
+    // Non-strictness is fine — equal doubles land in the SAME slice and
+    // within-slice ordering uses the original column.
+    val v = orderType match {
+      case DateType => unix_date(col(orderCol)).cast(DoubleType)
+      case TimestampNTZType =>
+        unix_date(to_date(col(orderCol))).cast(DoubleType) * 86400.0 +
+          hour(col(orderCol)).cast(DoubleType) * 3600.0 +
+          minute(col(orderCol)).cast(DoubleType) * 60.0 +
+          date_part(lit("SECOND"), col(orderCol)).cast(DoubleType)
+      case _ => col(orderCol).cast(DoubleType)
+    }
     // the 1-row bounds attach by the repo's nullable-derived-key broadcast
     // HASH join (a key computed from a column, so it can't constant-fold
     // back into a nested-loop cross join — PlanGuard forbids unkeyed joins)

@@ -2990,9 +2990,11 @@ object Tpcds {
     * manufacturer set semi-joined back to the item dim. No fact table at
     * all (the plan should never touch one). Colors are the PUBLISHED
     * names (powder/khaki/orchid/firebrick, rose/metallic/chiffon/
-    * gainsboro — in-domain since genVersion 12); the published per-block
-    * i_units gate stays dropped (units are not domain-valued) and colors
-    * group 4-per-block for gate-scale density. Measured on the gen18
+    * gainsboro — in-domain since genVersion 12); this gate-scale form
+    * omits the per-block i_units gate and groups colors 4-per-block for
+    * sf0.01 density (each published gate multiplies selectivity ~10×; the
+    * FULL published qualification including the v20 i_units gates is
+    * proven by [[q_tpcds_q41_pub]] at its pinned scale). Measured on the gen18
     * curve (round 12): the published SHAPE (40-wide manufact band
     * 738-778, 2-color × 2-size arms) returns 0 product names at sf0.01
     * (the 2000-row item table holds only 9 band items) but 24 at sf1 and
@@ -3014,31 +3016,42 @@ object Tpcds {
       .select("i_product_name").distinct()
   }
 
-  /** [Q-tpcds-q41-pub] Q41's PUBLISHED form — the 40-wide manufact band
-    * (738–778) and all EIGHT published color/size/category arms — proven
-    * at the pinned sf1 scale (8 product names; the 2000-row sf0.01 item
-    * table holds only 9 band items → 0 names, committed probe). The one
-    * remaining deviation: the published per-arm i_units gates stay
-    * dropped, because gen19's i_units domain is word-salad text
-    * ("accounts", "deposits", …) that NEVER contains the published unit
-    * names — a generator-domain fact (verdict "word-salad tails"), not a
-    * density one, so no scale proves it. Same dimension-only
-    * decorrelated-EXISTS plan as [[q_tpcds_q41]]. */
+  /** [Q-tpcds-q41-pub] Q41's FULL PUBLISHED form — the 40-wide manufact
+    * band (738–778) and all EIGHT published arms with every published
+    * gate: category, color pair, i_units pair AND size pair — proven at
+    * the pinned sf1 scale (8 product names from 10 qualifying items /
+    * 10 qualifying manufacturers, committed r14 probe at genVersion 20;
+    * the 2000-row sf0.01 item table holds only 9 band items → 0 names).
+    * The i_units gates became provable in v20, when the generator gave
+    * i_units the dsdgen 21-unit roster ([[graft.gen.TpcdsGen]]
+    * unitsRoster) — this was the LAST dropped published predicate in the
+    * suite; no published gate anywhere is now dropped rather than proven
+    * or measured-adapted. Same dimension-only decorrelated-EXISTS plan
+    * as [[q_tpcds_q41]]. */
   def q_tpcds_q41_pub(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = pubDir(spark)
-    def arm(cat: String, colors: Seq[String], sizes: Seq[String]) =
+    def arm(cat: String, colors: Seq[String], units: Seq[String],
+        sizes: Seq[String]) =
       col("i_category") === cat && col("i_color").isin(colors: _*) &&
-        col("i_size").isin(sizes: _*)
+        col("i_units").isin(units: _*) && col("i_size").isin(sizes: _*)
     val qual = t(spark, dir, "item")
       .filter(
-        arm("Women", Seq("powder", "khaki"), Seq("medium", "extra large")) ||
-        arm("Women", Seq("brown", "honeydew"), Seq("N/A", "small")) ||
-        arm("Men", Seq("floral", "deep"), Seq("petite", "large")) ||
-        arm("Men", Seq("light", "cornflower"), Seq("medium", "extra large")) ||
-        arm("Women", Seq("midnight", "snow"), Seq("medium", "extra large")) ||
-        arm("Women", Seq("cyan", "papaya"), Seq("N/A", "small")) ||
-        arm("Men", Seq("orange", "frosted"), Seq("petite", "large")) ||
-        arm("Men", Seq("forest", "ghost"), Seq("medium", "extra large")))
+        arm("Women", Seq("powder", "khaki"), Seq("Ounce", "Oz"),
+          Seq("medium", "extra large")) ||
+        arm("Women", Seq("brown", "honeydew"), Seq("Bunch", "Ton"),
+          Seq("N/A", "small")) ||
+        arm("Men", Seq("floral", "deep"), Seq("N/A", "Dozen"),
+          Seq("petite", "large")) ||
+        arm("Men", Seq("light", "cornflower"), Seq("Box", "Pound"),
+          Seq("medium", "extra large")) ||
+        arm("Women", Seq("midnight", "snow"), Seq("Pallet", "Gross"),
+          Seq("medium", "extra large")) ||
+        arm("Women", Seq("cyan", "papaya"), Seq("Cup", "Dram"),
+          Seq("N/A", "small")) ||
+        arm("Men", Seq("orange", "frosted"), Seq("Each", "Tbl"),
+          Seq("petite", "large")) ||
+        arm("Men", Seq("forest", "ghost"), Seq("Lb", "Bundle"),
+          Seq("medium", "extra large")))
       .select(col("i_manufact").as("qm")).distinct()
     t(spark, dir, "item")
       .filter(col("i_manufact_id").between(738, 778))
@@ -6030,20 +6043,28 @@ object Tpcds {
          |  AND i_manufact IN (
          |   SELECT i_manufact FROM ${Pp("item")}
          |   WHERE (i_category = 'Women' AND i_color IN ('powder','khaki')
+         |          AND i_units IN ('Ounce','Oz')
          |          AND i_size IN ('medium','extra large'))
          |      OR (i_category = 'Women' AND i_color IN ('brown','honeydew')
+         |          AND i_units IN ('Bunch','Ton')
          |          AND i_size IN ('N/A','small'))
          |      OR (i_category = 'Men' AND i_color IN ('floral','deep')
+         |          AND i_units IN ('N/A','Dozen')
          |          AND i_size IN ('petite','large'))
          |      OR (i_category = 'Men' AND i_color IN ('light','cornflower')
+         |          AND i_units IN ('Box','Pound')
          |          AND i_size IN ('medium','extra large'))
          |      OR (i_category = 'Women' AND i_color IN ('midnight','snow')
+         |          AND i_units IN ('Pallet','Gross')
          |          AND i_size IN ('medium','extra large'))
          |      OR (i_category = 'Women' AND i_color IN ('cyan','papaya')
+         |          AND i_units IN ('Cup','Dram')
          |          AND i_size IN ('N/A','small'))
          |      OR (i_category = 'Men' AND i_color IN ('orange','frosted')
+         |          AND i_units IN ('Each','Tbl')
          |          AND i_size IN ('petite','large'))
          |      OR (i_category = 'Men' AND i_color IN ('forest','ghost')
+         |          AND i_units IN ('Lb','Bundle')
          |          AND i_size IN ('medium','extra large')))""".stripMargin,
     "q_tpcds_q24_pub" ->
       s"""WITH ssales AS (

@@ -757,6 +757,24 @@ class GenSpec extends AnyFunSuite {
       s"carrier roster mismatch: ${carriers.toSet}")
   }
 
+  test("v20: i_units draws the dsdgen unit roster, never nulled") {
+    import org.apache.spark.sql.functions._
+    // Q41's published per-arm i_units gates (Ounce/Oz, Bunch/Ton, …) are
+    // only provable if units are domain-valued; null-exempt because the
+    // published joint leaves single-digit qualifying items at the proof
+    // scale (see TpcdsGen.unitsRoster doc)
+    val units = TpcdsGen.table(spark, "item", 0.01, 4)
+      .select("i_units").collect().map(_.getString(0))
+    assert(!units.contains(null), "i_units nulled — roster is null-exempt")
+    assert(units.toSet == TpcdsGen.unitsRoster.toSet,
+      s"unit roster mismatch: ${units.toSet}")
+    val publishedUnits = Set("Ounce", "Oz", "Bunch", "Ton", "N/A", "Dozen",
+      "Box", "Pound", "Pallet", "Gross", "Cup", "Dram", "Each", "Tbl",
+      "Lb", "Bundle")
+    assert(publishedUnits.subsetOf(TpcdsGen.unitsRoster.toSet),
+      "a published Q41 unit literal is missing from the roster")
+  }
+
   test("v13: gmt offsets are coherent with the row's state") {
     import org.apache.spark.sql.functions._
     // every (state, offset) pair matches the dsdgen-style timezone map —

@@ -273,6 +273,39 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRank ranks DATE and TIMESTAMP_NTZ order columns exactly (sliced plan, no double cast)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Spark 4 forbids CAST(DATE AS DOUBLE) and CAST(TIMESTAMP_NTZ AS
+    // DOUBLE) — the old blanket double cast made these types crash at
+    // analysis instead of taking the sliced plan the gate admits them to
+    // (ADVICE r13, medium). Dates slice on the epoch-day image; NTZ on a
+    // TZ-free field decomposition (spring-forward local times included:
+    // 02:30 on a US gap day must rank between 01:59 and 03:00, which the
+    // NTZ→TIMESTAMP cast gets WRONG by resolving the gap +1h).
+    val dates = (Seq(None, None) ++ (1 to 90).map(i =>
+      Some(java.sql.Date.valueOf(f"20${i % 6}%02d-${i % 12 + 1}%02d-${i % 28 + 1}%02d"))))
+    val ddf = dates.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val ntz = (Seq(None, None) ++ Seq(
+      Some("2024-03-10 01:59:59.999999"), Some("2024-03-10 02:30:00"),
+      Some("2024-03-10 03:00:00"), Some("2024-03-10 02:30:00")) ++
+      (1 to 90).map(i =>
+        Some(f"200${i % 9} -${i % 12 + 1}%02d-${i % 28 + 1}%02d ${i % 24}%02d:${i % 60}%02d:${(i * 7) % 60}%02d".replace(" -", "-"))))
+    val ndf = ntz.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "s")
+      .withColumn("v", col("s").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .select("id", "v")
+    assert(ndf.schema("v").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    for (df <- Seq(ddf, ndf); asc <- Seq(true, false)) {
+      val w = if (asc) Window.orderBy(col("v").asc) else Window.orderBy(col("v").desc)
+      val want = df.withColumn("r", rank().over(w))
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      val got = Scale.globalRank(df, "v", ascending = asc, "r", slices = 8)
+        .select("id", "r").as[(Long, Int)].collect().toMap
+      assert(got == want,
+        s"globalRank(asc=$asc) diverged on ${df.schema("v").dataType}")
+    }
+  }
+
   test("globalRank stays exact at extreme double magnitudes (no dir*p overflow)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -193,16 +193,28 @@ class StreamingSpec extends AnyFunSuite {
     // excludes any uncommitted batch output, and the source resumes from
     // the committed offsets.
     import org.apache.spark.sql.streaming.Trigger
+    val stage = "/tmp/graft-kill-stage"
     val src = "/tmp/graft-kill-src"
     val out = "/tmp/graft-kill-out"
     val cp = "/tmp/graft-kill-cp"
-    rmAll(src, out, cp)
+    rmAll(stage, src, out, cp)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
-    // 24 single-file micro-batches: wide margin between "2 committed" and
-    // "all done", so the kill always lands mid-stream
-    raw.repartition(24).write.mode("overwrite").parquet(src)
+    // 24 single-file micro-batches staged aside; only HALF are visible to
+    // the first run. The kill therefore provably lands before the last
+    // batch on ANY host speed (the second half doesn't exist yet), instead
+    // of racing recentProgress against a fast drain (ADVICE r13, low) —
+    // while the first run still dies abruptly mid-ingestion of its half.
+    raw.repartition(24).write.mode("overwrite").parquet(stage)
     val total = raw.count()
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    new java.io.File(src).mkdirs()
+    def moveIn(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(src, f.getName))
+    }
+    moveIn(parts.take(12))
     def resumable() = EventStreams
       .readReplay(spark, src, "3650 days", maxFilesPerTrigger = 1)
       .select("event_id", "user_id", "event_type", "value")
@@ -215,12 +227,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(q1.recentProgress.count(_.numInputRows > 0) >= 2,
       "stream made no progress before the kill")
     q1.stop() // abrupt: interrupts the stream thread, abandons in-flight work
+    // the rest of the corpus arrives only after the stream is dead
+    moveIn(parts.drop(12))
     // reading THROUGH the sink's _spark_metadata log (spark.read on a file-
     // sink dir respects it): only committed batches are visible
     val afterKill = spark.read.parquet(out).count()
     assert(afterKill > 0, "no committed output before the kill")
     assert(afterKill < total,
-      s"kill landed after completion ($afterKill of $total) — widen the margin")
+      s"kill landed after completion ($afterKill of $total) — margin broken")
     val q2 = resumable().trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
     val result = spark.read.parquet(out)
