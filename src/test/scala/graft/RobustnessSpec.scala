@@ -75,6 +75,43 @@ class RobustnessSpec extends AnyFunSuite {
     assert(Tables.footerRowCount(spark, dir, "t") === 1000L)
   }
 
+  test("task retries are deterministic: injected fail-once tasks leave query + generation output bit-identical") {
+    // r13 verdict #2: hash-based generation/sampling and taskRetries=0
+    // runs ASSERTED retry-safety by construction; this demonstrates it.
+    // graft.tools.RetryProbe needs its own JVM (master local[16,2] sets
+    // spark.task.maxFailures=2, which the shared TestSpark session can't)
+    // — same spawn pattern as GenSpec's two-driver cache-fleet test. The
+    // probe kills partition 0's FIRST attempt mid-stream in every shuffle
+    // map stage of declared q_tpcds_q23 and in a generation parquet write,
+    // then requires clean == retried (raw double bits included) and that
+    // the injections actually fired.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val outFile = Files.createTempFile("graft_retry_probe", ".out").toFile
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList.sliding(2).collect {
+        case List(flag, v) if flag == "--add-opens" || flag == "--add-exports" =>
+          List(flag, v)
+      }.flatten.toList
+    val p = new ProcessBuilder(
+      (List(javaBin) ++ jvmArgs ++ List("-Xmx3g",
+        "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.RetryProbe")).asJava)
+      .redirectErrorStream(true)
+      .redirectOutput(outFile)
+      .start()
+    assert(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS), "probe timed out")
+    val out = new String(Files.readAllBytes(outFile.toPath))
+    assert(p.exitValue() == 0, s"retry probe failed:\n${out.takeRight(3000)}")
+    assert(out.contains("RETRY QUERY OK"), s"no query verdict:\n${out.takeRight(1500)}")
+    assert(out.contains("RETRY GEN OK"), s"no generation verdict:\n${out.takeRight(1500)}")
+    // the probe must have actually killed tasks, not just compared twice
+    val fired = "injected=(\\d+)".r.findAllMatchIn(out).map(_.group(1).toInt).toList
+    assert(fired.size == 2 && fired.forall(_ > 0), s"injections: $fired")
+  }
+
   test("sweepStaleSiblings removes every non-current cache generation") {
     import java.nio.file.{Files, Paths}
     val parent = Files.createTempDirectory("graft-sweep")
