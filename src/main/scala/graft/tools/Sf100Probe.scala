@@ -25,22 +25,43 @@ import org.apache.spark.sql.SparkSession
   *     co-resident and are DISK-BOUND on this host — that bound is the
   *     committed finding for them, not a number.
   *
+  * RESUMABLE: a table whose parquet dir already exists under the probe
+  * root is skipped (so a crashed or extended run continues where it
+  * stopped), and each query runs under its own try/catch — an ENOSPC on
+  * one query is reported as a JSON finding, not a probe abort (the first
+  * r14 run died exactly that way: Q67's sf100 shuffle needed more than
+  * the 18 GB then free).
+  *
   * Usage: `SPARK_DRIVER_MEM=48g sbt "runMain graft.tools.Sf100Probe
-  *   [probeRoot]"` (default /tmp/graft_sf100). The probe root is OUTSIDE
-  *   the live gen-cache parent (stale-sibling sweep hygiene). Delete the
-  *   root when done — it holds ~15 GB. */
+  *   [probeRoot] [--keep-all] [query...]"` (default /tmp/graft_sf100 and
+  *   the store-sales-resident heavies). `--keep-all` retains every
+  *   generated table (~48 GB — needs the disk) so the catalog/web-resident
+  *   heavies can run too. The probe root is OUTSIDE the live gen-cache
+  *   parent (stale-sibling sweep hygiene). Delete the root when done. */
 object Sf100Probe {
-  private val keep = Set("store_sales", "item", "date_dim", "store")
-  private val queries = Seq("q_tpcds_q67", "q_tpcds_q36", "q_tpcds_q89",
-    "q_tpcds_q70", "q_tpcds_q43")
+  private val defaultKeep = Set("store_sales", "item", "date_dim", "store")
+  private val defaultQueries = Seq("q_tpcds_q43", "q_tpcds_q70",
+    "q_tpcds_q89", "q_tpcds_q36", "q_tpcds_q67")
 
   def main(args: Array[String]): Unit = {
-    val probeRoot = if (args.nonEmpty) args(0) else "/tmp/graft_sf100"
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    val keepAll = flags.contains("--keep-all")
+    val probeRoot = pos.headOption.getOrElse("/tmp/graft_sf100")
+    val queries = if (pos.length > 1) pos.drop(1).toSeq else defaultQueries
+    val keep: String => Boolean =
+      if (keepAll) _ => true else defaultKeep
     val sf = 100.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // At sf100, shuffle.partitions = 32 is NOT the deployment shape: a
+    // 100 TB cluster sizes partitions to the data (SURVEY §2: partitions
+    // sized so per-task state fits executor memory). 32 partitions put an
+    // sf100 cs⋈inv build side in ONE task's memory and OOM'd a 48 GiB
+    // heap (first r14 probe run); 256 restores the designed ~task-sized
+    // slices. Override with SPARK_GRAFT_SHUFFLE.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.graft.cacheRoot", probeRoot)
@@ -70,18 +91,28 @@ object Sf100Probe {
     }
     for (tbl <- ordered) {
       val out = dir.resolve(s"$tbl.parquet")
-      val t0 = System.nanoTime()
-      graft.gen.TpcdsGen.table(spark, tbl, sf, cpus.toInt)
-        .write.mode("overwrite").parquet(out.toString)
-      val secs = (System.nanoTime() - t0) / 1e9
-      val bytes = du(out)
-      totalSecs += secs; totalBytes += bytes
-      val kept = keep(tbl)
-      if (kept) keptBytes += bytes else rm(out)
-      println(f"""{"table":"$tbl","wall_s":$secs%.1f,"bytes":$bytes,"kept":$kept}""")
+      // resume only on a COMPLETE write (Spark's _SUCCESS marker) — a
+      // killed run leaves a partial dir that must regenerate
+      if (java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+        val bytes = du(out)
+        keptBytes += bytes
+        println(f"""{"table":"$tbl","resumed":true,"bytes":$bytes,"kept":true}""")
+      } else {
+        rm(out) // partial from a killed run
+        val t0 = System.nanoTime()
+        graft.gen.TpcdsGen.table(spark, tbl, sf, cpus.toInt)
+          .write.mode("overwrite").parquet(out.toString)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val bytes = du(out)
+        totalSecs += secs; totalBytes += bytes
+        val kept = keep(tbl)
+        if (kept) keptBytes += bytes else rm(out)
+        println(f"""{"table":"$tbl","wall_s":$secs%.1f,"bytes":$bytes,"kept":$kept}""")
+      }
     }
     println(f"""{"generation_total_s":$totalSecs%.1f,"generation_total_bytes":$totalBytes,"resident_bytes":$keptBytes,"sf":100}""")
-    java.nio.file.Files.createFile(dir.resolve("_GRAFT_COMPLETE"))
+    if (!java.nio.file.Files.exists(dir.resolve("_GRAFT_COMPLETE")))
+      java.nio.file.Files.createFile(dir.resolve("_GRAFT_COMPLETE"))
 
     // ---- leg 2: store-sales-resident declared heavies at sf100 ----
     val memSpill = new java.util.concurrent.atomic.AtomicLong
@@ -99,16 +130,22 @@ object Sf100Probe {
     })
     def gb(b: Long): String = f"${b / 1073741824.0}%.1f"
     for (name <- queries) {
-      val fn = graft.SparkEntry.queries(name)
-      fn(spark, "sf100").write.format("noop").mode("overwrite").save() // warm
-      memSpill.set(0); diskSpill.set(0); retries.set(0)
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, "sf100").write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      Thread.sleep(1000) // listener drain
-      println(f"""{"query":"$name","warm_median_s":${runs(1)}%.1f,"runs":[${runs.map(r => f"$r%.1f").mkString(",")}],"mem_spill_gb":${gb(memSpill.get)},"disk_spill_gb":${gb(diskSpill.get)},"task_retries":${retries.get}}""")
+      try {
+        val fn = graft.SparkEntry.queries(name)
+        fn(spark, "sf100").write.format("noop").mode("overwrite").save() // warm
+        memSpill.set(0); diskSpill.set(0); retries.set(0)
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, "sf100").write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        Thread.sleep(1000) // listener drain
+        println(f"""{"query":"$name","warm_median_s":${runs(1)}%.1f,"runs":[${runs.map(r => f"$r%.1f").mkString(",")}],"mem_spill_gb":${gb(memSpill.get)},"disk_spill_gb":${gb(diskSpill.get)},"task_retries":${retries.get}}""")
+      } catch {
+        case e: Throwable =>
+          val root = Option(e.getCause).getOrElse(e)
+          println(s"""{"query":"$name","status":"FAILED","error":"${root.getClass.getSimpleName}: ${Option(root.getMessage).getOrElse("").take(120).replace('"', '\'').replace('\n', ' ')}"}""")
+      }
     }
     spark.stop()
   }
