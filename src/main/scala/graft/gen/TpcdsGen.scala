@@ -441,7 +441,7 @@ object TpcdsGen extends Benchmark {
 
   /** v20: the dsdgen unit-of-measure roster (units.dst — the 21 names
     * dsdgen draws i_units from; reference schema field: the item table's
-    * `i_units` column, /root/reference/src/tpcds.rs ~line 540). Q41's
+    * `i_units` column, /root/reference/src/tpcds.rs:266). Q41's
     * published qualification gates on 16 of these (Ounce/Oz, Bunch/Ton,
     * N/A/Dozen, Box/Pound, Pallet/Gross, Cup/Dram, Each/Tbl, Lb/Bundle);
     * a word-salad domain could never contain them, so the gates had to

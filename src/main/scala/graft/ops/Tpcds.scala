@@ -58,10 +58,15 @@ object Tpcds {
     * file lock, tmp + atomic rename, marker-gated, stale-generation
     * sweeping). Generation is deterministic and partition-count invariant
     * (GenSpec). */
-  def ensure(spark: SparkSession, sfDir: String): String =
-    graft.gen.GenCache.ensure(spark, liveRoot(spark), sfDir) { (s, sf, tmp) =>
+  def ensure(spark: SparkSession, sfDir: String): String = {
+    val dir = graft.gen.GenCache.ensure(spark, liveRoot(spark), sfDir) { (s, sf, tmp) =>
       TpcdsGen.generateParquet(s, sf, 16, tmp)
     }
+    // partitions ∝ data, derived where the engine first knows the size
+    // (the r14 sf100 Q72 OOM finding — see ShuffleScale's scaladoc)
+    graft.plans.ShuffleScale.tuneFor(spark, dir)
+    dir
+  }
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

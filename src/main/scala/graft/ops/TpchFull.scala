@@ -24,12 +24,16 @@ object TpchFull {
     * deployments can point it at a shared filesystem. */
   private val root = s"/tmp/graft_tpchfull/gen${TpchGen.genVersion}"
 
-  def ensure(spark: SparkSession, sfDir: String): String =
-    graft.gen.GenCache.ensure(spark,
+  def ensure(spark: SparkSession, sfDir: String): String = {
+    val dir = graft.gen.GenCache.ensure(spark,
       graft.gen.GenCache.rootFor(spark, s"graft_tpchfull/gen${TpchGen.genVersion}"),
       sfDir) { (s, sf, tmp) =>
       TpchGen.generateParquet(s, sf, 16, tmp)
     }
+    // partitions ∝ data (see ShuffleScale — the r14 sf100 Q72 OOM finding)
+    graft.plans.ShuffleScale.tuneFor(spark, dir)
+    dir
+  }
 
   /** The one fixture scale whose generated data the static oracle SQL
     * reads (see [[Tpcds.oracleScale]] for the rationale). */

@@ -40,6 +40,9 @@ object ClusterBench {
       .config("spark.jars", jar)
       .config("spark.executor.memory", s"${m}m")
       .config("spark.sql.shuffle.partitions", (w.toInt * c.toInt).toString)
+      // the seam comparison holds partitioning equal to the committed
+      // single-JVM record — pin against ShuffleScale's derivation
+      .config("spark.graft.fixedShuffle", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

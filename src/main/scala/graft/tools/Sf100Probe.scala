@@ -52,20 +52,23 @@ object Sf100Probe {
       if (keepAll) _ => true else defaultKeep
     val sf = 100.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // At sf100, shuffle.partitions = 32 is NOT the deployment shape: a
-    // 100 TB cluster sizes partitions to the data (SURVEY §2: partitions
-    // sized so per-task state fits executor memory). 32 partitions put an
-    // sf100 cs⋈inv build side in ONE task's memory and OOM'd a 48 GiB
-    // heap (first r14 probe run); 256 restores the designed ~task-sized
-    // slices. Override with SPARK_GRAFT_SHUFFLE.
-    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256")
-    val spark = SparkSession.builder()
+    // Shuffle partitions are ENGINE-DERIVED from measured input bytes
+    // (plans.ShuffleScale, hooked into Tpcds.ensure — the r15 closure of
+    // the r14 finding that a hand-set 32→256 bump was needed to stop Q72
+    // OOMing a 48 GiB heap at sf100). SPARK_GRAFT_SHUFFLE now PINS a
+    // count for A/B runs only (sets spark.graft.fixedShuffle so the
+    // derivation stands down).
+    val pinned = sys.env.get("SPARK_GRAFT_SHUFFLE")
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.graft.cacheRoot", probeRoot)
-      .getOrCreate()
+    pinned.foreach { n =>
+      b.config("spark.sql.shuffle.partitions", n)
+      b.config("spark.graft.fixedShuffle", "true")
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val heap = Runtime.getRuntime.maxMemory() / (1L << 20)
     println(s"[sf100] heap=${heap}MiB cpus=$cpus root=$probeRoot")
@@ -111,8 +114,19 @@ object Sf100Probe {
       }
     }
     println(f"""{"generation_total_s":$totalSecs%.1f,"generation_total_bytes":$totalBytes,"resident_bytes":$keptBytes,"sf":100}""")
-    if (!java.nio.file.Files.exists(dir.resolve("_GRAFT_COMPLETE")))
-      java.nio.file.Files.createFile(dir.resolve("_GRAFT_COMPLETE"))
+    // The completeness marker deliberately short-circuits GenCache.ensure
+    // (this session's queries must read the probe dir without regenerating),
+    // but a marker over a PARTIAL keep-set would poison any LATER session
+    // pointing cacheRoot here: GenCache would see "complete" and hit
+    // FileNotFoundException on a deleted table. So _GRAFT_COMPLETE is only
+    // written when every table is resident (--keep-all); the default
+    // keep-set case gets _GRAFT_PARTIAL, which only a session that opts in
+    // via spark.graft.acceptPartial=true (this one, below) may read —
+    // anyone else regenerates, as GenCache always did (r14 ADVICE fix).
+    val marker = if (keepAll) "_GRAFT_COMPLETE" else "_GRAFT_PARTIAL"
+    if (!java.nio.file.Files.exists(dir.resolve(marker)))
+      java.nio.file.Files.createFile(dir.resolve(marker))
+    if (!keepAll) spark.conf.set("spark.graft.acceptPartial", "true")
 
     // ---- leg 2: store-sales-resident declared heavies at sf100 ----
     val memSpill = new java.util.concurrent.atomic.AtomicLong

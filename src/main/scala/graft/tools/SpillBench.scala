@@ -25,6 +25,10 @@ object SpillBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the heap ladder studies per-task memory at FIXED concurrency and
+      // partitioning — pin the count so ShuffleScale's data-proportional
+      // derivation doesn't move the denominator between ladder rungs
+      .config("spark.graft.fixedShuffle", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

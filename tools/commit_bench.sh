@@ -10,14 +10,21 @@
 #
 # Usage: tools/commit_bench.sh [record.json] [--force]
 set -eu
-SRC="${1:-/tmp/graft_bench.json}"
 DST="/root/repo/BENCH_PERQUERY.json"
 THRESHOLD="1.5"
 FORCE="no"
-for a in "$@"; do [ "$a" = "--force" ] && FORCE="yes"; done
+SRC=""
+# first non-flag argument is the record path; flags may appear anywhere
+for a in "$@"; do
+  if [ "$a" = "--force" ]; then FORCE="yes"
+  elif [ -z "$SRC" ]; then SRC="$a"
+  else echo "unexpected argument: $a" >&2; exit 2; fi
+done
+[ -n "$SRC" ] || SRC="/tmp/graft_bench.json"
 [ -f "$SRC" ] || { echo "no record at $SRC" >&2; exit 1; }
-CI=$(python3 -c "import json,sys; print(json.load(open('$SRC'))['contention_index'])")
-NF=$(python3 -c "import json,sys; print(json.load(open('$SRC'))['n_failed'])")
+# path goes through argv, never interpolated into python source (quotes/spaces safe)
+CI=$(python3 -c "import json,sys; print(json.load(open(sys.argv[1]))['contention_index'])" "$SRC")
+NF=$(python3 -c "import json,sys; print(json.load(open(sys.argv[1]))['n_failed'])" "$SRC")
 OK=$(python3 -c "print('yes' if float('$CI') <= $THRESHOLD else 'no')")
 if [ "$NF" != "0" ] && [ "$FORCE" != "yes" ]; then
   echo "REFUSED: record has n_failed=$NF (pass --force to override)" >&2
