@@ -18,6 +18,8 @@ object GenTime {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("GRAFT_WSCG", "true"))
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("GRAFT_HUGE_LIMIT", "65535"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -103,8 +103,16 @@ object Sf100Probe {
       } else {
         rm(out) // partial from a killed run
         val t0 = System.nanoTime()
-        graft.gen.TpcdsGen.table(spark, tbl, sf, cpus.toInt)
-          .write.mode("overwrite").parquet(out.toString)
+        // Same execution discipline as generateParquet (r15): fused
+        // whole-stage methods for the widest facts exceed HotSpot's 8 KB
+        // JIT limit and run INTERPRETED — the r14 probe wrote via a bare
+        // table().write and paid ~3x on the two big facts (sf10 A/B:
+        // catalog_sales 27.1 s fused vs 9.2 s non-fused, store_sales
+        // 36.1 vs 8.8). Queries in leg 2 keep WSCG.
+        graft.gen.GenUtil.withoutWholeStageCodegen(spark) {
+          graft.gen.TpcdsGen.table(spark, tbl, sf, cpus.toInt)
+            .write.mode("overwrite").parquet(out.toString)
+        }
         val secs = (System.nanoTime() - t0) / 1e9
         val bytes = du(out)
         totalSecs += secs; totalBytes += bytes

@@ -1,0 +1,198 @@
+#!/usr/bin/env python3
+"""sf100 correctness gate (r14 verdict #1) — driver-side tool.
+
+Three legs, least- to most-assumption:
+
+1. ORACLE: for each query in <dumpDir>/oracle_sql.json, rewrite the pinned
+   sf0.01 cache paths to the sf100 cache and run DuckDB UNDER AN EXPLICIT
+   BUDGET — memory_limit, temp_directory + max_temp_directory_size, and a
+   wall timeout enforced by running each oracle in its own subprocess
+   (the r13 runaway-Q64 incident: DuckDB picked a join order that ate
+   170 CPU-min and 87 GB RSS; a budget makes that a FINDING, not a hang).
+   Comparison is the same STRICT cell-exact policy as check.py.
+
+2. DUAL-RUN: compare two Spark dumps of the same queries produced under
+   different physical partitioning (Sf100Dump with/without
+   --alt-partitioning: 360-vs-96 shuffle partitions AND 128-vs-32 MiB scan
+   splits). Cell-exact match = the sf100 result is partitioning-independent.
+
+3. INVARIANTS: per-query result-shape checks (rank bounds, row-count
+   sanity, sign constraints) run over the dumps in DuckDB — cheap no
+   matter how big the inputs were.
+
+Usage:
+  sf100_check.py oracle <dumpDir> <sf100TpcdsDir> [--timeout SEC] [--mem GB]
+  sf100_check.py oracle-one <dumpDir> <sf100TpcdsDir> <query>   (internal)
+  sf100_check.py dual <dumpDirA> <dumpDirB>
+  sf100_check.py invariants <dumpDir>
+"""
+import glob
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import canon, cells_equal  # noqa: E402
+
+PINNED = "/tmp/graft_tpcds/gen20/sf0.01"
+
+
+def load_dump(path):
+    import duckdb
+    return canon(duckdb.connect().execute(
+        f"SELECT * FROM '{path}/*.parquet'").df())
+
+
+def compare(exp, got, name, allow_near=False):
+    """STRICT cell compare; returns None if equal else a message."""
+    if list(exp.columns) != list(got.columns):
+        return f"columns exp={list(exp.columns)} got={list(got.columns)}"
+    if len(exp) != len(got):
+        return f"rows exp={len(exp)} got={len(got)}"
+    for c in exp.columns:
+        if exp[c].equals(got[c]):
+            continue
+        ev, gv = exp[c].tolist(), got[c].tolist()
+        for i in range(len(ev)):
+            r = cells_equal(ev[i], gv[i])
+            if r is True or r == 1:
+                continue
+            if r == "float-near" and allow_near:
+                continue
+            return (f"cell diff col={c} row={i} exp={ev[i]!r} got={gv[i]!r}"
+                    + (" (float-near)" if r == "float-near" else ""))
+    return None
+
+
+def oracle_one(dump_dir, sf100_dir, name, mem_gb):
+    import duckdb
+    sql = json.load(open(f"{dump_dir}/oracle_sql.json"))[name]
+    sql = sql.replace(PINNED, sf100_dir.rstrip("/"))
+    assert PINNED not in sql
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
+    tmp = "/tmp/graft_duck_tmp"
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET max_temp_directory_size='15GB'")
+    exp = canon(con.execute(sql).df())
+    got = load_dump(f"{dump_dir}/{name}")
+    msg = compare(exp, got, name)
+    if msg:
+        print(f"FAIL {name}: {msg}")
+        sys.exit(1)
+    print(f"OK   {name}: {len(exp)} rows cell-exact vs DuckDB at sf100")
+
+
+def oracle_all(dump_dir, sf100_dir, timeout_s, mem_gb):
+    oracle = json.load(open(f"{dump_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(oracle):
+        if not glob.glob(f"{dump_dir}/{name}/*.parquet"):
+            results[name] = "no-dump"
+            print(f"SKIP {name}: no dump")
+            continue
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "oracle-one",
+                 dump_dir, sf100_dir, name, str(mem_gb)],
+                timeout=timeout_s, capture_output=True, text=True)
+            out = (p.stdout + p.stderr).strip()
+            print(out.splitlines()[-1] if out else f"?? {name}: no output")
+            results[name] = "ok" if p.returncode == 0 else "fail"
+        except subprocess.TimeoutExpired:
+            results[name] = "oracle-timeout"
+            print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s budget "
+                  f"(fall back to dual-run + invariants)")
+    ok = sum(1 for v in results.values() if v == "ok")
+    print(f"\noracle leg: {ok}/{len(results)} cell-exact "
+          f"({json.dumps(results)})")
+    return 0 if all(v in ("ok", "oracle-timeout") for v in results.values()) else 1
+
+
+def dual(dir_a, dir_b):
+    names = sorted(os.path.basename(d) for d in glob.glob(f"{dir_a}/q_*"))
+    failures = []
+    for name in names:
+        if not glob.glob(f"{dir_b}/{name}/*.parquet"):
+            failures.append(name)
+            print(f"FAIL {name}: missing in {dir_b}")
+            continue
+        msg = compare(load_dump(f"{dir_a}/{name}"),
+                      load_dump(f"{dir_b}/{name}"), name)
+        if msg:
+            failures.append(name)
+            print(f"FAIL {name}: dual-run mismatch: {msg}")
+        else:
+            print(f"OK   {name}: cell-exact across independent partitionings")
+    print(f"\ndual leg: {len(names) - len(failures)}/{len(names)} deterministic")
+    return 1 if failures else 0
+
+
+# result-shape invariants per heavy (run over the DUMP — input-size-free;
+# each encodes a published gate or an algebraic property of the plan)
+INVARIANTS = {
+    "q_tpcds_q43": ["count(*) > 0", "min(coalesce(sun_sales, 0)) >= 0",
+                    "min(coalesce(sat_sales, 0)) >= 0"],
+    "q_tpcds_q70": ["count(*) > 0", "min(rank_within_parent) >= 1"],
+    "q_tpcds_q36": ["count(*) > 0", "min(rank_within_parent) >= 1"],
+    "q_tpcds_q89": ["count(*) > 0"],
+    # the published decline gate: prev year positive, current < 90% of it
+    "q_tpcds_q75": ["count(*) > 0", "min(prev_yr_cnt) > 0",
+                    "max(curr_yr_cnt * 10 - prev_yr_cnt * 9) < 0"],
+    "q_tpcds_q67": ["count(*) > 0", "min(rk) >= 1", "max(rk) <= 100",
+                    "min(sumsales) >= 0"],
+    "q_tpcds_q23": ["count(*) = 1", "min(sum_sales) >= 0"],
+    # disjoint pushed year slices: side 1 is 1999, side 2 is 2000;
+    # repeat-sale pair => both yearly counts at least 1
+    "q_tpcds_q64": ["count(*) > 0", "min(syear1) = 1999",
+                    "max(syear1) = 1999", "min(syear2) = 2000",
+                    "min(cnt1) >= 1", "min(cnt2) >= 1"],
+    "q_tpcds_q72": ["count(*) > 0", "min(low_stock_count) >= 1"],
+}
+
+
+def invariants(dump_dir):
+    import duckdb
+    failures = []
+    for name, preds in sorted(INVARIANTS.items()):
+        if not glob.glob(f"{dump_dir}/{name}/*.parquet"):
+            print(f"SKIP {name}: no dump")
+            continue
+        con = duckdb.connect()
+        for pred in preds:
+            row = con.execute(
+                f"SELECT {pred} FROM '{dump_dir}/{name}/*.parquet'").fetchone()
+            if not row[0]:
+                failures.append((name, pred))
+                print(f"FAIL {name}: invariant violated: {pred}")
+        print(f"OK   {name}: {len(preds)} invariants hold")
+    print(f"\ninvariant leg: {'CLEAN' if not failures else failures}")
+    return 1 if failures else 0
+
+
+def main():
+    mode = sys.argv[1]
+    if mode == "oracle":
+        args = [a for a in sys.argv[2:] if not a.startswith("--")]
+        timeout_s = 900
+        mem_gb = 40
+        for i, a in enumerate(sys.argv):
+            if a == "--timeout":
+                timeout_s = int(sys.argv[i + 1])
+            if a == "--mem":
+                mem_gb = int(sys.argv[i + 1])
+        sys.exit(oracle_all(args[0], args[1], timeout_s, mem_gb))
+    elif mode == "oracle-one":
+        oracle_one(sys.argv[2], sys.argv[3], sys.argv[4], int(sys.argv[5]))
+    elif mode == "dual":
+        sys.exit(dual(sys.argv[2], sys.argv[3]))
+    elif mode == "invariants":
+        sys.exit(invariants(sys.argv[2]))
+    else:
+        sys.exit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()
