@@ -3741,7 +3741,20 @@ object Tpcds {
     * store) with the top 100 cells per category kept by rank over the
     * exact DECIMAL total. The rank key is the decimal sum itself (never
     * a re-summed double), so ties resolve identically everywhere; the
-    * window partitions the rollup OUTPUT. */
+    * window partitions the rollup OUTPUT.
+    *
+    * PLAN (r15, the measured winner of tools/Q67Bench): aggregate ONCE at
+    * leaf grain, then rollup the leaf AGGREGATE. A direct `rollup` over
+    * the joined fact plans an Expand that multiplies the FACT 9× (one
+    * copy per grouping set) before the partial aggregate; rolling up the
+    * leaf aggregate expands only |leaf groups| rows. Exact DECIMAL sums
+    * are associative, so the two shapes are value-identical (Q67Bench
+    * asserts it by exceptAll at sf10). Measured decade A/B, same host,
+    * warm medians of 3: sf10 5.92 s (A) vs 5.82 s (B) — a wash at gate
+    * scales; sf100 35.8 s (A) vs 20.0 s (B) — 1.8×, cutting the worst
+    * decade ratio in the r14 heavies table. Spark 4's WindowGroupLimit
+    * engages on the single rank filter either way (partial top-100
+    * before the exchange — plan-audited). */
   def q_tpcds_q67(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
@@ -3752,17 +3765,20 @@ object Tpcds {
     val st = t(spark, dir, "store").select("s_store_sk", "s_store_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("i_category").orderBy(col("sumsales").desc)
+    val groupCols = Seq(col("i_category"), col("i_class"), col("i_brand"),
+      col("i_product_name"), col("d_year"), col("d_qoy"), col("d_moy"),
+      col("s_store_id"))
     t(spark, dir, "store_sales")
       .select("ss_sold_date_sk", "ss_item_sk", "ss_store_sk", "ss_quantity",
         "ss_sales_price")
       .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
       .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
       .join(broadcast(st), col("ss_store_sk") === col("s_store_sk"))
-      .rollup(col("i_category"), col("i_class"), col("i_brand"),
-        col("i_product_name"), col("d_year"), col("d_qoy"), col("d_moy"),
-        col("s_store_id"))
+      .groupBy(groupCols: _*)
       .agg(sum(coalesce(col("ss_sales_price") * col("ss_quantity"),
-        lit(0).cast(DecimalType(7, 2)))).as("sumsales"))
+        lit(0).cast(DecimalType(7, 2)))).as("leafsales"))
+      .rollup(groupCols: _*)
+      .agg(sum(col("leafsales")).as("sumsales"))
       .withColumn("rk", rank().over(w))
       .filter(col("rk") <= 100)
       .select(col("i_category"), col("i_class"), col("i_brand"),

@@ -50,7 +50,11 @@ object Sf100Dump {
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
-        graft.SparkEntry.queries(name)(spark, "sf100").coalesce(1)
+        // repartition(1), NOT coalesce(1): coalesce merges into the parent
+        // stage and runs the query's final aggregate single-threaded — at
+        // sf100 that turned q72's 120 GB-spill aggregation into a one-task
+        // crawl. The extra exchange carries only the result rows.
+        graft.SparkEntry.queries(name)(spark, "sf100").repartition(1)
           .write.mode("overwrite").parquet(s"$outDir/$name")
         println(f"""{"query":"$name","dumped_s":${(System.nanoTime() - t0) / 1e9}%.1f,"alt":$alt}""")
       } catch { case scala.util.control.NonFatal(e) =>

@@ -152,6 +152,15 @@ object Sf100Probe {
     })
     def gb(b: Long): String = f"${b / 1073741824.0}%.1f"
     for (name <- queries) {
+      // Shuffle files are reclaimed by ContextCleaner only after the
+      // driver GCs the stage objects — and a 48 GiB heap under these
+      // queries may never GC on its own, so each query's map outputs
+      // (GBs at sf100) accumulate on disk across the run. The first r15
+      // probe died exactly that way: 16 runs of leftovers + q67's own
+      // shuffle hit ENOSPC on a 30 GB-free host. Force the cleanup
+      // between queries; the pause is outside the timed reps.
+      System.gc()
+      Thread.sleep(2000)
       try {
         val fn = graft.SparkEntry.queries(name)
         fn(spark, "sf100").write.format("noop").mode("overwrite").save() // warm

@@ -75,7 +75,8 @@ def oracle_one(dump_dir, sf100_dir, name, mem_gb):
     tmp = "/tmp/graft_duck_tmp"
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
-    con.execute("SET max_temp_directory_size='15GB'")
+    tmp_gb = int(os.environ.get("GRAFT_DUCK_TMP_GB", "15"))
+    con.execute(f"SET max_temp_directory_size='{tmp_gb}GB'")
     exp = canon(con.execute(sql).df())
     got = load_dump(f"{dump_dir}/{name}")
     msg = compare(exp, got, name)
