@@ -30,11 +30,19 @@ object Tables {
         col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // partitions ∝ data for the fixture-read path too (LLM/dedup/text ops
+    // never pass through Tpcds.ensure): derive the session's shuffle
+    // count from the fixture dir's measured bytes. At every gate scale
+    // the derived value equals the session floor (no behavior change);
+    // at a 100 TB documents corpus the dedup/cluster shuffles get the
+    // same scale-safe ceiling the generated-benchmark path got in r15.
+    graft.plans.ShuffleScale.tuneFor(spark, dir)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Data files of a parquet table dir (skips _SUCCESS / hidden files).
     * RECURSIVE: a nested/hive-partitioned layout contributes every leaf

@@ -28,7 +28,7 @@ object Main {
   final case class Generate(benchmark: String, scale: Double, partitions: Int,
                             output: String, format: String, codec: String) extends Cmd
   final case class ConvertCmd(benchmark: String, input: String, output: String,
-                              codec: String) extends Cmd
+                              codec: String, keepIgnore: Boolean = false) extends Cmd
   final case class Query(name: String, input: String, output: Option[String],
                          limit: Int) extends Cmd
   final case class Export(table: Option[String], query: Option[String],
@@ -67,7 +67,11 @@ object Main {
         val bench = req(m, "benchmark")
         Benchmark(bench)
         ConvertCmd(bench, input = req(m, "input"), output = req(m, "output"),
-          codec = m.getOrElse("codec", "snappy"))
+          codec = m.getOrElse("codec", "snappy"),
+          // --keep-ignore true: write dbgen's trailing junk column into
+          // the Parquet exactly like the reference (src/lib.rs:181→205) —
+          // byte-level output parity, off by default (SURVEY §1.2)
+          keepIgnore = m.get("keep-ignore").exists(_.toBoolean))
       case "query" =>
         if (args.tail == Seq("--list")) ListQueries
         else {
@@ -112,6 +116,7 @@ object Main {
     case "-q" | "--query"          => "query"
     case "-l" | "--limit"          => "limit"
     case "-t" | "--table"          => "table"
+    case "--keep-ignore"           => "keep-ignore"
     case other =>
       throw new IllegalArgumentException(s"unknown flag: $other\n$usage")
   }
@@ -121,7 +126,7 @@ object Main {
       |  generate -b|--benchmark tpch|tpcds -s|--scale N [-p|--partitions N]
       |           -o|--output DIR [-f|--format raw|parquet] [-c|--codec snappy]
       |  convert  -b|--benchmark tpch|tpcds -i|--input DIR -o|--output DIR
-      |           [-c|--codec snappy]
+      |           [-c|--codec snappy] [--keep-ignore true]
       |  query    -q|--query NAME -i|--input SFDIR [-o|--output DIR]
       |           [-l|--limit N]   (or: query --list)
       |  export   (-t|--table NAME | -q|--query NAME) -i|--input SFDIR
@@ -154,8 +159,9 @@ object Main {
         }
         // wall-clock print mirrors src/tpch.rs:85-90 / src/tpcds.rs:79-84
         println(f"Generated $b at sf$scale in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      case ConvertCmd(b, in, out, codec) =>
-        Convert.toParquet(spark, Benchmark(b), in, out, codec)
+      case ConvertCmd(b, in, out, codec, keepIgnore) =>
+        Convert.toParquet(spark, Benchmark(b), in, out, codec,
+          keepIgnore = keepIgnore)
         println(f"Converted $b to parquet in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       case ListQueries =>
         graft.SparkEntry.queries.keys.toSeq.sorted.foreach(println)

@@ -72,15 +72,23 @@ object Convert {
 
   /** Schema-applied raw CSV scan (R1): pipe-delimited, custom extension.
     * The schema must include the trailing `ignore` column for TPC-H raw
-    * files (dbgen's trailing '|'); it is dropped here. */
+    * files (dbgen's trailing '|').
+    *
+    * `keepIgnore = false` (default) drops it — the junk column carries no
+    * data and costs bytes in every downstream scan. `keepIgnore = true`
+    * reproduces the reference BYTE-FOR-BYTE: src/lib.rs:181→205 writes
+    * dbgen's trailing-delimiter column into the Parquet as a nullable
+    * all-NULL Utf8 field (`Field::new("ignore", Utf8, true)`,
+    * src/tpch.rs:156,167) — the opt-in closes the one byte-level diff a
+    * reference user would see in converted output. */
   def readRaw(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType,
-              delimiter: String = "|"): DataFrame = {
+              delimiter: String = "|", keepIgnore: Boolean = false): DataFrame = {
     val df = spark.read
       .schema(schema)
       .option("delimiter", delimiter)
       .option("dateFormat", "yyyy-MM-dd")
       .csv(path)
-    if (df.columns.contains("ignore")) df.drop("ignore") else df
+    if (!keepIgnore && df.columns.contains("ignore")) df.drop("ignore") else df
   }
 
   /** Convert one table dir (standalone single-table API mirroring
@@ -94,14 +102,15 @@ object Convert {
   def table(spark: SparkSession, inputDir: String, outputDir: String,
             benchmark: Benchmark, tableName: String,
             format: String = "parquet", codec: String = "snappy",
-            parquetBlockSize: Option[Long] = None): Unit = {
+            parquetBlockSize: Option[Long] = None,
+            keepIgnore: Boolean = false): Unit = {
     val fmt = validateFormat(format)
     val c = validateCodec(codec)
     val in = s"$inputDir/$tableName.${benchmark.tableExt}"
     if (!Files.exists(Paths.get(in)))
       throw new IllegalArgumentException(s"input path does not exist: $in")
     val out = s"$outputDir/$tableName.$fmt"
-    val df = readRaw(spark, in, benchmark.schema(tableName))
+    val df = readRaw(spark, in, benchmark.schema(tableName), keepIgnore = keepIgnore)
     fmt match {
       case "parquet" =>
         val w = df.write.mode(SaveMode.ErrorIfExists).option("compression", c)
@@ -121,7 +130,8 @@ object Convert {
   def toParquet(spark: SparkSession, benchmark: Benchmark,
                 inputDir: String, outputDir: String,
                 codec: String = "snappy", concurrency: Int = 8,
-                parquetBlockSize: Option[Long] = None): Unit = {
+                parquetBlockSize: Option[Long] = None,
+                keepIgnore: Boolean = false): Unit = {
     if (!Files.exists(Paths.get(inputDir)))
       throw new IllegalArgumentException(s"input path does not exist: $inputDir")
     validateCodec(codec)
@@ -132,7 +142,7 @@ object Convert {
     try Await.result(
       Future.sequence(benchmark.tableNames.map(t =>
         Future(table(spark, inputDir, outputDir, benchmark, t, "parquet", codec,
-          parquetBlockSize)))),
+          parquetBlockSize, keepIgnore)))),
       Duration.Inf)
     finally pool.shutdown()
   }

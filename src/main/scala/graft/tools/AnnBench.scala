@@ -63,12 +63,12 @@ object AnnBench {
         .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"))
     }
 
-    def pairs(df: DataFrame): (Set[(Long, Long)], Set[(Long, Long)], Double) = {
+    def pairs(df: DataFrame): (Set[(Long, Long)], Set[(Long, Long)]) = {
       val rows = df.select("a_id", "b_id", "cos_r").collect()
       val all = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
       val near = rows.filter(_.getDouble(2) >= 0.99)
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      (all, near, 0.0)
+      (all, near)
     }
 
     def timed[T](f: => T): (T, Double) = {
@@ -78,7 +78,7 @@ object AnnBench {
     }
 
     val (truth, t_exact) = timed(pairs(exactTopK()))
-    val (truthAll, truthNear, _) = truth
+    val (truthAll, truthNear) = truth
     println(f"""{"path":"exact","wall_s":$t_exact%.1f,"pairs":${truthAll.size},"near_dup_pairs":${truthNear.size}}""")
 
     val c = math.max(16, math.round(math.sqrt(n.toDouble)).toInt) // C ≈ √n
@@ -96,7 +96,7 @@ object AnnBench {
           probes = probes, refineIters = 1)))
 
     paths.foreach { case (name, build) =>
-      val ((got, gotNear, _), wall) = timed(pairs(build()))
+      val ((got, gotNear), wall) = timed(pairs(build()))
       val recall = (truthAll & got).size.toDouble / math.max(1, truthAll.size)
       val nearRecall =
         (truthNear & gotNear).size.toDouble / math.max(1, truthNear.size)

@@ -72,6 +72,30 @@ class ConvertSpec extends AnyFunSuite {
       Convert.table(spark, s"$dir/raw", s"$dir/pq", TpchGen, "region"))
   }
 
+  test("keep-ignore passthrough reproduces the reference's junk column byte layout") {
+    // the reference writes dbgen's trailing-delimiter column into Parquet
+    // as a nullable all-NULL Utf8 field (src/lib.rs:181→205, declared at
+    // src/tpch.rs:156,167); --keep-ignore true is the byte-parity opt-in
+    val dir = Files.createTempDirectory("graft-ki").toString
+    TpchGen.generate(spark, 0.001, 2, s"$dir/raw")
+    Convert.table(spark, s"$dir/raw", s"$dir/pq", TpchGen, "region",
+      keepIgnore = true)
+    val kept = spark.read.parquet(s"$dir/pq/region.parquet")
+    assert(kept.columns.last == "ignore", "junk column must be the trailing field")
+    assert(kept.schema("ignore").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(kept.filter(org.apache.spark.sql.functions.col("ignore").isNotNull)
+      .count() == 0, "reference parity: the ignore column is all-NULL")
+    // default path still drops it (the engine's documented improvement)
+    Convert.table(spark, s"$dir/raw", s"$dir/pq2", TpchGen, "region")
+    assert(!spark.read.parquet(s"$dir/pq2/region.parquet")
+      .columns.contains("ignore"))
+    // CLI flag parses through
+    val cmd = graft.cli.Main.parse(Seq("convert", "-b", "tpch", "-i", "x",
+      "-o", "y", "--keep-ignore", "true"))
+    assert(cmd == graft.cli.Main.ConvertCmd("tpch", "x", "y", "snappy", true))
+  }
+
   test("parquet block-size knob reaches the writer (small blocks → many row groups)") {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile

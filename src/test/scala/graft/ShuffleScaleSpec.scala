@@ -60,4 +60,12 @@ class ShuffleScaleSpec extends AnyFunSuite {
       spark.sparkContext.defaultParallelism)
     spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("fixture reads tune too, and stay at the floor at gate scale") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    graft.Tables(spark, TestSpark.sf0001, "orders")
+    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt ===
+      spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
