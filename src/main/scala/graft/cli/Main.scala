@@ -26,7 +26,8 @@ object Main {
 
   sealed trait Cmd
   final case class Generate(benchmark: String, scale: Double, partitions: Int,
-                            output: String, format: String, codec: String) extends Cmd
+                            output: String, format: String, codec: String,
+                            sequentialParts: Boolean = false) extends Cmd
   final case class ConvertCmd(benchmark: String, input: String, output: String,
                               codec: String, keepIgnore: Boolean = false) extends Cmd
   final case class Query(name: String, input: String, output: Option[String],
@@ -61,7 +62,10 @@ object Main {
           partitions = m.getOrElse("partitions", "1").toInt,
           output = req(m, "output"),
           format = m.getOrElse("format", "raw"),
-          codec = m.getOrElse("codec", "snappy"))
+          codec = m.getOrElse("codec", "snappy"),
+          // --sequential-parts true: flatten raw part names to the
+          // reference's contiguous part-<i>.<ext> layout (src/lib.rs:85-115)
+          sequentialParts = m.get("sequential-parts").exists(_.toBoolean))
       case "convert" =>
         val m = opts(args.tail)
         val bench = req(m, "benchmark")
@@ -117,6 +121,7 @@ object Main {
     case "-l" | "--limit"          => "limit"
     case "-t" | "--table"          => "table"
     case "--keep-ignore"           => "keep-ignore"
+    case "--sequential-parts"      => "sequential-parts"
     case other =>
       throw new IllegalArgumentException(s"unknown flag: $other\n$usage")
   }
@@ -125,6 +130,7 @@ object Main {
     """usage: graft.cli.Main <generate|convert> [options]
       |  generate -b|--benchmark tpch|tpcds -s|--scale N [-p|--partitions N]
       |           -o|--output DIR [-f|--format raw|parquet] [-c|--codec snappy]
+      |           [--sequential-parts true]
       |  convert  -b|--benchmark tpch|tpcds -i|--input DIR -o|--output DIR
       |           [-c|--codec snappy] [--keep-ignore true]
       |  query    -q|--query NAME -i|--input SFDIR [-o|--output DIR]
@@ -145,11 +151,14 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     cmd match {
-      case Generate(b, scale, partitions, out, format, codec) =>
+      case Generate(b, scale, partitions, out, format, codec, seqParts) =>
         Files.createDirectories(Paths.get(out))
         val bench = Benchmark(b)
         format match {
-          case "raw" => bench.generate(spark, scale, partitions, out)
+          case "raw" =>
+            bench.generate(spark, scale, partitions, out)
+            if (seqParts) bench.tableNames.foreach(t =>
+              graft.gen.GenUtil.sequentialParts(out, t, bench.tableExt))
           case "parquet" => bench match {
             case g: graft.gen.TpchGen.type  => g.generateParquet(spark, scale, partitions, out, codec)
             case g: graft.gen.TpcdsGen.type => g.generateParquet(spark, scale, partitions, out, codec)

@@ -109,4 +109,30 @@ object GenUtil {
     df.select(line.as("value")).write
       .format("text").save(s"$outDir/$table.$ext")
   }
+
+  /** Reference part-layout flatten (src/lib.rs:85-115): dbgen's parallel
+    * children write `table.tbl.N` chunks and the reference flattens them
+    * into the output dir with CONTIGUOUS sequential part numbering. Spark
+    * names parts per task (`part-00007-<uuid>`) — documented deviation
+    * SURVEY §1.4, closed r15 as an opt-in: this renames a just-written
+    * raw table's parts, sorted by task index (Spark's zero-padded task
+    * number prefix makes lexicographic = task order), to the reference's
+    * `part-<i>.<ext>` layout. Driver-side FS renames only — no data pass;
+    * content is already partition-count-invariant (GenSpec), so the
+    * flatten is pure naming. */
+  def sequentialParts(outDir: String, table: String, ext: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val d = Paths.get(s"$outDir/$table.$ext")
+    val st = Files.list(d)
+    val parts = try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && !n.endsWith(".crc")
+      }.toVector.sortBy(_.getFileName.toString)
+    } finally st.close()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, d.resolve(s"part-$i.$ext"))
+    }
+  }
 }

@@ -96,6 +96,31 @@ class ConvertSpec extends AnyFunSuite {
     assert(cmd == graft.cli.Main.ConvertCmd("tpch", "x", "y", "snappy", true))
   }
 
+  test("sequential-parts flattens raw part names to the reference layout") {
+    // the reference flattens dbgen's chunk files into contiguous part
+    // numbering (src/lib.rs:85-115); Spark names parts per task — the
+    // opt-in rename closes SURVEY §1.4's naming deviation
+    val dir = Files.createTempDirectory("graft-sq").toString
+    TpchGen.generate(spark, 0.001, 3, s"$dir/raw")
+    graft.gen.GenUtil.sequentialParts(s"$dir/raw", "lineitem", TpchGen.tableExt)
+    val files = new java.io.File(s"$dir/raw/lineitem.tbl").listFiles
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(files.nonEmpty && files.forall(_.matches("part-\\d+\\.tbl")),
+      s"non-reference part names: ${files.mkString(", ")}")
+    assert(files.map(_.stripPrefix("part-").stripSuffix(".tbl").toInt).sorted
+      .toSeq == (0 until files.length), "numbering must be contiguous from 0")
+    // pure naming: the renamed layout still reads back identically
+    val rt = Convert.readRaw(spark, s"$dir/raw/lineitem.tbl",
+      TpchGen.schema("lineitem"))
+    val expected = TpchGen.table(spark, "lineitem", 0.001, 3)
+    assert(rt.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(rt).count() == 0)
+    // CLI flag parses through
+    val cmd = graft.cli.Main.parse(Seq("generate", "-b", "tpch", "-s", "0.001",
+      "-o", "x", "--sequential-parts", "true"))
+    assert(cmd.asInstanceOf[graft.cli.Main.Generate].sequentialParts)
+  }
+
   test("parquet block-size knob reaches the writer (small blocks → many row groups)") {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
