@@ -14,12 +14,16 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val b = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // audit plans against a relocated cache (e.g. the sf100 probe root)
+    sys.env.get("SPARK_GRAFT_CACHE_ROOT")
+      .foreach(r => b.config("spark.graft.cacheRoot", r))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val (executed, qnames) = names.partition(_ == "--executed")
     qnames.foreach { n =>

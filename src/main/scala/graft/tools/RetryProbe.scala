@@ -100,21 +100,25 @@ object RetryProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      // ---- leg 1: shuffle-heavy declared query, map-task death ----
-      val name = "q_tpcds_q23"
+      // ---- leg 1: shuffle-heavy declared queries, map-task death ----
+      // default q_tpcds_q23; pass query names to probe others (r15 added
+      // this to re-prove the rewired Q67 leaf-agg+rollup shape)
+      val names = if (args.nonEmpty) args.toSeq else Seq("q_tpcds_q23")
       val sfDir = "/root/testdata/sf0.001"
-      armed = false
-      val clean = fingerprint(graft.SparkEntry.queries(name)(spark, sfDir).collect())
-      armed = true
-      val before = injected.get()
-      val retried = fingerprint(graft.SparkEntry.queries(name)(spark, sfDir).collect())
-      armed = false
-      val qInject = injected.get() - before
-      require(qInject > 0, "query leg: the injected failure never fired")
-      require(clean == retried,
-        s"query leg DIVERGED under task retry: clean ${clean.size} rows vs ${retried.size}; " +
-          s"first diff: ${clean.zip(retried).find(p => p._1 != p._2)}")
-      println(s"RETRY QUERY OK rows=${clean.size} injected=$qInject")
+      for (name <- names) {
+        armed = false
+        val clean = fingerprint(graft.SparkEntry.queries(name)(spark, sfDir).collect())
+        armed = true
+        val before = injected.get()
+        val retried = fingerprint(graft.SparkEntry.queries(name)(spark, sfDir).collect())
+        armed = false
+        val qInject = injected.get() - before
+        require(qInject > 0, s"query leg $name: the injected failure never fired")
+        require(clean == retried,
+          s"query leg $name DIVERGED under task retry: clean ${clean.size} rows vs ${retried.size}; " +
+            s"first diff: ${clean.zip(retried).find(p => p._1 != p._2)}")
+        println(s"RETRY QUERY OK query=$name rows=${clean.size} injected=$qInject")
+      }
 
       // ---- leg 2: generation write, mid-stream task death ----
       val out = java.nio.file.Files.createTempDirectory("graft_retry_gen").toString
