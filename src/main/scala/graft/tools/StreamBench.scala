@@ -29,13 +29,25 @@ object StreamBench {
     val files = if (args.length > 2) args(2).toInt else 64
     val perTrigger = if (args.length > 3) args(3).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[4,8,4096] measures the same drain
+    // under real executor JVMs (state store + exchanges serialized);
+    // needs `sbt package` first. Default stays single-JVM local.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       .appName("graft-streambench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val dir = new java.io.File("target/scala-2.13")
+      val jars = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("tpctoolsspark") &&
+          f.getName.endsWith(".jar"))
+      require(jars.nonEmpty, "run `sbt package` first — executors need the jar")
+      b.config("spark.jars", jars.maxBy(_.lastModified).getAbsolutePath)
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
