@@ -137,7 +137,12 @@ object Main {
       |           [-l|--limit N]   (or: query --list)
       |  export   (-t|--table NAME | -q|--query NAME) -i|--input SFDIR
       |           -o|--output DIR [-c|--codec none|gzip|lz4|snappy]
-      |           (JSONL corpus export: DIR/NAME.jsonl/part-*.json[.gz])""".stripMargin
+      |           (JSONL corpus export: DIR/NAME.jsonl/part-*.json[.gz])
+      |
+      |shuffle sizing: query/export derive spark.sql.shuffle.partitions from
+      |  the input dir's measured bytes (ratchet-up only; ~128 MiB/partition).
+      |  To pin your own count instead, launch with
+      |  --conf spark.graft.fixedShuffle=true (plus your shuffle.partitions).""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val cmd = parse(args.toIndexedSeq)

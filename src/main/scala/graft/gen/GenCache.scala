@@ -73,6 +73,9 @@ object GenCache {
               generate(spark, base.drop(2).toDouble, tmp.toString)
               Files.createFile(tmp.resolve("_GRAFT_COMPLETE"))
               Files.move(tmp, dirPath, StandardCopyOption.ATOMIC_MOVE)
+              // the dir's bytes just changed under any earlier (pre-
+              // materialization) measurement — drop it (r15 ADVICE)
+              graft.plans.ShuffleScale.invalidate(dir)
             }
           } finally lock.release()
         } finally ch.close()
@@ -85,6 +88,7 @@ object GenCache {
     if (Files.exists(p)) {
       val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
       try it.forEach(f => Files.delete(f)) finally it.close()
+      graft.plans.ShuffleScale.invalidate(p.toString)
     }
   }
 

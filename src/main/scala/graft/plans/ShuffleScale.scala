@@ -16,17 +16,24 @@ import org.apache.spark.sql.SparkSession
   *
   * How: [[tuneFor]] runs right after a scale-dependent materialization
   * resolves its table directory ([[graft.ops.Tpcds.ensure]] /
-  * [[graft.ops.TpchFull.ensure]] — the single chokepoint every generated-
-  * scale query passes through). It measures the directory's on-disk bytes
-  * (cached; cache dirs are immutable once marker'd) and sets
-  * `spark.sql.shuffle.partitions` to `ceil(bytes / 128 MiB)`, floored at
-  * the session's core parallelism and capped at [[maxPartitions]]. AQE
-  * (on by default in Spark 4) then coalesces DOWN per-stage to its
-  * advisory size — so a scale-safe ceiling costs small queries nothing,
-  * while the reverse (a small default exploding UP) is impossible for AQE
-  * and fatal at scale. At the sf0.01 correctness gate and the sf0.1 bench
-  * the derived value equals the session floor, so gate behavior is
-  * byte-identical to the pre-derivation engine.
+  * [[graft.ops.TpchFull.ensure]] / [[graft.Tables]] — the chokepoints
+  * every query passes through). It measures the directory's on-disk bytes
+  * through the Hadoop FileSystem API — so `file:`, `hdfs:` and `s3a:`
+  * inputs all measure correctly on a real cluster (r15 verdict #1; the
+  * previous java.nio walk read 0 bytes for any non-POSIX URI and silently
+  * degraded to the session floor — resurrecting the exact OOM this knob
+  * kills). The session's `spark.sql.shuffle.partitions` is then RATCHETED
+  * UP to `ceil(bytes / 128 MiB)` (floored at core parallelism, capped at
+  * [[maxPartitions]]) — never lowered. Ratchet-only matters because
+  * DataFrames are lazy: a query built over a large dir executes at
+  * whatever the conf holds at ACTION time, so a later touch of a small
+  * fixture dir must not drag the session back down (r15 ADVICE). AQE (on
+  * by default in Spark 4) coalesces DOWN per-stage to its advisory size —
+  * a scale-safe ceiling costs small queries nothing, while the reverse (a
+  * small default exploding UP) is impossible for AQE and fatal at scale.
+  * At the sf0.01 correctness gate and the sf0.1 bench the derived value
+  * equals the session floor, so gate behavior is byte-identical to the
+  * pre-derivation engine.
   *
   * 128 MiB of COMPRESSED parquet input per partition keeps the per-task
   * uncompressed working set in the hundreds of MB — under the ≈150 MiB
@@ -34,10 +41,11 @@ import org.apache.spark.sql.SparkSession
   * spill, never via failure, and ~3× finer than the 256 that already ran
   * Q72's sf100 decade clean.
   *
-  * Escape hatch: a session that must PIN its shuffle count for an A/B
-  * (SpillBench heap ladders, the probe's SPARK_GRAFT_SHUFFLE override)
-  * sets `spark.graft.fixedShuffle=true` and tuneFor leaves the session
-  * untouched.
+  * Escape hatch: a session that must PIN its shuffle count — an A/B
+  * (SpillBench heap ladders, the probe's SPARK_GRAFT_SHUFFLE override) or
+  * a user-chosen count on the CLI query/export path — sets
+  * `spark.graft.fixedShuffle=true` and tuneFor leaves the session
+  * untouched (documented in the CLI usage text, `cli/Main.scala`).
   */
 object ShuffleScale {
   /** Compressed input bytes one shuffle partition should carry. */
@@ -55,28 +63,51 @@ object ShuffleScale {
 
   private val bytesCache = new scala.collection.concurrent.TrieMap[String, Long]
 
-  /** Recursive on-disk size of a materialized dir (POSIX path — the same
-    * constraint GenCache already carries). 0 for a missing path. */
-  def dirBytes(path: String): Long = bytesCache.getOrElseUpdate(path, {
-    val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(p)) 0L
-    else {
-      val s = java.nio.file.Files.walk(p)
-      try s.filter(java.nio.file.Files.isRegularFile(_))
-        .mapToLong(java.nio.file.Files.size(_)).sum()
-      finally s.close()
-    }
-  })
-
-  /** Set the session's shuffle partitions from `dir`'s measured bytes;
-    * returns the count in force. No-op under `spark.graft.fixedShuffle`. */
-  def tuneFor(spark: SparkSession, dir: String): Int =
-    if (spark.conf.get("spark.graft.fixedShuffle", "false") == "true")
-      spark.conf.get("spark.sql.shuffle.partitions").toInt
-    else {
-      val n = derive(dirBytes(dir), spark.sparkContext.defaultParallelism)
-      if (spark.conf.get("spark.sql.shuffle.partitions") != n.toString)
-        spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+  /** Recursive on-disk size of a materialized dir, measured through the
+    * Hadoop FileSystem resolved for the path's scheme (bare paths resolve
+    * against `fs.defaultFS`, exactly as `spark.read` does) — so the
+    * derivation works on `file:`, `hdfs:` and `s3a:` alike. Returns 0 for
+    * a missing path. Only POSITIVE sizes are cached (generated cache dirs
+    * are immutable once marker'd); a missing/empty dir is re-measured on
+    * the next call, so measuring before materialization can never pin the
+    * session at the floor (r15 ADVICE). */
+  def dirBytes(spark: SparkSession, path: String): Long =
+    bytesCache.get(path).getOrElse {
+      val n = measure(spark, path)
+      if (n > 0L) bytesCache.put(path, n)
       n
     }
+
+  private def measure(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Forget cached measurements at/under/above `path` — GenCache calls
+    * this after generating into or sweeping a dir, because the bytes
+    * changed underneath any earlier measurement. */
+  def invalidate(path: String): Unit = {
+    val norm = path.stripSuffix("/")
+    bytesCache.keys.foreach { k =>
+      val kn = k.stripSuffix("/")
+      if (kn == norm || kn.startsWith(norm + "/") || norm.startsWith(kn + "/"))
+        bytesCache.remove(k)
+    }
+  }
+
+  /** Ratchet the session's shuffle partitions up to `dir`'s derived
+    * count (never down — see scaladoc); returns the count in force.
+    * No-op under `spark.graft.fixedShuffle`. */
+  def tuneFor(spark: SparkSession, dir: String): Int = {
+    val current = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    if (spark.conf.get("spark.graft.fixedShuffle", "false") == "true") current
+    else {
+      val derived =
+        derive(dirBytes(spark, dir), spark.sparkContext.defaultParallelism)
+      val n = math.max(derived, current)
+      if (n != current) spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      n
+    }
+  }
 }

@@ -3,12 +3,18 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.plans.ShuffleScale
 
-/** Data-proportional shuffle sizing (r14 verdict #2 closure).
+/** Data-proportional shuffle sizing (r14 verdict #2 closure; r15
+  * verdict #1 + ADVICE hardening).
   *
   * The derivation contract: `ceil(inputBytes / 128 MiB)` clamped to
   * [session parallelism, 32768]. The r14 sf100 finding this encodes:
   * 48.2 GB of input at 32 partitions OOM'd a 48 GiB heap on Q72's
-  * fact⋈fact join; the engine must pick the count from the data.
+  * fact⋈fact join; the engine must pick the count from the data. The r15
+  * hardening this pins: bytes are measured through the Hadoop FileSystem
+  * API (so `hdfs:`/`s3a:` URIs measure correctly, not 0), the session
+  * conf only ratchets UP (lazy DataFrames execute at action-time conf —
+  * touching a small dir must not drag a pending large query down), and
+  * missing-dir measurements are never cached.
   */
 class ShuffleScaleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -27,21 +33,63 @@ class ShuffleScaleSpec extends AnyFunSuite {
     assert(ShuffleScale.derive(Long.MaxValue / 2, 32) === ShuffleScale.maxPartitions)
   }
 
-  test("dirBytes measures recursively; tuneFor sets the session conf") {
+  test("dirBytes goes through Hadoop FS: schemeful URIs and bare paths agree") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shufscale-fs")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("t.parquet"))
+    val raf = new java.io.RandomAccessFile(sub.resolve("part-0.parquet").toFile, "rw")
+    try raf.setLength(1L << 30) finally raf.close() // sparse 1 GiB
+    // a schemeful URI — the java.nio walk this replaced measured 0 here
+    // (Paths.get("file:/…") names a literal "./file:" dir), silently
+    // pinning a cluster session at the floor (r15 verdict #1)
+    assert(ShuffleScale.dirBytes(spark, s"file:$dir") === (1L << 30))
+    // bare path resolves against fs.defaultFS, same as spark.read
+    assert(ShuffleScale.dirBytes(spark, dir.toString) === (1L << 30))
+  }
+
+  test("missing dir measures 0 and is NOT cached; invalidate drops subtree") {
+    val parent = java.nio.file.Files.createTempDirectory("graft-shufscale-miss")
+    val dir = parent.resolve("later").toString
+    assert(ShuffleScale.dirBytes(spark, dir) === 0L) // before materialization
+    // materialize: a fresh call must see the bytes, not a cached zero
+    val sub = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "t.parquet"))
+    val raf = new java.io.RandomAccessFile(sub.resolve("p0").toFile, "rw")
+    try raf.setLength(300L << 20) finally raf.close()
+    assert(ShuffleScale.dirBytes(spark, dir) === (300L << 20))
+    // positive sizes ARE cached (cache dirs are immutable once marker'd)…
+    java.nio.file.Files.delete(sub.resolve("p0"))
+    assert(ShuffleScale.dirBytes(spark, dir) === (300L << 20))
+    // …until GenCache invalidates after regenerating/sweeping the tree
+    ShuffleScale.invalidate(parent.toString)
+    assert(ShuffleScale.dirBytes(spark, dir) === 0L)
+  }
+
+  test("tuneFor ratchets up, never down; fixedShuffle pins") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shufscale")
     val sub = java.nio.file.Files.createDirectory(dir.resolve("t.parquet"))
-    // sparse file: logical size without disk cost — dirBytes reads size()
     val raf = new java.io.RandomAccessFile(sub.resolve("part-0.parquet").toFile, "rw")
     try raf.setLength(1L << 30) finally raf.close() // 1 GiB → ceil(1024/128) = 8
-    assert(ShuffleScale.dirBytes(dir.toString) === (1L << 30))
 
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       val n = ShuffleScale.tuneFor(spark, dir.toString)
       assert(n === 8) // > the 4-core test floor, so the conf must move
       assert(spark.conf.get("spark.sql.shuffle.partitions") === "8")
 
-      // pinned session: the derivation stands down (A/B escape hatch)
+      // RATCHET: a later touch of a small/empty dir leaves the raised
+      // count in place — a lazily-built query over the big dir executes
+      // at action-time conf, so lowering here would run it under-
+      // partitioned (the r15 ADVICE last-dir-wins OOM path)
+      val tiny = java.nio.file.Files.createTempDirectory("graft-shufscale-tiny")
+      assert(ShuffleScale.tuneFor(spark, tiny.toString) === 8)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "8")
+
+      // a user-raised count is respected (ratchet works both ways up)
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      assert(ShuffleScale.tuneFor(spark, dir.toString) === 16)
+
+      // pinned session: the derivation stands down (A/B + CLI escape hatch)
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       spark.conf.set("spark.graft.fixedShuffle", "true")
       assert(ShuffleScale.tuneFor(spark, dir.toString) === 4)
@@ -54,6 +102,8 @@ class ShuffleScaleSpec extends AnyFunSuite {
 
   test("gate-scale ensure keeps the session at its floor (byte-identical gate)") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.sparkContext.defaultParallelism.toString)
     graft.ops.Tpcds.ensure(spark, TestSpark.sf0001)
     // sf0.001 materialization is ~1 MB: derived = floor = defaultParallelism
     assert(spark.conf.get("spark.sql.shuffle.partitions").toInt ===
@@ -63,6 +113,8 @@ class ShuffleScaleSpec extends AnyFunSuite {
 
   test("fixture reads tune too, and stay at the floor at gate scale") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.sparkContext.defaultParallelism.toString)
     graft.Tables(spark, TestSpark.sf0001, "orders")
     assert(spark.conf.get("spark.sql.shuffle.partitions").toInt ===
       spark.sparkContext.defaultParallelism)
