@@ -119,20 +119,59 @@ object GenUtil {
     * number prefix makes lexicographic = task order), to the reference's
     * `part-<i>.<ext>` layout. Driver-side FS renames only — no data pass;
     * content is already partition-count-invariant (GenSpec), so the
-    * flatten is pure naming. */
+    * flatten is pure naming.
+    *
+    * Idempotent and crash-safe (r15 ADVICE): parts are ordered by their
+    * NUMERIC part index (Spark's zero-padded task number, or a previous
+    * flatten's bare index — lexicographic order breaks at part-10 vs
+    * part-2 on re-run) and renamed through a `.tmpseq` namespace in two
+    * phases, so re-flattening an already-flattened table can never
+    * collide a move onto an existing `part-K.<ext>`. A missing table dir
+    * (a benchmark subset generation) is skipped, not thrown. */
   def sequentialParts(outDir: String, table: String, ext: String): Unit = {
     import java.nio.file.{Files, Paths}
     val d = Paths.get(s"$outDir/$table.$ext")
+    if (!Files.isDirectory(d)) return
+    // recover stragglers from a crash between the two phases below
+    locally {
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".tmpseq")).toVector
+          .foreach { t =>
+            val fin = t.getFileName.toString.stripSuffix(".tmpseq")
+            Files.move(t, d.resolve(fin),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+      } finally s.close()
+    }
     val st = Files.list(d)
     val parts = try {
       import scala.jdk.CollectionConverters._
       st.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("part-") && !n.endsWith(".crc")
-      }.toVector.sortBy(_.getFileName.toString)
+        n.startsWith("part-") && !n.endsWith(".crc") && !n.endsWith(".tmpseq")
+      }.toVector.sortBy { p =>
+        // numeric task/part index: "part-00007-<uuid>…" or "part-7.<ext>"
+        val n = p.getFileName.toString.drop("part-".length)
+        val digits = n.takeWhile(_.isDigit)
+        (if (digits.isEmpty) Long.MaxValue else digits.toLong,
+         p.getFileName.toString)
+      }
     } finally st.close()
-    parts.zipWithIndex.foreach { case (p, i) =>
-      Files.move(p, d.resolve(s"part-$i.$ext"))
+    // phase 1: move every part aside — no target can collide with a source
+    val staged = parts.zipWithIndex.map { case (p, i) =>
+      val t = d.resolve(s"part-$i.$ext.tmpseq")
+      Files.move(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      (t, i)
+    }
+    // phase 2: drop the temp suffix (a crash between phases leaves only
+    // .tmpseq names, which a re-run re-lists as non-parts — re-runnable
+    // by clearing the suffix; never a half-renamed part-K collision)
+    staged.foreach { case (t, i) =>
+      Files.move(t, d.resolve(s"part-$i.$ext"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 }

@@ -121,6 +121,31 @@ class ConvertSpec extends AnyFunSuite {
     assert(cmd.asInstanceOf[graft.cli.Main.Generate].sequentialParts)
   }
 
+  test("sequential-parts is idempotent past 10 parts and skips missing dirs") {
+    // r15 ADVICE: on an already-flattened dir lexicographic order puts
+    // part-10 before part-2, and the old single-phase rename collided on
+    // the existing part-2.<ext> (FileAlreadyExistsException, half-renamed
+    // table). The two-phase numeric-ordered rename must be a no-op here.
+    val d = Files.createDirectories(
+      Files.createTempDirectory("graft-sqi").resolve("t.tbl"))
+    val contents = (0 until 12).map(i => i -> s"row-of-part-$i\n")
+    contents.foreach { case (i, c) =>
+      Files.write(d.resolve(s"part-$i.tbl"), c.getBytes) }
+    graft.gen.GenUtil.sequentialParts(d.getParent.toString, "t", "tbl")
+    val after = d.toFile.listFiles.map(_.getName).sorted.toSeq
+    assert(after == (0 until 12).map(i => s"part-$i.tbl").sorted.toSeq)
+    // content follows the numeric order: part-i still holds part-i's bytes
+    contents.foreach { case (i, c) =>
+      assert(new String(Files.readAllBytes(d.resolve(s"part-$i.tbl"))) == c) }
+    // a table absent from the output (subset generation) is skipped
+    graft.gen.GenUtil.sequentialParts(d.getParent.toString, "nope", "tbl")
+    // a crash between phases leaves .tmpseq stragglers — recovered on re-run
+    Files.move(d.resolve("part-3.tbl"), d.resolve("part-3.tbl.tmpseq"))
+    graft.gen.GenUtil.sequentialParts(d.getParent.toString, "t", "tbl")
+    assert(new String(Files.readAllBytes(d.resolve(s"part-3.tbl"))) ==
+      contents(3)._2)
+  }
+
   test("parquet block-size knob reaches the writer (small blocks → many row groups)") {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
