@@ -112,6 +112,46 @@ class RobustnessSpec extends AnyFunSuite {
     assert(fired.size == 2 && fired.forall(_ > 0), s"injections: $fired")
   }
 
+  test("executor LOSS leaves query + generation output cell-identical (local-cluster)") {
+    // r15 verdict #2: task-retry determinism (above) is the soft case — a
+    // 1000-executor run loses whole JVMs, taking every running task AND
+    // the executor's shuffle map outputs with them. The probe runs
+    // local-cluster[4,8,4096] (4 real executor JVMs), Runtime.halt()s one
+    // of them mid-shuffle-map (query leg) and mid-parquet-write
+    // (generation leg), and requires clean == killed plus driver-observed
+    // ExecutorRemoved events. Own JVM for the same reason as RetryProbe.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val outFile = Files.createTempFile("graft_exec_loss_probe", ".out").toFile
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList.sliding(2).collect {
+        case List(flag, v) if flag == "--add-opens" || flag == "--add-exports" =>
+          List(flag, v)
+      }.flatten.toList
+    val pb = new ProcessBuilder(
+      (List(javaBin) ++ jvmArgs ++ List("-Xmx3g",
+        "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.ExecutorLossProbe")).asJava)
+      .redirectErrorStream(true)
+      .redirectOutput(outFile)
+    // local-cluster workers exec fresh executor JVMs via the Spark dist
+    // launcher — they need a real SPARK_HOME (sbt's env doesn't carry one)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    val p = pb.start()
+    assert(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS), "probe timed out")
+    val out = new String(Files.readAllBytes(outFile.toPath))
+    assert(p.exitValue() == 0, s"executor-loss probe failed:\n${out.takeRight(3000)}")
+    assert(out.contains("EXECLOSS QUERY OK"), s"no query verdict:\n${out.takeRight(1500)}")
+    assert(out.contains("EXECLOSS GEN OK"), s"no generation verdict:\n${out.takeRight(1500)}")
+    val removed = "executors_removed=(\\d+)".r
+      .findAllMatchIn(out).map(_.group(1).toInt).toList
+    assert(removed.nonEmpty && removed.last >= 2,
+      s"expected the probe to observe >=2 executor removals, saw: $removed")
+  }
+
   test("sweepStaleSiblings removes every non-current cache generation") {
     import java.nio.file.{Files, Paths}
     val parent = Files.createTempDirectory("graft-sweep")
