@@ -39,6 +39,13 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_STATESTORE=rocksdb drains the same corpus with state
+    // off-heap in RocksDB (the 100 TB posture: keyed session state larger
+    // than executor heap); output equality is StreamingSpec's contract,
+    // this records the throughput cost of the provider swap.
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").exists(_.equalsIgnoreCase("rocksdb")))
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     if (master.startsWith("local-cluster")) {
       val dir = new java.io.File("target/scala-2.13")
       val jars = Option(dir.listFiles()).getOrElse(Array.empty)

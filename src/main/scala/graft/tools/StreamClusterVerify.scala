@@ -70,6 +70,12 @@ object StreamClusterVerify {
         b.config("spark.jars", jar)
         b.config("spark.executor.memory", "4096m")
       }
+      // SPARK_GRAFT_STATESTORE=rocksdb: same queries with state off-heap
+      // in RocksDB on each executor — the 100 TB posture for keyed state
+      // bigger than heap; equality across the seam must still hold.
+      if (sys.env.get("SPARK_GRAFT_STATESTORE").exists(_.equalsIgnoreCase("rocksdb")))
+        b.config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val spark = b.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       def read() = graft.streaming.EventStreams.readReplay(

@@ -400,4 +400,34 @@ class StreamingSpec extends AnyFunSuite {
         col("m.sum_value").as("sum_value"))
     assertSame(last, Streams.q_stream_session(spark, dir), "custom session")
   }
+
+  test("RocksDB state store: stateful queries == batch (off-heap state rung)") {
+    // r15 verdict #6: the default state store holds sessionization state
+    // on the executor heap — a 100 TB pipeline's keyed state doesn't fit.
+    // Same transforms, state provider swapped to RocksDB (ships in Spark's
+    // jars); output must be provider-independent.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // windowed aggregation state (tumble) under RocksDB
+      val st = EventStreams.runToTable(
+        EventStreams.tumble(EventStreams.readEvents(spark, dir)),
+        "t_tumble_rocks", OutputMode.Complete)
+      assertSame(st, Streams.q_stream_tumble(spark, dir), "rocksdb tumble")
+      // custom flatMapGroupsWithState session state under RocksDB
+      val cs = EventStreams.runToTable(
+        EventStreams.sessionizeCustom(EventStreams.readEvents(spark, dir)).toDF(),
+        "t_custom_session_rocks", OutputMode.Update)
+      val last = cs.groupBy("user_id", "s_start")
+        .agg(max(struct(col("n"), col("sum_value"))).as("m"))
+        .select(col("user_id"), col("s_start"), col("m.n").as("n"),
+          col("m.sum_value").as("sum_value"))
+      assertSame(last, Streams.q_stream_session(spark, dir), "rocksdb session")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
