@@ -212,10 +212,33 @@ object Similarity {
     cents
   }
 
+  /** Measured default for [[ivfCells]]'s cap — the 200k-vector A/B
+    * (SCALE.md §7.1 second decade): C=√n=447 spent 73.3 s on the n×C
+    * index-scoring pass for recall that banded LSH already delivered at
+    * 1.000 in 6.0 s, while C=141 at 20k vectors ran the same pass in
+    * 6.2 s. Index-build cost is linear in C, so for dedup-shaped
+    * workloads (top-k dominated by near-duplicates) C must stop growing
+    * once cells are selective enough; 256 sits between the two measured
+    * points on the cheap side. */
+  val ivfCellCapDefault: Int = 256
+
+  /** Centroid-count guidance, encoded (r15 verdict #7): C ≈ √n serves
+    * the moderate-similarity regime (recall 0.994–1.000 measured at both
+    * decades), CAPPED at `cap` so the linear-in-C index-build pass stops
+    * growing with the corpus — the measured reading is "cap C, don't
+    * √n-grow, when the workload is dedup-shaped". Pass
+    * `cap = Int.MaxValue` to get pure √n for a recall-first workload. */
+  def ivfCells(n: Long, cap: Int = ivfCellCapDefault): Int =
+    math.max(16, math.min(cap.toLong,
+      math.round(math.sqrt(math.max(0L, n).toDouble))).toInt)
+
+  /** `numCells <= 0` derives the cell count from the corpus via
+    * [[ivfCells]] (one count job, index build only). */
   def ivfNeighbors(emb: DataFrame, anchorPred: Column, k: Int = 10,
                    numCells: Int = 16, probes: Int = 4,
                    refineIters: Int = 1): DataFrame = {
-    val cents = kmeansCentroids(emb, numCells, refineIters)
+    val cells = if (numCells > 0) numCells else ivfCells(emb.count())
+    val cents = kmeansCentroids(emb, cells, refineIters)
     val scored = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine("embedding", "cv").as("cs"))

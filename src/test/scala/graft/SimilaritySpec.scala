@@ -74,6 +74,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(refined >= 0.8, s"refined IVF recall $refined < 0.8")
   }
 
+  test("ivfCells encodes the measured guidance: √n floored at 16, capped at 256") {
+    // SCALE.md §7.1 A/B: C=√n=141 at 20k vectors is cheap (6.2 s index
+    // pass); C=√n=447 at 200k costs 73 s for recall LSH already had — so
+    // C grows as √n only up to the measured cap (r15 verdict #7)
+    assert(Similarity.ivfCellCapDefault === 256)
+    assert(Similarity.ivfCells(100) === 16)            // floor
+    assert(Similarity.ivfCells(20_000) === 141)        // √n regime (measured)
+    assert(Similarity.ivfCells(200_000) === 256)       // capped (√n would be 447)
+    assert(Similarity.ivfCells(2_000_000) === 256)     // stays capped a decade up
+    assert(Similarity.ivfCells(2_000_000, cap = Int.MaxValue) === 1414) // recall-first
+    // numCells <= 0 routes ivfNeighbors through the derivation
+    val derived = Similarity.ivfNeighbors(emb, col("vec_id") < 3, k = 5,
+      numCells = 0, probes = 4, refineIters = 0)
+    assert(derived.count() > 0)
+  }
+
   test("refined IVF derives the embedding dim from the data (non-64-dim corpus)") {
     // round-3 bug: kmeansCentroids hardcoded dim=64, so any other corpus got
     // truncated/padded centroids and VectorDot's length-mismatch→null
