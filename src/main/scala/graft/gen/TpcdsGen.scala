@@ -1374,11 +1374,17 @@ object TpcdsGen extends Benchmark {
   def table(spark: SparkSession, tbl: String, sf: Double, partitions: Int): DataFrame = {
     val st = schema(tbl)
     val rows = rowCount(tbl, sf)
-    // Ticket/order numbers are Int32 per the reference schema; past
-    // Int.MaxValue baskets a silent non-ANSI Long→Int cast would wrap them
-    // negative and corrupt the returns⋈sales PK linkage. Fail LOUD instead
-    // (covers the sales fact itself and the returns fact that re-evaluates
-    // the linked sales table's basket ids).
+    checkBasketRange(tbl, sf)
+    val baseDf = spark.range(0, rows, 1, math.max(1, partitions)).toDF()
+    fromBase(tbl, sf, baseDf, st)
+  }
+
+  /** Ticket/order numbers are Int32 per the reference schema; past
+    * Int.MaxValue baskets a silent non-ANSI Long→Int cast would wrap them
+    * negative and corrupt the returns⋈sales PK linkage. Fail LOUD instead
+    * (covers the sales fact itself and the returns fact that re-evaluates
+    * the linked sales table's basket ids). */
+  private def checkBasketRange(tbl: String, sf: Double): Unit = {
     val basketSrc = returnsLinks.get(tbl).map(_.salesTbl).getOrElse(tbl)
     if (basketLines.contains(basketSrc)) {
       // exact closed form: the basket count is basketOfLine(lastLine)+1 —
@@ -1404,7 +1410,27 @@ object TpcdsGen extends Benchmark {
           s"wrap. Max supported sf for $basketSrc ≈ " +
           f"${Int.MaxValue.toLong * avgLines / (sf1Counts(basketSrc)._1.toDouble)}%.0f.")
     }
-    val baseDf = spark.range(0, rows, 1, math.max(1, partitions)).toDF()
+  }
+
+  /** Rows `[loRow, hiRow)` of `table(tbl, sf)` — every builder is a pure
+    * per-line function of the range's `id`, so a slice is BIT-IDENTICAL to
+    * the same id-range of the full table (GenSpec pins slice ≡ filter and
+    * concatenated slices ≡ full). Lets a disk-budgeted probe measure
+    * written generation of a table bigger than free space
+    * (tools.WrittenGenProbe, r15 verdict #4). */
+  def tableSlice(spark: SparkSession, tbl: String, sf: Double, partitions: Int,
+                 loRow: Long, hiRow: Long): DataFrame = {
+    val rows = rowCount(tbl, sf)
+    require(0 <= loRow && loRow <= hiRow && hiRow <= rows,
+      s"slice [$loRow,$hiRow) out of bounds for $tbl at sf=$sf ($rows rows)")
+    checkBasketRange(tbl, sf)
+    fromBase(tbl, sf,
+      spark.range(loRow, hiRow, 1, math.max(1, partitions)).toDF(), schema(tbl))
+  }
+
+  private def fromBase(tbl: String, sf: Double,
+                       baseDf: DataFrame,
+                       st: org.apache.spark.sql.types.StructType): DataFrame =
     tbl match {
       case "date_dim" => dateDim(baseDf)
       case "time_dim" => timeDim(baseDf)
@@ -1417,7 +1443,6 @@ object TpcdsGen extends Benchmark {
         }
         baseDf.select(cols.toIndexedSeq: _*)
     }
-  }
 
   /** Raw-layout generation (reference parity: `{out}/{table}.dat/part-*.dat`
     * pipe-delimited, src/tpcds.rs:86-101; no trailing '|' — TPC-DS schemas

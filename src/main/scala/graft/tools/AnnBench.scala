@@ -26,13 +26,18 @@ import graft.ops.Similarity
   * LSH banding is built for). One JSON line per path.
   *
   * Usage: runMain graft.tools.AnnBench <fixtureDir> [anchors=32] [k=10]
+  *   [paths-csv]  — the optional comma list restricts which approximate
+  *   paths run (substring match), e.g. `lsh_production` for the 2M-vector
+  *   third-decade rung where the IVF index-scoring pass is the known
+  *   (measured, capped) cost and LSH is the dedup-regime recommendation.
   */
 object AnnBench {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: AnnBench <fixtureDir> [anchors] [k]")
+    require(args.nonEmpty, "usage: AnnBench <fixtureDir> [anchors] [k] [paths-csv]")
     val dir = args(0)
     val nAnchors = args.lift(1).map(_.toInt).getOrElse(32)
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val only = args.lift(3).map(_.split(",").toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,7 +86,8 @@ object AnnBench {
     val (truthAll, truthNear) = truth
     println(f"""{"path":"exact","wall_s":$t_exact%.1f,"pairs":${truthAll.size},"near_dup_pairs":${truthNear.size}}""")
 
-    val c = math.max(16, math.round(math.sqrt(n.toDouble)).toInt) // C ≈ √n
+    // C via the encoded guidance: √n capped at 256 (SCALE.md §7.1 A/B)
+    val c = Similarity.ivfCells(n)
     val probes = math.max(4, c / 10)
     val paths: Seq[(String, () => DataFrame)] = Seq(
       "lsh_production_8x16" -> (() =>
@@ -95,13 +101,25 @@ object AnnBench {
         Similarity.ivfNeighbors(emb, anchorPred, k = k, numCells = c,
           probes = probes, refineIters = 1)))
 
-    paths.foreach { case (name, build) =>
-      val ((got, gotNear), wall) = timed(pairs(build()))
-      val recall = (truthAll & got).size.toDouble / math.max(1, truthAll.size)
-      val nearRecall =
-        (truthNear & gotNear).size.toDouble / math.max(1, truthNear.size)
-      println(f"""{"path":"$name","wall_s":$wall%.1f,"recall_at_$k":$recall%.3f,"near_dup_recall":$nearRecall%.3f,"returned":${got.size}}""")
+    paths.filter(p => only.forall(_.exists(p._1.contains))).foreach {
+      case (name, build) =>
+        val ((got, gotNear), wall) = timed(pairs(build()))
+        val recall = (truthAll & got).size.toDouble / math.max(1, truthAll.size)
+        val nearRecall =
+          (truthNear & gotNear).size.toDouble / math.max(1, truthNear.size)
+        println(f"""{"path":"$name","wall_s":$wall%.1f,"recall_at_$k":$recall%.3f,"near_dup_recall":$nearRecall%.3f,"returned":${got.size}}""")
     }
+
+    // LSH bucket occupancy at the production knobs — the quantity the
+    // candidate-join cost actually scales with (n·occupancy): per-band
+    // bucket fill of the 16-bit bucket space
+    val occ = emb.select(posexplode(
+        Similarity.lshBuckets("embedding")).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").count()
+      .agg(max("count").as("max_occ"), avg("count").as("mean_occ"),
+        count(lit(1)).as("nonempty_buckets"))
+      .head()
+    println(f"""{"path":"lsh_production_occupancy","max_bucket":${occ.getLong(0)},"mean_bucket":${occ.getDouble(1)}%.2f,"nonempty_buckets":${occ.getLong(2)},"bucket_space_per_band":65536}""")
     spark.stop()
   }
 }

@@ -23,13 +23,20 @@ import java.nio.file.{Files, Paths}
   * sf100 (the determinism contract GenSpec pins at gate scale).
   *
   * Usage: SPARK_DRIVER_MEM=48g runMain graft.tools.Sf100Dump
-  *   <probeRoot> <outDir> [--alt-partitioning] <query...>
+  *   <probeRoot> <outDir> [--alt-partitioning] [--sf=sfN] <query...>
+  *
+  * `--sf=sf10` retargets the dump at another generated scale (r16: the
+  * strict DuckDB sweep of the WHOLE TPC-DS + TpchFull suite at sf10 —
+  * inside DuckDB's budget, unlike sf100's heavies — with
+  * probeRoot=/tmp so the default gen caches are reused).
   */
 object Sf100Dump {
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
-    require(pos.length >= 3, "usage: Sf100Dump <probeRoot> <outDir> [--alt-partitioning] <query...>")
+    require(pos.length >= 3, "usage: Sf100Dump <probeRoot> <outDir> [--alt-partitioning] [--sf=sfN] <query...>")
     val alt = flags.contains("--alt-partitioning")
+    val sfName = flags.collectFirst { case f if f.startsWith("--sf=") =>
+      f.stripPrefix("--sf=") }.getOrElse("sf100")
     val (probeRoot, outDir, names) = (pos(0), pos(1), pos.drop(2).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val b = SparkSession.builder()
@@ -54,7 +61,7 @@ object Sf100Dump {
         // stage and runs the query's final aggregate single-threaded — at
         // sf100 that turned q72's 120 GB-spill aggregation into a one-task
         // crawl. The extra exchange carries only the result rows.
-        graft.SparkEntry.queries(name)(spark, "sf100").repartition(1)
+        graft.SparkEntry.queries(name)(spark, sfName).repartition(1)
           .write.mode("overwrite").parquet(s"$outDir/$name")
         println(f"""{"query":"$name","dumped_s":${(System.nanoTime() - t0) / 1e9}%.1f,"alt":$alt}""")
       } catch { case scala.util.control.NonFatal(e) =>

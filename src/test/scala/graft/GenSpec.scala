@@ -220,6 +220,27 @@ class GenSpec extends AnyFunSuite {
     }
   }
 
+  test("tableSlice ≡ the full table's id range; concatenated slices ≡ full") {
+    // the disk-budgeted written-generation probe (r15 verdict #4)
+    // extrapolates slice-write wall-clock ×denominator — sound only if a
+    // slice IS the table restricted to that row range, bit for bit
+    Seq("store_sales", "store_returns", "date_dim", "item").foreach { t =>
+      val rows = TpcdsGen.rowCount(t, 0.001)
+      val full = TpcdsGen.table(spark, t, 0.001, 4)
+      val mid = rows / 3
+      val a = TpcdsGen.tableSlice(spark, t, 0.001, 4, 0L, mid)
+      val b = TpcdsGen.tableSlice(spark, t, 0.001, 4, mid, rows)
+      assert(a.count() + b.count() === rows, t)
+      val cat = a.unionByName(b)
+      assert(cat.exceptAll(full).count() == 0 && full.exceptAll(cat).count() == 0,
+        s"$t: slices do not reassemble the full table")
+    }
+    // out-of-bounds slices fail loudly
+    intercept[IllegalArgumentException] {
+      TpcdsGen.tableSlice(spark, "item", 0.001, 4, 5L, 4L)
+    }
+  }
+
   test("fixed-cardinality TPC-DS dims ignore scale factor") {
     // calendar/bucket dims plus the v8 physical-site floors (store,
     // call_center, web_site, warehouse): tiny-world degeneracy guard

@@ -12,8 +12,11 @@ copies — the point is Spark-vs-DuckDB AGREEMENT at 10x the volume
 orders survive: every ORDER BY tie-break in the suite ends on a key
 column, and keys differ across replicas.
 
-Usage: fixture_scale.py <srcDir> <dstDir> <K>
+Usage: fixture_scale.py <srcDir> <dstDir> <K> [tables]
 e.g.   fixture_scale.py /root/testdata/sf0.1 /tmp/graft_fixture_sf1/sf1 10
+       fixture_scale.py /root/testdata/sf0.1 /tmp/graft_ann_2m/sf100 1000 embeddings
+(the optional comma-separated table list restricts the build — the ANN
+decade rungs need only the embeddings corpus, not 1000 lineitem copies)
 """
 import sys
 import os
@@ -37,7 +40,7 @@ OFFSET = {
 }
 
 
-def main(src, dst, k):
+def main(src, dst, k, only=None):
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     bases = {}  # (table, col) -> offset base
@@ -50,11 +53,15 @@ def main(src, dst, k):
         return bases[(tbl, col)]
 
     for tbl in COPY:
+        if only and tbl not in only:
+            continue
         con.execute(f"COPY (SELECT * FROM parquet_scan('{src}/{tbl}.parquet'))"
                     f" TO '{dst}/{tbl}.parquet' (FORMAT PARQUET)")
         print(f"[fixture_scale] {tbl}: copied")
 
     for tbl, keys in OFFSET.items():
+        if only and tbl not in only:
+            continue
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM parquet_scan('{src}/{tbl}.parquet')"
         ).fetchall()]
@@ -72,4 +79,5 @@ def main(src, dst, k):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]),
+         set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None)
