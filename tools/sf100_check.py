@@ -108,16 +108,27 @@ def oracle_all(dump_dir, sf100_dir, timeout_s, mem_gb):
                 timeout=timeout_s, capture_output=True, text=True)
             out = (p.stdout + p.stderr).strip()
             print(out.splitlines()[-1] if out else f"?? {name}: no output")
-            results[name] = "ok" if p.returncode == 0 else "fail"
+            if p.returncode == 0:
+                results[name] = "ok"
+            elif "OutOfMemoryException" in out:
+                # DuckDB blew its memory/temp budget — a budget finding,
+                # not a mismatch; falls back like a timeout
+                results[name] = "oracle-oom"
+                print(f"OOM {name}: oracle exceeded its DuckDB budget "
+                      f"(fall back to dual-run + invariants)")
+            else:
+                results[name] = "fail"
         except subprocess.TimeoutExpired:
             results[name] = "oracle-timeout"
             print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s budget "
                   f"(fall back to dual-run + invariants)")
     ok = sum(1 for v in results.values() if v == "ok")
-    timeouts = sum(1 for v in results.values() if v == "oracle-timeout")
+    timeouts = sum(1 for v in results.values()
+                   if v in ("oracle-timeout", "oracle-oom"))
     print(f"\noracle leg: {ok}/{len(results)} cell-exact "
           f"({json.dumps(results)})")
-    if any(v not in ("ok", "oracle-timeout") for v in results.values()):
+    if any(v not in ("ok", "oracle-timeout", "oracle-oom")
+           for v in results.values()):
         return 1
     if timeouts:
         # distinct exit code (r15 ADVICE): a timeout is NOT a pass — it
@@ -126,8 +137,8 @@ def oracle_all(dump_dir, sf100_dir, timeout_s, mem_gb):
         # caller to acknowledge, instead of an all-timeouts run reading
         # as a green oracle leg.
         print(f"WARN oracle leg incomplete: {timeouts} quer"
-              f"{'y' if timeouts == 1 else 'ies'} fell back via timeout — "
-              f"run the dual + invariants legs (exit 3)")
+              f"{'y' if timeouts == 1 else 'ies'} fell back via "
+              f"timeout/OOM budget — run the dual + invariants legs (exit 3)")
         return 3
     return 0
 
