@@ -152,6 +152,43 @@ class RobustnessSpec extends AnyFunSuite {
       s"expected the probe to observe >=2 executor removals, saw: $removed")
   }
 
+  test("speculation-on leaves query + generation output identical; scheduler engages") {
+    // r16: fleets run spark.speculation=true. One box can prove (a) the
+    // engine's task shapes trip the straggler detector (SpeculativeTask-
+    // Submitted events) and (b) results stay row-identical with the mode
+    // on. The LAUNCH of a duplicate needs a second host (TaskSetManager's
+    // host exclusion) — the attempt-interchangeability half is RetryProbe/
+    // ExecutorLossProbe's territory; see SpeculationProbe's scaladoc.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val outFile = Files.createTempFile("graft_spec_probe", ".out").toFile
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList.sliding(2).collect {
+        case List(flag, v) if flag == "--add-opens" || flag == "--add-exports" =>
+          List(flag, v)
+      }.flatten.toList
+    val pb = new ProcessBuilder(
+      (List(javaBin) ++ jvmArgs ++ List("-Xmx3g",
+        "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.SpeculationProbe")).asJava)
+      .redirectErrorStream(true)
+      .redirectOutput(outFile)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    val p = pb.start()
+    assert(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS), "probe timed out")
+    val out = new String(Files.readAllBytes(outFile.toPath))
+    assert(p.exitValue() == 0, s"speculation probe failed:\n${out.takeRight(3000)}")
+    assert(out.contains("SPEC QUERY OK"), s"no query verdict:\n${out.takeRight(1500)}")
+    assert(out.contains("SPEC GEN OK"), s"no generation verdict:\n${out.takeRight(1500)}")
+    val submitted = "speculative_submitted=(\\d+)".r
+      .findAllMatchIn(out).map(_.group(1).toInt).toList
+    assert(submitted.nonEmpty && submitted.last > 0,
+      s"scheduler never engaged speculation: $submitted")
+  }
+
   test("sweepStaleSiblings removes every non-current cache generation") {
     import java.nio.file.{Files, Paths}
     val parent = Files.createTempDirectory("graft-sweep")
