@@ -139,6 +139,62 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() == 10000)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the moderate-skew path)") {
+    // The engine's skew story is two-tier: saltedJoin for pathological
+    // keys (above), AQE's runtime skew split for moderate skew — argued
+    // in Dedup/Scale scaladocs since r3, DEMONSTRATED here (r16). One
+    // key holds ~100x the median partition's rows; with the skew
+    // thresholds scaled down to fixture size, the executed plan must
+    // carry a skew=true sort-merge join and the result must equal the
+    // same join computed under plain broadcast.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val keep = Seq("spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // force SMJ: no broadcast candidates at this size otherwise
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // half the fact lands on key 7 — one shuffle partition far beyond
+      // factor x median. The probe aggregates GLOBALLY (no grouping):
+      // a groupBy(k) downstream would REQUIRE the join's hash
+      // partitioning and AQE then declines the split (it would add a
+      // shuffle) — itself a finding worth pinning here.
+      val fact = spark.range(0, 400000).select(
+        when(col("id") % 2 === 0, 7L).otherwise(pmod(col("id"), lit(1000))).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"),
+        concat(lit("n"), col("id")).as("name"))
+      val joined = fact.join(dim, "k")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"), sum(length(col("name"))).as("ln"))
+      val skewRow = joined.collect() // materialize: AQE finalizes the plan
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val finalPlan = joined.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+      }.getOrElse(joined.queryExecution.executedPlan)
+      // match the rendered plan: the SMJ lives inside QueryStageExec
+      // wrappers (leaf nodes to collect()), but the skew mark renders
+      assert(finalPlan.toString.contains("SortMergeJoin(skew=true)") &&
+        finalPlan.toString.contains("skewed"),
+        s"AQE never marked the join skew=true:\n${finalPlan.toString.take(2000)}")
+      // the skew-SPLIT result must equal the broadcast-path result
+      val want = fact.join(broadcast(dim), "k")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"), sum(length(col("name"))).as("ln"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(skewRow == want, "skew-split join diverged from broadcast join")
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("globalRank equals rank() over the unpartitioned window — ties, NULLs, both directions") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
