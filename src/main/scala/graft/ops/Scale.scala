@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   *    sub-keys: the big side salts deterministically, the dim side explodes
   *    over all salt values, the join stays equi, and no single task owns
   *    the hot key alone. (AQE's skew-join split handles moderate skew at
-  *    runtime; salting is the static escalation for pathological keys.)
+  *    runtime; salting is the static escalation for pathological keys.
+  *    ScaleSpec demonstrates the AQE split firing — with the measured
+  *    caveat that AQE DECLINES it when a downstream aggregation requires
+  *    the join's hash partitioning, since the split would add a shuffle;
+  *    deployments that want the split anyway on grouped joins set
+  *    `spark.sql.adaptive.forceOptimizeSkewedJoin=true`, or salt.)
   */
 object Scale {
 
