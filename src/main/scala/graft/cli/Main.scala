@@ -140,8 +140,9 @@ object Main {
       |           (JSONL corpus export: DIR/NAME.jsonl/part-*.json[.gz])
       |
       |shuffle sizing: query/export derive spark.sql.shuffle.partitions from
-      |  the input dir's measured bytes (ratchet-up only; ~128 MiB/partition).
-      |  To pin your own count instead, launch with
+      |  the input dir's measured bytes (ratchet-up only; ~128 MiB/partition,
+      |  capped at spark.graft.maxShufflePartitions, default 32768 — raise it
+      |  past ~4 TB of input). To pin your own count instead, launch with
       |  --conf spark.graft.fixedShuffle=true (plus your shuffle.partitions).""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -51,14 +51,23 @@ object ShuffleScale {
   /** Compressed input bytes one shuffle partition should carry. */
   val targetBytesPerPartition: Long = 128L << 20
 
-  /** Sanity ceiling (≈4 TB of compressed input before tasks coarsen;
-    * a real 100 TB cluster raises it with executor count). */
+  /** Default sanity ceiling (≈4 TB of compressed input before tasks
+    * coarsen). NOT a law: past the cap, per-task input grows linearly
+    * with data and AQE can only coalesce DOWN, never split — so a real
+    * 100 TB deployment (needs ~800k partitions at 128 MiB) raises
+    * `spark.graft.maxShufflePartitions` with its executor count instead
+    * of silently running 3 GB tasks. */
   val maxPartitions: Int = 32768
 
+  /** Session-scoped cap: `spark.graft.maxShufflePartitions`, defaulting
+    * to [[maxPartitions]]. */
+  def capFor(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.maxShufflePartitions", maxPartitions.toString).toInt
+
   /** Pure derivation: `clamp(ceil(bytes / 128 MiB), floor, cap)`. */
-  def derive(inputBytes: Long, floor: Int): Int = {
+  def derive(inputBytes: Long, floor: Int, cap: Int = maxPartitions): Int = {
     val need = math.ceil(inputBytes.toDouble / targetBytesPerPartition)
-    math.min(math.max(need, floor.toDouble), maxPartitions.toDouble).toInt
+    math.min(math.max(need, floor.toDouble), cap.toDouble).toInt
   }
 
   private val bytesCache = new scala.collection.concurrent.TrieMap[String, Long]
@@ -103,8 +112,8 @@ object ShuffleScale {
     val current = spark.conf.get("spark.sql.shuffle.partitions").toInt
     if (spark.conf.get("spark.graft.fixedShuffle", "false") == "true") current
     else {
-      val derived =
-        derive(dirBytes(spark, dir), spark.sparkContext.defaultParallelism)
+      val derived = derive(dirBytes(spark, dir),
+        spark.sparkContext.defaultParallelism, capFor(spark))
       val n = math.max(derived, current)
       if (n != current) spark.conf.set("spark.sql.shuffle.partitions", n.toString)
       n

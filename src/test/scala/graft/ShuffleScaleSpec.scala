@@ -31,6 +31,18 @@ class ShuffleScaleSpec extends AnyFunSuite {
     assert(ShuffleScale.derive(ShuffleScale.targetBytesPerPartition + 1, 1) === 2)
     // runaway input hits the sanity cap, never Int overflow
     assert(ShuffleScale.derive(Long.MaxValue / 2, 32) === ShuffleScale.maxPartitions)
+    // the cap is a session conf, not a law: a 100 TB deployment raises it
+    // (100 TB at 128 MiB/partition needs ~800k — the default cap would
+    // silently coarsen tasks to ~3 GB)
+    assert(ShuffleScale.derive(100L << 40, 32, cap = 1_000_000) === 819200)
+    val before = spark.conf.getOption("spark.graft.maxShufflePartitions")
+    try {
+      spark.conf.set("spark.graft.maxShufflePartitions", "65536")
+      assert(ShuffleScale.capFor(spark) === 65536)
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.graft.maxShufflePartitions", v)
+      case None    => spark.conf.unset("spark.graft.maxShufflePartitions")
+    }
   }
 
   test("dirBytes goes through Hadoop FS: schemeful URIs and bare paths agree") {
