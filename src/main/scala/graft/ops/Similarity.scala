@@ -233,11 +233,15 @@ object Similarity {
       math.round(math.sqrt(math.max(0L, n).toDouble))).toInt)
 
   /** `numCells <= 0` derives the cell count from the corpus via
-    * [[ivfCells]] (one count job, index build only). */
+    * [[ivfCells]] (one count job, index build only) — and lifts `probes`
+    * to at least cells/10, the knob every measured recall figure used
+    * (AnnBench probes = max(4, C/10); 4 probes of 256 derived cells
+    * would silently miss any neighbor outside an anchor's top-4 cells). */
   def ivfNeighbors(emb: DataFrame, anchorPred: Column, k: Int = 10,
                    numCells: Int = 16, probes: Int = 4,
                    refineIters: Int = 1): DataFrame = {
     val cells = if (numCells > 0) numCells else ivfCells(emb.count())
+    val probes0 = if (numCells > 0) probes else math.max(probes, cells / 10)
     val cents = kmeansCentroids(emb, cells, refineIters)
     val scored = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cell"),
@@ -252,7 +256,7 @@ object Similarity {
     val probed = scored.filter(anchorPred)
       .withColumn("pr", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cell"))))
-      .filter(col("pr") <= probes)
+      .filter(col("pr") <= probes0)
       .select(col("vec_id").as("a_id"), col("embedding").as("va"), col("cell"))
     val cand = assigned
       .select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("cell"))

@@ -105,18 +105,27 @@ object ShuffleScale {
     }
   }
 
+  private val ratchetLock = new Object
+
   /** Ratchet the session's shuffle partitions up to `dir`'s derived
     * count (never down — see scaladoc); returns the count in force.
-    * No-op under `spark.graft.fixedShuffle`. */
-  def tuneFor(spark: SparkSession, dir: String): Int = {
-    val current = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    if (spark.conf.get("spark.graft.fixedShuffle", "false") == "true") current
+    * No-op under `spark.graft.fixedShuffle`. The read-max-write runs
+    * under a lock: two concurrent tuneFor calls racing on one session
+    * could otherwise interleave reads and LOWER the conf (thread A reads
+    * 32, B reads 32 and sets 32768, A sets its smaller max) — exactly the
+    * drag-down the ratchet exists to prevent. Measurement (dirBytes) is
+    * kept outside the critical section. */
+  def tuneFor(spark: SparkSession, dir: String): Int =
+    if (spark.conf.get("spark.graft.fixedShuffle", "false") == "true")
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
     else {
       val derived = derive(dirBytes(spark, dir),
         spark.sparkContext.defaultParallelism, capFor(spark))
-      val n = math.max(derived, current)
-      if (n != current) spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-      n
+      ratchetLock.synchronized {
+        val current = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val n = math.max(derived, current)
+        if (n != current) spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+        n
+      }
     }
-  }
 }

@@ -112,7 +112,11 @@ object AnnBench {
 
     // LSH bucket occupancy at the production knobs — the quantity the
     // candidate-join cost actually scales with (n·occupancy): per-band
-    // bucket fill of the 16-bit bucket space
+    // bucket fill of the 16-bit bucket space. Skipped when the path
+    // filter excludes every LSH path (an IVF-only run shouldn't pay a
+    // corpus-wide signature explode it didn't ask for).
+    if (only.forall(_.exists(f => "lsh_production_8x16".contains(f) ||
+                                  "lsh_tuned_32x8".contains(f)))) {
     val occ = emb.select(posexplode(
         Similarity.lshBuckets("embedding")).as(Seq("band", "bucket")))
       .groupBy("band", "bucket").count()
@@ -120,6 +124,7 @@ object AnnBench {
         count(lit(1)).as("nonempty_buckets"))
       .head()
     println(f"""{"path":"lsh_production_occupancy","max_bucket":${occ.getLong(0)},"mean_bucket":${occ.getDouble(1)}%.2f,"nonempty_buckets":${occ.getLong(2)},"bucket_space_per_band":65536}""")
+    }
     spark.stop()
   }
 }

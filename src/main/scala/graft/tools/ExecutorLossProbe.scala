@@ -56,8 +56,14 @@ object ExecutorLossProbe {
     if (tc == null || tc.partitionId() != 0 || marker.isEmpty) it
     else new Iterator[T] {
       private var n = 0
+      private var done = false
       def hasNext: Boolean = {
-        if (n == rows && it.hasNext) {
+        // fire after `rows` real rows, or at end-of-input for partitions
+        // smaller than that (still mid-task: the task has not committed)
+        // — otherwise a scale whose partition-0 map tasks all carry ≤rows
+        // rows would never kill and the probe would false-red
+        if (!done && (n >= rows || !it.hasNext)) {
+          done = true
           val won =
             try { java.nio.file.Files.createFile(
               java.nio.file.Paths.get(marker)); true }

@@ -59,17 +59,18 @@ object SpeculationProbe {
     val tc = TaskContext.get()
     if (tc == null || tc.partitionId() != 0 || tc.attemptNumber() > 0) it
     else new Iterator[T] {
-      private var first = true
-      def hasNext: Boolean = it.hasNext
-      def next(): T = {
-        if (first) {
-          first = false
+      private var touched = false
+      def hasNext: Boolean = {
+        // attest injection on the first CALL, not the first row — an
+        // empty partition 0 must not read as "never fired"
+        if (!touched) {
+          touched = true
           try java.nio.file.Files.createFile(java.nio.file.Paths.get(marker))
           catch { case _: java.nio.file.FileAlreadyExistsException => () }
         }
-        Thread.sleep(8)
-        it.next()
+        it.hasNext
       }
+      def next(): T = { Thread.sleep(8); it.next() }
     }
   }
 

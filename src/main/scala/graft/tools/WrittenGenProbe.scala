@@ -88,16 +88,22 @@ object WrittenGenProbe {
       if (rows == 0L) {
         println(s"""{"table":"$tbl","rows":0,"secs":0.0,"bytes":0,"method":"empty"}""")
       } else {
-        // calibrate bytes/row on a small prefix slice
-        val cRows = math.min(rows, calibRows)
-        writeSlice(tbl, 0L, cRows, out)
+        // calibrate bytes/row on a small prefix slice — itself budgeted:
+        // the widest fact stays under ~400 B/row, so budget/400 rows of
+        // calibration can't blow the budget the probe exists to honor
+        val cRows = Seq(rows, calibRows,
+          math.max(100_000L, budgetBytes / 400)).min
+        val cSecs = writeSlice(tbl, 0L, cRows, out)
         val bytesPerRow = du(out).toDouble / cRows
         val projected = (bytesPerRow * rows).toLong
         var denom = 1L
         while (projected / denom > budgetBytes) denom *= 2
         val sliceRows = rows / denom
         require(sliceRows > 0, s"$tbl: budget too small for any slice")
-        val secs = writeSlice(tbl, 0L, sliceRows, out)
+        // small tables: the calibration write WAS the full table — reuse
+        // its timing instead of writing the identical range twice
+        val secs = if (sliceRows == cRows) cSecs
+                   else writeSlice(tbl, 0L, sliceRows, out)
         val bytes = du(out)
         rm(out)
         val extSecs = secs * denom

@@ -73,10 +73,19 @@ def compare(exp, got, name, allow_near=False):
 def oracle_one(dump_dir, sf100_dir, name, mem_gb):
     import duckdb
     sql = json.load(open(f"{dump_dir}/oracle_sql.json"))[name]
-    sql = sql.replace(PINNED, sf100_dir.rstrip("/"))
-    sql = sql.replace(
-        TPCH_PINNED, f"{TPCH_ROOT}/{os.path.basename(sf100_dir.rstrip('/'))}")
-    assert PINNED not in sql and TPCH_PINNED not in sql
+    target = sf100_dir.rstrip("/")
+    sql = sql.replace(PINNED, target)
+    # TpchFull rewrite: keep the same cache ROOT as the tpcds target (a
+    # probeRoot override moves both trees together via spark.graft.cacheRoot)
+    if "/graft_tpcds/gen20" in target:
+        tpch_dir = target.replace("/graft_tpcds/gen20", "/graft_tpchfull/gen2")
+    else:
+        tpch_dir = f"{TPCH_ROOT}/{os.path.basename(target)}"
+    sql = sql.replace(TPCH_PINNED, tpch_dir)
+    assert PINNED not in sql
+    # target == the pinned scale itself makes the rewrite a no-op; only
+    # assert the tpch pin is gone when it actually had to move
+    assert tpch_dir == TPCH_PINNED or TPCH_PINNED not in sql
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{mem_gb}GB'")
     tmp = "/tmp/graft_duck_tmp"
