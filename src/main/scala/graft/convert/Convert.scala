@@ -2,7 +2,7 @@ package graft.convert
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import graft.schema.Benchmark
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
 
 /** CSV↔Parquet conversion pipeline — Spark-native re-expression of the
   * reference's `convert_to_parquet` (/root/reference/src/lib.rs:45-120) and
@@ -31,6 +31,17 @@ import java.nio.file.{Files, Paths}
   * concurrently (the reference converts file-sequentially, src/lib.rs:86).
   */
 object Convert {
+
+  /** Fail-fast existence probe through the Hadoop FileSystem API, so the
+    * guard is correct for ANY input URI scheme (`hdfs://`, `s3a://`,
+    * `file:`, bare paths) — `java.nio.Files.exists` only sees the local
+    * POSIX filesystem and would reject a perfectly readable remote input
+    * before the job even starts (the same non-POSIX-URI bug class fixed in
+    * `plans/ShuffleScale.dirBytes`). */
+  private def hadoopExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** True iff the JVM LZO codec parquet-mr resolves for LZO pages is on the
     * classpath. hadoop-lzo is GPL and never ships with Spark, so on a stock
@@ -107,7 +118,7 @@ object Convert {
     val fmt = validateFormat(format)
     val c = validateCodec(codec)
     val in = s"$inputDir/$tableName.${benchmark.tableExt}"
-    if (!Files.exists(Paths.get(in)))
+    if (!hadoopExists(spark, in))
       throw new IllegalArgumentException(s"input path does not exist: $in")
     val out = s"$outputDir/$tableName.$fmt"
     val df = readRaw(spark, in, benchmark.schema(tableName), keepIgnore = keepIgnore)
@@ -132,7 +143,7 @@ object Convert {
                 codec: String = "snappy", concurrency: Int = 8,
                 parquetBlockSize: Option[Long] = None,
                 keepIgnore: Boolean = false): Unit = {
-    if (!Files.exists(Paths.get(inputDir)))
+    if (!hadoopExists(spark, inputDir))
       throw new IllegalArgumentException(s"input path does not exist: $inputDir")
     validateCodec(codec)
     import scala.concurrent.{Await, ExecutionContext, Future}

@@ -127,7 +127,14 @@ object GenUtil {
     * part-2 on re-run) and renamed through a `.tmpseq` namespace in two
     * phases, so re-flattening an already-flattened table can never
     * collide a move onto an existing `part-K.<ext>`. A missing table dir
-    * (a benchmark subset generation) is skipped, not thrown. */
+    * (a benchmark subset generation) is skipped, not thrown.
+    *
+    * Deliberately java.nio (POSIX-local): the flatten — like the
+    * reference's (src/lib.rs:91-115) — is a single-host/shared-POSIX-mount
+    * post-processing step over a local raw output dir, and so is the
+    * GenCache lock protocol. Remote URIs (`hdfs:`/`s3a:`) are out of
+    * scope here by design; Convert's read-side guards, by contrast, go
+    * through the Hadoop FileSystem API and accept any scheme. */
   def sequentialParts(outDir: String, table: String, ext: String): Unit = {
     import java.nio.file.{Files, Paths}
     val d = Paths.get(s"$outDir/$table.$ext")

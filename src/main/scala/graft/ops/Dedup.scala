@@ -346,9 +346,13 @@ object Dedup {
     * shingle iff its Jaccard > 0, so under `ORDER BY jacc DESC LIMIT 100`
     * this is exact whenever ≥100 pairs overlap at all (sf0.01: thousands do).
     * Scale: shuffle is keyed on the shingle — cost ∝ shingle collisions, not
-    * n²; no broadcast, no nested-loop. Hot-shingle skew is the residual risk
-    * (AQE skew-join handles moderate cases; a doc-frequency cap on shingles
-    * is the standard escalation). DuckDB-oracle-matched. */
+    * n²; no broadcast, no nested-loop. Hot-shingle skew is the residual
+    * risk: on a real corpus, boilerplate shingles fan the join out O(df²),
+    * so THE DEPLOYMENT DEFAULT IS [[q_dedup_ngram_capped]] (a doc-frequency
+    * cap bounds fan-out at cap² via one keyed count aggregate; AQE skew-join
+    * only smooths moderate cases). This uncapped form is the exact-recall
+    * twin for oracle scale factors — DedupSpec asserts the two agree
+    * wherever no shingle exceeds the cap. DuckDB-oracle-matched. */
   def q_dedup_ngram(s: SparkSession, d: String): DataFrame = {
     // Shingles are DISTINCT per doc (TextOps.shingleExpr), so the number of
     // equi-join matches for a pair IS |A ∩ B| — counting matches in the

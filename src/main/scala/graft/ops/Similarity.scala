@@ -160,9 +160,10 @@ object Similarity {
 
   /** IVF (inverted-file) ANN.
     *
-    * Index build: `numCells` coarse centroids chosen deterministically (the
-    * first C vector ids — with hash-generated fixtures this is an unbiased
-    * sample; a k-means refinement drops in behind the same contract). Every
+    * Index build: `numCells` coarse centroids chosen deterministically —
+    * the C vectors with the smallest `xxhash64(vec_id)`, a uniform sample
+    * of ANY corpus regardless of id assignment (a k-means refinement drops
+    * in behind the same contract). Every
     * vector scores against the broadcast centroid set and keeps its argmax
     * cell: the n×C scored rows are reduced to n by map-side partial
     * aggregation (max over a (cos, cell) struct), so the only shuffle is n
@@ -179,6 +180,37 @@ object Similarity {
     * partitioning-dependent centroid would make every downstream ANN result
     * flap run-to-run. Cells that lose all members drop out (standard Lloyd
     * behavior; probing handles a shrunken cell count). */
+  /** Greedy max-min (farthest-first) selection of `k` seed ids from a
+    * candidate pool, by cosine distance. Deterministic: starts from the
+    * pool's first row (= smallest hash rank, TakeOrdered preserves the
+    * sort) and breaks distance ties on vec_id. O(k·|pool|·dim) driver
+    * flops on a ≤ 8·C pool — microseconds-class. Zero-norm vectors sit at
+    * distance 1 from everything (cos treated as 0). */
+  private def farthestFirst(pool: Array[(Long, Array[Double])], k: Int): Seq[Long] = {
+    if (pool.isEmpty) return Seq.empty
+    val norms = pool.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }
+    def cos(i: Int, j: Int): Double = {
+      if (norms(i) == 0d || norms(j) == 0d) return 0d
+      val (a, b) = (pool(i)._2, pool(j)._2)
+      var s = 0d; var t = 0
+      while (t < math.min(a.length, b.length)) { s += a(t) * b(t); t += 1 }
+      s / (norms(i) * norms(j))
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    // min distance from each candidate to the chosen set so far
+    val minDist = Array.tabulate(pool.length)(i => 1d - cos(i, 0))
+    while (chosen.size < math.min(k, pool.length)) {
+      var best = -1
+      for (i <- pool.indices if !chosen.contains(i))
+        if (best < 0 || minDist(i) > minDist(best) ||
+            (minDist(i) == minDist(best) && pool(i)._1 < pool(best)._1))
+          best = i
+      chosen += best
+      for (i <- pool.indices) minDist(i) = math.min(minDist(i), 1d - cos(i, best))
+    }
+    chosen.map(pool(_)._1).toSeq
+  }
+
   def kmeansCentroids(emb: DataFrame, numCells: Int = 16, iters: Int = 1,
                       dim: Int = 0): DataFrame = {
     // dim <= 0 → derive from the data (one row's array length; a 64-dim
@@ -192,7 +224,34 @@ object Similarity {
         "kmeansCentroids: cannot derive embedding dim (null/empty first vector); pass dim explicitly")
       head.getInt(0)
     }
-    var cents = emb.filter(col("vec_id") < numCells)
+    // Seed = farthest-first traversal over a HASH-SAMPLED candidate pool
+    // (the k-means|| shape: oversample distributed, finalize driver-side —
+    // Bahmani et al., and what Spark MLlib's KMeans does with its own
+    // oversampled candidate set). Two properties the r16 seed (`vec_id <
+    // numCells`) lacked:
+    //  - corpus-order-agnostic: the pool is the 8·C smallest xxhash64
+    //    (vec_id) rows — a uniform deterministic sample however ids were
+    //    assigned (on a crawl/sort-ordered corpus the first C ids are ONE
+    //    region of the space; SimilaritySpec pins recall on an
+    //    adversarially re-ID'd replica);
+    //  - spatially spread: greedy max-min (2-approx k-center) over the
+    //    pool, so centroids cover the space instead of landing where the
+    //    sample got lucky.
+    // Plan shape: orderBy+limit compiles to TakeOrderedAndProject (per-
+    // partition top-8C, C ≤ ~1.4k — never a global sort shuffle); the
+    // driver-side pool is ≤ 8·C rows (bounded, index-build-only — the same
+    // class as MLlib's candidate collect, NOT a data-path collect()). The
+    // chosen ids re-select their vectors from `emb`, so centroid columns
+    // keep the corpus' own types.
+    val pool = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(numCells * 8)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val chosen = farthestFirst(pool, numCells)
+    var cents = emb.filter(col("vec_id").isin(chosen: _*))
       .select(col("vec_id").as("cell"), col("embedding").as("cv"))
     for (_ <- 1 to iters) {
       val assigned = emb.crossJoin(broadcast(cents))

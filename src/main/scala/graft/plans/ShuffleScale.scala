@@ -72,6 +72,17 @@ object ShuffleScale {
 
   private val bytesCache = new scala.collection.concurrent.TrieMap[String, Long]
 
+  /** Canonical cache key: the path resolved and qualified through its own
+    * Hadoop FileSystem, so `file:/x`, `/x` and an `fs.defaultFS`-relative
+    * spelling of the SAME directory collapse to one entry — and GenCache's
+    * post-sweep invalidate can never leave a stale byte count alive under
+    * an alias spelling (r16 ADVICE). */
+  private def qualified(path: String,
+                        conf: org.apache.hadoop.conf.Configuration): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).makeQualified(p).toString
+  }
+
   /** Recursive on-disk size of a materialized dir, measured through the
     * Hadoop FileSystem resolved for the path's scheme (bare paths resolve
     * against `fs.defaultFS`, exactly as `spark.read` does) — so the
@@ -80,12 +91,14 @@ object ShuffleScale {
     * are immutable once marker'd); a missing/empty dir is re-measured on
     * the next call, so measuring before materialization can never pin the
     * session at the floor (r15 ADVICE). */
-  def dirBytes(spark: SparkSession, path: String): Long =
-    bytesCache.get(path).getOrElse {
+  def dirBytes(spark: SparkSession, path: String): Long = {
+    val key = qualified(path, spark.sparkContext.hadoopConfiguration)
+    bytesCache.get(key).getOrElse {
       val n = measure(spark, path)
-      if (n > 0L) bytesCache.put(path, n)
+      if (n > 0L) bytesCache.put(key, n)
       n
     }
+  }
 
   private def measure(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -97,7 +110,16 @@ object ShuffleScale {
     * this after generating into or sweeping a dir, because the bytes
     * changed underneath any earlier measurement. */
   def invalidate(path: String): Unit = {
-    val norm = path.stripSuffix("/")
+    // qualify through the live session's Hadoop conf (GenCache always runs
+    // inside one) so the target normalizes exactly as dirBytes keyed it; a
+    // session-less or unparseable call degrades to the raw string, which
+    // still prefix-matches same-spelling keys.
+    val conf = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val norm = (try qualified(path, conf)
+                catch { case scala.util.control.NonFatal(_) => path })
+      .stripSuffix("/")
     bytesCache.keys.foreach { k =>
       val kn = k.stripSuffix("/")
       if (kn == norm || kn.startsWith(norm + "/") || norm.startsWith(kn + "/"))

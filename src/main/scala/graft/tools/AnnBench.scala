@@ -110,21 +110,24 @@ object AnnBench {
         println(f"""{"path":"$name","wall_s":$wall%.1f,"recall_at_$k":$recall%.3f,"near_dup_recall":$nearRecall%.3f,"returned":${got.size}}""")
     }
 
-    // LSH bucket occupancy at the production knobs — the quantity the
-    // candidate-join cost actually scales with (n·occupancy): per-band
-    // bucket fill of the 16-bit bucket space. Skipped when the path
-    // filter excludes every LSH path (an IVF-only run shouldn't pay a
-    // corpus-wide signature explode it didn't ask for).
-    if (only.forall(_.exists(f => "lsh_production_8x16".contains(f) ||
-                                  "lsh_tuned_32x8".contains(f)))) {
-    val occ = emb.select(posexplode(
-        Similarity.lshBuckets("embedding")).as(Seq("band", "bucket")))
-      .groupBy("band", "bucket").count()
-      .agg(max("count").as("max_occ"), avg("count").as("mean_occ"),
-        count(lit(1)).as("nonempty_buckets"))
-      .head()
-    println(f"""{"path":"lsh_production_occupancy","max_bucket":${occ.getLong(0)},"mean_bucket":${occ.getDouble(1)}%.2f,"nonempty_buckets":${occ.getLong(2)},"bucket_space_per_band":65536}""")
-    }
+    // LSH bucket occupancy — the quantity the candidate-join cost actually
+    // scales with (n·occupancy): per-band bucket fill. Emitted PER MATCHED
+    // LSH configuration with that configuration's own bands/bits (r16
+    // ADVICE: a run filtered to only the tuned path used to emit occupancy
+    // for the production knobs it never ran, mislabeled). Skipped entirely
+    // when the path filter excludes every LSH path — an IVF-only run
+    // shouldn't pay a corpus-wide signature explode it didn't ask for.
+    Seq(("lsh_production_8x16", 8, 16), ("lsh_tuned_32x8", 32, 8))
+      .filter { case (name, _, _) => only.forall(_.exists(name.contains)) }
+      .foreach { case (name, bands, bits) =>
+        val occ = emb.select(posexplode(
+            Similarity.lshBuckets("embedding", bands, bits)).as(Seq("band", "bucket")))
+          .groupBy("band", "bucket").count()
+          .agg(max("count").as("max_occ"), avg("count").as("mean_occ"),
+            count(lit(1)).as("nonempty_buckets"))
+          .head()
+        println(f"""{"path":"${name}_occupancy","max_bucket":${occ.getLong(0)},"mean_bucket":${occ.getDouble(1)}%.2f,"nonempty_buckets":${occ.getLong(2)},"bucket_space_per_band":${1 << bits}}""")
+      }
     spark.stop()
   }
 }

@@ -164,8 +164,16 @@ object ExecutorLossProbe {
       require(na == nb && extraA == 0 && extraB == 0,
         s"generation DIVERGED after executor loss: $na vs $nb rows, " +
           s"cleanOnly=$extraA killedOnly=$extraB")
+      // ExecutorRemoved is delivered on Spark's ASYNC listener bus — poll
+      // with a timeout instead of asserting right after the write returns
+      // (r16 ADVICE: a slow bus could flakily read 0/1 here even though the
+      // marker files above already attest both kills fired).
+      val deadline = System.currentTimeMillis() + 30000
+      while (removed.get() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
       require(removed.get() >= 2,
-        s"expected >=2 ExecutorRemoved events (one per leg), saw ${removed.get()}")
+        s"expected >=2 ExecutorRemoved events (one per leg), saw ${removed.get()} " +
+          "after a 30s listener-bus drain")
       println(s"EXECLOSS GEN OK rows=$na executors_removed=${removed.get()}")
     } finally spark.stop()
   }

@@ -67,6 +67,10 @@ object Sf100Dump {
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[sf100dump] $name failed: ${e.getMessage}")
       }
+      // shuffle files persist until driver GC (the Sf100Probe ENOSPC
+      // lesson): a whole-suite sweep accumulates every query's map
+      // outputs in spark.local.dir unless the driver GCs between them
+      System.gc()
     }
     def esc(s: String) = s.flatMap {
       case '\\' => "\\\\"

@@ -9,6 +9,13 @@ import java.nio.file.Files
   * reference's NotImplemented rejections (src/lib.rs:186-199, 207-212);
   * fail-fast semantics mirror src/lib.rs:62-71; the round-trip property is
   * generate(raw .tbl) → convert → read-back == generated DataFrame. */
+/** Offline stand-in for a remote FS scheme: RawLocalFileSystem re-badged as
+  * `rawtest:` (checkPath validates the scheme against getUri, so the base
+  * class rejects any non-`file:` path). */
+class RawTestFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("rawtest:///")
+}
+
 class ConvertSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -52,6 +59,29 @@ class ConvertSpec extends AnyFunSuite {
   test("fail-fast: missing input dir throws") {
     assertThrows[IllegalArgumentException](
       Convert.toParquet(spark, TpchGen, "/does/not/exist", "/tmp/never"))
+  }
+
+  test("fail-fast guards resolve non-file: URI schemes through the Hadoop FS API") {
+    // r16 verdict #1: the guards used java.nio.Files.exists, which returns
+    // false for ANY hdfs://-style URI and killed cluster conversions with a
+    // FALSE "input path does not exist". Register an offline alias scheme
+    // backed by RawLocalFileSystem and prove the guard (a) sees an existing
+    // input through the scheme and the conversion completes, (b) still
+    // rejects a genuinely missing path under the same scheme.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.rawtest.impl", classOf[RawTestFileSystem].getName)
+    val dir = Files.createTempDirectory("graft-uri").toString
+    TpchGen.generate(spark, 0.001, 1, s"$dir/raw")
+    Convert.table(spark, s"rawtest:$dir/raw", s"$dir/pq", TpchGen, "region")
+    val expected = TpchGen.table(spark, "region", 0.001, 1)
+    val actual = spark.read.parquet(s"$dir/pq/region.parquet")
+    assert(actual.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(actual).count() == 0)
+    // a java.nio guard would have thrown the SAME message for the good path
+    // above; the missing-path rejection must still fire through the scheme
+    val e = intercept[IllegalArgumentException](
+      Convert.table(spark, s"rawtest:$dir/nope", s"$dir/pq2", TpchGen, "region"))
+    assert(e.getMessage.contains("input path does not exist"))
   }
 
   test("round-trip: generate raw .tbl → convert → read-back equals generated") {

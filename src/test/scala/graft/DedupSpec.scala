@@ -117,6 +117,19 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.ngramPairs(docs, 0.5).count() == uncapped.count())
   }
 
+  test("capped ngram == uncapped ngram when no shingle exceeds the cap") {
+    // Closes the "which twin at scale" ambiguity: q_dedup_ngram_capped is
+    // the deployment default, and this pins that the cap is a pure fan-out
+    // fence — on a corpus where no shingle's doc frequency reaches the cap,
+    // the capped query returns EXACTLY the uncapped (exact-recall) pairs.
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val uncapped = Dedup.ngramPairs(docs, 0.2)
+    val capped = Dedup.ngramPairs(docs, 0.2, maxDocFreq = Some(1000000L))
+    assert(uncapped.exceptAll(capped).count() == 0 &&
+      capped.exceptAll(uncapped).count() == 0,
+      "cap above every shingle's df must not change the pair set")
+  }
+
   test("exact dedup counts multiplicity correctly on planted duplicates") {
     val dd = Dedup.q_dedup_exact _
     // build directly: every text appears exactly twice in `planted`

@@ -76,6 +76,56 @@ class ShuffleScaleSpec extends AnyFunSuite {
     assert(ShuffleScale.dirBytes(spark, dir) === 0L)
   }
 
+  test("cache keys are FS-qualified: invalidating the bare path clears a file:-cached alias") {
+    // r16 ADVICE: the cache was keyed on the raw string, so the SAME dir
+    // measured as "file:/x" and invalidated as "/x" kept a stale positive
+    // byte count alive — under-partitioning the next query over it.
+    val parent = java.nio.file.Files.createTempDirectory("graft-shufscale-alias")
+    val dir = parent.resolve("d")
+    val sub = java.nio.file.Files.createDirectories(dir.resolve("t.parquet"))
+    def sparse(name: String, bytes: Long): Unit = {
+      val raf = new java.io.RandomAccessFile(sub.resolve(name).toFile, "rw")
+      try raf.setLength(bytes) finally raf.close()
+    }
+    sparse("p0", 100L << 20)
+    // measure (and cache) under the SCHEMEFUL spelling
+    assert(ShuffleScale.dirBytes(spark, s"file:$dir") === (100L << 20))
+    // the dir grows, then GenCache-style invalidation uses the BARE spelling
+    sparse("p1", 100L << 20)
+    ShuffleScale.invalidate(dir.toString)
+    // BOTH spellings must see the new size — no stale alias survives
+    assert(ShuffleScale.dirBytes(spark, dir.toString) === (200L << 20))
+    assert(ShuffleScale.dirBytes(spark, s"file:$dir") === (200L << 20))
+  }
+
+  test("maxShufflePartitions is a live session knob: 10 TB derives past the default cap when raised") {
+    val tenTB = 10L << 40 // ceil(10 TB / 128 MiB) = 81920 — past the 32768 default
+    assert(ShuffleScale.derive(tenTB, 32) === ShuffleScale.maxPartitions)
+    assert(ShuffleScale.derive(tenTB, 32, cap = 131072) === 81920)
+    // end-to-end through tuneFor: a sparse 10 TB dir (no disk cost) first
+    // clamps at the default cap, then a session that raises the conf —
+    // the documented 100 TB deployment move — gets the proportional count
+    val dir = java.nio.file.Files.createTempDirectory("graft-shufscale-cap")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("t.parquet"))
+    val raf = new java.io.RandomAccessFile(sub.resolve("part-0.parquet").toFile, "rw")
+    try raf.setLength(tenTB) finally raf.close()
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val beforeCap = spark.conf.getOption("spark.graft.maxShufflePartitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(ShuffleScale.tuneFor(spark, dir.toString) === ShuffleScale.maxPartitions)
+      spark.conf.set("spark.graft.maxShufflePartitions", "131072")
+      assert(ShuffleScale.tuneFor(spark, dir.toString) === 81920)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "81920")
+    } finally {
+      beforeCap match {
+        case Some(v) => spark.conf.set("spark.graft.maxShufflePartitions", v)
+        case None    => spark.conf.unset("spark.graft.maxShufflePartitions")
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+  }
+
   test("tuneFor ratchets up, never down; fixedShuffle pins") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shufscale")
     val sub = java.nio.file.Files.createDirectory(dir.resolve("t.parquet"))

@@ -50,13 +50,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits == emb.count())
   }
 
-  test("IVF recall vs exact top-k is high on the fixture") {
-    val ivf = Similarity.q_sim_ivf(spark, TestSpark.sf001)
-      .select("a_id", "b_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val t = exactPairs
-    val recall = (t & ivf).size.toDouble / t.size
-    assert(recall >= 0.8, s"IVF recall $recall < 0.8")
+  /** The sf0.01 fixture is 500 UNCLUSTERED random 64-dim vectors — the
+    * hardest regime for IVF (cosine concentration: top-10 neighbors spread
+    * near-uniformly across cells), so recall on it tracks the PROBED-CELL
+    * FRACTION: measured 0.46 @ 4/16 probes, 0.68 @ 8/16, 0.92 @ 12/16.
+    * (An earlier revision read ≥0.8 at 4/16 — only because the id-rank
+    * seed made the anchors their own centroids, a biased evaluation the
+    * hash seeding removed.) The regime ANN is FOR — clustered/near-dup
+    * corpora — is pinned at default knobs by the planted-cluster test
+    * below and measured at 0.994–1.000 across four decades in SCALE.md
+    * §7.1. */
+  test("IVF recall on the unclustered fixture tracks the probed fraction") {
+    def recallAt(probes: Int): Double = {
+      val got = Similarity.ivfNeighbors(emb, col("vec_id") < 5,
+          numCells = 16, probes = probes, refineIters = 0)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val t = exactPairs
+      (t & got).size.toDouble / t.size
+    }
+    val lo = recallAt(4)
+    val hi = recallAt(12)
+    assert(lo >= 0.4, s"IVF recall @4/16 probes $lo < 0.4")
+    assert(hi >= 0.8, s"IVF recall @12/16 probes $hi < 0.8")
+    assert(hi > lo, "more probed cells must not lose recall on this fixture")
+  }
+
+  test("IVF at default knobs resolves planted near-duplicates exactly") {
+    // The production regime: every vector gets a near-copy (1.001-scaled,
+    // cosine 1.0 up to float rounding). The copy's argmax cell IS its own
+    // nearest centroid, so the default 4/16 probes must surface the
+    // original as top-1 for ALL 500 anchors — cell assignment and probing
+    // agree wherever the corpus actually has neighbor structure.
+    val planted = emb.unionByName(
+      emb.select((col("vec_id") + 10000).as("vec_id"),
+        expr("transform(embedding, x -> x * CAST(1.001 AS FLOAT))").as("embedding")))
+    val top1 = Similarity.ivfNeighbors(planted, col("vec_id") >= 10000, k = 1)
+    val hits = top1.filter(col("b_id") === col("a_id") - 10000).count()
+    assert(hits == emb.count(),
+      s"IVF missed ${emb.count() - hits} of ${emb.count()} planted near-dups")
   }
 
   test("Lloyd-refined centroids keep (or improve) IVF recall") {
@@ -71,7 +103,42 @@ class SimilaritySpec extends AnyFunSuite {
     val refined = recallOf(1)
     assert(refined >= seed - 0.1,
       s"refinement degraded recall: seed=$seed refined=$refined")
-    assert(refined >= 0.8, s"refined IVF recall $refined < 0.8")
+    // default 4/16 probes on the unclustered fixture — fraction regime
+    // (see the scaladoc above); the absolute bar lives where the corpus
+    // has structure (planted-cluster test, SCALE.md decades)
+    assert(refined >= 0.45, s"refined IVF recall $refined < 0.45")
+  }
+
+  test("IVF seed is corpus-order-agnostic: recall holds on an adversarially sorted replica") {
+    import org.apache.spark.sql.expressions.Window
+    // Re-ID the fixture by rank of the first embedding coordinate: ids
+    // 0..C-1 become ONE corner of the embedding space. The r16 seed
+    // (`vec_id < numCells`) drew every centroid from that corner on a
+    // corpus shaped like this (crawl/sort-ordered ids); the hash-rank seed
+    // is id-order-blind, so recall must hold at the unsorted fixture's bar.
+    val w = Window.orderBy(
+      expr("CAST(element_at(embedding, 1) AS DOUBLE)"), col("vec_id"))
+    val sorted = emb.select(
+      (row_number().over(w) - 1).cast("long").as("vec_id"), col("embedding"))
+    val a = sorted.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val exact = sorted.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      .join(broadcast(a), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), Similarity.cosine("va", "vb").as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))))
+      .filter(col("rn") <= 10)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same operating point as the unsorted fixture's high-fraction probe
+    // (12/16 cells — see the fraction-law scaladoc): id order must not
+    // matter to the seed, so the sorted replica meets the same bar
+    val ivf = Similarity.ivfNeighbors(sorted, col("vec_id") < 5,
+        numCells = 16, probes = 12, refineIters = 0)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall on the sorted replica $recall < 0.8")
   }
 
   test("ivfCells encodes the measured guidance: √n floored at 16, capped at 256") {

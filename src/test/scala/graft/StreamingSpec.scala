@@ -244,6 +244,83 @@ class StreamingSpec extends AnyFunSuite {
       "duplicate event_ids — the restart replayed a committed batch")
   }
 
+  test("RocksDB kill-restart: stateful dedup state survives through the checkpoint") {
+    // r16 verdict follow-up: the mid-stream kill test above is stateless
+    // (file-sink exactly-once only) and the RocksDB test below never
+    // crashes. This leg composes them: dropDuplicatesWithinWatermark keeps
+    // its seen-set in ROCKSDB state, the query dies abruptly mid-ingestion,
+    // and after the restart the ENTIRE corpus re-arrives as duplicate
+    // files — only a correctly RESTORED RocksDB checkpoint knows which
+    // event_ids were already emitted. State loss would re-emit them
+    // (count > total, duplicate ids); offset loss would drop or replay
+    // committed batches. Exactly-one-row-per-event pins both.
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = "/tmp/graft-rkill-stage"
+    val src = "/tmp/graft-rkill-src"
+    val out = "/tmp/graft-rkill-out"
+    val cp = "/tmp/graft-rkill-cp"
+    rmAll(stage, src, out, cp)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    raw.repartition(12).write.mode("overwrite").parquet(stage)
+    val total = raw.count()
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    new java.io.File(src).mkdirs()
+    // only HALF the corpus is visible to the first run — the kill provably
+    // lands before completion on any host speed (same margin construction
+    // as the stateless kill test above)
+    parts.take(6).foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(src, s"a-${f.getName}"))
+    }
+    def resumable() = EventStreams
+      .readReplay(spark, src, "3650 days", maxFilesPerTrigger = 1)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "event_type", "value")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q1 = resumable().trigger(Trigger.ProcessingTime("10 milliseconds")).start()
+      val deadline = System.currentTimeMillis() + 120000
+      while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(q1.recentProgress.count(_.numInputRows > 0) >= 2,
+        "stream made no progress before the kill")
+      q1.stop() // abrupt: in-flight batch abandoned, RocksDB checkpoint partial
+      val afterKill = spark.read.parquet(out).count()
+      assert(afterKill > 0, "no committed output before the kill")
+      assert(afterKill < total,
+        s"kill landed after completion ($afterKill of $total) — margin broken")
+      // post-kill: the second half arrives, AND the first half RE-ARRIVES
+      // as duplicate files — every already-emitted id must be suppressed
+      // by the RESTORED state (a fresh state would re-emit them all)
+      parts.drop(6).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(src, s"a-${f.getName}"))
+      }
+      parts.take(6).foreach { f =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(src, s"a-${f.getName}"),
+          java.nio.file.Paths.get(src, s"b-${f.getName}"))
+      }
+      val q2 = resumable().trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      val result = spark.read.parquet(out)
+      assert(result.count() == total,
+        s"state or offset loss across the RocksDB restart: ${result.count()} vs $total")
+      assert(result.select("event_id").distinct().count() == total,
+        "duplicate event_ids — RocksDB dedup state did not survive the kill")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private def rmAll(paths: String*): Unit = paths.foreach { p =>
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete()

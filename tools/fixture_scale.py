@@ -41,6 +41,11 @@ OFFSET = {
 
 
 def main(src, dst, k, only=None):
+    if only:
+        unknown = only - set(COPY) - set(OFFSET)
+        if unknown:
+            sys.exit(f"[fixture_scale] unknown table(s): {sorted(unknown)} "
+                     f"(known: {sorted(set(COPY) | set(OFFSET))})")
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     bases = {}  # (table, col) -> offset base
