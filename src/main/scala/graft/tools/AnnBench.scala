@@ -39,13 +39,35 @@ object AnnBench {
     val k = args.lift(2).map(_.toInt).getOrElse(10)
     val only = args.lift(3).map(_.split(",").toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // SPARK_GRAFT_ANN_CLUSTER=workers,cores,memMB runs the whole harness
+    // on local-cluster (separate executor JVMs, ClusterBench's seam): the
+    // custom vector expressions (VectorDot/LshSignature/MinHashSig) and
+    // broadcast anchor/centroid sets then serialize for REAL at ANN scale.
+    // Needs `sbt package` first — executors load graft classes from the jar.
+    val b = sys.env.get("SPARK_GRAFT_ANN_CLUSTER") match {
+      case Some(spec) =>
+        val Array(w, c, m) = spec.split(",").map(_.trim)
+        val dir = new java.io.File("target/scala-2.13")
+        val jars = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("tpctoolsspark") &&
+            f.getName.endsWith(".jar"))
+        require(jars.nonEmpty, "run `sbt package` first — executors need the jar")
+        SparkSession.builder()
+          .master(s"local-cluster[$w,$c,$m]")
+          .config("spark.jars", jars.maxBy(_.lastModified).getAbsolutePath)
+          .config("spark.executor.memory", s"${m}m")
+          .config("spark.sql.shuffle.partitions", (w.toInt * c.toInt).toString)
+      case None =>
+        SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+    }
+    val spark = b
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(s"""{"harness":"AnnBench","master":"${spark.sparkContext.master}"}""")
 
     val emb = graft.Tables(spark, dir, "embeddings")
       .select("vec_id", "embedding")
