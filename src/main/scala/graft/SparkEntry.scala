@@ -135,6 +135,7 @@ object SparkEntry {
     "q_agg_unpivot" -> Relational.q_agg_unpivot,
     "q_ts_gapfill" -> Relational.q_ts_gapfill,
     "q_text_tfidf" -> Relational.q_text_tfidf,
+    "q_text_bm25" -> Relational.q_text_bm25,
     "q_text_decontaminate_bloom" -> TextOps.q_text_decontaminate_bloom,
     "q_agg_groupingid" -> Relational.q_agg_groupingid,
     "q_fn_trycast" -> Relational.q_fn_trycast,
@@ -441,6 +442,8 @@ object SparkEntry {
       s"WITH e AS (SELECT event_type, date_trunc('hour', $evTs) AS b FROM events), g0 AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM e GROUP BY event_type), g AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 hour)) AS b FROM g0), c AS (SELECT event_type, b, count(*) AS n0 FROM e GROUP BY 1, 2) SELECT g.event_type, g.b, coalesce(c.n0, 0) AS n FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.b = c.b",
     "q_text_tfidf" ->
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.tf * (SELECT count(*) FROM documents) * 1.0 / df.df AS tfidf FROM tf JOIN df ON tf.term = df.term) SELECT doc_id, term, tf, df, tfidf, rn FROM (SELECT sc.*, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rn FROM sc) x WHERE rn <= 3",
+    "q_text_bm25" ->
+      "WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, unnest(string_split(text, ' ')) AS term FROM documents), tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok WHERE term IN ('hash', 'join', 'fast', 'scan') GROUP BY 1, 2, 3), df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl FROM documents), sc AS (SELECT tf.doc_id, CAST(ln(1.0 + (st.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS DECIMAL(20,6)) AS contrib FROM tf JOIN df ON tf.term = df.term CROSS JOIN st) SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS bm25, count(*) AS n_terms FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20",
     "q_agg_groupingid" ->
       "SELECT r_name, n_name, count(*) AS n, CAST(grouping(r_name) AS INT) AS g_r, CAST(grouping(n_name) AS INT) AS g_n, CAST(grouping_id(r_name, n_name) AS INT) AS gid FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name)",
     "q_fn_trycast" ->

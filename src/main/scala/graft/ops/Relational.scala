@@ -1107,6 +1107,52 @@ object Relational {
       .select(col("event_type"), col("b"), coalesce(col("n0"), lit(0L)).as("n"))
   }
 
+  /** [Q-text-bm25] BM25 retrieval scoring (Robertson/Sparck-Jones; the
+    * ranking function behind corpus search and retrieval-based curation) of
+    * a fixed query against every document: k1 = 1.2, b = 0.75, idf =
+    * ln(1 + (N - df + ½)/(df + ½)).
+    *
+    * Plan shape: tokens explode once, filter to the (tiny, literal) query
+    * term set BEFORE any aggregate — the corpus-sized stream reduces to
+    * (doc, query-term) pairs immediately; tf is one keyed aggregate, df a
+    * second over the already-reduced tf table, the df attach a broadcast
+    * of ≤|query| rows, and the top-20 cut rides TakeOrdered. N and avgdl
+    * are two 1-row scalar aggregates (the legitimate driver-scalar class).
+    *
+    * Determinism contract: the per-term contribution (the only libm-`ln`
+    * value) is rounded to DECIMAL(20,6) BEFORE the per-doc sum, so the
+    * sum is exact decimal arithmetic — order-independent across
+    * partitionings and bit-identical across engines (a raw double sum
+    * would expose both engines' fold order AND their ln's last-ulp
+    * disagreement at the top-k boundary). Same spirit as floor(x+0.5) in
+    * q_embed_quantize. DuckDB-oracle-matched. */
+  def q_text_bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val qterms = Seq("hash", "join", "fast", "scan")
+    val stats = docs.select(count(lit(1)).as("n"),
+      sum(size(split(col("text"), " "))).as("tot")).head()
+    val nDocs = stats.getLong(0).toDouble
+    val avgdl = stats.getLong(1).toDouble / stats.getLong(0)
+    val tf = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("idf", log(lit(1.0) +
+        (lit(nDocs) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("contrib", (col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+        .cast("decimal(20,6)"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").cast("double").as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** [Q-text-tfidf] TF-IDF term ranking: term frequency per doc (one keyed
     * aggregate), document frequency per term (second keyed aggregate over
     * the ALREADY-reduced tf table — never re-touching the corpus), score =
