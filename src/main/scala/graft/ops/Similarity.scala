@@ -161,9 +161,10 @@ object Similarity {
   /** IVF (inverted-file) ANN.
     *
     * Index build: `numCells` coarse centroids chosen deterministically —
-    * the C vectors with the smallest `xxhash64(vec_id)`, a uniform sample
-    * of ANY corpus regardless of id assignment (a k-means refinement drops
-    * in behind the same contract). Every
+    * farthest-first traversal over the 8·C vectors with the smallest
+    * `xxhash64(vec_id)` (a uniform sample of ANY corpus regardless of id
+    * assignment, then spatially spread; a k-means refinement drops in
+    * behind the same contract). Every
     * vector scores against the broadcast centroid set and keeps its argmax
     * cell: the n×C scored rows are reduced to n by map-side partial
     * aggregation (max over a (cos, cell) struct), so the only shuffle is n
@@ -197,15 +198,18 @@ object Similarity {
       s / (norms(i) * norms(j))
     }
     val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val taken = new Array[Boolean](pool.length)
+    taken(0) = true
     // min distance from each candidate to the chosen set so far
     val minDist = Array.tabulate(pool.length)(i => 1d - cos(i, 0))
     while (chosen.size < math.min(k, pool.length)) {
       var best = -1
-      for (i <- pool.indices if !chosen.contains(i))
+      for (i <- pool.indices if !taken(i))
         if (best < 0 || minDist(i) > minDist(best) ||
             (minDist(i) == minDist(best) && pool(i)._1 < pool(best)._1))
           best = i
       chosen += best
+      taken(best) = true
       for (i <- pool.indices) minDist(i) = math.min(minDist(i), 1d - cos(i, best))
     }
     chosen.map(pool(_)._1).toSeq
