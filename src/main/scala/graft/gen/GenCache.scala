@@ -66,16 +66,16 @@ object GenCache {
           val lock = ch.lock() // blocks until any concurrent generator finishes
           try {
             if (!Files.exists(marker)) { // re-check under the lock
-              sweep(dirPath) // markerless partial from a crashed run
-              sweepStaleSiblings(Paths.get(root))
+              sweep(spark, dirPath) // markerless partial from a crashed run
+              sweepStaleSiblings(spark, Paths.get(root))
               val tmp = Paths.get(root, s".$base.tmp")
-              sweep(tmp)
+              sweep(spark, tmp)
               generate(spark, base.drop(2).toDouble, tmp.toString)
               Files.createFile(tmp.resolve("_GRAFT_COMPLETE"))
               Files.move(tmp, dirPath, StandardCopyOption.ATOMIC_MOVE)
               // the dir's bytes just changed under any earlier (pre-
               // materialization) measurement — drop it (r15 ADVICE)
-              graft.plans.ShuffleScale.invalidate(dir)
+              graft.plans.ShuffleScale.invalidate(spark, dir)
             }
           } finally lock.release()
         } finally ch.close()
@@ -83,12 +83,12 @@ object GenCache {
       dir
     }
 
-  private def sweep(p: java.nio.file.Path): Unit = {
+  private def sweep(spark: SparkSession, p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.exists(p)) {
       val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
       try it.forEach(f => Files.delete(f)) finally it.close()
-      graft.plans.ShuffleScale.invalidate(p.toString)
+      graft.plans.ShuffleScale.invalidate(spark, p.toString)
     }
   }
 
@@ -103,7 +103,7 @@ object GenCache {
     * skips the sibling; it gets swept by a later run once idle.
     * Best-effort throughout — a failure to delete one stale sibling never
     * blocks generation. */
-  private[graft] def sweepStaleSiblings(current: java.nio.file.Path): Unit = {
+  private[graft] def sweepStaleSiblings(spark: SparkSession, current: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     val parent = current.getParent
     val keep = current.getFileName.toString
@@ -111,7 +111,7 @@ object GenCache {
       val kids = Files.list(parent)
       try kids.forEach { k =>
         if (k.getFileName.toString != keep)
-          try sweepIfUnlocked(k)
+          try sweepIfUnlocked(spark, k)
           catch { case scala.util.control.NonFatal(_) => () }
       } finally kids.close()
     }
@@ -132,7 +132,7 @@ object GenCache {
     * created the dir but not yet its first `<sf>.lock`. An idle stale dir
     * is swept by any later run once the mtime ages past the grace window. */
   private val freshDirGraceMs = 15 * 60 * 1000L
-  private def sweepIfUnlocked(p: java.nio.file.Path): Unit = {
+  private def sweepIfUnlocked(spark: SparkSession, p: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardOpenOption}
     if (!Files.isDirectory(p)) { Files.deleteIfExists(p); return }
     def listLocks(): List[java.nio.file.Path] = {
@@ -157,7 +157,7 @@ object GenCache {
         try ch.tryLock() != null
         catch { case _: java.nio.channels.OverlappingFileLockException => false }
       }
-      if (allAcquired && listLocks() == lockFiles) sweep(p)
+      if (allAcquired && listLocks() == lockFiles) sweep(spark, p)
     } finally channels.foreach(ch =>
       try ch.close() catch { case scala.util.control.NonFatal(_) => () })
   }

@@ -1125,10 +1125,18 @@ object Relational {
     * partitionings and bit-identical across engines (a raw double sum
     * would expose both engines' fold order AND their ln's last-ulp
     * disagreement at the top-k boundary). Same spirit as floor(x+0.5) in
-    * q_embed_quantize. DuckDB-oracle-matched. */
-  def q_text_bm25(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    val qterms = Seq("hash", "join", "fast", "scan")
+    * q_embed_quantize. DuckDB-oracle-matched.
+    *
+    * The declared entry pins the 4-term literal set below for the oracle;
+    * `bm25` is the parameterized API (any query term set, any top-k). */
+  def q_text_bm25(s: SparkSession, d: String): DataFrame =
+    bm25(t(s, d, "documents"), Seq("hash", "join", "fast", "scan"))
+
+  /** BM25 scoring of `qterms` against every document in `docs` (columns
+    * `doc_id`, whitespace-tokenized `text`), top `k` by (score desc,
+    * doc_id). Plan shape and determinism contract per [Q-text-bm25]. */
+  def bm25(docs: DataFrame, qterms: Seq[String], k: Int = 20): DataFrame = {
+    require(qterms.nonEmpty, "bm25 needs at least one query term")
     val stats = docs.select(count(lit(1)).as("n"),
       sum(size(split(col("text"), " "))).as("tot")).head()
     val nDocs = stats.getLong(0).toDouble
@@ -1150,7 +1158,7 @@ object Relational {
       .agg(sum("contrib").cast("double").as("bm25"),
         count(lit(1)).as("n_terms"))
       .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
+      .limit(k)
   }
 
   /** [Q-text-tfidf] TF-IDF term ranking: term frequency per doc (one keyed

@@ -108,15 +108,15 @@ object ShuffleScale {
 
   /** Forget cached measurements at/under/above `path` — GenCache calls
     * this after generating into or sweeping a dir, because the bytes
-    * changed underneath any earlier measurement. */
-  def invalidate(path: String): Unit = {
-    // qualify through the live session's Hadoop conf (GenCache always runs
-    // inside one) so the target normalizes exactly as dirBytes keyed it; a
-    // session-less or unparseable call degrades to the raw string, which
-    // still prefix-matches same-spelling keys.
-    val conf = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    * changed underneath any earlier measurement. Takes the SparkSession
+    * so the target qualifies through EXACTLY the Hadoop conf `dirBytes`
+    * keyed with (r17 ADVICE: the previous thread-local-session lookup
+    * could fall back to a fresh Configuration that qualifies bare paths
+    * as file:/..., silently missing hdfs:-qualified keys). An
+    * unparseable path degrades to the raw string, which still
+    * prefix-matches same-spelling keys. */
+  def invalidate(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val norm = (try qualified(path, conf)
                 catch { case scala.util.control.NonFatal(_) => path })
       .stripSuffix("/")

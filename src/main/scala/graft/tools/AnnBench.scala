@@ -46,12 +46,25 @@ object AnnBench {
     // Needs `sbt package` first — executors load graft classes from the jar.
     val b = sys.env.get("SPARK_GRAFT_ANN_CLUSTER") match {
       case Some(spec) =>
-        val Array(w, c, m) = spec.split(",").map(_.trim)
-        val dir = new java.io.File("target/scala-2.13")
-        val jars = Option(dir.listFiles()).getOrElse(Array.empty)
+        val fields = spec.split(",").map(_.trim)
+        require(fields.length == 3 && fields.forall(_.toIntOption.exists(_ > 0)),
+          s"SPARK_GRAFT_ANN_CLUSTER must be 'workers,coresPerWorker,memMB' " +
+            s"(three positive ints), got '$spec'")
+        val Array(w, c, m) = fields
+        // resolve the packaged jar relative to where THIS class was loaded
+        // from (works from any cwd); SPARK_GRAFT_JAR_DIR overrides both.
+        val codeSrc = new java.io.File(
+          getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        val jarDir = sys.env.get("SPARK_GRAFT_JAR_DIR")
+          .map(new java.io.File(_))
+          .getOrElse(if (codeSrc.isFile) codeSrc.getParentFile
+                     else new java.io.File(codeSrc, "..")) // classes/ -> scala-2.13/
+        val jars = Option(jarDir.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("tpctoolsspark") &&
             f.getName.endsWith(".jar"))
-        require(jars.nonEmpty, "run `sbt package` first — executors need the jar")
+        require(jars.nonEmpty, s"no tpctoolsspark*.jar under " +
+          s"${jarDir.getCanonicalPath} — run `sbt package` first (executors " +
+          s"need the jar), or point SPARK_GRAFT_JAR_DIR at it")
         SparkSession.builder()
           .master(s"local-cluster[$w,$c,$m]")
           .config("spark.jars", jars.maxBy(_.lastModified).getAbsolutePath)

@@ -368,11 +368,11 @@ class GenSpec extends AnyFunSuite {
     // (OverlappingFileLockException) — exactly the signal sweep must honor
     val held = ch.tryLock()
     try {
-      graft.gen.GenCache.sweepStaleSiblings(cur)
+      graft.gen.GenCache.sweepStaleSiblings(spark, cur)
       assert(Files.exists(stale.resolve("sf0.01")),
         "sweep deleted a generation whose scale lock was held")
     } finally { held.release(); ch.close() }
-    graft.gen.GenCache.sweepStaleSiblings(cur)
+    graft.gen.GenCache.sweepStaleSiblings(spark, cur)
     assert(!Files.exists(stale), "sweep skipped an unlocked stale generation")
   }
 

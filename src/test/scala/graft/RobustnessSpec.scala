@@ -209,11 +209,11 @@ class RobustnessSpec extends AnyFunSuite {
     Files.setLastModifiedTime(parent.resolve("sf0.001"), old)
     // a freshly-created lock-less sibling must SURVIVE the sweep
     Files.createDirectories(parent.resolve("gen7"))
-    GenCache.sweepStaleSiblings(current)
+    GenCache.sweepStaleSiblings(spark, current)
     assert(Files.exists(parent.resolve("gen7")),
       "fresh lock-less sibling swept inside the grace window")
     Files.setLastModifiedTime(parent.resolve("gen7"), old)
-    GenCache.sweepStaleSiblings(current)
+    GenCache.sweepStaleSiblings(spark, current)
     val left = { val s = Files.list(parent); try { val l = s.iterator(); val b =
       scala.collection.mutable.ListBuffer.empty[String]
       while (l.hasNext) b += l.next().getFileName.toString; b.toList } finally s.close() }

@@ -72,7 +72,7 @@ class ShuffleScaleSpec extends AnyFunSuite {
     java.nio.file.Files.delete(sub.resolve("p0"))
     assert(ShuffleScale.dirBytes(spark, dir) === (300L << 20))
     // …until GenCache invalidates after regenerating/sweeping the tree
-    ShuffleScale.invalidate(parent.toString)
+    ShuffleScale.invalidate(spark, parent.toString)
     assert(ShuffleScale.dirBytes(spark, dir) === 0L)
   }
 
@@ -92,7 +92,7 @@ class ShuffleScaleSpec extends AnyFunSuite {
     assert(ShuffleScale.dirBytes(spark, s"file:$dir") === (100L << 20))
     // the dir grows, then GenCache-style invalidation uses the BARE spelling
     sparse("p1", 100L << 20)
-    ShuffleScale.invalidate(dir.toString)
+    ShuffleScale.invalidate(spark, dir.toString)
     // BOTH spellings must see the new size — no stale alias survives
     assert(ShuffleScale.dirBytes(spark, dir.toString) === (200L << 20))
     assert(ShuffleScale.dirBytes(spark, s"file:$dir") === (200L << 20))

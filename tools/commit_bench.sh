@@ -9,9 +9,17 @@
 # contention_index is above the clean threshold unless forced.
 #
 # Usage: tools/commit_bench.sh [record.json] [--force]
+#
+# Two independent gates (r17 verdict #1): the MEDIAN contention_index must
+# be <= 1.5, AND every SINGLE control's median must sit <= 2x its committed
+# ref. The second gate exists because a median-of-3 contention_index can
+# mask one diffusely-elevated control (r17's promoted record carried
+# ctl_cpu at 2.4x ref behind a 1.13 median, and normalized_total swung 19%
+# between two same-code records as a result).
 set -eu
 DST="/root/repo/BENCH_PERQUERY.json"
 THRESHOLD="1.5"
+PER_CONTROL_MAX="2.0"
 FORCE="no"
 SRC=""
 # first non-flag argument is the record path; flags may appear anywhere
@@ -32,6 +40,23 @@ if [ "$NF" != "0" ] && [ "$FORCE" != "yes" ]; then
 fi
 if [ "$OK" != "yes" ] && [ "$FORCE" != "yes" ]; then
   echo "REFUSED: contention_index $CI > $THRESHOLD — not a clean record (pass --force to override)" >&2
+  exit 1
+fi
+# per-control gate: every control's median must be <= PER_CONTROL_MAX x its
+# ref — the median contention_index under-corrects a single elevated control.
+BAD=$(python3 -c "
+import json, sys
+rec = json.load(open(sys.argv[1]))
+cap = float(sys.argv[2])
+bad = []
+for name, c in sorted(rec.get('controls', {}).items()):
+    ratio = c['median'] / c['ref']
+    if ratio > cap:
+        bad.append('%s %.2f (median %.3f vs ref %.3f)' % (name, ratio, c['median'], c['ref']))
+print('; '.join(bad))
+" "$SRC" "$PER_CONTROL_MAX")
+if [ -n "$BAD" ] && [ "$FORCE" != "yes" ]; then
+  echo "REFUSED: control(s) above ${PER_CONTROL_MAX}x ref: $BAD (pass --force to override)" >&2
   exit 1
 fi
 cp "$SRC" "$DST"
