@@ -87,6 +87,7 @@ object SparkEntry {
     "q_dedup_exact" -> Dedup.q_dedup_exact,
     "q_dedup_minhash" -> Dedup.q_dedup_minhash,
     "q_dedup_minhash_sig" -> Dedup.q_dedup_minhash_sig,
+    "q_dedup_incremental" -> Dedup.q_dedup_incremental,
     "q_dedup_simhash" -> Dedup.q_dedup_simhash,
     "q_dedup_simhash_pairs" -> Dedup.q_dedup_simhash_pairs,
     "q_dedup_ngram" -> Dedup.q_dedup_ngram,

@@ -118,6 +118,70 @@ object Dedup {
   def q_dedup_minhash_sig(s: SparkSession, d: String): DataFrame =
     minhashSignatures(Tables(s, d, "documents")).orderBy(col("doc_id"), col("band"))
 
+  /** Incremental near-dup dedup: an arriving BATCH checked against a
+    * persisted historical index — the production shape at 100 TB, where the
+    * history is signed ONCE (its banded index `(doc_id, band, bucket)` and
+    * hashed shingle arrays `(doc_id, sh)` live as parquet) and each new
+    * batch joins only its own signatures against that index instead of
+    * re-signing the corpus. Compose with [[minhashDupPairs]] on the batch
+    * alone for intra-batch duplicates; the union of the two pair sets is
+    * exactly [[minhashDupPairs]] of history∪batch minus history-internal
+    * pairs (DedupSpec pins the cross-pair equality).
+    *
+    * Scale shape: the batch signature is a map-only projection; candidates
+    * come from the (band, bucket) equi-join against the index — AQE
+    * broadcasts the batch side when it is small (the daily-increment case,
+    * leaving the corpus-sized index entirely un-shuffled map-side), and
+    * falls back to a keyed shuffle join when the batch is itself huge.
+    * Verification touches only colliding pairs and ships hashed shingles
+    * (8-byte longs), never text.
+    *
+    * @param histIndex    persisted `(doc_id, band, bucket)` — the output of
+    *                     [[minhashSignatures]] over the history
+    * @param histShingles persisted `(doc_id, sh: array<long>)` — hashed
+    *                     3-shingles of the history (txt.shingle_hashes)
+    * @return (new_id, hist_id, jacc) verified cross pairs, Jaccard ≥
+    *         `threshold`
+    */
+  def minhashIncremental(batch: DataFrame, histIndex: DataFrame,
+                         histShingles: DataFrame, threshold: Double = 0.5,
+                         perms: Int = 64, bands: Int = 16): DataFrame = {
+    val newSig = minhashSignatures(batch, perms, bands)
+      .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+    val cand = histIndex
+      .join(newSig, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("new_id"))
+      .select(col("new_id"), col("doc_id").as("hist_id"))
+      .distinct()
+    val newSh = batch.select(col("doc_id").as("new_id"),
+      txt.shingle_hashes(col("text"), 3).as("sha"))
+    cand
+      .join(newSh, "new_id")
+      .join(histShingles.select(col("doc_id").as("hist_id"), col("sh").as("shb")),
+        "hist_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jacc", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jacc") >= threshold)
+      .select(col("new_id"), col("hist_id"), col("jacc"))
+  }
+
+  /** [Q-dedup-incremental] the incremental shape over the gate fixture:
+    * odd doc_ids arrive as the batch, even doc_ids are the indexed history
+    * (index + shingles derived in-query — at deployment both are persisted
+    * parquet). Engine-specific hashes → no DuckDB oracle; DedupSpec pins
+    * the output equal to the cross-(odd,even) slice of [[minhashDupPairs]]
+    * over the full corpus, plus planted-dup recall. */
+  def q_dedup_incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val histShingles = hist.select(col("doc_id"),
+      txt.shingle_hashes(col("text"), 3).as("sh"))
+    minhashIncremental(batch, minhashSignatures(hist), histShingles)
+      .orderBy(col("new_id"), col("hist_id"))
+  }
+
   /** 64-bit SimHash per document — ROW-LOCAL via the native SimHash64
     * expression (graft.functions.SimHash64): the whole signature computes
     * inside the projection, so simhashing a corpus is a map-only pass with

@@ -29,6 +29,30 @@ class DedupSpec extends AnyFunSuite {
     assert(s1.exceptAll(s8).count() == 0 && s8.exceptAll(s1).count() == 0)
   }
 
+  test("incremental: every batch doc that copies a history doc is found at jacc 1.0") {
+    val hist = docs
+    val batch = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val histShingles = hist.select(col("doc_id"),
+      graft.functions.txt.shingle_hashes(col("text"), 3).as("sh"))
+    val found = Dedup.minhashIncremental(batch, Dedup.minhashSignatures(hist),
+        histShingles, threshold = 0.99)
+      .filter(col("new_id") === col("hist_id") + 10000 && col("jacc") === 1.0)
+    assert(found.count() == docs.count())
+  }
+
+  test("incremental == the cross-(batch,history) slice of whole-corpus minhashDupPairs") {
+    // the declared query's split: odd ids arrive, even ids are history
+    val inc = Dedup.q_dedup_incremental(spark, TestSpark.sf001)
+      .select("new_id", "hist_id", "jacc")
+    val cross = Dedup.minhashDupPairs(docs)
+      .filter((col("a_id") % 2) =!= (col("b_id") % 2))
+      .select(
+        when(col("a_id") % 2 === 1, col("a_id")).otherwise(col("b_id")).as("new_id"),
+        when(col("a_id") % 2 === 1, col("b_id")).otherwise(col("a_id")).as("hist_id"),
+        col("jacc"))
+    assert(inc.exceptAll(cross).count() == 0 && cross.exceptAll(inc).count() == 0)
+  }
+
   test("SimHash banding recovers every planted exact duplicate at hamming 0") {
     val pairs = Dedup.simhashDupPairs(planted)
       .filter(col("b_id") === col("a_id") + 10000 && col("hamming") === 0)
