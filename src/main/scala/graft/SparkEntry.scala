@@ -96,6 +96,7 @@ object SparkEntry {
     "q_dedup_embed" -> Similarity.q_dedup_embed,
     "q_sim_topk" -> Similarity.q_sim_topk,
     "q_sim_lsh" -> Similarity.q_sim_lsh,
+    "q_sim_lsh_inc" -> Similarity.q_sim_lsh_inc,
     "q_sim_ivf" -> Similarity.q_sim_ivf,
     "q_embed_quantize" -> Similarity.q_embed_quantize,
     "q_text_stats" -> TextOps.q_text_stats,

@@ -147,6 +147,70 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_r"), col("rn"))
   }
 
+  /** The persisted half of the incremental ANN serving shape: band the
+    * corpus ONCE into `(vec_id, band, bucket)` — a map-only projection whose
+    * output is what a deployment writes as the index parquet (alongside the
+    * raw `(vec_id, embedding)` table it already has). [[lshIncremental]]
+    * consumes both. */
+  def lshIndex(emb: DataFrame, bands: Int = 8, bitsPerBand: Int = 16): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(lshBuckets("embedding", bands, bitsPerBand)).as(Seq("band", "bucket")))
+
+  /** Incremental ANN: a QUERY batch against a persisted index — the serving
+    * analogue of [[graft.ops.Dedup.minhashIncremental]]. The history is
+    * banded once ([[lshIndex]]) and never re-signed or re-shuffled per
+    * batch: the batch's signatures are a row-local projection, candidates
+    * come from the (band, bucket) equi-join against the index (AQE
+    * broadcasts the batch side when it is small — the daily-serving case),
+    * and the exact-cosine re-rank touches only colliding pairs. The
+    * history-embedding attach is a keyed join in which the candidate side
+    * is ≤ |batch|·occupancy rows — AQE broadcasts it, so the corpus-sized
+    * vector table streams map-side.
+    *
+    * @param histIndex   persisted `(vec_id, band, bucket)` from [[lshIndex]]
+    *                    (same bands/bitsPerBand as passed here)
+    * @param histVectors persisted `(vec_id, embedding)` — the corpus itself
+    * @return (q_id, hist_id, cos_r, rn) — top-`k` history neighbors per
+    *         query vector among LSH collisions
+    */
+  def lshIncremental(queries: DataFrame, histIndex: DataFrame,
+                     histVectors: DataFrame, k: Int = 10,
+                     bands: Int = 8, bitsPerBand: Int = 16): DataFrame = {
+    val qSig = queries.select(col("vec_id").as("q_id"),
+      posexplode(lshBuckets("embedding", bands, bitsPerBand)).as(Seq("band", "bucket")))
+    val cand = histIndex
+      .join(qSig, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("hist_id"))
+      .distinct()
+    cand
+      .join(histVectors.select(col("vec_id").as("hist_id"),
+        col("embedding").as("vh")), "hist_id")
+      .join(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("vq")), "q_id")
+      .select(col("q_id"), col("hist_id"), cosine("vq", "vh").as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("hist_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("hist_id"), round(col("cos"), 6).as("cos_r"), col("rn"))
+  }
+
+  /** [Q-sim-lsh-inc] the incremental serving shape over the gate fixture:
+    * odd vec_ids arrive as the query batch, even vec_ids are the persisted
+    * history (index + vectors derived in-query — at deployment both are
+    * parquet). Fixture-occupancy band knobs like [[q_sim_lsh]]. Rows-only
+    * at the gate (engine-specific hashes); SimilaritySpec pins planted
+    * top-1 recall and the partition-invariance of the index. */
+  def q_sim_lsh_inc(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables(s, d, "embeddings")
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+    val queries = emb.filter(col("vec_id") % 2 === 1)
+    lshIncremental(queries, lshIndex(hist, bands = 32, bitsPerBand = 8),
+        hist.select("vec_id", "embedding"), k = 5,
+        bands = 32, bitsPerBand = 8)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** [Q-sim-lsh] LSH-bucketed ANN of the anchor set (rows-only check;
     * bucketing correctness + planted-duplicate recall asserted in tests).
     * Band knobs are occupancy-tuned to the data, as LSH always is: at n=500

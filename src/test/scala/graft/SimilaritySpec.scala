@@ -50,6 +50,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits == emb.count())
   }
 
+  test("incremental LSH: every query copying a history vector returns it as top-1 at cos 1.0") {
+    val queries = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val top1 = Similarity.lshIncremental(queries,
+      Similarity.lshIndex(emb), emb, k = 1)
+    val hits = top1.filter(col("hist_id") === col("q_id") - 10000 &&
+      col("cos_r") === 1.0).count()
+    assert(hits == emb.count())
+  }
+
+  test("incremental LSH equals anchor-mode lshNeighbors restricted to the history side") {
+    // same split as the declared query: odd ids arrive, even are history.
+    // lshNeighbors over the WHOLE corpus with odd anchors, restricted to
+    // even-id neighbors and re-ranked, must equal the incremental result —
+    // the index path changes the execution shape, never the answer.
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+    val queries = emb.filter(col("vec_id") % 2 === 1)
+    val inc = Similarity.lshIncremental(queries,
+        Similarity.lshIndex(hist, bands = 32, bitsPerBand = 8),
+        hist, k = 5, bands = 32, bitsPerBand = 8)
+      .select(col("q_id"), col("hist_id"), col("cos_r"), col("rn"))
+    val viaNeighbors = Similarity.lshNeighbors(emb, col("vec_id") % 2 === 1,
+        k = Int.MaxValue, bands = 32, bitsPerBand = 8)
+      .filter(col("b_id") % 2 === 0)
+      .withColumn("rn2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a_id")
+          .orderBy(col("cos_r").desc, col("b_id"))))
+      .filter(col("rn2") <= 5)
+      .select(col("a_id").as("q_id"), col("b_id").as("hist_id"),
+        col("cos_r"), col("rn2").as("rn"))
+    assert(inc.exceptAll(viaNeighbors).count() == 0 &&
+      viaNeighbors.exceptAll(inc).count() == 0)
+  }
+
   /** The sf0.01 fixture is 500 UNCLUSTERED random 64-dim vectors — the
     * hardest regime for IVF (cosine concentration: top-10 neighbors spread
     * near-uniformly across cells), so recall on it tracks the PROBED-CELL
