@@ -72,6 +72,35 @@ class StreamingSpec extends AnyFunSuite {
     assertSame(enriched, batch, "stream-static enrichment")
   }
 
+  test("streaming ingestion dedup == batch incremental dedup (static index, multi-batch)") {
+    import graft.ops.Dedup
+    import graft.streaming.DocStreams
+    // the declared query's split at sf0.01: odd doc_ids arrive (here as 4
+    // parquet files -> 4 micro-batches), even are the static history index
+    val docs = Tables(spark, TestSpark.sf001, "documents").select("doc_id", "text")
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val arriveDir = java.nio.file.Files.createTempDirectory("graft_docstream")
+    docs.filter(col("doc_id") % 2 === 1).repartition(4)
+      .write.mode("overwrite").parquet(arriveDir.toString)
+    val histIndex = Dedup.minhashSignatures(hist)
+    val histShingles = hist.select(col("doc_id"),
+      graft.functions.txt.shingle_hashes(col("text"), 3).as("sh"))
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    var batches = 0
+    val q = DocStreams.incrementalDedup(
+        DocStreams.readDocs(spark, arriveDir.toString, filesPerTrigger = 1),
+        histIndex, histShingles) { (pairs, _) =>
+      val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      acc.synchronized { acc ++= rows; batches += 1 }
+    }
+    try { q.processAllAvailable() } finally q.stop()
+    assert(batches >= 2, s"expected a multi-batch replay, saw $batches")
+    val want = Dedup.q_dedup_incremental(spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(acc.toSet == want,
+      s"streaming union (${acc.size}) != batch incremental (${want.size})")
+  }
+
   test("stream-stream interval self-join == batch theta join") {
     val joined = EventStreams.runToTable(
       EventStreams.intervalJoin(EventStreams.readEvents(spark, dir)),
