@@ -39,4 +39,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // config A/B harness: semicolon-separated spark confs injected as system
+  // properties (SparkSession.builder reads spark.* properties), e.g.
+  // SPARK_GRAFT_CONF="spark.sql.join.preferSortMergeJoin=false" — lets a
+  // candidate setting be measured on the unmodified bench before being
+  // baked into a session builder
+  sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(";"))
+    .map(_.trim).filter(_.nonEmpty).map("-D" + _)

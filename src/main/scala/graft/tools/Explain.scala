@@ -14,7 +14,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq
-    val b = SparkSession.builder()
+    val b = graft.plans.SessionDefaults.tuned(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -25,6 +25,10 @@ object Explain {
       .foreach(r => b.config("spark.graft.cacheRoot", r))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // provenance header: the session defaults in force when these plans
+    // were captured (committed plan files should be self-describing)
+    graft.plans.SessionDefaults.defaults.foreach { case (k, _) =>
+      println(s"[conf] $k=${spark.conf.get(k)}") }
     val (executed, qnames) = names.partition(_ == "--executed")
     qnames.foreach { n =>
       println(s"\n========== $n ==========")
