@@ -1153,7 +1153,10 @@ object Tpcds {
       .filter(col("ss_store_sk").isNotNull && col("ss_item_sk").isNotNull)
       .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
       .groupBy(col("ss_store_sk"), col("ss_item_sk"))
-      .agg(sum((col("ss_sales_price") * 100).cast(DecimalType(38, 0)))
+      // r18: ×100 hoisted past the sum — sum((7,2)) runs on Catalyst's
+      // DecimalAggregates long path (one BigDecimal multiply per GROUP,
+      // zero per row); (sum·100)::(38,0) is the identical exact cents value
+      .agg((sum(col("ss_sales_price")) * 100).cast(DecimalType(38, 0))
         .as("rev_c"))
     val sb = sc.groupBy(col("ss_store_sk").as("avg_store"))
       .agg(sum(col("rev_c")).as("tot_c"), count(lit(1)).as("cnt"))
@@ -1198,7 +1201,8 @@ object Tpcds {
       .join(broadcast(it), col("ss_item_sk") === col("i_item_sk"))
       .groupBy(col("i_item_id"), col("i_item_desc"), col("i_category"),
         col("i_class"), col("i_current_price"))
-      .agg(sum((col("ss_ext_sales_price") * 100).cast(DecimalType(38, 0)))
+      // r18: ×100 hoisted past the sum (see q65) — identical exact cents
+      .agg((sum(col("ss_ext_sales_price")) * 100).cast(DecimalType(38, 0))
         .as("rev_c"))
     // Same integer micro-ratio discipline as classRevenueShare: the share
     // is an exact integral divide, converted to double once.
@@ -1932,8 +1936,16 @@ object Tpcds {
     def chan(fact: String, dateCol: String, itemCol: String, ordCol: String,
              qtyCol: String, amtCol: String, ret: String, rOrdCol: String,
              rItemCol: String, rQtyCol: String, rAmtCol: String): DataFrame = {
+      // r18 returns-side prune (the q23/q80 leg pattern, missed here):
+      // the sales side is gated by the Electronics item slice, so only
+      // returns of sliced items can match the (order, item) LEFT join —
+      // the same broadcast semi shrinks the returns shuffle ~|categories|×
+      // before it happens (guide §3.2). Result-identical: pruned rows
+      // could never find a left-side partner.
       val r = t(spark, dir, ret)
         .select(col(rOrdCol), col(rItemCol), col(rQtyCol), col(rAmtCol))
+        .join(broadcast(it.select("i_item_sk")),
+          col(rItemCol) === col("i_item_sk"), "left_semi")
       t(spark, dir, fact)
         .select(col(dateCol), col(itemCol), col(ordCol), col(qtyCol),
           col(amtCol))
@@ -2263,18 +2275,22 @@ object Tpcds {
     * reach the output). */
   def q_tpcds_q2(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensure(spark, sfDir)
+    // r18: the ×100 cents conversion is hoisted past the seven day sums —
+    // the union projects the raw (7,2) price, each conditional sum runs on
+    // Catalyst's DecimalAggregates long path (zero per-row BigDecimal
+    // multiplies), and (sum·100)::(38,0) is the identical exact cents
+    // value feeding the unchanged integer micro-ratio below
     def dow(name: String): Column =
-      sum(when(col("d_day_name") === name, col("sales_price")))
+      (sum(when(col("d_day_name") === name, col("sales_price"))) * 100)
+        .cast(DecimalType(38, 0))
     val dd = t(spark, dir, "date_dim")
       .select("d_date_sk", "d_week_seq", "d_day_name")
     val u = t(spark, dir, "web_sales")
         .select(col("ws_sold_date_sk").as("sold_date_sk"),
-          (col("ws_ext_sales_price") * 100).cast(DecimalType(38, 0))
-            .as("sales_price"))
+          col("ws_ext_sales_price").as("sales_price"))
       .union(t(spark, dir, "catalog_sales")
         .select(col("cs_sold_date_sk").as("sold_date_sk"),
-          (col("cs_ext_sales_price") * 100).cast(DecimalType(38, 0))
-            .as("sales_price")))
+          col("cs_ext_sales_price").as("sales_price")))
     val wk = u.join(broadcast(dd), col("sold_date_sk") === col("d_date_sk"))
       .groupBy(col("d_week_seq"))
       .agg(dow("Sunday").as("sun"), dow("Monday").as("mon"),
@@ -2917,14 +2933,20 @@ object Tpcds {
     // counts (sum·bcnt·10 > bsum·cnt·9 — sign-safe for negative profit);
     // the rank key is CAST(cents AS DOUBLE)/cnt — an exact int→double
     // conversion plus one IEEE division, bit-identical on both engines.
+    // r18: the ×100 cents conversion is hoisted past both sums (see q65) —
+    // base carries the raw (7,2) profit, the sums run on the long path,
+    // and the group-level (sum·100)::(38,0) cents are value-identical;
+    // count(profit) counts the same non-null rows count(np_c) did
     val base = t(spark, dir, "store_sales")
       .filter(col("ss_store_sk") === 4)
       .select(col("ss_item_sk"), col("ss_addr_sk"),
-        (col("ss_net_profit") * 100).cast(DecimalType(38, 0)).as("np_c"))
+        col("ss_net_profit").as("np"))
     val thr = base.filter(col("ss_addr_sk").isNull)
-      .agg(sum(col("np_c")).as("bsum_c"), count(col("np_c")).as("bcnt"))
+      .agg((sum(col("np")) * 100).cast(DecimalType(38, 0)).as("bsum_c"),
+        count(col("np")).as("bcnt"))
     val perItem = base.groupBy(col("ss_item_sk").as("item_sk"))
-      .agg(sum(col("np_c")).as("sum_c"), count(col("np_c")).as("cnt"))
+      .agg((sum(col("np")) * 100).cast(DecimalType(38, 0)).as("sum_c"),
+        count(col("np")).as("cnt"))
       .join(broadcast(thr),
         (col("sum_c") * 0 + 1) === (col("bsum_c") * 0 + 1))
       .filter(col("sum_c") * col("bcnt") * 10 > col("bsum_c") * col("cnt") * 9)
@@ -3095,7 +3117,8 @@ object Tpcds {
       .join(broadcast(it), col(itemCol) === col("i_item_sk"))
       .groupBy(col("i_item_id"), col("i_item_desc"), col("i_category"),
         col("i_class"), col("i_current_price"))
-      .agg(sum((col(priceCol) * 100).cast(DecimalType(38, 0))).as("rev_c"))
+      // r18: ×100 hoisted past the sum (see q65) — identical exact cents
+      .agg((sum(col(priceCol)) * 100).cast(DecimalType(38, 0)).as("rev_c"))
       // The class share is a half-up-rounded INTEGER micro-ratio
       // (⌊(rev·1e8·2 + tot) / (2·tot)⌋ via integral divide — exact in any
       // engine), converted once: m/1e6 is the same correctly-rounded IEEE
@@ -3203,7 +3226,8 @@ object Tpcds {
       .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
       .join(broadcast(ca), col(addrCol) === col("r_addr_sk"))
       .groupBy(col(custCol).as("ctr_customer_sk"), col("ctr_state"))
-      .agg(sum((col(amtCol) * 100).cast(DecimalType(38, 0))).as("ctr_c"))
+      // r18: ×100 hoisted past the sum (see q65) — identical exact cents
+      .agg((sum(col(amtCol)) * 100).cast(DecimalType(38, 0)).as("ctr_c"))
     val thr = ctr.groupBy(col("ctr_state").as("t_state"))
       .agg(sum(col("ctr_c")).as("tot_c"), count(col("ctr_c")).as("cnt"))
     // extraCols entries may be "expr AS name" (used to cast nullable
@@ -4064,10 +4088,16 @@ object Tpcds {
           col(itemCol) === col(rItemCol), "left_outer")
         .join(broadcast(idDim), col(idFk) === col(idKey))
         .groupBy(col(idName).as("id"))
+        // r18: the coalesce zeros narrowed from DEC(27,2) to the columns'
+        // own (7,2) — the sum inputs stay at precision ≤ 8, so all three
+        // sums run on Catalyst's DecimalAggregates long path instead of
+        // BigDecimal-backed (37,2) buffers; dec() widens the identical
+        // exact per-group value once
         .agg(dec(sum(col(price))).as("sales"),
-          dec(sum(coalesce(col(rAmt), lit(0).cast(DEC)))).as("returns"),
-          dec(sum(col(profit) - coalesce(col(rLoss), lit(0).cast(DEC))))
-            .as("profit"))
+          dec(sum(coalesce(col(rAmt), lit(0).cast(DecimalType(7, 2)))))
+            .as("returns"),
+          dec(sum(col(profit) - coalesce(col(rLoss),
+            lit(0).cast(DecimalType(7, 2))))).as("profit"))
         .select(lit(chan).as("channel"), col("id"), col("sales"),
           col("returns"), col("profit"))
     }
@@ -4103,7 +4133,9 @@ object Tpcds {
     * 4-year window; the month's catalog+web lines are gated by both sets
     * and summed to one row. The frequent-item gate runs as PUBLISHED —
     * HAVING count(*) > 4 per (substr(i_item_desc,1,30), i_item_sk,
-    * d_date) — genVersion 10's seasonal sold dates give it support
+    * d_date), grouped by the equivalent int FK pair (itemdesc/d_date are
+    * functions of their PKs; see the r18 note at the freq aggregate) —
+    * genVersion 10's seasonal sold dates give it support
     * (λ(item, super day) ≈ 0.64 at every sf; uniform dates left it empty
     * at ANY scale). The month is December (where the published gate's
     * qualifying items concentrate); the best-customer gate stays 50% of
@@ -4117,16 +4149,23 @@ object Tpcds {
     val dir = ensure(spark, sfDir)
     val dd4 = t(spark, dir, "date_dim")
       .filter(col("d_year").between(1999, 2002)).select("d_date_sk")
-    val dd4d = t(spark, dir, "date_dim")
-      .filter(col("d_year").between(1999, 2002)).select("d_date_sk", "d_date")
-    val itDesc = t(spark, dir, "item")
-      .select(col("i_item_sk"), substring(col("i_item_desc"), 1, 30)
-        .as("itemdesc"))
+    // r18: the published (substr(i_item_desc,1,30), i_item_sk, d_date)
+    // grouping is row-identical to grouping by the int FK pair — itemdesc
+    // and d_date are functions of their PKs (i_item_sk / d_date_sk), so
+    // every group maps 1:1. Same narrowing the staged DuckDB oracle
+    // applies (cell-exact at sf10 AND sf100, SF100_CHECK.json). The two
+    // dim joins become broadcast SEMI gates (identical inner-join row
+    // semantics against unique PKs, no dim columns shipped), and the
+    // biggest shuffle of the query — the frequency aggregate over the
+    // 4-year store history — carries two ints instead of ints + a 30-char
+    // desc + a date (guide §2.3 narrower types / shuffle fewer bytes).
+    val itKeys = t(spark, dir, "item").select("i_item_sk")
     val freq = t(spark, dir, "store_sales")
-      .join(broadcast(dd4d), col("ss_sold_date_sk") === col("d_date_sk"))
-      .join(broadcast(itDesc), col("ss_item_sk") === col("i_item_sk"))
-      .groupBy(col("itemdesc"), col("ss_item_sk").as("freq_item"),
-        col("d_date"))
+      .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"),
+        "left_semi")
+      .join(broadcast(itKeys), col("ss_item_sk") === col("i_item_sk"),
+        "left_semi")
+      .groupBy(col("ss_item_sk").as("freq_item"), col("ss_sold_date_sk"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 4)
       .select("freq_item").distinct()

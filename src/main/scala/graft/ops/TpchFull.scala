@@ -19,6 +19,15 @@ import graft.gen.TpchGen
   * SAME generated parquet via paths pinned to the driver's correctness
   * scale. */
 object TpchFull {
+  /** SUM input at DECIMAL(8,2) — the generated TPC-H columns are (11,2)
+    * (reference schema), whose sums run on BigDecimal-backed (21,2)
+    * buffers; p ≤ 8 keeps the sum on Catalyst's DecimalAggregates long
+    * path. Exact for the TPC-H value domains (quantity ≤ 50, prices
+    * < $1M, acctbal ±11k); an out-of-domain value throws loudly under
+    * ANSI. See graft.ops.Relational.dec8 (r18). */
+  private def dec8(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(8, 2))
+
   /** Default root anchors the pinned oracle paths; the live cache follows
     * `spark.graft.cacheRoot` ([[graft.gen.GenCache.rootFor]]) so cluster
     * deployments can point it at a shared filesystem. */
@@ -165,9 +174,17 @@ object TpchFull {
     val dir = ensure(s, d)
     val pf = t(s, dir, "part").filter(col("p_name").like("almond%"))
       .select("p_partkey")
+    // r18: only almond-part groups survive the inner join with the
+    // pf-gated partsupp below, so the same broadcast part slice prunes
+    // lineitem BEFORE the (part, supplier) aggregate — the biggest shuffle
+    // of the query drops by the part-name selectivity (~1/55 of parts at
+    // every sf; guide §3.2 pre-filter the big side / §2.3 shuffle fewer
+    // bytes). Result-identical: the semi join removes only groups the
+    // downstream equi-join would discard.
     val half = t(s, dir, "lineitem")
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg((sum(col("l_quantity")) * lit(BigDecimal("0.5"))).as("half_qty"))
+      .agg((sum(dec8(col("l_quantity"))) * lit(BigDecimal("0.5"))).as("half_qty"))
     val qualifying = t(s, dir, "partsupp")
       .join(broadcast(pf), col("ps_partkey") === col("p_partkey"))
       .join(half, col("ps_partkey") === col("l_partkey") &&
@@ -278,11 +295,11 @@ object TpchFull {
       .select("l_partkey", "l_quantity", "l_extendedprice")
       .join(broadcast(pf), col("l_partkey") === col("p_partkey"), "left_semi")
     val thr = li.groupBy(col("l_partkey").as("t_key"))
-      .agg((sum(col("l_quantity")).cast(D) / count(col("l_quantity")) * 0.2)
+      .agg((sum(dec8(col("l_quantity"))).cast(D) / count(col("l_quantity")) * 0.2)
         .as("t_avg"))
     li.join(thr, col("l_partkey") === col("t_key"))
       .filter(col("l_quantity").cast(D) < col("t_avg"))
-      .agg((sum(col("l_extendedprice")).cast(D) / 7.0).as("avg_yearly"))
+      .agg((sum(dec8(col("l_extendedprice"))).cast(D) / 7.0).as("avg_yearly"))
   }
 
   /** [Q-tpch-q19-full] TPC-H Q19 with the PUBLISHED three-branch
@@ -329,7 +346,7 @@ object TpchFull {
       .filter(col("cntrycode").isin(codes: _*))
       .select("c_custkey", "c_acctbal", "cntrycode")
     val avgBal = cohort.filter(col("c_acctbal") > 0)
-      .agg((sum(col("c_acctbal")).cast(D) / count(col("c_acctbal"))).as("ab"))
+      .agg((sum(dec8(col("c_acctbal"))).cast(D) / count(col("c_acctbal"))).as("ab"))
       .withColumn("jk", coalesce(col("ab") * 0, lit(0)).cast(IntegerType))
     cohort
       .withColumn("jk", coalesce(col("c_acctbal") * 0, lit(0)).cast(IntegerType))
@@ -339,7 +356,7 @@ object TpchFull {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("cntrycode"))
       .agg(count(lit(1)).as("numcust"),
-        sum(col("c_acctbal")).cast(D).as("totacctbal"))
+        sum(dec8(col("c_acctbal"))).cast(D).as("totacctbal"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
