@@ -72,7 +72,7 @@ object Bench {
     // reader batch-size parity knob (the reference pins its parquet batch
     // size; Spark's columnar-reader equivalent is configurable here)
     val batch = sys.env.getOrElse("SPARK_GRAFT_PARQUET_BATCH", "4096")
-    val spark = SparkSession.builder()
+    val spark = graft.plans.SessionDefaults.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.parquet.columnarReaderBatchSize", batch)

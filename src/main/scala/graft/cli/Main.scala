@@ -147,7 +147,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val cmd = parse(args.toIndexedSeq)
-    val spark = SparkSession.builder()
+    val spark = graft.plans.SessionDefaults.tuned(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -53,7 +53,7 @@ object Sf100Dump {
     val localDir = flags.collectFirst { case f if f.startsWith("--local-dir=") =>
       f.stripPrefix("--local-dir=") }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val b = SparkSession.builder()
+    val b = graft.plans.SessionDefaults.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -13,7 +13,7 @@ object VerifySome {
     require(args.length >= 3, "usage: VerifySome <sfDir> <outDir> <name...>")
     val (sfDir, outDir, names) = (args(0), args(1), args.drop(2).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val spark = graft.plans.SessionDefaults.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
