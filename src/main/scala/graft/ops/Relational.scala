@@ -24,6 +24,17 @@ object Relational {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
   /** Exact 2-dp money value recovered from the fixture double. */
   private def dec(c: Column, p: Int = 12, s: Int = 2): Column = c.cast(DecimalType(p, s))
+  /** Money/metric SUM input at DECIMAL(8,2): p ≤ 8 keeps the sum on
+    * Catalyst's DecimalAggregates long path (sum buffer p+10 ≤ 18 = compact
+    * long adds, no per-row BigDecimal buffer round-trip) — q_agg_pricing's
+    * ext8 rationale applied to every plain money sum (r18, guide §1.2
+    * per-task work). Exactness unchanged: fixture money/metric domains sit
+    * far inside ±999,999.99 (TESTDATA.md; prices < $1M), a value outside
+    * (8,2) throws loudly under ANSI instead of corrupting, and the (18,2)
+    * sum buffer holds ±9.99e15 per group — orders of magnitude above any
+    * 100 TB group total. Product sums (ext×disc etc.) keep their wide
+    * types: a product's precision can't reach ≤ 8. */
+  private def dec8(c: Column): Column = c.cast(DecimalType(8, 2))
   private val D = DoubleType
 
   // ---- §2.3 projection / filter -------------------------------------------
@@ -69,8 +80,12 @@ object Relational {
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_lines"),
         sum(col("l_quantity")).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(D).as("gross"))
+        sum(dec8(col("l_extendedprice"))).cast(D).as("gross"))
+    // hint pins the DECLARED strategy: this query is the suite's sort-merge
+    // join coverage, and the r18 session default (preferSortMergeJoin=false,
+    // SessionDefaults) would otherwise plan it as a shuffled-hash join
     t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+      .hint("merge")
       .join(perOrder, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("n_lines"), col("sum_qty"), col("gross"))
@@ -327,7 +342,7 @@ object Relational {
       .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
       .cube(col("event_type"), col("d"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"), 10, 2)).cast(D).as("sum_value"))
+        sum(dec8(col("value"))).cast(D).as("sum_value"))
 
   // ---- §2.6 window functions ----------------------------------------------
 
@@ -362,8 +377,8 @@ object Relational {
     val slide = order.rowsBetween(-2, 0)
     t(s, d, "events").select(
       col("event_id"), col("user_id"), col("value"),
-      sum(dec(col("value"), 10, 2)).over(run).cast(D).as("run_sum"),
-      (sum(dec(col("value"), 10, 2)).over(slide).cast(D) /
+      sum(dec8(col("value"))).over(run).cast(D).as("run_sum"),
+      (sum(dec8(col("value"))).over(slide).cast(D) /
         count(col("value")).over(slide)).as("slide_avg"))
   }
 
@@ -526,7 +541,7 @@ object Relational {
     t(s, d, "customer")
       .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
       .groupBy("c_custkey", "c_name")
-      .agg(sum(dec(col("o_totalprice"))).as("rev_d"))
+      .agg(sum(dec8(col("o_totalprice"))).as("rev_d"))
       .orderBy(col("rev_d").desc, col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("rev_d").cast(D).as("revenue"))
       .limit(10)
@@ -681,7 +696,7 @@ object Relational {
       .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"), col("value"))
       .groupBy("k")
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"), 10, 2)).cast(D).as("sum_value"))
+        sum(dec8(col("value"))).cast(D).as("sum_value"))
 
   /** [Q-fn-array] higher-order array functions over embeddings: fold (dot with
     * itself = squared L2 norm), size, max — all inside codegen, no UDF. */
@@ -832,7 +847,7 @@ object Relational {
         least(floor((col("o_totalprice") - lo) / width), lit(19.0)).cast("int"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("o_totalprice"))).cast(D).as("mass"))
+        sum(dec8(col("o_totalprice"))).cast(D).as("mass"))
   }
 
   /** [Q-tpch-q10] TPC-H Q10 (returned-item reporting) composite: filter a
@@ -1029,7 +1044,7 @@ object Relational {
       base.join(updates.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti"))
     merged.groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("o_totalprice"))).cast(D).as("sum_price"))
+        sum(dec8(col("o_totalprice"))).cast(D).as("sum_price"))
   }
 
   /** [Q-agg-groupingid] grouping() / grouping_id() over a rollup: the
@@ -1088,7 +1103,7 @@ object Relational {
         "stack(3, 'qty', l_quantity, 'disc', l_discount, 'tax', l_tax)")
         .as(Seq("measure", "v")))
       .groupBy("measure")
-      .agg(count(lit(1)).as("n"), sum(dec(col("v"), 10, 2)).cast(D).as("sum_v"))
+      .agg(count(lit(1)).as("n"), sum(dec8(col("v"))).cast(D).as("sum_v"))
 
   /** [Q-ts-gapfill] time-series resample + gap fill: an hourly bucket grid
     * per event_type spanning [min, max] (sequence + explode — generated
@@ -1170,7 +1185,11 @@ object Relational {
     * extraction. */
   def q_text_tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val nDocs = docs.count()
+    // r18: corpus size from parquet footers (driver-side metadata, no
+    // Spark job) instead of docs.count() — one fewer job per run, and at
+    // scale a catalog/footer read instead of a cluster pass (the
+    // Tables.footerRowCount contract; same exact value)
+    val nDocs = graft.Tables.footerRowCount(s, d, "documents")
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

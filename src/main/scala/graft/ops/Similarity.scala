@@ -79,7 +79,10 @@ object Similarity {
     * exactly the failure mode the bench's contention_index (r13) now
     * makes visible inside the record itself. */
   def q_dedup_embed(s: SparkSession, d: String): DataFrame =
-    embedDupPairs(Tables(s, d, "embeddings"), 0.4)
+    // r18: the fence's row count comes from parquet footers (driver-side
+    // metadata, no Spark job) — one fewer job per run, same exact guard
+    embedDupPairs(Tables(s, d, "embeddings"), 0.4,
+      knownRows = Some(Tables.footerRowCount(s, d, "embeddings")))
 
   /** Hard fence for the all-pairs baseline: above this the guard throws
     * rather than letting an oracle tool silently run a quadratic plan on
@@ -88,11 +91,14 @@ object Similarity {
   val embedBaselineMaxRows: Long = 100000L
 
   /** The all-pairs baseline behind [[q_dedup_embed]], with the row-count
-    * guard explicit. `emb.count()` on a parquet scan is metadata-only —
-    * the guard costs one footer read, not a data pass. */
+    * guard explicit. Callers that know the table directory pass
+    * `knownRows` (Tables.footerRowCount — driver-side metadata, zero
+    * Spark jobs); the `emb.count()` fallback covers ad-hoc frames and
+    * costs one empty-schema scan job. */
   def embedDupPairs(emb: DataFrame, threshold: Double,
-                    maxRows: Long = embedBaselineMaxRows): DataFrame = {
-    val n = emb.count()
+                    maxRows: Long = embedBaselineMaxRows,
+                    knownRows: Option[Long] = None): DataFrame = {
+    val n = knownRows.getOrElse(emb.count())
     require(n <= maxRows,
       s"q_dedup_embed is the fenced O(n²) oracle baseline; input has $n rows " +
         s"(max $maxRows). Use lshNeighbors/ivfNeighbors at scale.")

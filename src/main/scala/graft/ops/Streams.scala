@@ -13,7 +13,9 @@ import graft.Tables
   * streaming output == these batch results (SURVEY §2.9 batch-equivalence).
   */
 object Streams {
-  private val valDec = sum(col("value").cast(DecimalType(10, 2))).cast(DoubleType)
+  // (8,2): p ≤ 8 keeps the sum on Catalyst's DecimalAggregates long path
+  // (see Relational.dec8, r18); value domain < $1M, identical exact sum
+  private val valDec = sum(col("value").cast(DecimalType(8, 2))).cast(DoubleType)
 
   /** Shared window transforms — applied identically to the batch table here
     * and to the Structured Streaming source in graft.streaming.EventStreams

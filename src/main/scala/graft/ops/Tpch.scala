@@ -24,6 +24,10 @@ import graft.Tables
 object Tpch {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
   private def dec(c: Column, p: Int = 12, s: Int = 2): Column = c.cast(DecimalType(p, s))
+  /** SUM input at DECIMAL(8,2) — p ≤ 8 keeps the sum on Catalyst's
+    * DecimalAggregates long path; see graft.ops.Relational.dec8 for the
+    * full exactness/overflow rationale (r18). */
+  private def dec8(c: Column): Column = c.cast(DecimalType(8, 2))
   private val D = DoubleType
   /** volume = l_extendedprice * (1 - l_discount), exact. */
   private def vol: Column = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"), 4, 2))
@@ -152,10 +156,10 @@ object Tpch {
     val li = t(s, d, "lineitem")
       .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
     val avgQ = li.groupBy(col("p_partkey").as("ap_key"))
-      .agg((sum(dec(col("l_quantity"))).cast(D) / count(lit(1))).as("avg_qty"))
+      .agg((sum(dec8(col("l_quantity"))).cast(D) / count(lit(1))).as("avg_qty"))
     li.join(broadcast(avgQ), col("p_partkey") === col("ap_key"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-      .agg((sum(dec(col("l_extendedprice"))).cast(D) / lit(7.0)).as("avg_yearly"))
+      .agg((sum(dec8(col("l_extendedprice"))).cast(D) / lit(7.0)).as("avg_yearly"))
   }
 
   /** [Q-tpch-q19] TPC-H Q19 (discounted revenue): the DISJUNCTIVE-predicate
@@ -234,7 +238,7 @@ object Tpch {
     // Nullable-column arithmetic can't fold, so this stays a broadcast HASH
     // join of the 1-row aggregate (PlanGuardSpec-clean).
     val avgBal = cust.filter(col("c_acctbal") > 0.0)
-      .agg((sum(dec(col("c_acctbal"))).cast(D) / count(lit(1))).as("avg_bal"))
+      .agg((sum(dec8(col("c_acctbal"))).cast(D) / count(lit(1))).as("avg_bal"))
       .withColumn("jk", (col("avg_bal") * 0).cast(IntegerType))
     cust.withColumn("jk", (col("c_custkey") * 0).cast(IntegerType))
       .join(broadcast(avgBal), Seq("jk"))
@@ -243,6 +247,6 @@ object Tpch {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("cntrycode")
       .agg(count(lit(1)).as("numcust"),
-        sum(dec(col("c_acctbal"))).cast(D).as("totacctbal"))
+        sum(dec8(col("c_acctbal"))).cast(D).as("totacctbal"))
   }
 }
