@@ -1231,25 +1231,35 @@ object Tpcds {
     val dd = t(spark, dir, "date_dim")
       .filter(col("d_year") === 2001 && col("d_moy").between(4, 6))
       .select("d_date_sk")
-    def buyers(fact: String, dateCol: String, custCol: String) =
-      t(spark, dir, fact)
-        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
-        .select(col(custCol).as("buyer")).distinct()
     val ca = t(spark, dir, "customer_address")
       .filter(col("ca_state").isin("KY", "GA", "NM"))
       .select("ca_address_sk")
     val cd = t(spark, dir, "customer_demographics").select(
       "cd_demo_sk", "cd_gender", "cd_marital_status", "cd_education_status",
       "cd_purchase_estimate", "cd_credit_rating")
-    t(spark, dir, "customer")
+    // r18: the 3-state gate (~6% of addresses) moves to the customer
+    // dimension FIRST and its customer keys push below the three channel
+    // distinct aggregates as a broadcast semi (see q10) — semi/anti
+    // membership is only consulted for slice customers, so the result is
+    // identical while the fact-side distinct shuffles shrink ~16×. The
+    // broadcast is keys-only (≈6% of customers — well under the
+    // broadcast cap at any supported sf).
+    val cust = t(spark, dir, "customer")
       .select("c_customer_sk", "c_current_addr_sk", "c_current_cdemo_sk")
-      .join(buyers("store_sales", "ss_sold_date_sk", "ss_customer_sk"),
+      .join(ca, col("c_current_addr_sk") === col("ca_address_sk"), "left_semi")
+    val custKeys = cust.select(col("c_customer_sk").as("ck"))
+    def slicedBuyers(fact: String, dateCol: String, custCol: String) =
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(broadcast(custKeys), col(custCol) === col("ck"), "left_semi")
+        .select(col(custCol).as("buyer")).distinct()
+    cust
+      .join(slicedBuyers("store_sales", "ss_sold_date_sk", "ss_customer_sk"),
         col("c_customer_sk") === col("buyer"), "left_semi")
-      .join(buyers("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk"),
+      .join(slicedBuyers("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk"),
         col("c_customer_sk") === col("buyer"), "left_anti")
-      .join(buyers("catalog_sales", "cs_sold_date_sk", "cs_ship_customer_sk"),
+      .join(slicedBuyers("catalog_sales", "cs_sold_date_sk", "cs_ship_customer_sk"),
         col("c_customer_sk") === col("buyer"), "left_anti")
-      .join(ca, col("c_current_addr_sk") === col("ca_address_sk"))
       .join(cd, col("c_current_cdemo_sk") === col("cd_demo_sk"))
       .groupBy(col("cd_gender"), col("cd_marital_status"),
         col("cd_education_status"), col("cd_purchase_estimate"),
@@ -3518,10 +3528,6 @@ object Tpcds {
     val dd = t(spark, dir, "date_dim")
       .filter(col("d_year") === 2001 && col("d_moy").between(1, 4))
       .select("d_date_sk")
-    def buyers(fact: String, dateCol: String, custCol: String, mark: String) =
-      t(spark, dir, fact)
-        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
-        .select(col(custCol).as(mark)).distinct()
     val ca = t(spark, dir, "customer_address")
       .filter(col("ca_county").isin("Ziebach County", "Walker County",
         "Richland County", "Barrow County", "Daviess County"))
@@ -3530,16 +3536,32 @@ object Tpcds {
       "cd_demo_sk", "cd_gender", "cd_marital_status", "cd_education_status",
       "cd_purchase_estimate", "cd_credit_rating", "cd_dep_count",
       "cd_dep_employed_count", "cd_dep_college_count")
-    t(spark, dir, "customer")
+    // r18: the county gate keeps ~0.3% of addresses, so it moves from
+    // AFTER the channel joins to the customer dimension FIRST, and the
+    // slice's customer keys push below each channel's distinct aggregate
+    // as a broadcast semi (the q20 pre-filter pattern at customer grain):
+    // the three fact-side distinct shuffles — the scale cost of this
+    // query — shrink by the county selectivity. Result-identical:
+    // semi/outer membership is only ever consulted for slice customers,
+    // and the isNotNull filter reads marks of slice customers only.
+    val cust = t(spark, dir, "customer")
       .select("c_customer_sk", "c_current_addr_sk", "c_current_cdemo_sk")
-      .join(buyers("store_sales", "ss_sold_date_sk", "ss_customer_sk", "sb"),
+      .join(ca, col("c_current_addr_sk") === col("ca_address_sk"), "left_semi")
+    val custKeys = cust.select(col("c_customer_sk").as("ck"))
+    def slicedBuyers(fact: String, dateCol: String, custCol: String,
+                     mark: String) =
+      t(spark, dir, fact)
+        .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
+        .join(broadcast(custKeys), col(custCol) === col("ck"), "left_semi")
+        .select(col(custCol).as(mark)).distinct()
+    cust
+      .join(slicedBuyers("store_sales", "ss_sold_date_sk", "ss_customer_sk", "sb"),
         col("c_customer_sk") === col("sb"), "left_semi")
-      .join(buyers("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk", "wb"),
+      .join(slicedBuyers("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk", "wb"),
         col("c_customer_sk") === col("wb"), "left_outer")
-      .join(buyers("catalog_sales", "cs_sold_date_sk", "cs_ship_customer_sk", "cb"),
+      .join(slicedBuyers("catalog_sales", "cs_sold_date_sk", "cs_ship_customer_sk", "cb"),
         col("c_customer_sk") === col("cb"), "left_outer")
       .filter(col("wb").isNotNull || col("cb").isNotNull)
-      .join(ca, col("c_current_addr_sk") === col("ca_address_sk"), "left_semi")
       .join(cd, col("c_current_cdemo_sk") === col("cd_demo_sk"))
       .groupBy(col("cd_gender"), col("cd_marital_status"),
         col("cd_education_status"), col("cd_purchase_estimate"),
