@@ -2720,10 +2720,17 @@ object Tpcds {
       .select("d_date_sk")
     val cust = t(spark, dir, "customer")
       .select("c_customer_sk", "c_last_name", "c_first_name")
+    // r18: the int customer key dedups BEFORE the customer join — the
+    // FK→PK join makes name-distinct(join(fact rows)) row-identical to
+    // name-distinct(join(distinct keys)), so the first shuffle carries
+    // one map-side-combined int per buyer instead of every year-slice
+    // fact row, and the customer join probes |buyers| rows (guide §2.3
+    // aggregate before you shuffle)
     def chan(fact: String, dateCol: String, custCol: String): DataFrame =
       t(spark, dir, fact).select(col(dateCol), col(custCol))
         .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
-        .join(cust, col(custCol) === col("c_customer_sk"))
+        .select(col(custCol).as("ck")).distinct()
+        .join(cust, col("ck") === col("c_customer_sk"))
         .select("c_last_name", "c_first_name").distinct()
     chan("store_sales", "ss_sold_date_sk", "ss_customer_sk")
       .intersect(chan("catalog_sales", "cs_sold_date_sk",
@@ -2771,10 +2778,17 @@ object Tpcds {
       .select("d_date_sk")
     val cust = t(spark, dir, "customer")
       .select("c_customer_sk", "c_last_name", "c_first_name")
+    // r18: the int customer key dedups BEFORE the customer join — the
+    // FK→PK join makes name-distinct(join(fact rows)) row-identical to
+    // name-distinct(join(distinct keys)), so the first shuffle carries
+    // one map-side-combined int per buyer instead of every year-slice
+    // fact row, and the customer join probes |buyers| rows (guide §2.3
+    // aggregate before you shuffle)
     def chan(fact: String, dateCol: String, custCol: String): DataFrame =
       t(spark, dir, fact).select(col(dateCol), col(custCol))
         .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
-        .join(cust, col(custCol) === col("c_customer_sk"))
+        .select(col(custCol).as("ck")).distinct()
+        .join(cust, col("ck") === col("c_customer_sk"))
         .select("c_last_name", "c_first_name").distinct()
     chan("store_sales", "ss_sold_date_sk", "ss_customer_sk")
       .except(chan("catalog_sales", "cs_sold_date_sk", "cs_bill_customer_sk"))
