@@ -3862,9 +3862,15 @@ object Tpcds {
     val dir = ensure(spark, sfDir)
     val dd = t(spark, dir, "date_dim")
       .filter(col("d_year").isin(2000, 2001)).select("d_date_sk", "d_year")
+    // r18: the 4-term margin lands at (10,2), putting the six sums on
+    // BigDecimal-backed (20,2) buffers; its value is bounded by 4×|(7,2)|
+    // < $4e5, so the (8,2) cast is lossless and keeps the sums on
+    // Catalyst's DecimalAggregates long path (see Relational.dec8 —
+    // an out-of-domain value throws loudly under ANSI)
     def margin(pfx: String): Column =
-      col(s"${pfx}_ext_list_price") - col(s"${pfx}_ext_wholesale_cost") -
-        col(s"${pfx}_ext_discount_amt") + col(s"${pfx}_ext_sales_price")
+      (col(s"${pfx}_ext_list_price") - col(s"${pfx}_ext_wholesale_cost") -
+        col(s"${pfx}_ext_discount_amt") + col(s"${pfx}_ext_sales_price"))
+        .cast(DecimalType(8, 2))
     def yearTotal(fact: String, dateCol: String, custCol: String, pfx: String) =
       t(spark, dir, fact)
         .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
