@@ -71,6 +71,21 @@ object Tpcds {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Exact integer CENTS of quantity × unit price, as a LONG (r18
+    * optimization, guide §2.3 narrower types / §1.2 per-task work).
+    * qty × price lands at DECIMAL(18,2), so a per-row SUM buffer needs
+    * (28,2) — past Catalyst's compact-long range — and every row pays a
+    * BigDecimal round-trip. Long cents carry the identical exact value:
+    * ×100 is injective on (·,2) decimals, the generator bounds qty ≤ 100
+    * and unit prices < $220 (list = wholesale(≤100) × <2.20), so a line
+    * is < 2.2e6 cents and a per-group sum overflows only past ~4e12
+    * lines per group — and ANSI mode throws loudly there rather than
+    * corrupting. Downstream doubles are unchanged: cents < 2^53 are
+    * exactly representable, so cast(cents)/100.0 rounds the same exact
+    * rational once, just like cast(DECIMAL(·,2)) did. */
+  private def centsL(qty: Column, price: Column): Column =
+    qty.cast(LongType) * (price * 100).cast(LongType)
+
   /** [Q-tpcds-q3] TPC-DS Q3 shape: store_sales ⋈ date_dim ⋈ item, November
     * slice of one category, brand-level revenue. Facts stream through two
     * broadcast hash joins; the only shuffle carries ≤ |years|×|brands|
@@ -943,12 +958,18 @@ object Tpcds {
         col("ss_item_sk") === col("sr_item_sk"), "left_outer")
       .filter(col("ss_customer_sk").isNotNull)
       .select(col("ss_customer_sk"),
+        // r18: long-cents instead of a DECIMAL(18,2) product per row —
+        // the (28,2) sum buffer this fed was the query's per-row cost
+        // (see centsL; value and downstream double bit-identical)
         when(col("sr_return_quantity").isNotNull,
-          (col("ss_quantity") - col("sr_return_quantity")) * col("ss_sales_price"))
-          .otherwise(col("ss_quantity") * col("ss_sales_price")).as("act_sales"))
+          centsL(col("ss_quantity") - col("sr_return_quantity"),
+            col("ss_sales_price")))
+          .otherwise(centsL(col("ss_quantity"), col("ss_sales_price")))
+          .as("act_sales"))
       .groupBy(col("ss_customer_sk"))
       .agg(sum(col("act_sales")).as("sum_dec"))
-      .select(col("ss_customer_sk"), col("sum_dec").cast(DoubleType).as("sumsales"))
+      .select(col("ss_customer_sk"),
+        (col("sum_dec").cast(DoubleType) / 100.0).as("sumsales"))
       .orderBy(col("sumsales"), col("ss_customer_sk"))
       .limit(100)
   }
@@ -4211,11 +4232,15 @@ object Tpcds {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 4)
       .select("freq_item").distinct()
+    // r18: both money sums ride long CENTS (see centsL) — the 4-year
+    // per-customer spend aggregate was the suite's top remaining per-row
+    // decimal cost; the relative best-customer gate and the final double
+    // derive from the same exact values as before
     val spend = t(spark, dir, "store_sales")
       .filter(col("ss_customer_sk").isNotNull)
       .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
       .groupBy(col("ss_customer_sk").as("cust"))
-      .agg(sum(col("ss_quantity") * col("ss_sales_price")).as("ssales"))
+      .agg(sum(centsL(col("ss_quantity"), col("ss_sales_price"))).as("ssales"))
     val mx = spend.agg(max(col("ssales")).as("mx"))
       .withColumn("jk", coalesce(col("mx") * 0, lit(0)).cast(
         org.apache.spark.sql.types.IntegerType))
@@ -4235,12 +4260,12 @@ object Tpcds {
         .join(broadcast(ddm), col(dateCol) === col("m_date_sk"))
         .join(freq, col(itemCol) === col("freq_item"), "left_semi")
         .join(best, col(custCol) === col("best_cust"), "left_semi")
-        .select((col(qty) * col(price)).as("amt"))
+        .select(centsL(col(qty), col(price)).as("amt"))
     monthLines("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
       "cs_bill_customer_sk", "cs_quantity", "cs_list_price")
       .union(monthLines("web_sales", "ws_sold_date_sk", "ws_item_sk",
         "ws_bill_customer_sk", "ws_quantity", "ws_list_price"))
-      .agg(sum(col("amt")).cast(DoubleType).as("sum_sales"))
+      .agg((sum(col("amt")).cast(DoubleType) / 100.0).as("sum_sales"))
   }
 
   /** [Q-tpcds-q24] TPC-DS Q24 shape: who returns expensive colored goods
@@ -4636,11 +4661,14 @@ object Tpcds {
           .filter(col("cnt").cast(DoubleType) >
             col("tot").cast(DoubleType) / col("n"))
       }.select("freq_item")
+    // r18: long-cents spend, exactly as at q23 (see centsL) — the gate
+    // ratio and every downstream double are derived from the same exact
+    // values
     val spend = t(spark, dir, "store_sales")
       .filter(col("ss_customer_sk").isNotNull)
       .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
       .groupBy(col("ss_customer_sk").as("cust"))
-      .agg(sum(col("ss_quantity") * col("ss_sales_price")).as("ssales"))
+      .agg(sum(centsL(col("ss_quantity"), col("ss_sales_price"))).as("ssales"))
     val mx = spend.agg(max(col("ssales")).as("mx"))
       .withColumn("jk", coalesce(col("mx") * 0, lit(0)).cast(
         org.apache.spark.sql.types.IntegerType))
@@ -4660,7 +4688,7 @@ object Tpcds {
         .join(broadcast(ddm), col(dateCol) === col("m_date_sk"))
         .join(freq, col(itemCol) === col("freq_item"), "left_semi")
         .join(best, col(custCol) === col("best_cust"), "left_semi")
-        .select(col(custCol).as("buyer"), (col(qty) * col(price)).as("amt"))
+        .select(col(custCol).as("buyer"), centsL(col(qty), col(price)).as("amt"))
     val cust = t(spark, dir, "customer")
       .select("c_customer_sk", "c_last_name", "c_first_name")
     monthLines("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
@@ -4669,7 +4697,7 @@ object Tpcds {
         "ws_bill_customer_sk", "ws_quantity", "ws_list_price"))
       .join(cust, col("buyer") === col("c_customer_sk"))
       .groupBy(col("c_last_name"), col("c_first_name"))
-      .agg(sum(col("amt")).cast(DoubleType).as("sales"))
+      .agg((sum(col("amt")).cast(DoubleType) / 100.0).as("sales"))
   }
 
   /** The one fixture scale whose generated data the static oracle SQL reads.
