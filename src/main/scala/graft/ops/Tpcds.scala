@@ -1034,6 +1034,14 @@ object Tpcds {
         col("wr_item_sk"), col("wr_order_number"),
         col("wr_returned_date_sk").as("date_sk"),
         col("wr_return_amt").as("return_amt"), col("wr_net_loss").as("net_loss"))
+      // r18: the 14-day window gates wr_returned_date_sk only, which the
+      // PK join passes through untouched, so the date gate commutes below
+      // the join (channel()'s dd join re-checks it, a no-op). Before, the
+      // sr→ws lookup carried EVERY return ever taken — the whole returns
+      // table broadcast (or, past the broadcast cap at scale, both sides
+      // shuffled at fact grain). Now the build side is the two-week
+      // slice (~0.8% of returns; guide §3.2 pre-filter-the-join-input).
+      .join(broadcast(dd), col("date_sk") === col("d_date_sk"), "left_semi")
       .join(t(spark, dir, "web_sales").select(
           col("ws_item_sk"), col("ws_order_number"), col("ws_web_site_sk")),
         col("wr_item_sk") === col("ws_item_sk") &&
@@ -2399,15 +2407,34 @@ object Tpcds {
     val st = t(spark, dir, "store").select("s_county", "s_state")
     val addr = t(spark, dir, "customer_address")
       .select("ca_address_sk", "ca_county", "ca_state")
+    // r18: aggregate the fact BEFORE the customer/address/store joins
+    // (guide §2.3 "aggregate before you shuffle"). The published plain
+    // joins are per-CUSTOMER gates/multipliers — addr is 1:1 on the
+    // customer's address FK and the store county/state match multiplies
+    // every line of a customer by the same factor k — so summing per
+    // customer first and re-summing the k join copies yields the exact
+    // same decimal (k·rev either way; decimal addition is exact). The
+    // fact side now reaches its one partial-agg exchange through
+    // broadcasts only (the prospect set semi-gates it first); the addr
+    // join handles ≤|prospects| aggregate rows instead of 3 months of
+    // facts. The gate is `buyers` itself — a superset of cust's keys, so
+    // the inner cust join below still decides exact membership — because
+    // both uses then share one canonical distinct-exchange subtree and
+    // AQE materializes it once (a cust-keys gate would duplicate the
+    // whole cross-channel distinct).
     val revenue = t(spark, dir, "store_sales")
       .select("ss_sold_date_sk", "ss_customer_sk", "ss_ext_sales_price")
       .join(broadcast(dQ1), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(buyers), col("ss_customer_sk") === col("customer_sk"),
+        "left_semi")
+      .groupBy(col("ss_customer_sk"))
+      .agg(sum(col("ss_ext_sales_price")).as("rev"))
       .join(cust, col("ss_customer_sk") === col("c_customer_sk"))
       .join(addr, col("c_current_addr_sk") === col("ca_address_sk"))
       .join(broadcast(st), col("ca_county") === col("s_county") &&
         col("ca_state") === col("s_state"))
       .groupBy(col("c_customer_sk"))
-      .agg(sum(col("ss_ext_sales_price")).as("revenue"))
+      .agg(sum(col("rev")).as("revenue"))
     revenue
       .select(floor(col("revenue").cast(DoubleType) / 50).cast("int")
         .as("segment"))

@@ -34,10 +34,18 @@ object Explain {
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, sfDir)
       if (executed.nonEmpty) {
-        // run through the noop sink first, then print the FINAL adaptive
-        // plan — runtime stage reuse (ReusedExchange/ReusedSubquery) and
-        // AQE join re-plans only show up post-execution
-        df.write.format("noop").mode("overwrite").save()
+        // drive THIS df's own QueryExecution to completion, then print its
+        // FINAL adaptive plan — runtime stage reuse (ReusedExchange /
+        // ReusedSubquery) and AQE join re-plans only show up
+        // post-execution. A noop write (or foreach/rdd) would NOT do: each
+        // wraps the plan in a fresh QueryExecution, leaving
+        // df.queryExecution un-executed (isFinalPlan=false) — the r18
+        // session caught this tool printing initial plans under the
+        // --executed flag. collect() is the one action wired to the
+        // Dataset's OWN QueryExecution; declared-query results are
+        // bounded (aggregates/top-k), so the driver pull is fine for a
+        // diagnostic tool.
+        df.collect()
         println(df.queryExecution.executedPlan.toString)
       } else df.explain("formatted")
     }

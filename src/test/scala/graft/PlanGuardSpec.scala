@@ -255,6 +255,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(q5.contains("wr_order_number"), s"Q5 wr→ws not on the order PK:\n$q5")
     assert(q5.contains("BroadcastHashJoin"), s"Q5 dims not broadcast:\n$q5")
     assert(q5.contains("Union"), s"Q5 lost its union-then-aggregate shape:\n$q5")
+    // r18: the 14-day window gates web_returns BELOW the wr→ws PK join
+    // (a date semi on the wr side), so the lookup's build side is the
+    // two-week slice, never the whole returns table
+    assert(q5.contains("LeftSemi"),
+      s"Q5 wr side lost its date-slice semi below the PK join:\n$q5")
+    // Q54 (r18): the store revenue aggregates AT THE FACT'S customer key
+    // BEFORE the customer/address/store joins (the prospect semi is the
+    // only gate below it), so the joins handle per-customer aggregates,
+    // never 3 months of fact rows
+    val q54 = fmt("q_tpcds_q54")
+    assert(q54.contains("hashpartitioning(ss_customer_sk"),
+      s"Q54 fact no longer aggregates at the customer key below the joins:\n$q54")
+    assert(q54.contains("LeftSemi"),
+      s"Q54 fact side lost its prospect semi gate:\n$q54")
     // Q49: each channel joins returns⋈sales on the (order, item) PK, and
     // the rank windows run over the per-item AGGREGATE (Window above
     // HashAggregate), never over the raw fact
