@@ -83,8 +83,17 @@ object Tpcds {
     * corrupting. Downstream doubles are unchanged: cents < 2^53 are
     * exactly representable, so cast(cents)/100.0 rounds the same exact
     * rational once, just like cast(DECIMAL(·,2)) did. */
-  private def centsL(qty: Column, price: Column): Column =
+  private def centsL(qty: Column, price: Column): Column = {
+    // the documented overflow posture ("ANSI throws loudly") is only real
+    // when ANSI mode is actually on — SessionDefaults pins it, but the
+    // conf-injection seam could flip it, so assert at construction time
+    // rather than let a wrapped long corrupt a sum silently (r19, ADVICE)
+    require(org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.sql.ansi.enabled", "true").toBoolean,
+      "centsL money sums require spark.sql.ansi.enabled=true: without " +
+        "ANSI a long-cents overflow wraps silently instead of throwing")
     qty.cast(LongType) * (price * 100).cast(LongType)
+  }
 
   /** [Q-tpcds-q3] TPC-DS Q3 shape: store_sales ⋈ date_dim ⋈ item, November
     * slice of one category, brand-level revenue. Facts stream through two

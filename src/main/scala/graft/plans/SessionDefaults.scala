@@ -38,6 +38,13 @@ import org.apache.spark.sql.SparkSession
   */
 object SessionDefaults {
   val defaults: Seq[(String, String)] = Seq(
+    // pin ANSI mode (Spark 4's default) explicitly: the long-cents sum
+    // rewrites (Tpcds.centsL) document "an overflow throws loudly" as
+    // their failure mode, which is only true under ANSI — with it off a
+    // long overflow wraps silently. The conf-injection seam
+    // (SPARK_GRAFT_CONF / -D overrides) could otherwise flip it; centsL
+    // additionally asserts it at query-construction time (r19, ADVICE).
+    "spark.sql.ansi.enabled" -> "true",
     // allow shuffled-hash join when the planner's size conditions hold
     // (guide §3.1/§9) — removes the per-partition sorts of sort-merge
     "spark.sql.join.preferSortMergeJoin" -> "false",

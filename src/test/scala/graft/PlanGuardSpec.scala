@@ -267,8 +267,15 @@ class PlanGuardSpec extends AnyFunSuite {
     val q54 = fmt("q_tpcds_q54")
     assert(q54.contains("hashpartitioning(ss_customer_sk"),
       s"Q54 fact no longer aggregates at the customer key below the joins:\n$q54")
-    assert(q54.contains("LeftSemi"),
-      s"Q54 fact side lost its prospect semi gate:\n$q54")
+    // r19 (ADVICE): a bare contains("LeftSemi") was vacuous — the
+    // date/item/buyer semis already put 8 LeftSemi in the pre-change plan.
+    // Pin the PROSPECT gate itself: a semi probing the fact's customer key
+    // against the cross-channel buyer set (customer_sk), which only exists
+    // when the gate sits below the ss_customer_sk aggregate.
+    assert(("""Left keys \[1\]: \[ss_customer_sk#\d+\]\s*""" +
+        """Right keys \[1\]: \[customer_sk#\d+\]\s*""" +
+        """Join type: LeftSemi""").r.findFirstIn(q54).isDefined,
+      s"Q54 fact side lost its prospect semi gate on the customer key:\n$q54")
     // Q49: each channel joins returns⋈sales on the (order, item) PK, and
     // the rank windows run over the per-item AGGREGATE (Window above
     // HashAggregate), never over the raw fact
