@@ -702,36 +702,83 @@ object Tpcds {
     def cents(pfx: String) =
       (col(s"${pfx}_quantity") * col(s"${pfx}_list_price") * 100)
         .cast(DecimalType(38, 0))
-    // per-channel November cells at the hierarchy-tuple grain; the group
-    // EXISTING (any sale in the 3-year window) is what cross membership
-    // tests, so tuples with zero November rows are kept (nov_cnt = 0)
-    def perTuple(fact: String, pfx: String): DataFrame =
+    // r19 (guide §1.2 "don't compute things you throw away" / §2.4 remove
+    // passes): ONE pass per channel serves BOTH consumers — the published
+    // avg_sales totals used to re-scan all three facts (a date-only
+    // chanTot each), although the per-tuple aggregates already read the
+    // identical 3-year rows. Each channel now aggregates once at the
+    // (tuple, is_nov, cents-null) grain with a single function set
+    // [sum(cents), count(1)]; the November cells collapse that grain to
+    // tuple rows, and the totals sum it outright. The grain result is
+    // materialized ONCE per execution by an eager localCheckpoint (guide
+    // §3.3's materialization barrier; the q_dedup_cluster precedent):
+    // pure-DAG sharing was measured and does NOT survive the optimizer —
+    // the cross-membership join infers IsNotNull on the tuple keys and
+    // pushes it into its copy's item scans, so the two consumers'
+    // exchange subtrees stop being canonically equal and ReuseExchange
+    // leaves two scans per channel (r19 measurement: inMB unchanged,
+    // 0 fact-scan reuse). The checkpoint is bounded (≤ 4× tuple-grain
+    // rows per channel), recomputed on every execution (no cross-run
+    // state), and the three channels materialize CONCURRENTLY from a
+    // 3-thread pool (guide §2.6 — overlap independent jobs), so the
+    // local wall pays ~one channel's aggregate, not three. Fact scans
+    // 6 → 3 (plans/r19/q_tpcds_q14_{before,after}.txt; the after plan's
+    // grain legs appear as the checkpointed scans). Correctness notes:
+    // NULL-component tuples stay IN the grain aggregate (groupBy keeps
+    // NULL-key groups; the published totals include them — the isNotNull
+    // cross-membership gate moved above, into `joined`), and the item
+    // join is row-preserving by construction (every fact *_item_sk draws
+    // over item's full key range, TpcdsGen.fkSuffix; probed r19: 0 NULLs
+    // / 0 orphans in all three facts at sf0.01 AND sf0.1). The cents-null
+    // grain bit keeps the published count semantics exact under the
+    // generator's ~5% measure NULLs: avg_sales counts non-NULL products,
+    // the November cell count counts rows.
+    def grain(fact: String, pfx: String): DataFrame =
       t(spark, dir, fact)
         .select(col(s"${pfx}_sold_date_sk").as("dsk"),
           col(s"${pfx}_item_sk").as("isk"), cents(pfx).as("cents"))
         .join(broadcast(dd), col("dsk") === col("d_date_sk"))
         .join(broadcast(it), col("isk") === col("i_item_sk"))
-        .filter(key.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(key.map(col) :+ col("is_nov") :+
+          col("cents").isNull.as("no_cents"): _*)
+        .agg(sum(col("cents")).as("cents_sum"), count(lit(1)).as("cnt"))
+    val grains: Seq[(String, DataFrame)] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          Seq("store_sales" -> "ss", "catalog_sales" -> "cs",
+            "web_sales" -> "ws").map { case (f, p) =>
+            scala.concurrent.Future(p -> grain(f, p).localCheckpoint())
+          }),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+    // November cells at the tuple grain (tuples with zero November rows
+    // kept, nov_cnt = 0 — group existence is what cross membership tests)
+    def perTuple(pfx: String): DataFrame =
+      grains.collectFirst { case (`pfx`, df) => df }.get
         .groupBy(key.map(col): _*)
-        .agg(sum(when(col("is_nov"), col("cents"))).as(s"${pfx}_nov_cents"),
-          count(when(col("is_nov"), lit(1))).as(s"${pfx}_nov_cnt"))
-    // the published avg_sales scalar: plain all-channel three-year totals
-    // (no item join, matching the published CTE) in exact cents, attached
-    // by the nullable-derived-key broadcast idiom
-    def chanTot(fact: String, pfx: String): DataFrame =
-      t(spark, dir, fact)
-        .select(col(s"${pfx}_sold_date_sk").as("dsk"), cents(pfx).as("cents"))
-        .join(broadcast(dd.select("d_date_sk")), col("dsk") === col("d_date_sk"))
-        .select("cents")
-    val tot = chanTot("store_sales", "ss")
-      .union(chanTot("catalog_sales", "cs"))
-      .union(chanTot("web_sales", "ws"))
-      .agg(sum(col("cents")).as("tot_cents"), count(col("cents")).as("tot_cnt"))
+        .agg(sum(when(col("is_nov"), col("cents_sum")))
+            .as(s"${pfx}_nov_cents"),
+          coalesce(sum(when(col("is_nov"), col("cnt"))), lit(0L))
+            .as(s"${pfx}_nov_cnt"))
+    // the published avg_sales scalar, summed from the same grain
+    // aggregates (exact decimal/long addition — identical values to the
+    // direct row sums), attached by the nullable-derived-key broadcast
+    // idiom; count skips NULL products exactly as count(qty*price) did
+    val tot = grains.map { case (_, df) =>
+        df.select(col("cents_sum").as("c"),
+          when(!col("no_cents"), col("cnt")).as("n"))
+      }.reduce(_ union _)
+      .agg(sum(col("c")).as("tot_cents"), sum(col("n")).as("tot_cnt"))
       .withColumn("jk", coalesce(col("tot_cents") * 0, lit(0)).cast(
         org.apache.spark.sql.types.IntegerType))
-    val joined = perTuple("store_sales", "ss")
-      .join(perTuple("catalog_sales", "cs"), key)
-      .join(perTuple("web_sales", "ws"), key)
+    val nonNullKey = key.map(col(_).isNotNull).reduce(_ && _)
+    val joined = perTuple("ss").filter(nonNullKey)
+      .join(perTuple("cs"), key)
+      .join(perTuple("ws"), key)
     def cell(name: String, pfx: String) =
       struct(lit(name).as("channel"), col(s"${pfx}_nov_cents").as("nov_cents"),
         col(s"${pfx}_nov_cnt").as("nov_cnt"))
