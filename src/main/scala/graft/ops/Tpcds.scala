@@ -223,22 +223,30 @@ object Tpcds {
     val dir = ensure(spark, sfDir)
     Seq("store_returns", "date_dim", "store", "customer")
       .foreach(n => t(spark, dir, n).createOrReplaceTempView(s"graft_$n"))
-    spark.sql("""
-      WITH ctr AS (
+    // r19: the ctr CTE is consumed three times (main + the two correlated
+    // per-store scalar subqueries), and CTE inlining re-specialized each
+    // copy — the year's store_returns were scanned 3× per execution
+    // (measured; plans/r19/q_tpcds_q1_{before,after}.txt: store_returns
+    // 3 → 1 scans). The (customer, store)-grain aggregate now materializes
+    // once (Materialize scaladoc) and the published query body runs
+    // unchanged over the materialized view.
+    graft.plans.Materialize.concurrently(Seq(spark.sql("""
         SELECT sr_customer_sk AS ctr_customer_sk, sr_store_sk AS ctr_store_sk,
                sum(sr_return_amt) AS ctr_total_return
         FROM graft_store_returns
         JOIN graft_date_dim ON sr_returned_date_sk = d_date_sk
         WHERE d_year = 2000
-        GROUP BY sr_customer_sk, sr_store_sk)
+        GROUP BY sr_customer_sk, sr_store_sk""")))
+      .head.createOrReplaceTempView("graft_q1_ctr")
+    spark.sql("""
       SELECT c_customer_id
-      FROM ctr ctr1
+      FROM graft_q1_ctr ctr1
       JOIN graft_store ON ctr1.ctr_store_sk = s_store_sk
       JOIN graft_customer ON ctr1.ctr_customer_sk = c_customer_sk
       WHERE s_state = 'TN'
-        AND ctr1.ctr_total_return * (SELECT count(*) * 5 FROM ctr ctr2
+        AND ctr1.ctr_total_return * (SELECT count(*) * 5 FROM graft_q1_ctr ctr2
                                      WHERE ctr2.ctr_store_sk = ctr1.ctr_store_sk)
-          > (SELECT sum(ctr_total_return) * 6 FROM ctr ctr2
+          > (SELECT sum(ctr_total_return) * 6 FROM graft_q1_ctr ctr2
              WHERE ctr2.ctr_store_sk = ctr1.ctr_store_sk)""")
   }
 
@@ -742,19 +750,11 @@ object Tpcds {
         .groupBy(key.map(col) :+ col("is_nov") :+
           col("cents").isNull.as("no_cents"): _*)
         .agg(sum(col("cents")).as("cents_sum"), count(lit(1)).as("cnt"))
-    val grains: Seq[(String, DataFrame)] = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(
-          Seq("store_sales" -> "ss", "catalog_sales" -> "cs",
-            "web_sales" -> "ws").map { case (f, p) =>
-            scala.concurrent.Future(p -> grain(f, p).localCheckpoint())
-          }),
-        scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
-    }
+    val grainNames = Seq("store_sales" -> "ss", "catalog_sales" -> "cs",
+      "web_sales" -> "ws")
+    val grains: Seq[(String, DataFrame)] = grainNames.map(_._2).zip(
+      graft.plans.Materialize.concurrently(
+        grainNames.map { case (f, p) => grain(f, p) }))
     // November cells at the tuple grain (tuples with zero November rows
     // kept, nov_cnt = 0 — group existence is what cross membership tests)
     def perTuple(pfx: String): DataFrame =
@@ -1243,9 +1243,18 @@ object Tpcds {
       // zero per row); (sum·100)::(38,0) is the identical exact cents value
       .agg((sum(col("ss_sales_price")) * 100).cast(DecimalType(38, 0))
         .as("rev_c"))
-    val sb = sc.groupBy(col("ss_store_sk").as("avg_store"))
-      .agg(sum(col("rev_c")).as("tot_c"), count(lit(1)).as("cnt"))
-    sc.join(broadcast(sb), col("ss_store_sk") === col("avg_store"))
+    // r19: the per-store totals ride a WINDOW over the same (store, item)
+    // aggregate instead of a re-derived broadcast side — the re-derivation
+    // re-ran the whole fact aggregate (the optimizer specializes shared
+    // subtrees; Materialize scaladoc), so the year's store_sales were
+    // scanned twice per execution. One window partitioned by the store key
+    // computes identical exact values (sum/count over the same rows) with
+    // ZERO extra scans; partitions are ≤|item| rows, so no skew at any sf
+    // (plans/r19/q_tpcds_q65_{before,after}.txt: store_sales 2 → 1 scans).
+    val wStore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ss_store_sk"))
+    sc.withColumn("tot_c", sum(col("rev_c")).over(wStore))
+      .withColumn("cnt", count(lit(1)).over(wStore))
       .filter(col("rev_c") * 10 * col("cnt") <= col("tot_c"))
       .join(broadcast(t(spark, dir, "store").select("s_store_sk", "s_store_name")),
         col("ss_store_sk") === col("s_store_sk"))
@@ -3349,13 +3358,21 @@ object Tpcds {
     // precedent) — no computed double decides membership, so the boundary
     // is bit-identical on any engine; the emitted total is one
     // correctly-rounded int→double conversion plus an IEEE division.
-    val ctr = t(spark, dir, fact)
+    // r19: ctr is consumed by both the state-threshold aggregate and the
+    // outlier filter — the optimizer specialized the two copies and the
+    // year's returns were scanned twice per execution. The (customer,
+    // state)-grain aggregate materializes once (Materialize scaladoc;
+    // plans/r19/q_tpcds_q{30,81}_{before,after}.txt: returns 2 → 1 scans).
+    // The thr attach stays a 50-row broadcast — a state-partitioned window
+    // would put a whole state in one task at 100 TB (guide §2.5 skew).
+    val ctr = graft.plans.Materialize.concurrently(Seq(t(spark, dir, fact)
       .select(custCol, addrCol, dateCol, amtCol)
       .join(broadcast(dd), col(dateCol) === col("d_date_sk"))
       .join(broadcast(ca), col(addrCol) === col("r_addr_sk"))
       .groupBy(col(custCol).as("ctr_customer_sk"), col("ctr_state"))
       // r18: ×100 hoisted past the sum (see q65) — identical exact cents
-      .agg((sum(col(amtCol)) * 100).cast(DecimalType(38, 0)).as("ctr_c"))
+      .agg((sum(col(amtCol)) * 100).cast(DecimalType(38, 0)).as("ctr_c"))))
+      .head
     val thr = ctr.groupBy(col("ctr_state").as("t_state"))
       .agg(sum(col("ctr_c")).as("tot_c"), count(col("ctr_c")).as("cnt"))
     // extraCols entries may be "expr AS name" (used to cast nullable
@@ -4306,24 +4323,33 @@ object Tpcds {
     // 4-year store history — carries two ints instead of ints + a 30-char
     // desc + a date (guide §2.3 narrower types / shuffle fewer bytes).
     val itKeys = t(spark, dir, "item").select("i_item_sk")
-    val freq = t(spark, dir, "store_sales")
-      .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"),
-        "left_semi")
-      .join(broadcast(itKeys), col("ss_item_sk") === col("i_item_sk"),
-        "left_semi")
-      .groupBy(col("ss_item_sk").as("freq_item"), col("ss_sold_date_sk"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 4)
-      .select("freq_item").distinct()
-    // r18: both money sums ride long CENTS (see centsL) — the 4-year
-    // per-customer spend aggregate was the suite's top remaining per-row
-    // decimal cost; the relative best-customer gate and the final double
-    // derive from the same exact values as before
-    val spend = t(spark, dir, "store_sales")
-      .filter(col("ss_customer_sk").isNotNull)
-      .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
-      .groupBy(col("ss_customer_sk").as("cust"))
-      .agg(sum(centsL(col("ss_quantity"), col("ss_sales_price"))).as("ssales"))
+    // r19: the frequent-item set and the per-customer spend aggregate are
+    // each consumed by SEVERAL branches (two monthLines semis; the max
+    // gate plus two semis) — without a barrier the optimizer specializes
+    // every copy and the 4-year store history was scanned 8 times in one
+    // execution (measured, see plans/r19/q_tpcds_q23_{before,after}.txt:
+    // store_sales scans 8 → 2). Both are group-grain (≤|item|, ≤|customer|)
+    // and now materialize ONCE, concurrently (Materialize.concurrently).
+    val Seq(freq, spend) = graft.plans.Materialize.concurrently(Seq(
+      t(spark, dir, "store_sales")
+        .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"),
+          "left_semi")
+        .join(broadcast(itKeys), col("ss_item_sk") === col("i_item_sk"),
+          "left_semi")
+        .groupBy(col("ss_item_sk").as("freq_item"), col("ss_sold_date_sk"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 4)
+        .select("freq_item").distinct(),
+      // r18: both money sums ride long CENTS (see centsL) — the 4-year
+      // per-customer spend aggregate was the suite's top remaining per-row
+      // decimal cost; the relative best-customer gate and the final double
+      // derive from the same exact values as before
+      t(spark, dir, "store_sales")
+        .filter(col("ss_customer_sk").isNotNull)
+        .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
+        .groupBy(col("ss_customer_sk").as("cust"))
+        .agg(sum(centsL(col("ss_quantity"), col("ss_sales_price")))
+          .as("ssales"))))
     val mx = spend.agg(max(col("ssales")).as("mx"))
       .withColumn("jk", coalesce(col("mx") * 0, lit(0)).cast(
         org.apache.spark.sql.types.IntegerType))
@@ -4341,8 +4367,15 @@ object Tpcds {
                    custCol: String, qty: String, price: String) =
       t(spark, dir, fact)
         .join(broadcast(ddm), col(dateCol) === col("m_date_sk"))
-        .join(freq, col(itemCol) === col("freq_item"), "left_semi")
-        .join(best, col(custCol) === col("best_cust"), "left_semi")
+        // r19: explicit broadcasts — the materialized gates no longer carry
+        // runtime size stats, and without the hint the static planner
+        // treats them as fact-sized and shuffles the month facts into
+        // sort-merge semis (measured). Broadcast is the audited scale
+        // shape: freq is item-dimension-scale (the ubiquitous
+        // broadcast(it) class) and best is the ≥50%-of-max spender set —
+        // selective by construction at every sf.
+        .join(broadcast(freq), col(itemCol) === col("freq_item"), "left_semi")
+        .join(broadcast(best), col(custCol) === col("best_cust"), "left_semi")
         .select(centsL(col(qty), col(price)).as("amt"))
     monthLines("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
       "cs_bill_customer_sk", "cs_quantity", "cs_list_price")
@@ -4721,10 +4754,25 @@ object Tpcds {
     val dir = ensure(spark, sfDir)
     val dd4 = t(spark, dir, "date_dim")
       .filter(col("d_year").between(1999, 2002)).select("d_date_sk")
-    val freq = t(spark, dir, "store_sales")
-      .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
-      .groupBy(col("ss_item_sk").as("freq_item"))
-      .agg(count(lit(1)).as("cnt"))
+    // r19: the per-item counts (read twice — corpus mean + gate) and the
+    // per-customer spend (read by the max gate plus two monthLines semis)
+    // each materialize ONCE, concurrently — without the barrier the
+    // optimizer specialized every consumer's copy and the 4-year store
+    // history was scanned 8 times in one execution (measured; see
+    // plans/r19/q_tpcds_q23b_{before,after}.txt: store_sales 8 → 2 scans
+    // and Materialize's scaladoc). Both frames are group-grain.
+    val Seq(counts0, spend) = graft.plans.Materialize.concurrently(Seq(
+      t(spark, dir, "store_sales")
+        .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
+        .groupBy(col("ss_item_sk").as("freq_item"))
+        .agg(count(lit(1)).as("cnt")),
+      t(spark, dir, "store_sales")
+        .filter(col("ss_customer_sk").isNotNull)
+        .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
+        .groupBy(col("ss_customer_sk").as("cust"))
+        .agg(sum(centsL(col("ss_quantity"), col("ss_sales_price")))
+          .as("ssales"))))
+    val freq = counts0
       .transform { counts =>
         // scale-invariant frequency gate: "frequent" = above the corpus
         // MEAN per-item count, so the selectivity shape survives any sf
@@ -4746,12 +4794,7 @@ object Tpcds {
       }.select("freq_item")
     // r18: long-cents spend, exactly as at q23 (see centsL) — the gate
     // ratio and every downstream double are derived from the same exact
-    // values
-    val spend = t(spark, dir, "store_sales")
-      .filter(col("ss_customer_sk").isNotNull)
-      .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
-      .groupBy(col("ss_customer_sk").as("cust"))
-      .agg(sum(centsL(col("ss_quantity"), col("ss_sales_price"))).as("ssales"))
+    // values (the aggregate itself is materialized above)
     val mx = spend.agg(max(col("ssales")).as("mx"))
       .withColumn("jk", coalesce(col("mx") * 0, lit(0)).cast(
         org.apache.spark.sql.types.IntegerType))
@@ -4769,8 +4812,15 @@ object Tpcds {
                    custCol: String, qty: String, price: String) =
       t(spark, dir, fact)
         .join(broadcast(ddm), col(dateCol) === col("m_date_sk"))
-        .join(freq, col(itemCol) === col("freq_item"), "left_semi")
-        .join(best, col(custCol) === col("best_cust"), "left_semi")
+        // r19: explicit broadcasts — the materialized gates no longer carry
+        // runtime size stats, and without the hint the static planner
+        // treats them as fact-sized and shuffles the month facts into
+        // sort-merge semis (measured). Broadcast is the audited scale
+        // shape: freq is item-dimension-scale (the ubiquitous
+        // broadcast(it) class) and best is the ≥50%-of-max spender set —
+        // selective by construction at every sf.
+        .join(broadcast(freq), col(itemCol) === col("freq_item"), "left_semi")
+        .join(broadcast(best), col(custCol) === col("best_cust"), "left_semi")
         .select(col(custCol).as("buyer"), centsL(col(qty), col(price)).as("amt"))
     val cust = t(spark, dir, "customer")
       .select("c_customer_sk", "c_last_name", "c_first_name")

@@ -131,11 +131,16 @@ object Tpch {
     * sides are exact DECIMAL the equality can't flap in the last ulp the
     * way a double max would across partitionings. */
   def q_tpch_q15(s: SparkSession, d: String): DataFrame = {
-    val rev = t(s, d, "lineitem")
+    // r19: rev is read by both the max gate and the equality filter — the
+    // optimizer specialized the two copies and the quarter's lineitem was
+    // scanned twice per execution. The supplier-grain aggregate
+    // materializes once (graft.plans.Materialize scaladoc;
+    // plans/r19/q_tpch_q15_{before,after}.txt: lineitem 2 → 1 scans).
+    val rev = graft.plans.Materialize.concurrently(Seq(t(s, d, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
         col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
       .groupBy(col("l_suppkey"))
-      .agg(sum(vol).as("total"))
+      .agg(sum(vol).as("total")))).head
     val mx = rev.agg(max(col("total")).as("mx"))
     rev.join(broadcast(mx), col("total") === col("mx"))
       .join(t(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))

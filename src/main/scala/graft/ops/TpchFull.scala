@@ -127,8 +127,16 @@ object TpchFull {
       .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "GERMANY")),
         col("s_nationkey") === col("n_nationkey"))
       .withColumn("v", col("ps_supplycost") * col("ps_availqty"))
-    val grouped = de.groupBy(col("ps_partkey")).agg(sum(col("v")).as("value_d"))
-    val thr = de.agg((sum(col("v")) * lit(BigDecimal("0.0001"))).as("thr"))
+    // r19: the threshold total now derives from the part-grain aggregate
+    // itself (Σ of per-part sums — identical exact decimal value) instead
+    // of re-running the whole German partsupp pipeline, and the aggregate
+    // materializes once (graft.plans.Materialize scaladoc) so the two
+    // consumers cannot be re-specialized into two scans
+    // (plans/r19/q_tpch_q11_{before,after}.txt: partsupp 2 → 1 scans).
+    val grouped = graft.plans.Materialize.concurrently(Seq(
+      de.groupBy(col("ps_partkey")).agg(sum(col("v")).as("value_d")))).head
+    val thr = grouped
+      .agg((sum(col("value_d")) * lit(BigDecimal("0.0001"))).as("thr"))
       .withColumn("jk", (col("thr") * 0).cast(IntegerType))
     grouped.withColumn("jk", (col("value_d") * 0).cast(IntegerType))
       .join(broadcast(thr), Seq("jk"))

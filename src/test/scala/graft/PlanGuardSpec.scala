@@ -283,10 +283,13 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(q49.contains("wr_order_number") && q49.contains("sr_ticket_number"),
       s"Q49 fact joins lost their PKs:\n$q49")
     assert(q49.contains("Window"), s"Q49 rank windows missing:\n$q49")
-    // Q65: the per-store average attaches back by a keyed join on the
-    // store key (the global guard forbids a nested-loop degradation)
+    // Q65 (r19): the per-store totals ride ONE window over the (store,
+    // item) aggregate — partitioned by the store key, no re-derived
+    // broadcast side, no second fact scan
     val q65 = fmt("q_tpcds_q65")
-    assert(q65.contains("avg_store"), s"Q65 average attach missing:\n$q65")
+    assert(q65.contains("Window") &&
+      q65.contains("windowspecdefinition(ss_store_sk"),
+      s"Q65 per-store totals lost their store-partitioned window:\n$q65")
     // Q98: the ratio window runs over the AGGREGATE, never the raw fact
     val q98 = fmt("q_tpcds_q98")
     assert(q98.contains("Window"), s"Q98 ratio window missing:\n$q98")
