@@ -4334,33 +4334,33 @@ object Tpcds {
     // 4-year store history — carries two ints instead of ints + a 30-char
     // desc + a date (guide §2.3 narrower types / shuffle fewer bytes).
     val itKeys = t(spark, dir, "item").select("i_item_sk")
-    // r19: the frequent-item set and the per-customer spend aggregate are
-    // each consumed by SEVERAL branches (two monthLines semis; the max
-    // gate plus two semis) — without a barrier the optimizer specializes
-    // every copy and the 4-year store history was scanned 8 times in one
-    // execution (measured, see plans/r19/q_tpcds_q23_{before,after}.txt:
-    // store_sales scans 8 → 2). Both are group-grain (≤|item|, ≤|customer|)
-    // and now materialize ONCE, concurrently (Materialize.concurrently).
-    val Seq(freq, spend) = graft.plans.Materialize.concurrently(Seq(
-      t(spark, dir, "store_sales")
-        .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"),
-          "left_semi")
-        .join(broadcast(itKeys), col("ss_item_sk") === col("i_item_sk"),
-          "left_semi")
-        .groupBy(col("ss_item_sk").as("freq_item"), col("ss_sold_date_sk"))
-        .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > 4)
-        .select("freq_item").distinct(),
-      // r18: both money sums ride long CENTS (see centsL) — the 4-year
-      // per-customer spend aggregate was the suite's top remaining per-row
-      // decimal cost; the relative best-customer gate and the final double
-      // derive from the same exact values as before
-      t(spark, dir, "store_sales")
-        .filter(col("ss_customer_sk").isNotNull)
-        .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
-        .groupBy(col("ss_customer_sk").as("cust"))
-        .agg(sum(centsL(col("ss_quantity"), col("ss_sales_price")))
-          .as("ssales"))))
+    // r19 audit, deliberately NOT materialized: freq and spend are each
+    // consumed by several branches, but every copy stays canonically
+    // equal (no consumer-specific constraint lands below the aggregates),
+    // so AQE runtime stage reuse already collapses them — the executed
+    // final plan reads store_sales exactly twice (freq + spend), the
+    // structural minimum. A Materialize barrier was tried and measured
+    // strictly worse locally (checkpoint jobs for zero scan win) — see
+    // OPTIMIZATION_r19.md; contrast q23b, where the mean attach DOES
+    // specialize its copies.
+    val freq = t(spark, dir, "store_sales")
+      .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"),
+        "left_semi")
+      .join(broadcast(itKeys), col("ss_item_sk") === col("i_item_sk"),
+        "left_semi")
+      .groupBy(col("ss_item_sk").as("freq_item"), col("ss_sold_date_sk"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 4)
+      .select("freq_item").distinct()
+    // r18: both money sums ride long CENTS (see centsL) — the 4-year
+    // per-customer spend aggregate was the suite's top remaining per-row
+    // decimal cost; the relative best-customer gate and the final double
+    // derive from the same exact values as before
+    val spend = t(spark, dir, "store_sales")
+      .filter(col("ss_customer_sk").isNotNull)
+      .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ss_customer_sk").as("cust"))
+      .agg(sum(centsL(col("ss_quantity"), col("ss_sales_price"))).as("ssales"))
     val mx = spend.agg(max(col("ssales")).as("mx"))
       .withColumn("jk", coalesce(col("mx") * 0, lit(0)).cast(
         org.apache.spark.sql.types.IntegerType))
@@ -4378,15 +4378,8 @@ object Tpcds {
                    custCol: String, qty: String, price: String) =
       t(spark, dir, fact)
         .join(broadcast(ddm), col(dateCol) === col("m_date_sk"))
-        // r19: explicit broadcasts — the materialized gates no longer carry
-        // runtime size stats, and without the hint the static planner
-        // treats them as fact-sized and shuffles the month facts into
-        // sort-merge semis (measured). Broadcast is the audited scale
-        // shape: freq is item-dimension-scale (the ubiquitous
-        // broadcast(it) class) and best is the ≥50%-of-max spender set —
-        // selective by construction at every sf.
-        .join(broadcast(freq), col(itemCol) === col("freq_item"), "left_semi")
-        .join(broadcast(best), col(custCol) === col("best_cust"), "left_semi")
+        .join(freq, col(itemCol) === col("freq_item"), "left_semi")
+        .join(best, col(custCol) === col("best_cust"), "left_semi")
         .select(centsL(col(qty), col(price)).as("amt"))
     monthLines("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
       "cs_bill_customer_sk", "cs_quantity", "cs_list_price")
@@ -4765,24 +4758,25 @@ object Tpcds {
     val dir = ensure(spark, sfDir)
     val dd4 = t(spark, dir, "date_dim")
       .filter(col("d_year").between(1999, 2002)).select("d_date_sk")
-    // r19: the per-item counts (read twice — corpus mean + gate) and the
-    // per-customer spend (read by the max gate plus two monthLines semis)
-    // each materialize ONCE, concurrently — without the barrier the
-    // optimizer specialized every consumer's copy and the 4-year store
-    // history was scanned 8 times in one execution (measured; see
-    // plans/r19/q_tpcds_q23b_{before,after}.txt: store_sales 8 → 2 scans
-    // and Materialize's scaladoc). Both frames are group-grain.
-    val Seq(counts0, spend) = graft.plans.Materialize.concurrently(Seq(
+    // r19: the per-item counts are read twice (corpus mean + gate) and the
+    // mean attach SPECIALIZES its copy (the fjk/mean branch prunes
+    // differently than the gate branch), so AQE stage reuse cannot
+    // collapse them — the executed plan scanned the 4-year store history
+    // once per copy. The item-grain counts materialize ONCE
+    // (Materialize scaladoc; executed store_sales scans 3 → 2,
+    // plans/r19/q_tpcds_q23b_{before,after}.txt). spend stays plain DAG:
+    // its consumers (max gate + two monthLines semis) stay canonically
+    // equal and AQE already reuses its single scan (the q23 audit).
+    val counts0 = graft.plans.Materialize.concurrently(Seq(
       t(spark, dir, "store_sales")
         .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
         .groupBy(col("ss_item_sk").as("freq_item"))
-        .agg(count(lit(1)).as("cnt")),
-      t(spark, dir, "store_sales")
-        .filter(col("ss_customer_sk").isNotNull)
-        .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
-        .groupBy(col("ss_customer_sk").as("cust"))
-        .agg(sum(centsL(col("ss_quantity"), col("ss_sales_price")))
-          .as("ssales"))))
+        .agg(count(lit(1)).as("cnt")))).head
+    val spend = t(spark, dir, "store_sales")
+      .filter(col("ss_customer_sk").isNotNull)
+      .join(broadcast(dd4), col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("ss_customer_sk").as("cust"))
+      .agg(sum(centsL(col("ss_quantity"), col("ss_sales_price"))).as("ssales"))
     val freq = counts0
       .transform { counts =>
         // scale-invariant frequency gate: "frequent" = above the corpus

@@ -8,17 +8,23 @@ import org.apache.spark.sql.DataFrame
   *
   * WHY: several declared queries attach a derived scalar/threshold back to
   * the aggregate it was derived from (Q1/Q30/Q81 per-group outlier cuts,
-  * Q23's best-customer and frequent-item gates, TPC-H Q11/Q15 totals, Q14's
-  * avg_sales). A DataFrame subtree consumed by two such branches is NOT
-  * computed once: the optimizer specializes each copy (different inferred
-  * IsNotNull constraints, different column pruning), the copies stop being
-  * canonically equal, and ReuseExchange leaves one full fact scan PER
-  * CONSUMER — measured r19 on q_tpcds_q23b: the 4-year store_sales history
-  * was scanned 8 times in one execution. An eager `localCheckpoint` is the
-  * engine's committed answer (the q_dedup_cluster per-round precedent): the
-  * shared aggregate — always GROUP-grain, orders of magnitude smaller than
-  * the fact input — is computed exactly once, stored on the executors, and
-  * every consumer reads the materialized rows.
+  * Q23b's frequency mean, TPC-H Q11/Q15 totals, Q14's avg_sales, Q44's
+  * baseline). A DataFrame subtree consumed by two such branches is computed
+  * once ONLY while every consumer's copy stays canonically equal (then AQE
+  * runtime stage reuse collapses them — q_tpcds_q23's freq/spend, audited
+  * there, need no barrier). The moment one consumer specializes its copy
+  * (an inferred IsNotNull pushed below the aggregate, divergent column
+  * pruning, a literal-bearing filter), reuse is off and each copy runs its
+  * own full fact scan — measured r19 in final executed plans: q1's year of
+  * store_returns scanned 3x, q14's three-year channels 6x, q23b's store
+  * history 3x. An eager `localCheckpoint` is the engine's committed answer
+  * (the q_dedup_cluster per-round precedent): the shared aggregate —
+  * always GROUP-grain, orders of magnitude smaller than the fact input —
+  * is computed exactly once, stored on the executors, and every consumer
+  * reads the materialized rows. Count duplicates in the FINAL section of
+  * an `--executed` plan only (the output also prints the initial plan,
+  * which double-counts and hides runtime reuse), and apply the barrier
+  * only where a real duplicate shows.
   *
   * HONESTY CONTRACT: this is not cross-run caching. The checkpoint lives
   * inside one constructed query's lifetime; every bench rep / verify run
